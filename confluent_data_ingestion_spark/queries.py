@@ -1,0 +1,304 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir) ->
+DataFrame callable plus a DuckDB-equivalent oracle SQL string.
+
+This is the driver-facing correctness surface (see ``__spark_entry__.py``).
+Each entry exercises one operator family from SURVEY.md section 2 (or an
+extension operator) against the driver-provided parquet tables.  Column names
+are aliased identically on both sides; floating-point aggregates are summed
+as exact DECIMALs then cast to DOUBLE so both engines produce bit-identical
+values regardless of accumulation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import (
+    csv_view,
+    json_view,
+    latest_by_key,
+    lookup_join,
+    mask_columns,
+    ordered_join,
+    quarantine_antijoin,
+    union_arms,
+)
+from .session import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    tabs = load_tables(spark, sf_dir, list(names))
+    if len(names) == 1:
+        return tabs[names[0]]
+    return [tabs[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# S1/P1/P3/P6 — JSON envelope -> discriminator filter -> typed view.
+# The events table plays the raw stream: event_type is the discriminator
+# column, props is the JSON payload (reference: typed Flink view over a
+# multi-table Kafka topic, resources/output/final-output.sql:3-11).
+# ---------------------------------------------------------------------------
+@query(
+    "view_json_envelope",
+    """
+    SELECT event_id, user_id,
+           TRY_CAST(NULLIF(TRIM(json_extract_string(props, '$.k')), '') AS INT) AS k,
+           value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def view_json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    filtered = ev.filter(F.col("event_type") == "purchase")
+    return json_view(
+        filtered,
+        [("k", "k", "INT")],
+        payload_col="props",
+        keep_cols=["event_id", "user_id", "value"],
+    ).select("event_id", "user_id", "k", "value")
+
+
+# ---------------------------------------------------------------------------
+# P2/P3 — positional CSV view with out-of-range -> NULL (SPLIT_INDEX parity).
+# documents.text is the delimited payload (space-separated).
+# ---------------------------------------------------------------------------
+@query(
+    "view_csv_positional",
+    """
+    SELECT doc_id,
+           CAST(TRIM(string_split(text, ' ')[1]) AS VARCHAR)  AS tok0,
+           CAST(TRIM(string_split(text, ' ')[2]) AS VARCHAR)  AS tok1,
+           CAST(TRIM(string_split(text, ' ')[61]) AS VARCHAR) AS tok60
+    FROM documents
+    """,
+)
+def view_csv_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return csv_view(
+        docs.select("doc_id", F.col("text").alias("val")),
+        [("tok0", 0, "STRING"), ("tok1", 1, "STRING"), ("tok60", 60, "STRING")],
+        delimiter=" ",
+        keep_cols=["doc_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/W1 — XREF latest-by-key snapshot (ROW_NUMBER dedup, ties broken by a
+# sequence column; reference sttm-requirements.md:106-134).
+# ---------------------------------------------------------------------------
+@query(
+    "xref_latest_by_key",
+    """
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+      ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def xref_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return latest_by_key(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 variant — soft-delete exclusion before ranking (delete_flag_field).
+# ---------------------------------------------------------------------------
+@query(
+    "xref_latest_soft_delete",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+      ) AS rn
+      FROM events
+      WHERE event_type IS NULL OR lower(trim(event_type)) NOT IN ('error')
+    ) WHERE rn = 1
+    """,
+)
+def xref_latest_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return latest_by_key(
+        ev, ["user_id"], ["ts", "event_id"],
+        delete_flag_field="event_type", delete_flag_values=("error",),
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# J1/J4 + masking — FGAC refined table: broadcast lookup join + column masks
+# (sha2 hash + redaction; reference BR-5 / MaskField SMT).
+# ---------------------------------------------------------------------------
+@query(
+    "fgac_enrich_mask",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           c.c_mktsegment,
+           sha256(c.c_name) AS c_name_masked
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def fgac_enrich_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    joined = lookup_join(
+        orders, customer, "s.o_custkey = j.c_custkey",
+        join_type="LEFT", broadcast=True,
+    )
+    refined = joined.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment",
+        F.col("c_name").alias("c_name_masked"),
+    )
+    return mask_columns(refined, {"c_name_masked": "sha2"})
+
+
+# ---------------------------------------------------------------------------
+# J5/O1 — quarantine: two-direction anti-join UNION ALL with reason literals
+# (reference final-output.sql:131-144).  "Entitled" customers = negative
+# account balance, so both directions produce rows.
+# ---------------------------------------------------------------------------
+@query(
+    "quarantine_antijoin",
+    """
+    WITH entitled AS (SELECT * FROM customer WHERE c_acctbal < 0)
+    SELECT o.o_orderkey AS rec_key, 'xref: none' AS what
+    FROM orders o ANTI JOIN entitled e ON o.o_custkey = e.c_custkey
+    UNION ALL
+    SELECT e.c_custkey AS rec_key, 'src: none' AS what
+    FROM entitled e ANTI JOIN orders o ON o.o_custkey = e.c_custkey
+    """,
+)
+def quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    entitled = customer.filter(F.col("c_acctbal") < 0)
+    return quarantine_antijoin(
+        orders, entitled, "a.o_custkey = b.c_custkey",
+        select_left=["a.o_orderkey AS rec_key"],
+        select_right=["b.c_custkey AS rec_key"],
+        reason_col="what",
+        left_reason="xref: none",
+        right_reason="src: none",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9/O1/P5 — UNION ALL of select arms with NULL fill for unmapped columns.
+# ---------------------------------------------------------------------------
+@query(
+    "union_arms_null_fill",
+    """
+    SELECT event_id, user_id, value, 'hi-purchase' AS arm
+    FROM events WHERE event_type = 'purchase' AND value > 100
+    UNION ALL
+    SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value, 'signup' AS arm
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def union_arms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    arm1 = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100))
+        .select("event_id", "user_id", "value", F.lit("hi-purchase").alias("arm"))
+    )
+    arm2 = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", F.lit("signup").alias("arm"))
+    )
+    return union_arms([arm1, arm2], ["event_id", "user_id", "value", "arm"])
+
+
+# ---------------------------------------------------------------------------
+# J2 — ordered multi-view left-deep join chain (v4.5 style), dimension sides
+# broadcast by Catalyst.  Theta condition included via TRIM parity (J4).
+# ---------------------------------------------------------------------------
+@query(
+    "ordered_multi_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+           c.c_mktsegment, n.n_name, r.r_name
+    FROM lineitem l
+    INNER JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    LEFT  JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    LEFT  JOIN region r   ON TRIM(CAST(n.n_regionkey AS VARCHAR)) = TRIM(CAST(r.r_regionkey AS VARCHAR))
+    WHERE l.l_quantity > 25
+    """,
+)
+def ordered_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, customer, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    out = ordered_join(
+        li.filter(F.col("l_quantity") > 25), "l",
+        [
+            (orders, "o", "l.l_orderkey = o.o_orderkey", "INNER"),
+            (customer, "c", "o.o_custkey = c.c_custkey", "LEFT"),
+            (nation, "n", "c.c_nationkey = n.n_nationkey", "LEFT"),
+            (region, "r",
+             "TRIM(CAST(n.n_regionkey AS STRING)) = TRIM(CAST(r.r_regionkey AS STRING))",
+             "LEFT"),
+        ],
+    )
+    return out.select("l_orderkey", "l_linenumber", "o_orderstatus",
+                      "c_mktsegment", "n_name", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# Flagship aggregation (beyond parity — reference has no GROUP BY, Spark
+# gives it natively; this is the scale/bench headline).  DECIMAL-exact sums
+# cast to DOUBLE for engine-independent determinism.
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount"))).cast("double").alias("sum_disc_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).cast("double").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def run_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QUERIES[name](spark, sf_dir)

@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for this engine.
+
+Scale notes: the defaults below are what we would ship on a 1000-executor
+cluster, modulated by environment variables for local testing.  AQE is on so
+shuffle partition counts self-tune at runtime; broadcast threshold stays at
+Spark's default so dimension tables (region/nation/customer at any SF) hash
+to broadcast joins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def get_spark(app_name: str = "confluent-data-ingestion-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Arrow for the pandas-UDF extension operators.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load driver-provided parquet tables as a dict of DataFrames.
+
+    The driver's ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects; we read it as a nanos long
+    (``nanosAsLong``) and rebuild a TIMESTAMP_NTZ truncated to microseconds —
+    exactly what DuckDB produces for the same file, so oracle comparisons
+    agree.  The conversion is session-timezone independent.
+    """
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n == "events":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "convert_timezone(current_timezone(), 'UTC', "
+                    "cast(timestamp_micros(ts div 1000) as timestamp_ntz))"
+                ),
+            )
+        out[n] = df
+    return out
