@@ -1,0 +1,248 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these):
+ - Signatures (minhash / simhash / fingerprints) are computed as PER-ROW
+   Catalyst array expressions — array_min over transform(), aggregate() folds
+   — so signature generation is a zero-shuffle scan that parallelizes
+   embarrassingly at 100 TB.  No explode, no groupBy for signatures.
+ - Only candidate *pairing* shuffles, and it shuffles short hash keys
+   (LSH band keys), never document text.  Band-key partition sizes are
+   bounded by collision-group size, not corpus size.
+ - Exact dedup is a hash-groupBy on a digest, the minimum possible shuffle
+   (32-byte keys instead of full documents).
+ - Pairwise n-gram Jaccard is the quadratic fallback — at scale you run
+   minhash_lsh_pairs first and feed ONLY candidate pairs into the exact
+   Jaccard verifier (``verify`` flag below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per distinct document text: canonical (min) id + duplicate count.
+
+    GroupBy on md5(text): map-side partial aggregation + a 32-byte shuffle
+    key; the text itself never shuffles.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "shingles",
+) -> DataFrame:
+    """Distinct word n-gram shingles as an array column (no explode).
+
+    Guarded so documents shorter than n tokens get an empty array (Spark's
+    sequence() would otherwise count DOWN when stop < start).
+    """
+    t = text_col
+    joins = " , ' ', ".join(f"element_at(__ts__, i + {k})" for k in range(n))
+    return (
+        df.withColumn("__ts__", F.split(F.col(t), " "))
+        .withColumn(
+            out_col,
+            F.expr(
+                f"CASE WHEN size(__ts__) >= {n} THEN "
+                f"array_distinct(transform(sequence(1, size(__ts__) - {n - 1}), "
+                f"i -> concat({joins}))) "
+                f"ELSE array() END"
+            ),
+        )
+        .drop("__ts__")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    num_hashes: int = 8,
+    prefix: str = "mh",
+) -> DataFrame:
+    """MinHash signature: ``num_hashes`` lexicographic minima over per-shingle
+    hash slices.
+
+    Cost trick: an md5 digest is 32 hex chars = four independent 8-char
+    (32-bit) hash values, so k minhashes need only ceil(k/4) md5 passes over
+    the shingle array instead of k.  mh_{4d+s} = min over shingles of
+    substr(md5('<d>|' || shingle), 1+8s, 8).  Lexicographic min over a
+    fixed-width hex slice is a uniform permutation min — the standard MinHash
+    estimator — and reproduces identically in any SQL engine.  Per-row
+    expressions only: zero shuffle.
+    """
+    out = df
+    n_digests = (num_hashes + 3) // 4
+    for d in range(n_digests):
+        out = out.withColumn(
+            f"__h{d}__",
+            F.expr(f"transform({shingle_col}, s -> md5(concat('{d}|', s)))"),
+        )
+    for j in range(num_hashes):
+        d, s = divmod(j, 4)
+        out = out.withColumn(
+            f"{prefix}{j}",
+            F.expr(f"array_min(transform(__h{d}__, h -> substr(h, {1 + 8 * s}, 8)))"),
+        )
+    return out.drop(*[f"__h{d}__" for d in range(n_digests)])
+
+
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct (doc_id, shingle) rows via position-explode.
+
+    The Generate's child is an INT sequence, not the shingle-string array —
+    Catalyst's InferFiltersFromGenerate otherwise clones the full
+    string-building expression into a pre-explode filter where split() gets
+    re-evaluated per element (observed 10x slowdown).  Shingle strings are
+    assembled AFTER the explode from the materialized token array.
+    """
+    tok = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ts__"))
+    pos = tok.select(
+        F.col(id_col),
+        "__ts__",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__ts__) >= {n} THEN sequence(1, size(__ts__) - {n - 1}) "
+                f"ELSE CAST(array() AS array<int>) END"
+            )
+        ).alias("__i__"),
+    )
+    return pos.select(
+        F.col(id_col),
+        F.expr(f"array_join(slice(__ts__, __i__, {n}), ' ')").alias("s"),
+    ).distinct()
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Pipeline: shingle -> per-row signature -> explode band INDEX (cheap
+    generate, see ``exploded_shingles`` for why) -> band key per row (md5 of
+    the band's signature slice) -> self-join on (band, key) -> distinct pairs
+    (doc_a < doc_b).  The only shuffle is on 32-byte band keys.  Docs with no
+    shingles yield NULL keys and are dropped.
+    """
+    assert num_hashes % rows_per_band == 0
+    n_bands = num_hashes // rows_per_band
+    sig = minhash_signature(
+        shingle(df.select(id_col, text_col), text_col, n), num_hashes=num_hashes
+    )
+    key_case = "CASE __band__ " + " ".join(
+        f"WHEN {b} THEN md5("
+        + "||".join(f"mh{b * rows_per_band + k}" for k in range(rows_per_band))
+        + ")"
+        for b in range(n_bands)
+    ) + " END"
+    allb = (
+        sig.select(F.col(id_col), *[F.col(f"mh{j}") for j in range(num_hashes)])
+        .withColumn("__band__", F.explode(F.expr(f"sequence(0, {n_bands - 1})")))
+        .select(
+            F.col(id_col),
+            F.col("__band__").alias("band"),
+            F.expr(key_case).alias("key"),
+        )
+        .filter(F.col("key").isNotNull())
+    )
+    a = allb.alias("a")
+    b_ = allb.alias("b")
+    return (
+        a.join(
+            b_,
+            F.expr(f"a.band = b.band AND a.key = b.key AND a.{id_col} < b.{id_col}"),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.03,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity over shingle-sharing pairs.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count intersections, compute |A ∩ B| / (|A| + |B| - |A ∩ B|).  Quadratic
+    in collision-group size — at 100 TB, run AFTER an LSH prefilter.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.expr(f"a.s = b.s AND a.{id_col} < b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.expr(f"doc_a = sa.{id_col}"))
+        .join(sb, F.expr(f"doc_b = sb.{id_col}"))
+        .withColumn(
+            "__j__",
+            F.expr("CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c)"),
+        )
+        .filter(F.col("__j__") >= threshold)
+        .select("doc_a", "doc_b", F.round("__j__", 6).alias("jaccard"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """SimHash signature over distinct tokens (bit b = sign of the +1/-1 sum
+    of bit b of each token's md5).
+
+    Per-row expression: token hashes computed once into an array, then one
+    aggregate() fold per bit — zero shuffle, linear scan.  Near-duplicate
+    pairs = signatures within small Hamming distance (pair via band join on
+    bit slices, same pattern as minhash_lsh_pairs).
+    """
+    hashes = f"transform(array_distinct(split({text_col}, ' ')), t -> md5(t))"
+    df = df.withColumn("__th__", F.expr(hashes))
+    terms = []
+    for b in range(bits):
+        bit = (
+            f"aggregate(__th__, 0, (acc, h) -> acc + "
+            f"CASE WHEN (instr('0123456789abcdef', substr(h, {b + 1}, 1)) - 1) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)"
+        )
+        terms.append(f"CASE WHEN ({bit}) > 0 THEN {1 << b}L ELSE 0L END")
+    return df.withColumn(out_col, F.expr(" + ".join(terms))).drop("__th__")

