@@ -547,3 +547,75 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return ivf_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), centroids, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Full declarative pipeline e2e: envelope -> spec-compiled VIEW -> XREF ->
+# FGAC (the reference's signature dataflow, driven entirely by an STTM spec).
+# The envelope is built from events via to_json; the oracle recomputes the
+# same semantics directly on the base table.
+# ---------------------------------------------------------------------------
+@query(
+    "sttm_pipeline_e2e",
+    """
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC NULLS LAST) AS rn
+        FROM events WHERE event_type IN ('purchase', 'signup')
+      ) WHERE rn = 1
+    )
+    SELECT l.user_id, l.event_type, l.value, c.c_mktsegment,
+           sha256(c.c_name) AS nm_masked
+    FROM latest l JOIN customer c ON l.user_id = c.c_custkey
+    """,
+)
+def sttm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans import compile_pipeline
+    from .spec import load_spec
+
+    ev, customer = _t(spark, sf_dir, "events", "customer")
+    envelope = ev.select(
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias("val")
+    )
+
+    def R(**kw):
+        return kw
+
+    rows = [
+        R(PipelineStage="VIEW", TargetTable="EVT_view", TargetColumn="user_id",
+          TargetDataType="BIGINT", IsTargetPK="Y", FieldSelector="user_id",
+          FilterPredicate="JSON_VALUE(CAST(val AS STRING), '$.event_type')"
+                          " IN ('purchase', 'signup')"),
+        R(PipelineStage="VIEW", TargetTable="EVT_view", TargetColumn="event_id",
+          TargetDataType="BIGINT", FieldSelector="event_id"),
+        R(PipelineStage="VIEW", TargetTable="EVT_view", TargetColumn="event_type",
+          TargetDataType="STRING", FieldSelector="event_type"),
+        R(PipelineStage="VIEW", TargetTable="EVT_view", TargetColumn="value",
+          TargetDataType="DOUBLE", FieldSelector="value"),
+        R(PipelineStage="XREF", TargetTable="XREF_EVT", TargetColumn="user_id",
+          TargetDataType="BIGINT", IsTargetPK="Y", SourceTable="EVT_view",
+          FieldSelector="user_id", OrderByFields="event_id"),
+        R(PipelineStage="XREF", TargetTable="XREF_EVT", TargetColumn="event_type",
+          SourceTable="EVT_view", FieldSelector="event_type"),
+        R(PipelineStage="XREF", TargetTable="XREF_EVT", TargetColumn="value",
+          TargetDataType="DOUBLE", SourceTable="EVT_view", FieldSelector="value"),
+        R(PipelineStage="FGAC", TargetTable="FGAC_EVT", TargetColumn="user_id",
+          TargetDataType="BIGINT", IsTargetPK="Y", SourceTable="XREF_EVT",
+          FieldSelector="s.user_id", JoinTable="customer", JoinAlias="c",
+          JoinType="INNER", JoinCondition="s.user_id = c.c_custkey"),
+        R(PipelineStage="FGAC", TargetTable="FGAC_EVT", TargetColumn="event_type",
+          SourceTable="XREF_EVT", FieldSelector="s.event_type"),
+        R(PipelineStage="FGAC", TargetTable="FGAC_EVT", TargetColumn="value",
+          TargetDataType="DOUBLE", SourceTable="XREF_EVT", FieldSelector="s.value"),
+        R(PipelineStage="FGAC", TargetTable="FGAC_EVT", TargetColumn="c_mktsegment",
+          SourceTable="XREF_EVT", FieldSelector="c.c_mktsegment"),
+        R(PipelineStage="FGAC", TargetTable="FGAC_EVT", TargetColumn="nm_masked",
+          SourceTable="XREF_EVT", SourceTransformExpr="c.c_name",
+          ExprOverride="mask:sha2"),
+    ]
+    spec = load_spec(rows)
+    compiled = compile_pipeline(
+        spark, spec, {"raw": envelope, "customer": customer}
+    )
+    return compiled["FGAC_EVT"]

@@ -1,0 +1,4 @@
+from .models import MappingRow, PipelineSpec, load_spec
+from .validate import validate_spec
+
+__all__ = ["MappingRow", "PipelineSpec", "load_spec", "validate_spec"]

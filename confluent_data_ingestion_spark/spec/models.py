@@ -1,0 +1,138 @@
+"""Pipeline-spec (STTM) data model.
+
+Mirrors the reference's v22 row-per-target-column mapping sheet
+(``resources/STTM_v22.xlsx`` sheet STTM_Mapping; header normalization
+``scripts/sttm_to_flink_v22.py:28-33``) as pydantic models, plus the
+per-table physical-properties matrix (Config_TableMatrix,
+``scripts/sttm_to_flink_v22.py:161-214``) with ``${table_name}`` macro
+expansion.
+
+Input formats: list-of-dicts (canonical, programmatic), CSV (pandas), and
+Excel when an engine is available (gated import — openpyxl is optional).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pydantic import BaseModel, Field, field_validator
+
+STAGES = ("VIEW", "XREF", "FGAC", "QUARANTINE")
+
+
+class MappingRow(BaseModel):
+    pipeline_stage: str = Field(alias="PipelineStage")
+    target_table: str = Field(alias="TargetTable")
+    target_column: str = Field(alias="TargetColumn")
+    target_data_type: str = Field(default="STRING", alias="TargetDataType")
+    is_target_pk: bool = Field(default=False, alias="IsTargetPK")
+    source_table: Optional[str] = Field(default=None, alias="SourceTable")
+    message_format: str = Field(default="JSON", alias="MessageFormat")
+    field_selector: Optional[str] = Field(default=None, alias="FieldSelector")
+    source_transform_expr: Optional[str] = Field(default=None, alias="SourceTransformExpr")
+    expr_override: Optional[str] = Field(default=None, alias="ExprOverride")
+    filter_predicate: Optional[str] = Field(default=None, alias="FilterPredicate")
+    join_table: Optional[str] = Field(default=None, alias="JoinTable")
+    join_alias: Optional[str] = Field(default=None, alias="JoinAlias")
+    join_type: Optional[str] = Field(default=None, alias="JoinType")
+    join_condition: Optional[str] = Field(default=None, alias="JoinCondition")
+    # XREF dedup spec (reference sttm-requirements.md:66-84, columns 13-17)
+    order_by_fields: Optional[str] = Field(default=None, alias="OrderByFields")
+    delete_flag_field: Optional[str] = Field(default=None, alias="DeleteFlagField")
+    delete_flag_values: Optional[str] = Field(default=None, alias="DeleteFlagValues")
+
+    model_config = {"populate_by_name": True}
+
+    @field_validator("is_target_pk", mode="before")
+    @classmethod
+    def _pk_flag(cls, v: Any) -> bool:
+        if isinstance(v, bool):
+            return v
+        return str(v or "").strip().upper() in ("Y", "YES", "TRUE", "1")
+
+    @field_validator("pipeline_stage", mode="before")
+    @classmethod
+    def _stage(cls, v: Any) -> str:
+        return str(v or "").strip().upper()
+
+    @field_validator(
+        "target_table", "target_column", "source_table", "field_selector",
+        "source_transform_expr", "expr_override", "filter_predicate",
+        "join_table", "join_alias", "join_type", "join_condition",
+        "order_by_fields", "delete_flag_field", "delete_flag_values",
+        mode="before",
+    )
+    @classmethod
+    def _trim(cls, v: Any) -> Any:
+        if v is None:
+            return None
+        s = str(v).strip()
+        return s if s and s.lower() != "nan" else None
+
+
+class PipelineSpec(BaseModel):
+    rows: list[MappingRow]
+    table_matrix: dict[str, dict[str, str]] = Field(default_factory=dict)
+    payload_col: str = "val"
+    csv_delimiter: str = ","
+    raw_table: str = "raw"
+
+    def tables(self) -> dict[str, list[MappingRow]]:
+        """Rows grouped by target table, in deterministic emit order:
+        stage (VIEW < XREF < FGAC < QUARANTINE) -> table -> PK-first."""
+        stage_rank = {s: i for i, s in enumerate(STAGES)}
+        ordered = sorted(
+            self.rows,
+            key=lambda r: (
+                stage_rank.get(r.pipeline_stage, 99),
+                r.target_table,
+                not r.is_target_pk,
+            ),
+        )
+        out: dict[str, list[MappingRow]] = {}
+        for r in ordered:
+            out.setdefault(r.target_table, []).append(r)
+        return out
+
+    def stage_of(self, table: str) -> str:
+        for r in self.rows:
+            if r.target_table == table:
+                return r.pipeline_stage
+        raise KeyError(table)
+
+    def props_for(self, table: str) -> dict[str, str]:
+        """Matrix column for a table with ${table_name} macro expansion."""
+        raw = self.table_matrix.get(table, {})
+        return {
+            k: v.replace("${table_name}", table) if isinstance(v, str) else v
+            for k, v in raw.items()
+        }
+
+
+def load_spec(
+    rows: list[dict[str, Any]] | str,
+    table_matrix: dict[str, dict[str, str]] | None = None,
+    **opts: Any,
+) -> PipelineSpec:
+    """Build a PipelineSpec from a list of row dicts, a CSV path, or an
+    Excel path (.xlsx requires an installed Excel engine)."""
+    if isinstance(rows, str):
+        import pandas as pd
+
+        if rows.endswith(".csv"):
+            df = pd.read_csv(rows, dtype=str).fillna("")
+        else:
+            try:
+                df = pd.read_excel(rows, sheet_name="STTM_Mapping", dtype=str).fillna("")
+            except ImportError as e:  # openpyxl not installed
+                raise RuntimeError(
+                    "Excel input needs an Excel engine; convert to CSV or "
+                    "pass a list of row dicts"
+                ) from e
+        df.columns = [c.strip() for c in df.columns]
+        rows = df.to_dict(orient="records")
+    return PipelineSpec(
+        rows=[MappingRow(**r) for r in rows],
+        table_matrix=table_matrix or {},
+        **opts,
+    )

@@ -1,0 +1,113 @@
+"""Flattener tests: golden-pair parity with the reference tool + the
+distributed mapInPandas wrapper."""
+
+import json
+import os
+
+import pytest
+
+from confluent_data_ingestion_spark.flatten import flatten_json, schema_manifest
+
+GOLDEN_IN = "/root/reference/resources/json-flattener-input.json"
+GOLDEN_OUT = "/root/reference/resources/rows.ndjson"
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_IN), reason="reference not present")
+def test_golden_pair_exact():
+    with open(GOLDEN_IN) as f:
+        doc = json.load(f)
+    with open(GOLDEN_OUT) as f:
+        expected = [json.loads(line) for line in f if line.strip()]
+    got = flatten_json(doc)
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g == e, f"row {g.get('_row_id')} differs:\n{g}\n{e}"
+
+
+def test_no_arrays_no_rows():
+    assert flatten_json({"a": 1, "b": {"c": 2}}) == []
+
+
+def test_scalar_array_and_inheritance():
+    rows = flatten_json({"id": 7, "xs": [10, 20], "sib": {"hidden": 1}})
+    assert len(rows) == 2
+    assert rows[0]["xs"] == 10 and rows[0]["id"] == 7
+    assert rows[0]["tableName"] == "xs" and rows[0]["_path"] == "/xs/0"
+    assert "sib_hidden" not in rows[0]  # sibling branch never leaks
+
+
+def test_dict_array_parent_child_lineage():
+    doc = {"items": [{"name": "x", "subs": [1, 2]}, {"subs": [3]}]}
+    rows = flatten_json(doc)
+    # item 0 has a scalar -> parent row; its subs reference it
+    parent = next(r for r in rows if r["tableName"] == "items")
+    kids = [r for r in rows if r["tableName"] == "items_subs" and r["_parent_id"] == parent["_row_id"]]
+    assert {k["items_subs"] for k in kids} == {1, 2}
+    assert kids[0]["items_name"] == "x"  # element scalars inherit into children
+    # item 1 has no scalars -> no parent row; its sub parents to None
+    orphan = [r for r in rows if r["tableName"] == "items_subs" and r["items_subs"] == 3]
+    assert orphan[0]["_parent_id"] is None
+
+
+def test_emit_empty_parent_flag():
+    doc = {"items": [{"subs": [1]}]}
+    assert len(flatten_json(doc)) == 1
+    rows = flatten_json(doc, emit_empty_parent=True)
+    assert len(rows) == 2
+    stub = next(r for r in rows if r["tableName"] == "items")
+    kid = next(r for r in rows if r["tableName"] == "items_subs")
+    assert kid["_parent_id"] == stub["_row_id"]
+
+
+def test_list_of_lists():
+    rows = flatten_json({"m": [[1, 2], [3]]})
+    assert [r["m"] for r in rows] == [1, 2, 3]
+    assert rows[0]["_path"] == "/m/0/0" and rows[2]["_path"] == "/m/1/0"
+    assert rows[0]["_depth"] == 2
+
+
+def test_guards():
+    doc = {"a": [{"b": [1, 2, 3]}], "c": [1] * 10}
+    assert len(flatten_json(doc, max_rows=4)) == 4
+    deep = flatten_json({"a": [{"b": [1]}]}, max_depth=1)
+    assert deep == []  # list at depth 1 allowed but elements need depth<=1? root arrays only
+    wide = flatten_json({"x": 1, "y": 2, "z": 3, "arr": [9]}, max_cols=8)
+    assert all(len(r) <= 8 for r in wide)
+
+
+def test_numeric_to_float():
+    rows = flatten_json({"xs": [1], "flag": True}, numeric_to_float=True)
+    assert rows[0]["xs"] == 1.0 and isinstance(rows[0]["xs"], float)
+    assert rows[0]["flag"] is True  # bools stay bools
+
+
+def test_schema_manifest():
+    rows = flatten_json({"xs": [1, None]})
+    m = schema_manifest([rows])
+    assert "xs" in m and "xs" in m["xs"]["columns"]
+    assert set(m["xs"]["types"]["xs"]) == {"int", "NoneType"}
+
+
+def test_flatten_df_distributed(spark):
+    from confluent_data_ingestion_spark.flatten import flatten_df
+    from pyspark.sql import Row
+
+    docs = [
+        Row(doc_id=1, val=json.dumps({"k": "a", "xs": [1, 2]})),
+        Row(doc_id=2, val=json.dumps({"k": "b", "items": [{"n": 1, "subs": [5]}]})),
+        Row(doc_id=3, val="not json"),
+        Row(doc_id=4, val=json.dumps({"flat": "doc"})),
+    ]
+    out = flatten_df(spark.createDataFrame(docs), payload_col="val", key_col="doc_id")
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_key"], []).append(r)
+    assert len(by_doc["1"]) == 2
+    assert len(by_doc["2"]) == 2  # parent row + sub row
+    assert "3" not in by_doc and "4" not in by_doc
+    sub = next(r for r in by_doc["2"] if r["tableName"] == "items_subs")
+    parent = next(r for r in by_doc["2"] if r["tableName"] == "items")
+    assert sub["_parent_id"] == parent["_row_id"]
+    payload = json.loads(sub["row_json"])
+    assert payload["items_subs"] == 5 and payload["k"] == "b"
