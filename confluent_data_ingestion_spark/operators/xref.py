@@ -30,18 +30,32 @@ def latest_by_key(
     *,
     delete_flag_field: str | None = None,
     delete_flag_values: tuple[str, ...] = ("true", "1"),
+    delete_mode: str = "exclude",
     salt_partitions: int = 0,
 ) -> DataFrame:
     """One row per key: the latest by ``order_by`` (DESC, NULLS LAST).
 
     ``order_by`` columns are ranked descending in the given order (e.g.
     ``[event_ts, op_seq]`` -> event_ts DESC, op_seq DESC with op_seq breaking
-    ties).  Soft-deleted rows are excluded BEFORE ranking when
-    ``delete_flag_field`` is set (reference spec columns 13-17).
+    ties).  Soft-delete handling (reference spec columns 13-17):
+
+    - ``delete_mode="exclude"`` — flagged rows are dropped BEFORE ranking
+      (the reference's documented materialization pattern): a delete event
+      resurfaces the previous non-deleted version of the key.
+    - ``delete_mode="tombstone"`` — rank first, then drop keys whose LATEST
+      record is flagged: a delete event retracts the key entirely (Kafka
+      changelog-compaction semantics; what an upsert sink with DELETE ops
+      does).
     """
+    is_deleted = None
     if delete_flag_field:
         flag = F.lower(F.trim(F.col(delete_flag_field).cast("string")))
-        df = df.filter(flag.isNull() | ~flag.isin(*[v.lower() for v in delete_flag_values]))
+        is_deleted = flag.isNotNull() & flag.isin(*[v.lower() for v in delete_flag_values])
+        if delete_mode == "exclude":
+            df = df.filter(~F.coalesce(is_deleted, F.lit(False)))
+            is_deleted = None
+        elif delete_mode != "tombstone":
+            raise ValueError(f"unknown delete_mode {delete_mode!r}")
 
     order_cols = [F.col(c).desc_nulls_last() for c in order_by]
 
@@ -60,8 +74,11 @@ def latest_by_key(
         df = local
 
     w = Window.partitionBy(*keys).orderBy(*order_cols)
-    return (
+    latest = (
         df.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
         .drop("__rn__")
     )
+    if is_deleted is not None:
+        latest = latest.filter(~F.coalesce(is_deleted, F.lit(False)))
+    return latest

@@ -37,6 +37,28 @@ from ..spec.models import MappingRow, PipelineSpec
 from ..spec.validate import has_errors, validate_spec
 
 
+def xref_dedup_spec(rows: list[MappingRow]):
+    """Extract (pks, order_fields, delete_flag_field, delete_flag_values)
+    for an XREF table from its mapping rows (reference spec columns 13-17).
+    ``order_fields`` may name source columns that are not target columns."""
+    pks = [r.target_column for r in rows if r.is_target_pk]
+    order_fields: list[str] = []
+    for r in rows:
+        if r.order_by_fields:
+            order_fields = [c.strip() for c in r.order_by_fields.split(",") if c.strip()]
+            break
+    del_field, del_values = None, ("true", "1")
+    for r in rows:
+        if r.delete_flag_field:
+            del_field = r.delete_flag_field
+            if r.delete_flag_values:
+                del_values = tuple(
+                    v.strip() for v in r.delete_flag_values.split(",") if v.strip()
+                )
+            break
+    return pks, order_fields, del_field, del_values
+
+
 class PipelineCompiler:
     def __init__(
         self,
@@ -44,10 +66,12 @@ class PipelineCompiler:
         spec: PipelineSpec,
         sources: dict[str, DataFrame],
         strict: bool = True,
+        xref_keep_order_fields: bool = False,
     ):
         self.spark = spark
         self.spec = spec
         self.sources = dict(sources)
+        self.xref_keep_order_fields = xref_keep_order_fields
         self.issues = validate_spec(spec)
         if strict and has_errors(self.issues):
             errs = [m for s, t, m in self.issues if s == "ERROR"]
@@ -153,36 +177,26 @@ class PipelineCompiler:
         pred = combine_predicates([r.filter_predicate or "" for r in rows])
         if pred:
             src = src.filter(F.expr(translate_expr(pred, safe_cast=False)))
-        pks = [r.target_column for r in rows if r.is_target_pk]
-        order_fields = []
-        for r in rows:
-            if r.order_by_fields:
-                order_fields = [c.strip() for c in r.order_by_fields.split(",") if c.strip()]
-                break
+        pks, order_fields, del_field, del_values = xref_dedup_spec(rows)
         # Order-by fields that aren't target columns must survive the
-        # projection long enough for the dedup window, then be dropped.
+        # projection long enough for the dedup window, then be dropped
+        # (kept when the caller needs them for cross-batch re-dedup, i.e.
+        # the streaming upsert log).
         target_names = {r.target_column for r in rows}
         carry = [f for f in order_fields if f not in target_names]
         extra = [
             F.expr(translate_expr(f, safe_cast=False)).alias(f) for f in carry
         ]
         projected = src.select(*self._target_exprs(rows), *extra)
-        del_field, del_values = None, ("true", "1")
-        for r in rows:
-            if r.delete_flag_field:
-                del_field = r.delete_flag_field
-                if r.delete_flag_values:
-                    del_values = tuple(
-                        v.strip() for v in r.delete_flag_values.split(",") if v.strip()
-                    )
-                break
         if not order_fields:
             order_fields = [c for c in projected.columns if c not in pks][:1] or pks
         deduped = latest_by_key(
             projected, pks, order_fields,
             delete_flag_field=del_field, delete_flag_values=del_values,
         )
-        return deduped.drop(*carry) if carry else deduped
+        if carry and not self.xref_keep_order_fields:
+            deduped = deduped.drop(*carry)
+        return deduped
 
     def _alias_or_self(self, df: DataFrame, alias: str) -> DataFrame:
         return df.alias(alias)
@@ -221,13 +235,16 @@ class PipelineCompiler:
 
     # -- public -------------------------------------------------------------
 
-    def compile(self) -> dict[str, DataFrame]:
-        builders = {
+    def _builders(self):
+        return {
             "VIEW": self._build_view,
             "XREF": self._build_xref,
             "FGAC": self._build_fgac,
             "QUARANTINE": self._build_quarantine,
         }
+
+    def compile(self) -> dict[str, DataFrame]:
+        builders = self._builders()
         for table, rows in self.spec.tables().items():
             stage = rows[0].pipeline_stage
             self.compiled[table] = builders[stage](table, rows)

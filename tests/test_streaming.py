@@ -1,0 +1,236 @@
+"""Streaming runtime tests: upsert snapshot store, watermark dedup, and the
+statement-set runner's quiescence contract (streaming result == batch result
+over the same total input, AC-2)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from confluent_data_ingestion_spark.spec import load_spec
+from confluent_data_ingestion_spark.streaming import (
+    StatementSetRunner,
+    UpsertSnapshot,
+    file_envelope_stream,
+    kafka_source_options,
+    watermark_dedup,
+)
+
+
+# ---------------------------------------------------------------------------
+# UpsertSnapshot
+# ---------------------------------------------------------------------------
+def _mk_store(tmp, **kw):
+    return UpsertSnapshot(str(tmp / "store"), ["k"], ["seq"], **kw)
+
+
+def test_upsert_latest_wins(spark, tmp_path):
+    store = _mk_store(tmp_path)
+    store.upsert(spark.createDataFrame([Row(k=1, seq=1, v="a"), Row(k=2, seq=1, v="b")]))
+    store.upsert(spark.createDataFrame([Row(k=1, seq=2, v="a2")]))
+    snap = {r["k"]: r["v"] for r in store.snapshot(spark).collect()}
+    assert snap == {1: "a2", 2: "b"}
+
+
+def test_upsert_out_of_order_and_replay_idempotent(spark, tmp_path):
+    store = _mk_store(tmp_path)
+    b1 = spark.createDataFrame([Row(k=1, seq=5, v="new")])
+    b2 = spark.createDataFrame([Row(k=1, seq=3, v="stale")])
+    assert store.upsert(b1, batch_id=1)
+    assert store.upsert(b2, batch_id=2)  # late arrival: older seq
+    assert not store.upsert(b1, batch_id=1)  # replay skipped
+    rows = store.snapshot(spark).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "new"
+    assert store.log(spark).count() == 2  # replay appended nothing
+
+
+def test_upsert_delete_modes(spark, tmp_path):
+    data = [
+        Row(k=1, seq=1, v="a", op="I"),
+        Row(k=1, seq=2, v="a-del", op="D"),
+        Row(k=2, seq=1, v="b", op="I"),
+    ]
+    excl = UpsertSnapshot(
+        str(tmp_path / "x"), ["k"], ["seq"],
+        delete_flag_field="op", delete_flag_values=("D",),
+    )
+    excl.upsert(spark.createDataFrame(data))
+    snap = {r["k"]: r["v"] for r in excl.snapshot(spark).collect()}
+    assert snap == {1: "a", 2: "b"}  # delete excluded -> previous resurfaces
+
+    tomb = UpsertSnapshot(
+        str(tmp_path / "t"), ["k"], ["seq"],
+        delete_flag_field="op", delete_flag_values=("D",),
+        delete_mode="tombstone",
+    )
+    tomb.upsert(spark.createDataFrame(data))
+    snap = {r["k"]: r["v"] for r in tomb.snapshot(spark).collect()}
+    assert snap == {2: "b"}  # delete retracts the key
+
+
+def test_compact_preserves_snapshot(spark, tmp_path):
+    store = _mk_store(tmp_path)
+    for s in range(4):
+        store.upsert(spark.createDataFrame([Row(k=i, seq=s, v=f"{i}@{s}") for i in range(3)]))
+    before = sorted(map(tuple, store.snapshot(spark).collect()))
+    store.compact(spark)
+    after = sorted(map(tuple, store.snapshot(spark).collect()))
+    assert before == after
+    assert store.log(spark).count() == 3  # log collapsed to live keys
+
+
+# ---------------------------------------------------------------------------
+# Source helpers
+# ---------------------------------------------------------------------------
+def test_kafka_source_options():
+    opts = kafka_source_options("b:9092", ["t1", "t2"], max_offsets_per_trigger=500)
+    assert opts["subscribe"] == "t1,t2" and opts["maxOffsetsPerTrigger"] == "500"
+    assert kafka_source_options("b", topic_pattern="x.*")["subscribePattern"] == "x.*"
+    with pytest.raises(ValueError):
+        kafka_source_options("b")
+    with pytest.raises(ValueError):
+        kafka_source_options("b", "t", topic_pattern="x.*")
+
+
+def test_watermark_dedup_stream(spark, tmp_path):
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows = [
+        {"k": 1, "ts": "2026-01-01T00:00:01", "v": "a"},
+        {"k": 1, "ts": "2026-01-01T00:00:05", "v": "dup"},
+        {"k": 2, "ts": "2026-01-01T00:00:02", "v": "b"},
+    ]
+    with open(f"{src}/part1.ndjson", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows)
+    stream = (
+        file_envelope_stream(spark, src)
+        .select(
+            F.get_json_object("val", "$.k").cast("int").alias("k"),
+            F.get_json_object("val", "$.ts").cast("timestamp").alias("ts"),
+            F.get_json_object("val", "$.v").alias("v"),
+        )
+    )
+    deduped = watermark_dedup(stream, ["k"], "ts", "10 seconds")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from wm_dedup").collect()
+    assert sorted(r["k"] for r in got) == [1, 2]  # one row per key survives
+
+
+# ---------------------------------------------------------------------------
+# Statement-set runner: streaming == batch at quiescence
+# ---------------------------------------------------------------------------
+def _pipeline_spec():
+    def R(**kw):
+        return kw
+
+    return load_spec([
+        R(PipelineStage="VIEW", TargetTable="V_ACCT", TargetColumn="acct_id",
+          TargetDataType="BIGINT", IsTargetPK="Y", FieldSelector="acct_id",
+          FilterPredicate="JSON_VALUE(CAST(val AS STRING), '$.tbl') = 'acct'"),
+        R(PipelineStage="VIEW", TargetTable="V_ACCT", TargetColumn="seq",
+          TargetDataType="BIGINT", FieldSelector="seq"),
+        R(PipelineStage="VIEW", TargetTable="V_ACCT", TargetColumn="status",
+          TargetDataType="STRING", FieldSelector="status"),
+        R(PipelineStage="XREF", TargetTable="XREF_ACCT", TargetColumn="acct_id",
+          TargetDataType="BIGINT", IsTargetPK="Y", SourceTable="V_ACCT",
+          FieldSelector="acct_id", OrderByFields="seq"),
+        R(PipelineStage="XREF", TargetTable="XREF_ACCT", TargetColumn="status",
+          SourceTable="V_ACCT", FieldSelector="status"),
+        R(PipelineStage="FGAC", TargetTable="FGAC_ACCT", TargetColumn="acct_id",
+          TargetDataType="BIGINT", IsTargetPK="Y", SourceTable="XREF_ACCT",
+          FieldSelector="s.acct_id", JoinTable="dim", JoinAlias="d",
+          JoinType="INNER", JoinCondition="s.acct_id = d.id"),
+        R(PipelineStage="FGAC", TargetTable="FGAC_ACCT", TargetColumn="status",
+          SourceTable="XREF_ACCT", FieldSelector="s.status"),
+        R(PipelineStage="FGAC", TargetTable="FGAC_ACCT", TargetColumn="segment",
+          SourceTable="XREF_ACCT", FieldSelector="d.segment"),
+        R(PipelineStage="QUARANTINE", TargetTable="Q_ACCT", TargetColumn="acct_id",
+          TargetDataType="BIGINT", SourceTable="XREF_ACCT",
+          FieldSelector="acct_id", JoinTable="dim", JoinAlias="d",
+          JoinCondition="s.acct_id = d.id",
+          FilterPredicate="d.id IS NULL"),
+    ])
+
+
+def _write_envelope_files(src_dir, n_files=3, accts=7, updates=3):
+    """Deterministic multi-batch envelope: every account gets several
+    versions spread across files; acct_id >= 100 has no dim row (quarantine)."""
+    os.makedirs(src_dir)
+    msgs = []
+    seq = 0
+    for u in range(updates):
+        for a in range(accts):
+            aid = a + (100 if a >= accts - 2 else 0)  # last two are orphans
+            msgs.append({"tbl": "acct", "acct_id": aid, "seq": seq,
+                         "status": f"s{u}-{aid}"})
+            seq += 1
+    msgs.append({"tbl": "other", "acct_id": 999, "seq": 0, "status": "noise"})
+    per = (len(msgs) + n_files - 1) // n_files
+    for i in range(n_files):
+        with open(f"{src_dir}/f{i}.ndjson", "w") as f:
+            f.writelines(json.dumps(m) + "\n" for m in msgs[i * per:(i + 1) * per])
+
+
+def test_statement_set_streaming_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "msgs")
+    _write_envelope_files(src)
+    dim = spark.createDataFrame(
+        [Row(id=i, segment=f"seg{i % 2}") for i in range(10)]
+    )
+    spec = _pipeline_spec()
+
+    batch_runner = StatementSetRunner(
+        spark, spec, {"dim": dim}, str(tmp_path / "out_batch"))
+    raw = spark.read.text(src).select(F.col("value").alias("val"))
+    batch_paths = batch_runner.run_batch(raw)
+
+    stream_runner = StatementSetRunner(
+        spark, spec, {"dim": dim}, str(tmp_path / "out_stream"))
+    stream = file_envelope_stream(spark, src, max_files_per_trigger=1)
+    stream_runner.run_streaming(stream)
+
+    for table in ("XREF_ACCT", "FGAC_ACCT", "Q_ACCT"):
+        b = sorted(map(tuple, spark.read.parquet(batch_paths[table])
+                       .select(spark.read.parquet(batch_paths[table]).columns).collect()))
+        s_df = spark.read.parquet(stream_runner.table_path(table))
+        s = sorted(map(tuple, s_df.select(*spark.read.parquet(batch_paths[table]).columns)
+                       .collect()))
+        if table == "Q_ACCT":
+            # reject stream is append-only: dedup for comparison
+            s = sorted(set(s))
+            b = sorted(set(b))
+        assert s == b, f"{table}: streaming != batch at quiescence"
+    # sanity: quarantine caught exactly the orphan accounts
+    q = spark.read.parquet(stream_runner.table_path("Q_ACCT"))
+    assert set(r["acct_id"] for r in q.collect()) == {105, 106}
+
+
+def test_statement_set_restart_is_noop(spark, tmp_path):
+    """Re-running with the same checkpoint re-processes nothing and outputs
+    are unchanged (idempotent recovery, PR-3)."""
+    src = str(tmp_path / "msgs")
+    _write_envelope_files(src, n_files=2)
+    dim = spark.createDataFrame([Row(id=i, segment="s") for i in range(10)])
+    spec = _pipeline_spec()
+    runner = StatementSetRunner(spark, spec, {"dim": dim}, str(tmp_path / "out"))
+    stream = file_envelope_stream(spark, src, max_files_per_trigger=1)
+    runner.run_streaming(stream)
+    before = sorted(map(tuple, spark.read.parquet(runner.table_path("XREF_ACCT")).collect()))
+    log_count = runner._xref_store("XREF_ACCT", spec.tables()["XREF_ACCT"]).log(spark).count()
+
+    runner2 = StatementSetRunner(spark, spec, {"dim": dim}, str(tmp_path / "out"))
+    stream2 = file_envelope_stream(spark, src, max_files_per_trigger=1)
+    runner2.run_streaming(stream2)
+    after = sorted(map(tuple, spark.read.parquet(runner2.table_path("XREF_ACCT")).collect()))
+    log_count2 = runner2._xref_store("XREF_ACCT", spec.tables()["XREF_ACCT"]).log(spark).count()
+    assert before == after
+    assert log_count == log_count2  # nothing re-appended
