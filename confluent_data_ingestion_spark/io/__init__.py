@@ -1,0 +1,23 @@
+from .connectors import (
+    SinkConnectorSpec,
+    SourceConnectorSpec,
+    compile_sink,
+    compile_source,
+    open_source,
+    partition_cols_from_path_format,
+    split_corrupt_json,
+    with_time_partitions,
+    write_sink,
+)
+
+__all__ = [
+    "SourceConnectorSpec",
+    "SinkConnectorSpec",
+    "compile_source",
+    "compile_sink",
+    "open_source",
+    "write_sink",
+    "with_time_partitions",
+    "partition_cols_from_path_format",
+    "split_corrupt_json",
+]

@@ -619,3 +619,162 @@ def sttm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, spec, {"raw": envelope, "customer": customer}
     )
     return compiled["FGAC_EVT"]
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: video frame sampling is a pure column computation
+# (sequence + explode) — declared duration metadata -> frame offsets.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(floor(least(n_chars * 10 / 1000.0, 64)) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT doc_id, CAST(u * 1000 AS INT) AS frame_offset_ms
+    FROM (SELECT doc_id, unnest(range(n)) AS u FROM d WHERE n > 0)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import pack_multimodal, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    vids = pack_multimodal(
+        docs, "encode(text, 'utf-8')", "video",
+        {"duration_ms": "n_chars * 10"},
+    )
+    return sample_frames(vids, every_ms=1000).select(
+        "doc_id", F.col("frame_offset_ms").cast("int").alias("frame_offset_ms")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed JSON flattener (reference json_flattener_v2): nested docs ->
+# per-array-element rows with lineage columns, via Arrow-batched mapInPandas.
+# ---------------------------------------------------------------------------
+@query(
+    "flatten_nested_json",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS doc_key,
+           'vals' AS table_name,
+           CAST(t.i + 1 AS BIGINT) AS row_id,
+           '/vals/' || t.i AS path,
+           CAST(t.i AS INT) AS elem_index,
+           CAST(1 AS INT) AS depth,
+           CASE WHEN t.i = 0 THEN user_id ELSE event_id + 1 END AS item_val,
+           event_id AS inherited_id
+    FROM events CROSS JOIN (VALUES (0), (1)) AS t(i)
+    """,
+)
+def flatten_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .flatten import flatten_df
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.array(F.col("user_id"), F.col("event_id") + 1).alias("vals"),
+            )
+        ).alias("val"),
+    )
+    flat = flatten_df(env, payload_col="val", key_col="event_id")
+    return flat.select(
+        "doc_key",
+        F.col("tableName").alias("table_name"),
+        F.col("_row_id").alias("row_id"),
+        F.col("_path").alias("path"),
+        F.col("_elem_index").alias("elem_index"),
+        F.col("_depth").alias("depth"),
+        F.get_json_object("row_json", "$.vals").cast("bigint").alias("item_val"),
+        F.get_json_object("row_json", "$.id").cast("bigint").alias("inherited_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DLQ / error-tolerance split (reference T7): corrupt payloads routed to the
+# dead-letter side, clean payloads parsed against the declared schema.
+# ---------------------------------------------------------------------------
+@query(
+    "dlq_corrupt_split",
+    """
+    SELECT event_id, user_id FROM events WHERE event_id % 10 <> 0
+    """,
+)
+def dlq_corrupt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .io import split_corrupt_json
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.concat(F.lit("CORRUPT"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "user_id")))
+        .alias("val")
+    )
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("user_id", LongType())]
+    )
+    good, _bad = split_corrupt_json(spark, env, schema)
+    return good
+
+
+# ---------------------------------------------------------------------------
+# Streaming statement-set end-to-end: envelope files -> availableNow stream
+# -> foreachBatch upsert changelog -> XREF snapshot at quiescence.  The
+# oracle is the same latest-by-key SQL the batch path answers — streaming
+# and batch must agree once all input is consumed (AC-2).
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_xref_upsert",
+    """
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events WHERE user_id % 10 = 0
+    ) WHERE rn = 1
+    """,
+)
+def streaming_xref_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .spec import load_spec as _load_spec
+    from .streaming import StatementSetRunner, file_envelope_stream
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    src_dir = tempfile.mkdtemp(prefix="cdis-stream-src-")
+    out_dir = tempfile.mkdtemp(prefix="cdis-stream-out-")
+    ev.select(
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias("value")
+    ).write.mode("overwrite").text(src_dir)
+
+    def R(**kw):
+        return kw
+
+    spec = _load_spec([
+        R(PipelineStage="VIEW", TargetTable="V_EVT", TargetColumn="user_id",
+          TargetDataType="BIGINT", IsTargetPK="Y", FieldSelector="user_id"),
+        R(PipelineStage="VIEW", TargetTable="V_EVT", TargetColumn="event_id",
+          TargetDataType="BIGINT", FieldSelector="event_id"),
+        R(PipelineStage="VIEW", TargetTable="V_EVT", TargetColumn="event_type",
+          TargetDataType="STRING", FieldSelector="event_type"),
+        R(PipelineStage="VIEW", TargetTable="V_EVT", TargetColumn="value",
+          TargetDataType="DOUBLE", FieldSelector="value"),
+        R(PipelineStage="XREF", TargetTable="XREF_EVT", TargetColumn="user_id",
+          TargetDataType="BIGINT", IsTargetPK="Y", SourceTable="V_EVT",
+          FieldSelector="user_id", OrderByFields="event_id"),
+        R(PipelineStage="XREF", TargetTable="XREF_EVT", TargetColumn="event_type",
+          SourceTable="V_EVT", FieldSelector="event_type"),
+        R(PipelineStage="XREF", TargetTable="XREF_EVT", TargetColumn="value",
+          TargetDataType="DOUBLE", SourceTable="V_EVT", FieldSelector="value"),
+    ])
+    runner = StatementSetRunner(spark, spec, {}, out_dir)
+    stream = file_envelope_stream(spark, src_dir, max_files_per_trigger=16)
+    runner.run_streaming(stream)
+    return spark.read.parquet(runner.table_path("XREF_EVT"))

@@ -1,0 +1,160 @@
+"""Connector-config surface: spec validation parity with the reference's
+pydantic rules, compilation to Spark reader/writer configs, and actual
+file-source/sink execution including DLQ split and time partitioning."""
+
+import json
+import os
+
+import pytest
+from pydantic import ValidationError
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from confluent_data_ingestion_spark.io import (
+    SinkConnectorSpec,
+    SourceConnectorSpec,
+    compile_sink,
+    compile_source,
+    open_source,
+    partition_cols_from_path_format,
+    split_corrupt_json,
+    write_sink,
+)
+
+
+# ---------------------------------------------------------------------------
+# Validation rules (parity with gcs_config_generator cross-field checks)
+# ---------------------------------------------------------------------------
+def test_source_needs_topics_or_regex():
+    with pytest.raises(ValidationError):
+        SourceConnectorSpec(name="s", **{"gcs.bucket.name": "b",
+                                         "input.data.format": "JSON"})
+    ok = SourceConnectorSpec(name="s", topics="t", **{
+        "gcs.bucket.name": "b", "input.data.format": "JSON"})
+    assert ok.topics == "t"
+    ok2 = SourceConnectorSpec(name="s", **{
+        "gcs.bucket.name": "b", "input.data.format": "JSON",
+        "topic-regex.list": "t.*"})
+    assert ok2.topic_regex_list == "t.*"
+
+
+def test_bad_kafka_endpoint_rejected():
+    with pytest.raises(ValidationError):
+        SourceConnectorSpec(name="s", topics="t", **{
+            "gcs.bucket.name": "b", "input.data.format": "JSON",
+            "kafka.endpoint": "nohost"})
+    ok = SourceConnectorSpec(name="s", topics="t", **{
+        "gcs.bucket.name": "b", "input.data.format": "JSON",
+        "kafka.endpoint": "SASL_SSL://x:9092"})
+    assert ok.kafka_endpoint.endswith(":9092")
+
+
+def test_maskfield_cross_rules():
+    base = dict(name="k", topics="t", **{
+        "gcs.bucket.name": "b", "input.data.format": "JSON",
+        "output.data.format": "PARQUET"})
+    with pytest.raises(ValidationError):  # MaskField without fields
+        SinkConnectorSpec(transforms="MaskField", **base)
+    with pytest.raises(ValidationError):  # type missing $
+        SinkConnectorSpec(
+            transforms="MaskField",
+            **{"transforms.MaskField.fields": "ssn",
+               "transforms.MaskField.type": "bad"}, **base)
+    ok = SinkConnectorSpec(
+        transforms="MaskField",
+        **{"transforms.MaskField.fields": "ssn,email",
+           "transforms.MaskField.type":
+               "org.apache.kafka.connect.transforms.MaskField$Value"}, **base)
+    assert compile_sink(ok).mask_fields == ["ssn", "email"]
+
+
+def test_positive_int_rules():
+    base = dict(name="k", topics="t", **{
+        "gcs.bucket.name": "b", "input.data.format": "JSON",
+        "output.data.format": "PARQUET"})
+    with pytest.raises(ValidationError):
+        SinkConnectorSpec(**{"flush.size": 0}, **base)
+
+
+# ---------------------------------------------------------------------------
+# Compilation
+# ---------------------------------------------------------------------------
+def test_compile_source_options():
+    spec = SourceConnectorSpec(name="s", topics="t", csv_delimiter="|", **{
+        "gcs.bucket.name": "/data/in", "input.data.format": "CSV",
+        "gcs.pattern": "incoming/*.csv", "file.regex": "*.csv",
+        "poll.interval.ms": 60000})
+    cfg = compile_source(spec)
+    assert cfg.format == "csv" and cfg.path == "/data/in/incoming/*.csv"
+    assert cfg.options["sep"] == "|"
+    assert cfg.trigger_processing_time == "60 seconds"
+    # STRING -> envelope shape
+    s2 = SourceConnectorSpec(name="s", topics="t", **{
+        "gcs.bucket.name": "b", "input.data.format": "STRING"})
+    assert compile_source(s2).payload_col == "val"
+
+
+def test_compile_sink_options_and_partitions():
+    spec = SinkConnectorSpec(name="k", topics="events", compression="gz", **{
+        "gcs.bucket.name": "/data/out", "topics.dir": "topics",
+        "input.data.format": "JSON", "output.data.format": "PARQUET",
+        "flush.size": 100000, "rotate.interval.ms": 900000,
+        "time.path.format": "'year'=YYYY/'month'=MM/'day'=dd/'hour'=HH",
+        "errors.tolerance": "all"})
+    cfg = compile_sink(spec)
+    assert cfg.path == "/data/out/topics/events"
+    assert cfg.options == {"maxRecordsPerFile": "100000", "compression": "gzip"}
+    assert cfg.partition_cols == ["year", "month", "day", "hour"]
+    assert cfg.trigger_processing_time == "900 seconds"
+    assert cfg.dlq_split
+
+
+def test_partition_cols_from_interval():
+    assert partition_cols_from_path_format(None, "DAILY") == ["year", "month", "day"]
+    assert partition_cols_from_path_format(None, "MINUTE")[-1] == "minute"
+    assert partition_cols_from_path_format(None, None) == []
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+def test_open_source_and_dlq_split(spark, tmp_path):
+    src = tmp_path / "in"
+    os.makedirs(src)
+    with open(src / "a.ndjson", "w") as f:
+        f.write(json.dumps({"id": 1, "name": "ok"}) + "\n")
+        f.write("THIS IS NOT JSON\n")
+        f.write(json.dumps({"id": 2, "name": "ok2"}) + "\n")
+    spec = SourceConnectorSpec(name="s", topics="t", **{
+        "gcs.bucket.name": str(src), "input.data.format": "STRING"})
+    env = open_source(spark, spec)
+    assert env.columns == ["val"]
+    schema = StructType([StructField("id", LongType()),
+                         StructField("name", StringType())])
+    good, bad = split_corrupt_json(spark, env, schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    assert [r["val"] for r in bad.collect()] == ["THIS IS NOT JSON"]
+
+
+def test_write_sink_time_partitioned_masked(spark, tmp_path):
+    out = str(tmp_path / "bucket")
+    spec = SinkConnectorSpec(
+        name="k", topics="events", transforms="MaskField",
+        **{"gcs.bucket.name": out, "input.data.format": "JSON",
+           "output.data.format": "PARQUET",
+           "time.interval": "DAILY", "flush.size": 10,
+           "transforms.MaskField.fields": "secret",
+           "transforms.MaskField.type":
+               "org.apache.kafka.connect.transforms.MaskField$Value"})
+    df = spark.createDataFrame([
+        Row(id=1, secret="x", ts="2026-01-15 10:00:00"),
+        Row(id=2, secret="y", ts="2026-02-20 11:00:00"),
+    ]).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = write_sink(df, spec, ts_col="ts")
+    back = spark.read.parquet(path)
+    assert set(back.columns) >= {"id", "secret", "year", "month", "day"}
+    assert all(r["secret"] is None for r in back.collect())  # masked
+    # directory layout is hive-partitioned by derived time cols
+    assert os.path.isdir(f"{path}/year=2026/month=01/day=15")
+    assert os.path.isdir(f"{path}/year=2026/month=02/day=20")
