@@ -23,8 +23,18 @@ from ..functions.exprs import (
     normalize_type,
     rewrite_predicate_as_json,
 )
+import re
+
 from ..plans.compiler import xref_dedup_spec
 from ..spec.models import MappingRow, PipelineSpec
+
+_SIMPLE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def qident(name: str) -> str:
+    """Backtick-quote identifiers that aren't plain (reference ``qident``,
+    ``sttm_to_flink_v22.py`` — Kafka topic names contain dashes)."""
+    return name if _SIMPLE_IDENT.match(name) else f"`{name}`"
 
 
 def _view_select_items(spec: PipelineSpec, rows: list[MappingRow]) -> list[str]:
@@ -39,6 +49,7 @@ def _view_select_items(spec: PipelineSpec, rows: list[MappingRow]) -> list[str]:
             r.target_data_type,
             payload_col=spec.payload_col,
             delimiter=spec.csv_delimiter,
+            source_field=r.source_field,
         )
         items.append(f"{sql} AS {r.target_column}")
     return items
@@ -51,8 +62,8 @@ def render_view_sql(spec: PipelineSpec, table: str, rows: list[MappingRow]) -> s
         where = f"\nWHERE {rewrite_predicate_as_json(rows[0].filter_predicate, spec.payload_col)}"
     items = ",\n  ".join(_view_select_items(spec, rows))
     return (
-        f"CREATE OR REPLACE TEMPORARY VIEW {table} AS\n"
-        f"SELECT\n  {items}\nFROM {src}{where};"
+        f"CREATE OR REPLACE TEMPORARY VIEW {qident(table)} AS\n"
+        f"SELECT\n  {items}\nFROM {qident(src)}{where};"
     )
 
 
@@ -68,17 +79,18 @@ def render_table_ddl(spec: PipelineSpec, table: str, rows: list[MappingRow]) -> 
         kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
         tbl_props = f"\nTBLPROPERTIES ({kv})"
     return (
-        f"CREATE TABLE IF NOT EXISTS {table} (\n  {cols}{pk_comment}\n)"
+        f"CREATE TABLE IF NOT EXISTS {qident(table)} (\n  {cols}{pk_comment}\n)"
         f" USING parquet{tbl_props};"
     )
 
 
-def _select_items(rows: list[MappingRow]) -> list[str]:
+def _select_items(rows: list[MappingRow], passthrough: bool = False) -> list[str]:
     items = []
     for r in rows:
         if r.expr_override and r.expr_override.lower().startswith("mask:"):
             strategy = r.expr_override.split(":", 1)[1]
-            base = r.source_transform_expr or r.field_selector or r.target_column
+            base = (r.source_transform_expr or r.source_field
+                    or r.field_selector or r.target_column)
             if strategy == "null":
                 expr = "CAST(NULL AS STRING)"
             elif strategy == "sha2":
@@ -87,8 +99,12 @@ def _select_items(rows: list[MappingRow]) -> list[str]:
                 expr = strategy
         elif r.expr_override or r.source_transform_expr:
             expr = translate_expr(r.expr_override or r.source_transform_expr)
+        elif r.source_field:
+            expr = translate_expr(r.source_field, safe_cast=False)
         elif r.field_selector:
             expr = translate_expr(r.field_selector, safe_cast=False)
+        elif passthrough:
+            expr = r.target_column
         else:
             expr = "NULL"
         items.append(f"{expr} AS {r.target_column}")
@@ -101,16 +117,18 @@ def _join_clause(rows: list[MappingRow]) -> str:
             jtype = (r.join_type or "LEFT").upper()
             alias = r.join_alias or "j"
             cond = translate_expr(r.join_condition, safe_cast=False)
-            return f"\n{jtype} JOIN {r.join_table} {alias} ON {cond}"
+            return f"\n{jtype} JOIN {qident(r.join_table)} {alias} ON {cond}"
     return ""
 
 
-def render_xref_insert(table: str, rows: list[MappingRow]) -> str:
+def render_xref_insert(table: str, rows: list[MappingRow],
+                       spec: PipelineSpec | None = None) -> str:
     """Latest-by-key INSERT (the reference's documented ROW_NUMBER pattern,
     ``resources/architecture/sttm-requirements.md:117-134``)."""
     src = rows[0].source_table
     pks, order_fields, del_field, del_values = xref_dedup_spec(rows)
-    items = ",\n    ".join(_select_items(rows))
+    passthrough = spec is not None and spec.unmapped_policy == "passthrough"
+    items = ",\n    ".join(_select_items(rows, passthrough))
     order = ", ".join(f"{c} DESC NULLS LAST" for c in (order_fields or pks))
     where_del = ""
     if del_field:
@@ -124,21 +142,24 @@ def render_xref_insert(table: str, rows: list[MappingRow]) -> str:
         p = translate_expr(pred, safe_cast=False)
         where_del += ("\n  AND " if where_del else "\n  WHERE ") + f"({p})"
     return (
-        f"INSERT OVERWRITE TABLE {table}\n"
+        f"INSERT OVERWRITE TABLE {qident(table)}\n"
         f"SELECT {', '.join(r.target_column for r in rows)} FROM (\n"
         f"  SELECT\n    {items},\n"
         f"    ROW_NUMBER() OVER (PARTITION BY {', '.join(pks)}"
         f" ORDER BY {order}) AS __rn__\n"
-        f"  FROM {src}{where_del}\n"
+        f"  FROM {qident(src)}{where_del}\n"
         f") WHERE __rn__ = 1;"
     )
 
 
-def render_insert_sql(table: str, rows: list[MappingRow]) -> str:
+def render_insert_sql(table: str, rows: list[MappingRow],
+                      spec: PipelineSpec | None = None) -> str:
     """FGAC / QUARANTINE INSERT ... SELECT with lookup join and filters."""
     src = rows[0].source_table
     stage = rows[0].pipeline_stage
-    items = ",\n  ".join(_select_items(rows))
+    alias = rows[0].source_alias or "s"
+    passthrough = spec is not None and spec.unmapped_policy == "passthrough"
+    items = ",\n  ".join(_select_items(rows, passthrough))
     join = _join_clause(rows)
     pred = combine_predicates([r.filter_predicate or "" for r in rows])
     where = ""
@@ -148,8 +169,8 @@ def render_insert_sql(table: str, rows: list[MappingRow]) -> str:
         # anti-join convention: LEFT JOIN + right-key IS NULL
         pass
     return (
-        f"INSERT INTO TABLE {table}\nSELECT\n  {items}\n"
-        f"FROM {src} s{join}{where};"
+        f"INSERT INTO TABLE {qident(table)}\nSELECT\n  {items}\n"
+        f"FROM {qident(src)} {alias}{join}{where};"
     )
 
 
@@ -167,9 +188,9 @@ def emit_bundle(spec: PipelineSpec) -> dict[str, str]:
         else:
             ddls.append(render_table_ddl(spec, table, rows))
             if stage == "XREF":
-                inserts.append(render_xref_insert(table, rows))
+                inserts.append(render_xref_insert(table, rows, spec))
             else:
-                inserts.append(render_insert_sql(table, rows))
+                inserts.append(render_insert_sql(table, rows, spec))
     sections = []
     if views:
         sections.append("-- ===== VIEWS =====\n" + "\n\n".join(views))

@@ -47,12 +47,20 @@ def json_path(field: str) -> str:
 
 
 def auto_expr(field_selector: str, message_format: str, payload_col: str = "val",
-              delimiter: str = ",") -> str:
-    """Auto extraction expression for a column with no explicit expression."""
+              delimiter: str = ",", source_field: str | None = None) -> str:
+    """Auto extraction expression for a column with no explicit expression.
+
+    JSON: the field key is ``source_field`` when given (v22 workbooks put
+    the payload column in FieldSelector and the key in SourceField,
+    reference ``sttm_to_flink_v22.py:131-135``), else ``field_selector``.
+    CSV: ``field_selector`` is the position; ``source_field`` (if given) is
+    the column being split, else the payload column.
+    """
     fmt = (message_format or "JSON").strip().upper()
     if fmt == "CSV":
-        return f"SPLIT_INDEX(CAST({payload_col} AS STRING), '{delimiter}', {int(field_selector)})"
-    sel = field_selector.strip()
+        base = source_field or payload_col
+        return f"SPLIT_INDEX(CAST({base} AS STRING), '{delimiter}', {int(field_selector)})"
+    sel = (source_field or field_selector or "").strip()
     path = sel if sel.startswith("$") else json_path(sel)
     return f"JSON_VALUE(CAST({payload_col} AS STRING), '{path}')"
 
@@ -106,6 +114,7 @@ def choose_expr(
     target_type: str | None,
     payload_col: str = "val",
     delimiter: str = ",",
+    source_field: str | None = None,
 ) -> str:
     """Build the final Spark SQL expression for one target column.
 
@@ -116,15 +125,19 @@ def choose_expr(
     """
     expr_override = (expr_override or "").strip()
     source_transform_expr = (source_transform_expr or "").strip()
+    has_selector = (
+        (field_selector is not None and str(field_selector).strip() != "")
+        or (source_field is not None and str(source_field).strip() != "")
+    )
     if expr_override:
         chosen = expr_override
         wrapped = _autocast_explicit(chosen, target_type)
     elif source_transform_expr:
         chosen = source_transform_expr
         wrapped = _autocast_explicit(chosen, target_type)
-    elif field_selector is not None and str(field_selector).strip() != "":
-        chosen = auto_expr(str(field_selector), message_format or "JSON",
-                           payload_col, delimiter)
+    elif has_selector:
+        chosen = auto_expr(str(field_selector or ""), message_format or "JSON",
+                           payload_col, delimiter, source_field=source_field)
         wrapped = cast_wrap(chosen, target_type)
     else:
         wrapped = f"CAST(NULL AS {normalize_type(target_type)})"

@@ -127,6 +127,7 @@ class PipelineCompiler:
                 r.target_data_type,
                 payload_col=payload,
                 delimiter=self.spec.csv_delimiter,
+                source_field=r.source_field,
             )
             cols.append(F.expr(sql).alias(r.target_column))
         return src.select(*cols)
@@ -138,21 +139,32 @@ class PipelineCompiler:
         return None
 
     def _target_exprs(self, rows: list[MappingRow]):
+        """Non-view select list.  Fallback chain mirrors the reference's
+        non-view ``choose_expr`` (``sttm_to_flink_v22.py:150-157``):
+        mask > ExprOverride > SourceTransformExpr > SourceField >
+        FieldSelector > (TargetColumn passthrough | NULL) per the spec's
+        unmapped policy."""
+        passthrough = self.spec.unmapped_policy == "passthrough"
         cols = []
         for r in rows:
             if r.expr_override and r.expr_override.lower().startswith("mask:"):
                 strategy = r.expr_override.split(":", 1)[1]
-                base = r.source_transform_expr or r.field_selector or r.target_column
+                base = (r.source_transform_expr or r.source_field
+                        or r.field_selector or r.target_column)
                 if strategy == "null":
-                    expr = f"CAST(NULL AS STRING)"
+                    expr = "CAST(NULL AS STRING)"
                 elif strategy == "sha2":
                     expr = f"sha2(CAST({base} AS STRING), 256)"
                 else:
                     expr = strategy
             elif r.expr_override or r.source_transform_expr:
                 expr = translate_expr(r.expr_override or r.source_transform_expr)
+            elif r.source_field:
+                expr = translate_expr(r.source_field, safe_cast=False)
             elif r.field_selector:
                 expr = translate_expr(r.field_selector, safe_cast=False)
+            elif passthrough:
+                expr = r.target_column
             else:
                 expr = "NULL"
             cols.append(F.expr(expr).alias(r.target_column))
@@ -164,16 +176,19 @@ class PipelineCompiler:
 
     def _build_xref(self, table: str, rows: list[MappingRow]) -> DataFrame:
         src = self._relation(rows[0].source_table)
+        left_alias = rows[0].source_alias or "s"
         j = self._first_join(rows)
         if j is not None:
             src = lookup_join(
-                self._alias_or_self(src, "s"),
+                self._alias_or_self(src, left_alias),
                 self._relation(j.join_table),
                 j.join_condition,
                 join_type=j.join_type,
-                left_alias="s",
+                left_alias=left_alias,
                 right_alias=j.join_alias or "j",
             )
+        else:
+            src = src.alias(left_alias)
         pred = combine_predicates([r.filter_predicate or "" for r in rows])
         if pred:
             src = src.filter(F.expr(translate_expr(pred, safe_cast=False)))
@@ -202,7 +217,8 @@ class PipelineCompiler:
         return df.alias(alias)
 
     def _build_fgac(self, table: str, rows: list[MappingRow]) -> DataFrame:
-        src = self._relation(rows[0].source_table).alias("s")
+        left_alias = rows[0].source_alias or "s"
+        src = self._relation(rows[0].source_table).alias(left_alias)
         j = self._first_join(rows)
         if j is not None:
             src = lookup_join(
@@ -210,7 +226,7 @@ class PipelineCompiler:
                 self._relation(j.join_table),
                 j.join_condition,
                 join_type=j.join_type or "INNER",
-                left_alias="s",
+                left_alias=left_alias,
                 right_alias=j.join_alias or "j",
             )
         pred = combine_predicates([r.filter_predicate or "" for r in rows])
@@ -221,7 +237,7 @@ class PipelineCompiler:
     def _build_quarantine(self, table: str, rows: list[MappingRow]) -> DataFrame:
         """FilterPredicate '<alias>.<col> IS NULL' + LEFT join convention
         compiles to a left-anti join (reference v22 QUARANTINE rows)."""
-        src = self._relation(rows[0].source_table).alias("s")
+        src = self._relation(rows[0].source_table).alias(rows[0].source_alias or "s")
         j = self._first_join(rows)
         if j is None:
             raise ValueError(f"QUARANTINE '{table}' needs JoinTable/JoinCondition")
@@ -244,10 +260,36 @@ class PipelineCompiler:
         }
 
     def compile(self) -> dict[str, DataFrame]:
+        """Compile every target, deferring tables whose upstream targets
+        aren't compiled yet (v22 workbooks reference sibling XREF tables in
+        arbitrary sheet order; Flink resolves lazily from SQL text, we
+        resolve eagerly so we topo-order here)."""
         builders = self._builders()
-        for table, rows in self.spec.tables().items():
-            stage = rows[0].pipeline_stage
-            self.compiled[table] = builders[stage](table, rows)
+        pending = list(self.spec.tables().items())
+        pending_names = {t for t, _ in pending}
+        while pending:
+            remaining = []
+            progressed = False
+            for table, rows in pending:
+                deps = {r.source_table for r in rows if r.source_table}
+                deps |= {r.join_table for r in rows if r.join_table}
+                deps -= {table}
+                unresolved = [
+                    d for d in deps
+                    if d in pending_names and d not in self.compiled
+                ]
+                if unresolved:
+                    remaining.append((table, rows))
+                    continue
+                self.compiled[table] = builders[rows[0].pipeline_stage](table, rows)
+                pending_names.discard(table)
+                progressed = True
+            if not progressed:
+                raise ValueError(
+                    "circular or unresolvable table references among "
+                    f"{sorted(t for t, _ in remaining)}"
+                )
+            pending = remaining
         return self.compiled
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-from pydantic import BaseModel, Field, field_validator
+from pydantic import AliasChoices, BaseModel, Field, field_validator
 
 STAGES = ("VIEW", "XREF", "FGAC", "QUARANTINE")
 
@@ -26,7 +26,19 @@ class MappingRow(BaseModel):
     target_column: str = Field(alias="TargetColumn")
     target_data_type: str = Field(default="STRING", alias="TargetDataType")
     is_target_pk: bool = Field(default=False, alias="IsTargetPK")
-    source_table: Optional[str] = Field(default=None, alias="SourceTable")
+    # v22 workbooks use SourcePrimaryTable/SourcePrimaryAlias; programmatic
+    # specs use SourceTable/SourceAlias — both accepted
+    source_table: Optional[str] = Field(
+        default=None,
+        validation_alias=AliasChoices("SourceTable", "SourcePrimaryTable",
+                                      "source_table"))
+    source_alias: Optional[str] = Field(
+        default=None,
+        validation_alias=AliasChoices("SourceAlias", "SourcePrimaryAlias",
+                                      "source_alias"))
+    # JSON views: SourceField is the payload field name (FieldSelector then
+    # holds the payload column); CSV views: FieldSelector is the position
+    source_field: Optional[str] = Field(default=None, alias="SourceField")
     message_format: str = Field(default="JSON", alias="MessageFormat")
     field_selector: Optional[str] = Field(default=None, alias="FieldSelector")
     source_transform_expr: Optional[str] = Field(default=None, alias="SourceTransformExpr")
@@ -57,6 +69,7 @@ class MappingRow(BaseModel):
 
     @field_validator(
         "target_table", "target_column", "source_table", "field_selector",
+        "source_field", "source_alias",
         "source_transform_expr", "expr_override", "filter_predicate",
         "join_table", "join_alias", "join_type", "join_condition",
         "order_by_fields", "delete_flag_field", "delete_flag_values",
@@ -76,6 +89,10 @@ class PipelineSpec(BaseModel):
     payload_col: str = "val"
     csv_delimiter: str = ","
     raw_table: str = "raw"
+    # target columns with no mapped expression: 'null' (v4.5/UI behavior,
+    # NULL literal) or 'passthrough' (v22 behavior, select the same-named
+    # source column)
+    unmapped_policy: str = "null"
 
     def tables(self) -> dict[str, list[MappingRow]]:
         """Rows grouped by target table, in deterministic emit order:
@@ -115,24 +132,57 @@ def load_spec(
     **opts: Any,
 ) -> PipelineSpec:
     """Build a PipelineSpec from a list of row dicts, a CSV path, or an
-    Excel path (.xlsx requires an installed Excel engine)."""
-    if isinstance(rows, str):
-        import pandas as pd
+    .xlsx path (read with the built-in dependency-free reader; sheet
+    fallback STTM_Mapping -> STTM -> first, like the reference generator).
 
-        if rows.endswith(".csv"):
-            df = pd.read_csv(rows, dtype=str).fillna("")
+    When loading a workbook, the Config_TableMatrix sheet (if present) is
+    loaded automatically ('na'/'n/a'/'none' cells skipped, reference
+    ``scripts/sttm_validations_v22.py:30-64``) and the unmapped-column
+    policy defaults to the v22 'passthrough' behavior.
+    """
+    if isinstance(rows, str):
+        if rows.endswith(".xlsx"):
+            from . import xlsx
+
+            names = xlsx.sheet_names(rows)
+            sheet = next(
+                (s for s in ("STTM_Mapping", "STTM") if s in names), names[0]
+            )
+            records = xlsx.read_records(rows, sheet)
+            if table_matrix is None and "Config_TableMatrix" in names:
+                table_matrix = _matrix_from_grid(xlsx.read_sheet(rows, "Config_TableMatrix"))
+            opts.setdefault("unmapped_policy", "passthrough")
+            rows = records
         else:
-            try:
-                df = pd.read_excel(rows, sheet_name="STTM_Mapping", dtype=str).fillna("")
-            except ImportError as e:  # openpyxl not installed
-                raise RuntimeError(
-                    "Excel input needs an Excel engine; convert to CSV or "
-                    "pass a list of row dicts"
-                ) from e
-        df.columns = [c.strip() for c in df.columns]
-        rows = df.to_dict(orient="records")
+            import pandas as pd
+
+            df = pd.read_csv(rows, dtype=str).fillna("")
+            df.columns = [c.strip() for c in df.columns]
+            rows = df.to_dict(orient="records")
     return PipelineSpec(
         rows=[MappingRow(**r) for r in rows],
         table_matrix=table_matrix or {},
         **opts,
     )
+
+
+def _matrix_from_grid(grid: list[list]) -> dict[str, dict[str, str]]:
+    """Config_TableMatrix grid (Key x table columns) -> per-table props."""
+    if not grid:
+        return {}
+    headers = [str(h).strip() if h is not None else "" for h in grid[0]]
+    if not headers or headers[0].lower() != "key":
+        return {}
+    per_table: dict[str, dict[str, str]] = {}
+    for row in grid[1:]:
+        if not row:
+            continue
+        key = str(row[0]).strip() if row[0] is not None else ""
+        if not key:
+            continue
+        for tcol, val in zip(headers[1:], row[1:]):
+            v = str(val).strip() if val is not None else ""
+            if not tcol or not v or v.lower() in {"na", "n/a", "none"}:
+                continue
+            per_table.setdefault(tcol, {})[key] = v
+    return per_table
