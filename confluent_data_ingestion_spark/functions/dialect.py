@@ -121,7 +121,14 @@ def _rewrite_call(name: str, args: list[str], safe_cast: bool) -> str | None:
             pos = f"({idx}) + 1"
         return f"try_element_at(split({args[0]}, {delim}), {pos})"
     if u == "REGEXP" and len(args) == 2:
-        return f"regexp_like({args[0]}, {args[1]})"
+        # Flink string literals are SQL-standard (backslash is NOT an
+        # escape), Spark's default literals eat backslashes: '\d' -> 'd'.
+        # Double them inside literal patterns so the regex survives.
+        pat = args[1]
+        m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", pat)
+        if m:
+            pat = "'" + m.group(1).replace("\\", "\\\\") + "'"
+        return f"regexp_like({args[0]}, {pat})"
     if u == "IS_DECIMAL" and len(args) == 1:
         return f"(try_cast({args[0]} AS DECIMAL(38,10)) IS NOT NULL)"
     if u == "TO_TIMESTAMP_LTZ" and len(args) == 2:
@@ -130,7 +137,13 @@ def _rewrite_call(name: str, args: list[str], safe_cast: bool) -> str | None:
             if int(second) == 0:
                 return f"timestamp_seconds(try_cast({args[0]} AS BIGINT))"
             return f"timestamp_millis(try_cast({args[0]} AS BIGINT))"
-        return f"to_timestamp({args[0]}, {second})"
+        # format arity: SimpleDateFormat-style 'hh' (as authored in the
+        # reference STTM expressions, meaning 24-hour) -> DateTimeFormatter
+        # 'HH'; try_to_timestamp so malformed values NULL out under ANSI
+        m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", second)
+        if m and "hh" in m.group(1) and "a" not in m.group(1):
+            second = "'" + m.group(1).replace("hh", "HH") + "'"
+        return f"try_to_timestamp({args[0]}, {second})"
     if u == "CAST" and safe_cast and len(args) == 1:
         # CAST has 'x AS T' as a single "argument"
         return f"TRY_CAST({args[0]})"

@@ -778,3 +778,73 @@ def streaming_xref_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_envelope_stream(spark, src_dir, max_files_per_trigger=16)
     runner.run_streaming(stream)
     return spark.read.parquet(runner.table_path("XREF_EVT"))
+
+
+# ---------------------------------------------------------------------------
+# v3/v4.5 column-spec pipeline (reference flinksql_from_sttm_v4_5 /
+# final-output.sql shape): $.tbl-discriminated views off one envelope scan,
+# then a two-arm quarantine — LEFT JOIN anti-join in each direction with a
+# literal 'what' marker, combined UNION ALL.
+# ---------------------------------------------------------------------------
+@query(
+    "colspec_quarantine_arms",
+    """
+    WITH cust AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 7 < 5),
+         ord  AS (SELECT o_custkey AS cust FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT CAST(c.id AS INT) AS user_id, 'ord: none' AS what
+    FROM cust c LEFT JOIN ord o ON c.id = o.cust
+    WHERE o.cust IS NULL
+    UNION ALL
+    SELECT CAST(o.cust AS INT) AS user_id, 'cust: none' AS what
+    FROM ord o LEFT JOIN cust c ON o.cust = c.id
+    WHERE c.id IS NULL
+    """,
+)
+def colspec_quarantine_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans import compile_colspec
+    from .spec.colspec import load_colspec
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    env = customer.filter(F.col("c_custkey") % 7 < 5).select(
+        F.to_json(
+            F.struct(F.lit("cust").alias("tbl"), F.col("c_custkey").alias("id"))
+        ).alias("val")
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.to_json(
+                F.struct(F.lit("ord").alias("tbl"), F.col("o_custkey").alias("cust"))
+            ).alias("val")
+        )
+    )
+
+    def R(**kw):
+        return kw
+
+    rows = [
+        R(**{"Source Table": "cust", "Source Column": "id",
+             "Target Table": "q_out", "Target Column": "user_id",
+             "Target Data Type": "INT", "Expression": "hm_cust_vw.id",
+             "Filter": "hm_ord_vw.cust IS NULL", "Join Order": "1",
+             "Join Type": "LEFT",
+             "Join Condition": "hm_cust_vw.id = hm_ord_vw.cust"}),
+        R(**{"Source Table": "cust", "Target Table": "q_out",
+             "Target Column": "what", "Target Data Type": "STRING",
+             "Expression": "'ord: none'",
+             "Filter": "hm_ord_vw.cust IS NULL", "Join Order": "1",
+             "Join Type": "LEFT",
+             "Join Condition": "hm_cust_vw.id = hm_ord_vw.cust"}),
+        R(**{"Source Table": "ord", "Source Column": "cust",
+             "Target Table": "q_out", "Target Column": "user_id",
+             "Target Data Type": "INT", "Expression": "hm_ord_vw.cust",
+             "Filter": "hm_cust_vw.id IS NULL", "Join Order": "1",
+             "Join Type": "LEFT",
+             "Join Condition": "hm_ord_vw.cust = hm_cust_vw.id"}),
+        R(**{"Source Table": "ord", "Target Table": "q_out",
+             "Target Column": "what", "Target Data Type": "STRING",
+             "Expression": "'cust: none'",
+             "Filter": "hm_cust_vw.id IS NULL", "Join Order": "1",
+             "Join Type": "LEFT",
+             "Join Condition": "hm_ord_vw.cust = hm_cust_vw.id"}),
+    ]
+    spec = load_colspec(rows)
+    return compile_colspec(spark, spec, env)["q_out"]

@@ -55,7 +55,12 @@ def test_to_timestamp_ltz_arities():
     )
     assert (
         translate_expr("TO_TIMESTAMP_LTZ(s, 'yyyy-MM-dd HH:mm:ss.SSS')", safe_cast=False)
-        == "to_timestamp(s, 'yyyy-MM-dd HH:mm:ss.SSS')"
+        == "try_to_timestamp(s, 'yyyy-MM-dd HH:mm:ss.SSS')"
+    )
+    # SimpleDateFormat-style 'hh' (24h intent) -> DateTimeFormatter 'HH'
+    assert (
+        translate_expr("TO_TIMESTAMP_LTZ(s, 'yyyy-MM-dd hh:mm:ss')", safe_cast=False)
+        == "try_to_timestamp(s, 'yyyy-MM-dd HH:mm:ss')"
     )
 
 
