@@ -127,6 +127,40 @@ class ColSpec(BaseModel):
         return props
 
 
+def detect_format(records: list[dict]) -> str:
+    """Auto-detect the mapping layout (reference UI generator
+    ``sttm2flink-ui-5_4/sttm2flink/generator.py:33-39``): column-spec when
+    Target Table/Target Column headers are present, row-per-table when
+    schema/table headers are, else column-spec."""
+    if not records:
+        return "column-spec"
+    cols = {_snake(k) for k in records[0].keys()}
+    if {"target_table", "target_column"}.issubset(cols):
+        return "column-spec"
+    if {"schema", "table"}.issubset(cols):
+        return "row-per-table"
+    return "column-spec"
+
+
+def row_per_table_ddl(records: list[dict], name_prefix: str = "") -> list[dict]:
+    """Row-per-table layout -> one CREATE TABLE (all STRING columns) per
+    row (reference ``generator.py:119-129``).  Returns
+    [{schema, table, sql}] records."""
+    out = []
+    for i, rec in enumerate(records):
+        get = {_snake(k): v for k, v in rec.items()}
+        schema = str(get.get("schema") or "public").strip()
+        table = str(get.get("table") or f"table_{i}").strip()
+        cols = [k for k in rec.keys() if _snake(k) not in ("schema", "table")]
+        body = ",\n  ".join(f"`{c}` STRING" for c in cols) or "`id` STRING"
+        out.append({
+            "schema": schema,
+            "table": name_prefix + table,
+            "sql": f"CREATE TABLE `{schema}`.`{name_prefix}{table}` (\n  {body}\n);",
+        })
+    return out
+
+
 def load_colspec(
     rows: list[dict[str, Any]] | str,
     config: dict[str, str] | None = None,

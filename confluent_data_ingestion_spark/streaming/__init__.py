@@ -1,5 +1,6 @@
 from .runner import StatementSetRunner
 from .sources import (
+    parse_state_ttl,
     file_envelope_stream,
     kafka_envelope_stream,
     kafka_source_options,
@@ -11,6 +12,7 @@ __all__ = [
     "StatementSetRunner",
     "UpsertSnapshot",
     "file_envelope_stream",
+    "parse_state_ttl",
     "kafka_envelope_stream",
     "kafka_source_options",
     "watermark_dedup",

@@ -90,6 +90,38 @@ def kafka_envelope_stream(
     )
 
 
+_TTL_UNITS = {
+    "ms": "milliseconds", "millisecond": "milliseconds", "milliseconds": "milliseconds",
+    "s": "seconds", "sec": "seconds", "second": "seconds", "seconds": "seconds",
+    "min": "minutes", "minute": "minutes", "minutes": "minutes",
+    "h": "hours", "hour": "hours", "hours": "hours",
+    "d": "days", "day": "days", "days": "days",
+}
+
+
+def parse_state_ttl(ttl: str) -> str | None:
+    """Flink per-statement state-TTL hint (reference T2,
+    ``resources/sql/xref-queries.sql:69-70``: ``set 'sql.state.ttl' = '5
+    min'``) -> a Spark watermark delay string.
+
+    Spark's keyed streaming state is bounded by the watermark horizon, so
+    the TTL maps onto the delay passed to :func:`watermark_dedup` /
+    ``withWatermark``.  ``'0 ms'`` (Flink: keep state forever) returns
+    None — no watermark, state retained for the life of the query.
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*([A-Za-z]+)\s*", ttl or "")
+    if not m:
+        raise ValueError(f"unparseable state TTL {ttl!r}")
+    n, unit = int(m.group(1)), m.group(2).lower()
+    if unit not in _TTL_UNITS:
+        raise ValueError(f"unknown TTL unit {unit!r}")
+    if n == 0:
+        return None
+    return f"{n} {_TTL_UNITS[unit]}"
+
+
 def watermark_dedup(
     df: DataFrame, keys: list[str], ts_col: str, delay: str
 ) -> DataFrame:

@@ -92,3 +92,20 @@ def test_colspec_fgac_join_and_quarantine_arms(spark):
     q = sorted((r["cba_ci_user_id"], r["what"])
                for r in out["hm_cba_ci_quarantine"].collect())
     assert q == [("u2", "xref: none"), ("u9", "adr: none")]
+
+
+def test_detect_format_and_row_per_table():
+    from confluent_data_ingestion_spark.spec.colspec import (
+        detect_format,
+        row_per_table_ddl,
+    )
+
+    colspec = [{"Target Table": "t", "Target Column": "c"}]
+    rpt = [{"schema": "s1", "table": "accounts", "col_a": "", "col_b": ""}]
+    assert detect_format(colspec) == "column-spec"
+    assert detect_format(rpt) == "row-per-table"
+    assert detect_format([]) == "column-spec"
+    ddl = row_per_table_ddl(rpt, name_prefix="pre_")
+    assert ddl[0]["table"] == "pre_accounts"
+    assert "`col_a` STRING" in ddl[0]["sql"]
+    assert "CREATE TABLE `s1`.`pre_accounts`" in ddl[0]["sql"]

@@ -234,3 +234,14 @@ def test_statement_set_restart_is_noop(spark, tmp_path):
     log_count2 = runner2._xref_store("XREF_ACCT", spec.tables()["XREF_ACCT"]).log(spark).count()
     assert before == after
     assert log_count == log_count2  # nothing re-appended
+
+
+def test_parse_state_ttl():
+    from confluent_data_ingestion_spark.streaming.sources import parse_state_ttl
+
+    assert parse_state_ttl("5 min") == "5 minutes"
+    assert parse_state_ttl("900 ms") == "900 milliseconds"
+    assert parse_state_ttl("2 h") == "2 hours"
+    assert parse_state_ttl("0 ms") is None  # keep state forever
+    with pytest.raises(ValueError):
+        parse_state_ttl("whenever")
