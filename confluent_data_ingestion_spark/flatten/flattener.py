@@ -194,9 +194,13 @@ def flatten_df(
                 "doc_key": [], "tableName": [], "_row_id": [], "_parent_id": [],
                 "_path": [], "_elem_index": [], "_depth": [], "row_json": [],
             }
-            for pos in range(len(pdf)):
-                raw = pdf[payload_col].iloc[pos]
-                key = str(pdf[key_col].iloc[pos]) if key_col else str(pos)
+            # materialize columns once; per-row .iloc dominates otherwise
+            payloads = pdf[payload_col].tolist()
+            keys = (
+                [str(k) for k in pdf[key_col].tolist()]
+                if key_col else [str(i) for i in range(len(pdf))]
+            )
+            for key, raw in zip(keys, payloads):
                 if raw is None:
                     continue
                 try:

@@ -681,7 +681,9 @@ def flatten_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("val"),
     )
-    flat = flatten_df(env, payload_col="val", key_col="event_id")
+    # one parquet file -> one input partition; spread the Python flatten
+    # kernel across cores (cheap narrow-row shuffle vs per-doc CPU)
+    flat = flatten_df(env.repartition(32), payload_col="val", key_col="event_id")
     return flat.select(
         "doc_key",
         F.col("tableName").alias("table_name"),

@@ -44,6 +44,10 @@ def validate_spec(spec: PipelineSpec) -> list[Issue]:
         if stage in ("XREF", "FGAC") and not pks:
             issues.append(("ERROR", table, f"{stage} table has no IsTargetPK column"))
 
+        if stage != "VIEW" and not rows[0].source_table:
+            issues.append(("ERROR", table,
+                           f"{stage} table has no driving source table"))
+
         if stage == "VIEW":
             for r in rows:
                 sel = r.field_selector
