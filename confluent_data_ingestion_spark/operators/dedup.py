@@ -246,3 +246,57 @@ def simhash(
         )
         terms.append(f"CASE WHEN ({bit}) > 0 THEN {1 << b}L ELSE 0L END")
     return df.withColumn(out_col, F.expr(" + ".join(terms))).drop("__th__")
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: docs whose vectors are
+    within ``threshold`` cosine similarity, assigned a canonical id (the
+    minimum id over each doc's duplicate neighborhood + itself).
+
+    Output: (id_col, canonical_id, n_dups) for every doc that has at least
+    one near-duplicate.
+
+    Scale: the default all-pairs comparison is the exact baseline (O(n^2) —
+    only for pre-bucketed/small inputs).  At corpus scale pass
+    ``bucket_col`` (e.g. the IVF centroid id from ``similarity.assign_ivf``
+    or an LSH band key): pairing then happens only WITHIN buckets, turning
+    the cross join into a per-bucket self-join that shuffles on the bucket
+    key.  The cosine itself is a JVM-side codegen'd fold — no Python.
+    """
+    dot = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    keep = [F.col(id_col).alias("__id__"),
+            F.col(vec_col).cast("array<double>").alias("__e__")]
+    if bucket_col:
+        keep.append(F.col(bucket_col).alias("__bkt__"))
+    v = df.select(*keep)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.__id__") < F.col("b.__id__")
+    if bucket_col:
+        cond = cond & (F.col("a.__bkt__") == F.col("b.__bkt__"))
+    cos = F.expr(
+        "round(" + dot.format(a="a.__e__", b="b.__e__")
+        + " / (sqrt(" + dot.format(a="a.__e__", b="a.__e__")
+        + ") * sqrt(" + dot.format(a="b.__e__", b="b.__e__") + ")), 6)"
+    )
+    pairs = (
+        a.join(b, cond)
+        .select(F.col("a.__id__").alias("ia"), F.col("b.__id__").alias("ib"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    edges = pairs.select(F.col("ia").alias("id"), F.col("ib").alias("nb")).unionByName(
+        pairs.select(F.col("ib").alias("id"), F.col("ia").alias("nb"))
+    )
+    return (
+        edges.groupBy("id")
+        .agg(F.least(F.col("id"), F.min("nb")).alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_dups"))
+        .select(F.col("id").alias(id_col), "canonical_id", "n_dups")
+    )

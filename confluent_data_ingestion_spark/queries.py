@@ -622,6 +622,46 @@ def sttm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate dedup.  The synthetic embeddings have no
+# natural near-dups (max pairwise cosine ~0.51), so both engines plant the
+# SAME exact-duplicate copies (vec_id % 100 == 0, id offset +1000000) and
+# the operator must find precisely those pairs and assign canonical ids.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    v AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, e FROM base WHERE vec_id % 100 = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE {_COS.format(a='a.e', b='b.e')} >= 0.999
+    ),
+    edges AS (
+      SELECT ia AS id, ib AS nb FROM pairs
+      UNION ALL
+      SELECT ib, ia FROM pairs
+    )
+    SELECT id AS vec_id, least(id, min(nb)) AS canonical_id,
+           count(*) AS n_dups
+    FROM edges GROUP BY id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return embedding_near_dup(emb.unionByName(planted), threshold=0.999)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing: video frame sampling is a pure column computation
 # (sequence + explode) — declared duration metadata -> frame offsets.
 # ---------------------------------------------------------------------------
