@@ -17,6 +17,8 @@ Scale design (the whole point of these):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -262,12 +264,19 @@ def embedding_near_dup(
     Output: (id_col, canonical_id, n_dups) for every doc that has at least
     one near-duplicate.
 
-    Scale: the default all-pairs comparison is the exact baseline (O(n^2) —
-    only for pre-bucketed/small inputs).  At corpus scale pass
-    ``bucket_col`` (e.g. the IVF centroid id from ``similarity.assign_ivf``
-    or an LSH band key): pairing then happens only WITHIN buckets, turning
-    the cross join into a per-bucket self-join that shuffles on the bucket
-    key.  The cosine itself is a JVM-side codegen'd fold — no Python.
+    Scale: candidate pairs come from an EXACT grid-bucket join, not an
+    all-pairs cross join.  cosine(a,b) >= t implies the unit-normalized
+    vectors are within L2 distance sqrt(2*(1-t)), hence within that bound
+    per-coordinate.  We grid the first ``grid_dims`` unit coordinates with
+    cell width = that bound and emit each vector into its cell plus the
+    next cell per dimension (2^grid_dims composite keys), so any qualifying
+    pair is guaranteed to share at least one key — an equi-join shuffle on
+    the cell key replaces the O(n^2) scan, with zero recall loss.  The
+    exact cosine is then re-checked on the raw vectors (JVM-side codegen'd
+    fold — no Python).  For loose thresholds (< 0.9) the grid degenerates
+    to one cell, so we fall back to all-pairs unless the caller supplies
+    ``bucket_col`` (e.g. an IVF centroid id from ``similarity.assign_ivf``
+    or an LSH band key) to bound the pairing.
     """
     dot = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
@@ -276,19 +285,44 @@ def embedding_near_dup(
     if bucket_col:
         keep.append(F.col(bucket_col).alias("__bkt__"))
     v = df.select(*keep)
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col("a.__id__") < F.col("b.__id__")
+    grid_dims = 3
+    cell = math.sqrt(2.0 * max(1.0 - threshold, 1e-12))
     if bucket_col:
-        cond = cond & (F.col("a.__bkt__") == F.col("b.__bkt__"))
-    cos = F.expr(
-        "round(" + dot.format(a="a.__e__", b="b.__e__")
-        + " / (sqrt(" + dot.format(a="a.__e__", b="a.__e__")
-        + ") * sqrt(" + dot.format(a="b.__e__", b="b.__e__") + ")), 6)"
-    )
+        keyed = v.withColumn("__cell__", F.col("__bkt__")).drop("__bkt__")
+    elif threshold >= 0.9:
+        # unit-normalize the leading coordinates; each vector lands in
+        # 2^grid_dims composite cells (its own + the next per dimension)
+        norm = "sqrt(" + dot.format(a="__e__", b="__e__") + ")"
+        base = [
+            f"CAST(floor(element_at(__e__, {i + 1}) / nullif({norm}, 0.0d)"
+            f" / {cell!r}d) AS BIGINT)"
+            for i in range(grid_dims)
+        ]
+        combos = [
+            "concat_ws(',', " + ", ".join(
+                f"({b} + {(mask >> i) & 1})" for i, b in enumerate(base)
+            ) + ")"
+            for mask in range(1 << grid_dims)
+        ]
+        keyed = v.select(
+            "__id__", "__e__",
+            F.explode(F.expr("array(" + ", ".join(combos) + ")")).alias("__cell__"),
+        )
+    else:
+        keyed = v.withColumn("__cell__", F.lit(0))
+    a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
-        a.join(b, cond)
+        a.join(b, (F.col("a.__cell__") == F.col("b.__cell__"))
+               & (F.col("a.__id__") < F.col("b.__id__")))
         .select(F.col("a.__id__").alias("ia"), F.col("b.__id__").alias("ib"),
-                cos.alias("cosine"))
+                F.col("a.__e__").alias("__ea__"), F.col("b.__e__").alias("__eb__"))
+        .dropDuplicates(["ia", "ib"])
+        .select("ia", "ib",
+                F.expr(
+                    "round(" + dot.format(a="__ea__", b="__eb__")
+                    + " / (sqrt(" + dot.format(a="__ea__", b="__ea__")
+                    + ") * sqrt(" + dot.format(a="__eb__", b="__eb__") + ")), 6)"
+                ).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
     edges = pairs.select(F.col("ia").alias("id"), F.col("ib").alias("nb")).unionByName(
