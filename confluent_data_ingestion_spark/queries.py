@@ -709,7 +709,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def flatten_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .flatten import flatten_df
+    from pyspark.sql.types import StructType
+
+    from .flatten import flatten_with_schema
 
     ev = _t(spark, sf_dir, "events")
     env = ev.select(
@@ -721,9 +723,13 @@ def flatten_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("val"),
     )
-    # one parquet file -> one input partition; spread the Python flatten
-    # kernel across cores (cheap narrow-row shuffle vs per-doc CPU)
-    flat = flatten_df(env.repartition(32), payload_col="val", key_col="event_id")
+    # schema-compiled flatten: pure JVM from_json + posexplode, whole-stage
+    # codegen end-to-end (flatten_df's mapInPandas path is the
+    # schema-discovery fallback, exercised by the golden-pair tests)
+    flat = flatten_with_schema(
+        env, StructType.fromDDL("id bigint, vals array<bigint>"),
+        payload_col="val", key_col="event_id",
+    )
     return flat.select(
         "doc_key",
         F.col("tableName").alias("table_name"),
@@ -731,8 +737,8 @@ def flatten_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_path").alias("path"),
         F.col("_elem_index").alias("elem_index"),
         F.col("_depth").alias("depth"),
-        F.get_json_object("row_json", "$.vals").cast("bigint").alias("item_val"),
-        F.get_json_object("row_json", "$.id").cast("bigint").alias("inherited_id"),
+        F.col("vals").alias("item_val"),
+        F.col("id").alias("inherited_id"),
     )
 
 

@@ -111,3 +111,90 @@ def test_flatten_df_distributed(spark):
     assert sub["_parent_id"] == parent["_row_id"]
     payload = json.loads(sub["row_json"])
     assert payload["items_subs"] == 5 and payload["k"] == "b"
+
+
+# ---------------------------------------------------------------------------
+# Schema-compiled flattener: differential parity vs the per-doc Python walk.
+# ---------------------------------------------------------------------------
+def _py_rows(doc, doc_key):
+    return [
+        {"doc_key": doc_key, **row}
+        for row in flatten_json(doc)
+    ]
+
+
+def _spark_rows(spark, docs, schema_ddl):
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from confluent_data_ingestion_spark.flatten import flatten_with_schema
+
+    schema = StructType.fromDDL(schema_ddl)
+    df = spark.createDataFrame(
+        [(str(k), _json.dumps(d)) for k, d in docs], "doc_key string, val string"
+    )
+    out = flatten_with_schema(df, schema, payload_col="val", key_col="doc_key")
+    rows = []
+    for r in out.collect():
+        d = r.asDict()
+        rows.append({k: v for k, v in d.items() if v is not None})
+    return rows
+
+
+def _normalize(rows):
+    def key(r):
+        return (r["doc_key"], r["_row_id"])
+
+    out = []
+    for r in sorted(rows, key=key):
+        out.append(tuple(sorted((k, str(v)) for k, v in r.items() if v is not None)))
+    return out
+
+
+DOC = {
+    "a": 7,
+    "b": {"c": "x", "tags": ["p", "q"]},
+    "items": [
+        {"sku": "s1", "qty": 2, "subs": [{"k": 1}, {"k": 2}]},
+        {"sku": "s2", "qty": 3, "subs": []},
+    ],
+    "mat": [[10, 20], [30]],
+}
+DOC_DDL = (
+    "a bigint, b struct<c: string, tags: array<string>>, "
+    "items array<struct<sku: string, qty: bigint, subs: array<struct<k: bigint>>>>, "
+    "mat array<array<bigint>>"
+)
+
+
+def test_compiled_matches_python_walk(spark):
+    docs = [("d1", DOC), ("d2", {"a": 1, "b": {"c": "y", "tags": []},
+                                 "items": [], "mat": []})]
+    expect = []
+    for k, d in docs:
+        expect.extend(_py_rows(d, k))
+    got = _spark_rows(spark, docs, DOC_DDL)
+    assert _normalize(got) == _normalize(expect)
+
+
+def test_compiled_row_id_is_depth_first_emit_order(spark):
+    got = _spark_rows(spark, [("d1", DOC)], DOC_DDL)
+    by_id = {r["_row_id"]: r for r in got}
+    assert sorted(by_id) == list(range(1, len(got) + 1))
+    # items element 0's subs rows point at the element's parent row
+    parents = [r for r in got if r["tableName"] == "items"]
+    subs = [r for r in got if r["tableName"] == "items_subs"]
+    p0 = next(r for r in parents if r["items_sku"] == "s1")
+    assert all(s["_parent_id"] == p0["_row_id"] for s in subs)
+    # scoped inheritance: subs rows carry the element scalars, not siblings'
+    assert all(s["items_sku"] == "s1" for s in subs)
+
+
+def test_compiled_nested_dict_and_list_of_lists(spark):
+    got = _spark_rows(spark, [("d1", DOC)], DOC_DDL)
+    tags = sorted(r["b_tags"] for r in got if r["tableName"] == "b_tags")
+    assert tags == ["p", "q"]
+    mat = sorted((r["_path"], r["mat"]) for r in got if r["tableName"] == "mat")
+    assert mat == [("/mat/0/0", 10), ("/mat/0/1", 20), ("/mat/1/0", 30)]
