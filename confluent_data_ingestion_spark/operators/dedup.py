@@ -311,23 +311,31 @@ def embedding_near_dup(
     else:
         keyed = v.withColumn("__cell__", F.lit(0))
     a, b = keyed.alias("a"), keyed.alias("b")
+    cos = F.expr(
+        "round(" + dot.format(a="a.__e__", b="b.__e__")
+        + " / (sqrt(" + dot.format(a="a.__e__", b="a.__e__")
+        + ") * sqrt(" + dot.format(a="b.__e__", b="b.__e__") + ")), 6)"
+    )
+    # cosine BEFORE candidate dedup: a colliding pair is re-checked once per
+    # shared cell (cheap codegen'd fold) so the distinct runs on two longs —
+    # a HashAggregate — instead of dragging both vectors into the agg buffer
     pairs = (
         a.join(b, (F.col("a.__cell__") == F.col("b.__cell__"))
                & (F.col("a.__id__") < F.col("b.__id__")))
         .select(F.col("a.__id__").alias("ia"), F.col("b.__id__").alias("ib"),
-                F.col("a.__e__").alias("__ea__"), F.col("b.__e__").alias("__eb__"))
-        .dropDuplicates(["ia", "ib"])
-        .select("ia", "ib",
-                F.expr(
-                    "round(" + dot.format(a="__ea__", b="__eb__")
-                    + " / (sqrt(" + dot.format(a="__ea__", b="__ea__")
-                    + ") * sqrt(" + dot.format(a="__eb__", b="__eb__") + ")), 6)"
-                ).alias("cosine"))
+                cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .select("ia", "ib")
+        .distinct()
     )
-    edges = pairs.select(F.col("ia").alias("id"), F.col("ib").alias("nb")).unionByName(
-        pairs.select(F.col("ib").alias("id"), F.col("ia").alias("nb"))
-    )
+    # both edge directions via one explode — a union here would recompute
+    # the whole candidate-join subtree twice (Spark plans are trees)
+    edges = pairs.select(
+        F.explode(F.array(
+            F.struct(F.col("ia").alias("id"), F.col("ib").alias("nb")),
+            F.struct(F.col("ib").alias("id"), F.col("ia").alias("nb")),
+        )).alias("e")
+    ).select("e.id", "e.nb")
     return (
         edges.groupBy("id")
         .agg(F.least(F.col("id"), F.min("nb")).alias("canonical_id"),

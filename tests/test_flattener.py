@@ -198,3 +198,38 @@ def test_compiled_nested_dict_and_list_of_lists(spark):
     assert tags == ["p", "q"]
     mat = sorted((r["_path"], r["mat"]) for r in got if r["tableName"] == "mat")
     assert mat == [("/mat/0/0", 10), ("/mat/0/1", 20), ("/mat/1/0", 30)]
+
+
+GOLDEN_DDL = (
+    "type string, "
+    "auditData struct<modifiedBy: string, Timestamp: string>, "
+    "entId struct<id: bigint>, "
+    "SequenceNumber bigint, "
+    "product struct<"
+    "code: string, closingOnly: array<bigint>, colCusp: struct<Cusp: string>, "
+    "eqType: string, futureTemplateId: bigint, Id: struct<id: bigint>, "
+    "isPennyTradePrice: boolean, Name: string, "
+    "tsf: array<struct<businessDateAdded: string, tradeSourceId: array<bigint>>>, "
+    "tsp: array<struct<businessDateAdded: string, tradeSourceId: bigint>>>"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_IN), reason="reference not present")
+def test_compiled_golden_pair_exact(spark):
+    """The schema-compiled (pure-JVM) flattener reproduces the reference
+    tool's committed golden output, row for row."""
+    with open(GOLDEN_IN) as f:
+        doc_text = f.read()
+    with open(GOLDEN_OUT) as f:
+        expected = [json.loads(line) for line in f if line.strip()]
+    got = _spark_rows(spark, [("d", json.loads(doc_text))], GOLDEN_DDL)
+    assert len(got) == len(expected)
+    for r in got:
+        r.pop("doc_key")
+    by_id = {r["_row_id"]: r for r in got}
+    for e in expected:
+        g = dict(by_id[e["_row_id"]])
+        # golden rows omit null _parent_id? normalize both sides
+        e_n = {k: v for k, v in e.items() if v is not None}
+        g_n = {k: v for k, v in g.items() if v is not None}
+        assert g_n == e_n, f"row {e['_row_id']} differs:\n{g_n}\n{e_n}"
