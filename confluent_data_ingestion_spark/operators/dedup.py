@@ -142,6 +142,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    persist_signatures: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -150,12 +151,21 @@ def minhash_lsh_pairs(
     the band's signature slice) -> self-join on (band, key) -> distinct pairs
     (doc_a < doc_b).  The only shuffle is on 32-byte band keys.  Docs with no
     shingles yield NULL keys and are dropped.
+
+    Both sides of the self-join share the signature subtree; when the join
+    broadcasts, Spark cannot reuse the exchange and shingling runs TWICE
+    over the corpus.  At corpus scale set ``persist_signatures=True`` (or
+    persist upstream via the statement-set runtime) so documents are
+    shingled+hashed once; the caller owns unpersisting (`df.unpersist()` on
+    any reference, or let it age out of the executor cache).
     """
     assert num_hashes % rows_per_band == 0
     n_bands = num_hashes // rows_per_band
     sig = minhash_signature(
         shingle(df.select(id_col, text_col), text_col, n), num_hashes=num_hashes
     )
+    if persist_signatures:
+        sig = sig.persist()
     key_case = "CASE __band__ " + " ".join(
         f"WHEN {b} THEN md5("
         + "||".join(f"mh{b * rows_per_band + k}" for k in range(rows_per_band))
@@ -192,14 +202,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.03,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity over shingle-sharing pairs.
 
     Inverted-index join: explode distinct shingles, self-join on shingle,
     count intersections, compute |A ∩ B| / (|A| + |B| - |A ∩ B|).  Quadratic
     in collision-group size — at 100 TB, run AFTER an LSH prefilter.
+
+    The shingle explode feeds three plan subtrees (both join sides + the
+    per-doc size agg); ``persist_shingles=True`` computes it once at corpus
+    scale (caller owns the cache lifecycle).
     """
     sh = exploded_shingles(df, id_col, text_col, n)
+    if persist_shingles:
+        sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -438,7 +438,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=5, threshold=0.03)
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.03, persist_shingles=True)
 
 
 @query(
@@ -466,7 +466,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, n=5)
+    return minhash_lsh_pairs(docs, n=5, persist_signatures=True)
 
 
 @query(
