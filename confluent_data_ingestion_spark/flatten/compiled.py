@@ -60,16 +60,23 @@ def _nested_fields(st: StructType) -> list:
     return [f for f in st.fields if not _is_scalar_type(f.dataType)]
 
 
-def _count_array(at: ArrayType, val: str) -> str:
+def _count_array(at: ArrayType, val: str, depth: int = 1,
+                 max_depth: int | None = None) -> str:
     """SQL expr: rows the walk emits for array value ``val`` (any column or
-    lambda-variable reference)."""
+    lambda-variable reference) whose list depth is ``depth``.  ``max_depth``
+    prunes exactly like the Python walk's guard — counts MUST mirror the
+    emission pruning or row ids diverge."""
+    if max_depth is not None and depth > max_depth:
+        return "0L"
     et = at.elementType
     if _is_scalar_type(et):
         return f"coalesce(CAST(size({val}) AS BIGINT), 0L)"
     if isinstance(et, StructType):
-        per_elem = _count_struct_elem(et, "x")
+        per_elem = _count_struct_elem(et, "x", depth, max_depth)
         return f"coalesce(aggregate({val}, 0L, (acc, x) -> acc + {per_elem}), 0L)"
     if _is_scalar_type(et.elementType):  # array of arrays of scalars
+        if max_depth is not None and depth + 1 > max_depth:
+            return "0L"
         return (f"coalesce(aggregate({val}, 0L, "
                 f"(acc, x) -> acc + coalesce(CAST(size(x) AS BIGINT), 0L)), 0L)")
     raise NotImplementedError(
@@ -77,27 +84,29 @@ def _count_array(at: ArrayType, val: str) -> str:
     )
 
 
-def _count_struct_elem(st: StructType, val: str) -> str:
+def _count_struct_elem(st: StructType, val: str, depth: int = 1,
+                       max_depth: int | None = None) -> str:
     """Rows emitted for ONE element of an array-of-structs: the parent row
     (iff the struct declares scalar fields) plus its nested subtrees."""
     parts = ["1L"] if _scalar_fields(st) else ["0L"]
     for f in _nested_fields(st):
         ref = f"{val}.`{f.name}`"
         if isinstance(f.dataType, StructType):
-            parts.append(_count_struct_dict(f.dataType, ref))
+            parts.append(_count_struct_dict(f.dataType, ref, depth + 1, max_depth))
         else:
-            parts.append(_count_array(f.dataType, ref))
+            parts.append(_count_array(f.dataType, ref, depth + 1, max_depth))
     return "(" + " + ".join(parts) + ")"
 
 
-def _count_struct_dict(st: StructType, val: str) -> str:
+def _count_struct_dict(st: StructType, val: str, depth: int = 1,
+                       max_depth: int | None = None) -> str:
     parts = []
     for f in _nested_fields(st):
         ref = f"{val}.`{f.name}`"
         if isinstance(f.dataType, StructType):
-            parts.append(_count_struct_dict(f.dataType, ref))
+            parts.append(_count_struct_dict(f.dataType, ref, depth + 1, max_depth))
         else:
-            parts.append(_count_array(f.dataType, ref))
+            parts.append(_count_array(f.dataType, ref, depth + 1, max_depth))
     return "(" + " + ".join(parts) + ")" if parts else "0L"
 
 
@@ -113,9 +122,11 @@ class _Bound:
 
 
 class _Compiler:
-    def __init__(self, joiner: str, emit_empty_parent: bool):
+    def __init__(self, joiner: str, emit_empty_parent: bool,
+                 max_depth: int | None = None):
         self.joiner = joiner
         self.emit_empty_parent = emit_empty_parent
+        self.max_depth = max_depth
         self.branches: list[tuple[DataFrame, list[Column], set[str]]] = []
         self.data_cols: dict[str, DataType] = {}
         self.n = 0
@@ -185,11 +196,15 @@ class _Compiler:
         elements) or None at doc level (static pointers).  Row depth is
         ``base_depth`` + the array's nesting depth within the bound dict."""
         for out_path, ptr_sfx, rel_depth, at, col, inherited in bound.arrays:
-            base_ptr = (F.concat(ptr_col, F.lit(ptr_sfx)) if ptr_col is not None
-                        else F.lit(ptr_sfx))
-            self._emit_array(df, at, col, out_path, base_ptr,
-                             base_depth + rel_depth, inherited, parent, offset)
-            offset = f"({offset} + {_count_array(at, f'`{col}`')})"
+            depth = base_depth + rel_depth
+            if self.max_depth is None or depth <= self.max_depth:
+                base_ptr = (F.concat(ptr_col, F.lit(ptr_sfx))
+                            if ptr_col is not None else F.lit(ptr_sfx))
+                self._emit_array(df, at, col, out_path, base_ptr, depth,
+                                 inherited, parent, offset)
+            # pruned arrays count 0 rows, so the offset stays in sync
+            offset = (f"({offset} + "
+                      f"{_count_array(at, f'`{col}`', depth, self.max_depth)})")
         return offset
 
     def _emit_array(self, df: DataFrame, at: ArrayType, col: str, path: str,
@@ -207,6 +222,8 @@ class _Compiler:
             )
             return
         if isinstance(et, ArrayType):
+            if self.max_depth is not None and depth + 1 > self.max_depth:
+                return  # inner lists would be walked past the depth cap
             i1, v1 = self._uniq("i"), self._uniq("v")
             b1 = df.select("*", F.posexplode(F.col(f"`{col}`")).alias(i1, v1))
             cum = (f"coalesce(aggregate(slice(`{col}`, 1, `{i1}`), 0L, "
@@ -231,7 +248,8 @@ class _Compiler:
         b = exploded.select("*", *sel)
         elem_ptr = F.concat(ptr, F.lit("/"), F.col(i).cast("string"))
         cum = (f"coalesce(aggregate(slice(`{col}`, 1, `{i}`), 0L, "
-               f"(acc, x) -> acc + {_count_struct_elem(et, 'x')}), 0L)")
+               f"(acc, x) -> acc + "
+               f"{_count_struct_elem(et, 'x', depth, self.max_depth)}), 0L)")
         emits_parent = bool(_scalar_fields(et)) or (
             self.emit_empty_parent and bool(elem_bound.arrays))
         parent_row_id = f"({offset} + {cum} + 1)"
@@ -253,6 +271,7 @@ def flatten_with_schema(
     key_col: str | None = None,
     joiner: str = "_",
     emit_empty_parent: bool = False,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """Flatten JSON documents with a DECLARED schema into lineage rows using
     only JVM operators (``from_json`` + ``posexplode`` + fold expressions).
@@ -270,14 +289,24 @@ def flatten_with_schema(
         key.alias("doc_key"),
         F.from_json(F.col(payload_col), schema).alias("__doc__"),
     )
-    c = _Compiler(joiner, emit_empty_parent)
+    c = _Compiler(joiner, emit_empty_parent, max_depth)
     root = _Bound()
     sel: list[Column] = []
     c._bind_dict(schema, "__doc__", "", "", sel, root)
     base = parsed.select("doc_key", *sel)
     c.walk_arrays(base, root, None, 0, "CAST(NULL AS BIGINT)", "0L")
     if not c.branches:
-        raise ValueError("schema declares no arrays: nothing to flatten")
+        if not root.arrays:
+            raise ValueError("schema declares no arrays: nothing to flatten")
+        # every array sits beyond max_depth: zero rows, stable lineage schema
+        return parsed.select(
+            "doc_key", F.lit("").alias("tableName"),
+            F.lit(None).cast("bigint").alias("_row_id"),
+            F.lit(None).cast("bigint").alias("_parent_id"),
+            F.lit("").alias("_path"),
+            F.lit(None).cast("int").alias("_elem_index"),
+            F.lit(None).cast("int").alias("_depth"),
+        ).limit(0)
     data_names = list(c.data_cols)
     outs = []
     for b, cols, present in c.branches:

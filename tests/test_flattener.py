@@ -233,3 +233,23 @@ def test_compiled_golden_pair_exact(spark):
         e_n = {k: v for k, v in e.items() if v is not None}
         g_n = {k: v for k, v in g.items() if v is not None}
         assert g_n == e_n, f"row {e['_row_id']} differs:\n{g_n}\n{e_n}"
+
+
+def test_compiled_max_depth_matches_python_walk(spark):
+    """max_depth prunes emission AND the row-id counters identically."""
+    for md in (1, 2, 3):
+        expect = [dict(r, doc_key="d1")
+                  for r in flatten_json(DOC, max_depth=md)]
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from confluent_data_ingestion_spark.flatten import flatten_with_schema
+        df = spark.createDataFrame([("d1", _json.dumps(DOC))],
+                                   "doc_key string, val string")
+        out = flatten_with_schema(df, StructType.fromDDL(DOC_DDL),
+                                  payload_col="val", key_col="doc_key",
+                                  max_depth=md)
+        got = [{k: v for k, v in r.asDict().items() if v is not None}
+               for r in out.collect()]
+        assert _normalize(got) == _normalize(expect), f"max_depth={md}"

@@ -135,3 +135,46 @@ def test_ivf_restricts_to_bucket(spark):
     out = ivf_topk(v, q, centroids, k=5).collect()
     # only same-bucket neighbors (vecs 1 and 4) — bucket-200 vecs never scanned
     assert {r["neighbor_id"] for r in out} == {1, 4}
+
+
+def test_embedding_near_dup_grid_exact(spark):
+    from confluent_data_ingestion_spark.operators.dedup import embedding_near_dup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),        # same direction as 1 (cos=1)
+        (3, [0.0, 1.0, 0.0, 0.0]),        # orthogonal
+        (4, [0.9999, 0.0141, 0.0, 0.0]),  # cos(1,4) ~ 0.9999 >= 0.999
+        (5, [0.0, 0.0, -1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_id, r.canonical_id, r.n_dups)
+           for r in embedding_near_dup(df, threshold=0.999).collect()}
+    assert got == {(1, 1, 2), (2, 1, 2), (4, 1, 2)}
+
+
+def test_embedding_near_dup_bucketed_pairs_within_bucket_only(spark):
+    from confluent_data_ingestion_spark.operators.dedup import embedding_near_dup
+
+    rows = [
+        (1, [1.0, 0.0], 10), (2, [1.0, 0.0], 10),  # same bucket -> pair
+        (3, [1.0, 0.0], 20),                        # dup but other bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, b int")
+    got = {(r.vec_id, r.canonical_id)
+           for r in embedding_near_dup(df, threshold=0.999,
+                                       bucket_col="b").collect()}
+    assert got == {(1, 1), (2, 1)}
+
+
+def test_embedding_near_dup_loose_threshold_all_pairs(spark):
+    import math
+
+    from confluent_data_ingestion_spark.operators.dedup import embedding_near_dup
+
+    # cos(1,2)=cos(45deg)~0.7071 -- only the all-pairs fallback can see it
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_id, r.canonical_id)
+           for r in embedding_near_dup(df, threshold=0.7).collect()}
+    assert got == {(1, 1), (2, 1)}
