@@ -61,18 +61,20 @@ def _nested_fields(st: StructType) -> list:
 
 
 def _count_array(at: ArrayType, val: str, depth: int = 1,
-                 max_depth: int | None = None) -> str:
+                 max_depth: int | None = None,
+                 emit_empty_parent: bool = False) -> str:
     """SQL expr: rows the walk emits for array value ``val`` (any column or
     lambda-variable reference) whose list depth is ``depth``.  ``max_depth``
-    prunes exactly like the Python walk's guard — counts MUST mirror the
-    emission pruning or row ids diverge."""
+    prunes exactly like the Python walk's guard, and ``emit_empty_parent``
+    adds the scalar-less parent rows the walk emits under that flag — counts
+    MUST mirror the emission rules or row ids diverge."""
     if max_depth is not None and depth > max_depth:
         return "0L"
     et = at.elementType
     if _is_scalar_type(et):
         return f"coalesce(CAST(size({val}) AS BIGINT), 0L)"
     if isinstance(et, StructType):
-        per_elem = _count_struct_elem(et, "x", depth, max_depth)
+        per_elem = _count_struct_elem(et, "x", depth, max_depth, emit_empty_parent)
         return f"coalesce(aggregate({val}, 0L, (acc, x) -> acc + {per_elem}), 0L)"
     if _is_scalar_type(et.elementType):  # array of arrays of scalars
         if max_depth is not None and depth + 1 > max_depth:
@@ -85,28 +87,38 @@ def _count_array(at: ArrayType, val: str, depth: int = 1,
 
 
 def _count_struct_elem(st: StructType, val: str, depth: int = 1,
-                       max_depth: int | None = None) -> str:
+                       max_depth: int | None = None,
+                       emit_empty_parent: bool = False) -> str:
     """Rows emitted for ONE element of an array-of-structs: the parent row
-    (iff the struct declares scalar fields) plus its nested subtrees."""
-    parts = ["1L"] if _scalar_fields(st) else ["0L"]
+    (iff the struct declares scalar fields, or ``emit_empty_parent`` and it
+    declares nested fields — same condition ``_emit_array`` emits on) plus
+    its nested subtrees."""
+    emits = bool(_scalar_fields(st)) or (
+        emit_empty_parent and bool(_nested_fields(st)))
+    parts = ["1L"] if emits else ["0L"]
     for f in _nested_fields(st):
         ref = f"{val}.`{f.name}`"
         if isinstance(f.dataType, StructType):
-            parts.append(_count_struct_dict(f.dataType, ref, depth + 1, max_depth))
+            parts.append(_count_struct_dict(f.dataType, ref, depth + 1,
+                                            max_depth, emit_empty_parent))
         else:
-            parts.append(_count_array(f.dataType, ref, depth + 1, max_depth))
+            parts.append(_count_array(f.dataType, ref, depth + 1, max_depth,
+                                      emit_empty_parent))
     return "(" + " + ".join(parts) + ")"
 
 
 def _count_struct_dict(st: StructType, val: str, depth: int = 1,
-                       max_depth: int | None = None) -> str:
+                       max_depth: int | None = None,
+                       emit_empty_parent: bool = False) -> str:
     parts = []
     for f in _nested_fields(st):
         ref = f"{val}.`{f.name}`"
         if isinstance(f.dataType, StructType):
-            parts.append(_count_struct_dict(f.dataType, ref, depth + 1, max_depth))
+            parts.append(_count_struct_dict(f.dataType, ref, depth + 1,
+                                            max_depth, emit_empty_parent))
         else:
-            parts.append(_count_array(f.dataType, ref, depth + 1, max_depth))
+            parts.append(_count_array(f.dataType, ref, depth + 1, max_depth,
+                                      emit_empty_parent))
     return "(" + " + ".join(parts) + ")" if parts else "0L"
 
 
@@ -203,8 +215,10 @@ class _Compiler:
                 self._emit_array(df, at, col, out_path, base_ptr, depth,
                                  inherited, parent, offset)
             # pruned arrays count 0 rows, so the offset stays in sync
-            offset = (f"({offset} + "
-                      f"{_count_array(at, f'`{col}`', depth, self.max_depth)})")
+            offset = (
+                f"({offset} + "
+                f"{_count_array(at, f'`{col}`', depth, self.max_depth, self.emit_empty_parent)})"
+            )
         return offset
 
     def _emit_array(self, df: DataFrame, at: ArrayType, col: str, path: str,
@@ -249,9 +263,13 @@ class _Compiler:
         elem_ptr = F.concat(ptr, F.lit("/"), F.col(i).cast("string"))
         cum = (f"coalesce(aggregate(slice(`{col}`, 1, `{i}`), 0L, "
                f"(acc, x) -> acc + "
-               f"{_count_struct_elem(et, 'x', depth, self.max_depth)}), 0L)")
+               f"{_count_struct_elem(et, 'x', depth, self.max_depth, self.emit_empty_parent)}), 0L)")
+        # mirror the Python walk's ``scalars or (emit_empty_parent and
+        # has_children)``: in declared-schema mode has_children = the struct
+        # declares ANY nested field (struct or array), and _count_struct_elem
+        # counts with the identical condition so row ids stay in sync
         emits_parent = bool(_scalar_fields(et)) or (
-            self.emit_empty_parent and bool(elem_bound.arrays))
+            self.emit_empty_parent and bool(_nested_fields(et)))
         parent_row_id = f"({offset} + {cum} + 1)"
         if emits_parent:
             # parent row carries inherited + the element's OWN scalars only

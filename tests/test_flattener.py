@@ -235,6 +235,70 @@ def test_compiled_golden_pair_exact(spark):
         assert g_n == e_n, f"row {e['_row_id']} differs:\n{g_n}\n{e_n}"
 
 
+# Scalar-less struct elements with nested arrays: under emit_empty_parent
+# the walk emits a parent row per element that _count_struct_elem must also
+# count, or every subsequent _row_id/_parent_id shifts (the 'trail' array
+# after 'items' is what catches the offset collision).
+DOC_EEP = {
+    "items": [
+        {"subs": [1, 2], "tags": ["a"]},
+        {"subs": [], "tags": ["b", "c"]},
+    ],
+    "wrap": [{"inner": {"deep": [7, 8]}}],
+    "trail": ["z", "w"],
+}
+DOC_EEP_DDL = (
+    "items array<struct<subs: array<bigint>, tags: array<string>>>, "
+    "wrap array<struct<inner: struct<deep: array<bigint>>>>, "
+    "trail array<string>"
+)
+
+
+def _spark_rows_opts(spark, docs, schema_ddl, **opts):
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from confluent_data_ingestion_spark.flatten import flatten_with_schema
+
+    df = spark.createDataFrame(
+        [(str(k), _json.dumps(d)) for k, d in docs], "doc_key string, val string"
+    )
+    out = flatten_with_schema(df, StructType.fromDDL(schema_ddl),
+                              payload_col="val", key_col="doc_key", **opts)
+    return [{k: v for k, v in r.asDict().items() if v is not None}
+            for r in out.collect()]
+
+
+def test_compiled_emit_empty_parent_matches_python_walk(spark):
+    docs = [("d1", DOC_EEP), ("d2", {"items": [], "wrap": [], "trail": ["x"]})]
+    expect = []
+    for k, d in docs:
+        expect.extend(
+            dict(r, doc_key=k) for r in flatten_json(d, emit_empty_parent=True)
+        )
+    got = _spark_rows_opts(spark, docs, DOC_EEP_DDL, emit_empty_parent=True)
+    assert _normalize(got) == _normalize(expect)
+    # the stub parents exist and the children point at them
+    stubs = [r for r in got if r["tableName"] == "items" and r["doc_key"] == "d1"]
+    assert len(stubs) == 2
+    kids = [r for r in got if r["tableName"] == "items_subs"]
+    assert {k["_parent_id"] for k in kids} <= {s["_row_id"] for s in stubs}
+    # row ids are still the dense depth-first ordinal (no collisions)
+    d1_ids = sorted(r["_row_id"] for r in got if r["doc_key"] == "d1")
+    assert d1_ids == list(range(1, len(d1_ids) + 1))
+
+
+def test_compiled_emit_empty_parent_with_max_depth(spark):
+    for md in (1, 2, 3):
+        expect = [dict(r, doc_key="d1")
+                  for r in flatten_json(DOC_EEP, emit_empty_parent=True,
+                                        max_depth=md)]
+        got = _spark_rows_opts(spark, [("d1", DOC_EEP)], DOC_EEP_DDL,
+                               emit_empty_parent=True, max_depth=md)
+        assert _normalize(got) == _normalize(expect), f"max_depth={md}"
+
+
 def test_compiled_max_depth_matches_python_walk(spark):
     """max_depth prunes emission AND the row-id counters identically."""
     for md in (1, 2, 3):
