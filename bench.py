@@ -20,6 +20,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    from confluent_data_ingestion_spark.caching import release_caches
     from confluent_data_ingestion_spark.queries import QUERIES
     from confluent_data_ingestion_spark.session import get_spark
 
@@ -36,6 +37,7 @@ def main() -> None:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
+        release_caches()  # drop this query's persisted blocks inside its timing
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt

@@ -22,6 +22,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import track
+
 
 def exact_dedup(
     df: DataFrame,
@@ -156,8 +158,8 @@ def minhash_lsh_pairs(
     broadcasts, Spark cannot reuse the exchange and shingling runs TWICE
     over the corpus.  At corpus scale set ``persist_signatures=True`` (or
     persist upstream via the statement-set runtime) so documents are
-    shingled+hashed once; the caller owns unpersisting (`df.unpersist()` on
-    any reference, or let it age out of the executor cache).
+    shingled+hashed once; the cache registers with ``caching.track`` and is
+    released by the runtime's next ``release_caches()`` call.
     """
     assert num_hashes % rows_per_band == 0
     n_bands = num_hashes // rows_per_band
@@ -165,7 +167,7 @@ def minhash_lsh_pairs(
         shingle(df.select(id_col, text_col), text_col, n), num_hashes=num_hashes
     )
     if persist_signatures:
-        sig = sig.persist()
+        sig = track(sig)
     key_case = "CASE __band__ " + " ".join(
         f"WHEN {b} THEN md5("
         + "||".join(f"mh{b * rows_per_band + k}" for k in range(rows_per_band))
@@ -212,11 +214,12 @@ def ngram_jaccard_pairs(
 
     The shingle explode feeds three plan subtrees (both join sides + the
     per-doc size agg); ``persist_shingles=True`` computes it once at corpus
-    scale (caller owns the cache lifecycle).
+    scale (registered with ``caching.track``, released by the runtime's
+    next ``release_caches()``).
     """
     sh = exploded_shingles(df, id_col, text_col, n)
     if persist_shingles:
-        sh = sh.persist()
+        sh = track(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -245,17 +248,39 @@ def simhash(
     text_col: str = "text",
     bits: int = 16,
     out_col: str = "simhash",
+    ngram: int = 1,
 ) -> DataFrame:
-    """SimHash signature over distinct tokens (bit b = sign of the +1/-1 sum
-    of bit b of each token's md5).
+    """SimHash signature over distinct features (bit b = sign of the +1/-1
+    sum of bit b of each feature's md5).
 
-    Per-row expression: token hashes computed once into an array, then one
+    Features are distinct tokens (``ngram=1``) or distinct word n-gram
+    shingles (``ngram>1``).  Shingle features are the standard document
+    formulation: on low-vocabulary corpora token SETS converge (every doc
+    carries most of the vocabulary) and token-SimHash collapses toward one
+    signature; the n-gram feature space is |vocab|^n so signatures stay
+    discriminative and downstream band joins stay selective.
+
+    Per-row expression: feature hashes computed once into an array, then one
     aggregate() fold per bit — zero shuffle, linear scan.  Near-duplicate
-    pairs = signatures within small Hamming distance (pair via band join on
-    bit slices, same pattern as minhash_lsh_pairs).
+    pairs = signatures within small Hamming distance (``simhash_pairs``).
     """
-    hashes = f"transform(array_distinct(split({text_col}, ' ')), t -> md5(t))"
-    df = df.withColumn("__th__", F.expr(hashes))
+    if ngram > 1:
+        joins = " , ' ', ".join(
+            f"element_at(__ts0__, i + {k})" for k in range(ngram)
+        )
+        feats = (
+            f"CASE WHEN size(__ts0__) >= {ngram} THEN "
+            f"array_distinct(transform(sequence(1, size(__ts0__) - {ngram - 1}), "
+            f"i -> concat({joins}))) ELSE array() END"
+        )
+        df = (
+            df.withColumn("__ts0__", F.split(F.col(text_col), " "))
+            .withColumn("__th__", F.expr(f"transform({feats}, t -> md5(t))"))
+            .drop("__ts0__")
+        )
+    else:
+        hashes = f"transform(array_distinct(split({text_col}, ' ')), t -> md5(t))"
+        df = df.withColumn("__th__", F.expr(hashes))
     terms = []
     for b in range(bits):
         bit = (
@@ -265,6 +290,74 @@ def simhash(
         )
         terms.append(f"CASE WHEN ({bit}) > 0 THEN {1 << b}L ELSE 0L END")
     return df.withColumn(out_col, F.expr(" + ".join(terms))).drop("__th__")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    ngram: int = 1,
+    persist_signatures: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash banding: documents whose ``bits``-bit
+    signatures are within ``max_hamming`` bit flips.
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Same LSH shape as ``minhash_lsh_pairs``: the signature is cut into
+    ``bands`` contiguous bit slices; a pair differing in <= max_hamming bits
+    must agree EXACTLY on at least one slice whenever ``bands >
+    max_hamming`` (pigeonhole — max_hamming flips can dirty at most
+    max_hamming slices), so the band equi-join has zero recall loss, not
+    just probabilistic recall.  Candidates are then verified with
+    ``bit_count(sig_a ^ sig_b)``.
+
+    Scale: signatures are per-row folds (zero shuffle); the only shuffle is
+    the self-join on (band, slice) keys — 8-byte ints, never text.  Slice
+    collision groups are bounded by corpus skew on a (bits/bands)-bit key;
+    widen ``bits`` to shrink them.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming}: "
+            "fewer slices than flips loses the pigeonhole recall guarantee"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
+    width = bits // bands
+    sig = simhash(df.select(id_col, text_col), text_col=text_col, bits=bits,
+                  out_col="__sig__", ngram=ngram).select(id_col, "__sig__")
+    if persist_signatures:
+        sig = track(sig)
+    banded = (
+        sig.withColumn("__band__", F.explode(F.expr(f"sequence(0, {bands - 1})")))
+        .withColumn(
+            "__key__",
+            F.expr(f"shiftright(__sig__, __band__ * {width}) & {(1 << width) - 1}L"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            F.expr(
+                f"a.__band__ = b.__band__ AND a.__key__ = b.__key__ "
+                f"AND a.{id_col} < b.{id_col}"
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.expr("CAST(bit_count(a.__sig__ ^ b.__sig__) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def embedding_near_dup(

@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .caching import release_caches
 from .operators import (
     csv_view,
     json_view,
@@ -36,7 +37,16 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the previous query's action has completed by the time the next
+            # query is constructed, so its tracked caches can be dropped here
+            # — bounds persisted blocks to one query's worth no matter which
+            # harness (driver, bench, tests) runs the registry
+            release_caches()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -490,6 +500,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs.select("doc_id", "text")).select("doc_id", "simhash")
+
+
+# SimHash Hamming-band pairing.  The synthetic corpus has no natural
+# near-identical token sets, so both engines plant the SAME extra docs:
+# exact copies (always hamming 0) and one-token-appended mutations
+# (whatever small hamming the token's hash parity produces — identical in
+# both engines since the signature math is bit-reproducible).
+@query(
+    "dedup_simhash_pairs",
+    """
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' zzsim' FROM documents WHERE doc_id % 100 = 0
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs2),
+    feats AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS t
+      FROM tok, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+    ),
+    bits AS (
+      SELECT doc_id, b,
+        sum(CASE WHEN (instr('0123456789abcdef', substr(md5(t), b+1, 1)) - 1) % 2 = 1
+                 THEN 1 ELSE -1 END) AS v
+      FROM feats, unnest(generate_series(0, 31)) AS u(b)
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS s
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, s, b AS band, (s >> (b * 8)) & 255 AS key
+      FROM sig, unnest(generate_series(0, 3)) AS u(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+)
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    mutated = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzsim")).alias("text"),
+    )
+    corpus = docs.unionByName(planted).unionByName(mutated)
+    return simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
+                         persist_signatures=True)
 
 
 _COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"

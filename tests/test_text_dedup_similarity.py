@@ -101,6 +101,57 @@ def test_simhash_close_for_near_dups(spark):
     assert ham12 < ham13  # near-dup closer than unrelated doc
 
 
+def test_simhash_pairs_matches_brute_force(spark):
+    """Band recall guarantee: bands > max_hamming means the band join loses
+    NO pair within max_hamming (pigeonhole), so the operator output equals
+    the brute-force signature scan exactly."""
+    from confluent_data_ingestion_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash(docs, bits=16).collect()}
+    ids = sorted(sigs)
+    for mh in (0, 3, 8):
+        brute = {
+            (i, j): bin(sigs[i] ^ sigs[j]).count("1")
+            for i in ids for j in ids
+            if i < j and bin(sigs[i] ^ sigs[j]).count("1") <= mh
+        }
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in simhash_pairs(docs, bits=16, max_hamming=mh,
+                                      bands=mh + 1 if 16 % (mh + 1) == 0 else 16
+                                      ).collect()}
+        assert got == brute, f"max_hamming={mh}"
+
+
+def test_simhash_pairs_exact_dup_and_validation(spark):
+    import pytest as _pytest
+
+    from confluent_data_ingestion_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark)
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_pairs(docs, bits=32, max_hamming=3).collect()}
+    assert out.get((1, 4)) == 0  # exact dup: identical signature, every band
+    assert all(h <= 3 for h in out.values())
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, bits=32, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError, match="divide evenly"):
+        simhash_pairs(docs, bits=32, max_hamming=2, bands=3)
+
+
+def test_persist_tracking_released(spark):
+    from confluent_data_ingestion_spark.caching import release_caches
+    from confluent_data_ingestion_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark)
+    release_caches()  # drop anything earlier tests left behind
+    out = simhash_pairs(docs, persist_signatures=True)
+    out.count()
+    assert release_caches() == 1
+    assert release_caches() == 0
+
+
 def _vecs(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
