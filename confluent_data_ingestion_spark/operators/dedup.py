@@ -366,6 +366,8 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     threshold: float = 0.999,
     bucket_col: str | None = None,
+    grid_dims: int = 3,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection: docs whose vectors are
     within ``threshold`` cosine similarity, assigned a canonical id (the
@@ -383,10 +385,19 @@ def embedding_near_dup(
     pair is guaranteed to share at least one key — an equi-join shuffle on
     the cell key replaces the O(n^2) scan, with zero recall loss.  The
     exact cosine is then re-checked on the raw vectors (JVM-side codegen'd
-    fold — no Python).  For loose thresholds (< 0.9) the grid degenerates
-    to one cell, so we fall back to all-pairs unless the caller supplies
-    ``bucket_col`` (e.g. an IVF centroid id from ``similarity.assign_ivf``
-    or an LSH band key) to bound the pairing.
+    fold — no Python).  Vectors shorter than ``grid_dims`` degrade
+    gracefully: ``try_element_at`` yields NULL for the missing coordinates
+    (never an ANSI out-of-range error) and ``concat_ws`` drops them from
+    the key, so the grid simply loses those dimensions' selectivity, not
+    any qualifying pair.
+
+    For loose thresholds (< 0.9) the grid cell width exceeds the unit ball
+    and every vector lands in one cell — an O(n^2) cross join in the
+    operator whose whole point is avoiding O(n^2).  That is never a silent
+    fallback: pass ``bucket_col`` (e.g. an IVF centroid id from
+    ``similarity.assign_centroids`` or an LSH band key) to bound the
+    pairing, or opt in explicitly with ``allow_all_pairs=True`` for small
+    corpora.
     """
     dot = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
@@ -395,16 +406,18 @@ def embedding_near_dup(
     if bucket_col:
         keep.append(F.col(bucket_col).alias("__bkt__"))
     v = df.select(*keep)
-    grid_dims = 3
     cell = math.sqrt(2.0 * max(1.0 - threshold, 1e-12))
     if bucket_col:
         keyed = v.withColumn("__cell__", F.col("__bkt__")).drop("__bkt__")
     elif threshold >= 0.9:
         # unit-normalize the leading coordinates; each vector lands in
-        # 2^grid_dims composite cells (its own + the next per dimension)
+        # 2^grid_dims composite cells (its own + the next per dimension).
+        # try_element_at: out-of-range coordinates (vector shorter than
+        # grid_dims) give NULL, which concat_ws drops from the key —
+        # selectivity shrinks, the shared-cell guarantee holds.
         norm = "sqrt(" + dot.format(a="__e__", b="__e__") + ")"
         base = [
-            f"CAST(floor(element_at(__e__, {i + 1}) / nullif({norm}, 0.0d)"
+            f"CAST(floor(try_element_at(__e__, {i + 1}) / nullif({norm}, 0.0d)"
             f" / {cell!r}d) AS BIGINT)"
             for i in range(grid_dims)
         ]
@@ -416,10 +429,18 @@ def embedding_near_dup(
         ]
         keyed = v.select(
             "__id__", "__e__",
-            F.explode(F.expr("array(" + ", ".join(combos) + ")")).alias("__cell__"),
+            F.explode(F.expr(
+                "array_distinct(array(" + ", ".join(combos) + "))"
+            )).alias("__cell__"),
         )
-    else:
+    elif allow_all_pairs:
         keyed = v.withColumn("__cell__", F.lit(0))
+    else:
+        raise ValueError(
+            f"threshold={threshold} < 0.9 degenerates the grid to a single "
+            "cell (an all-pairs cross join). Supply bucket_col to bound the "
+            "pairing, or pass allow_all_pairs=True for a small corpus."
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     cos = F.expr(
         "round(" + dot.format(a="a.__e__", b="b.__e__")

@@ -52,7 +52,7 @@ def cosine_topk(
         F.col(vec_col).cast("array<double>").alias("qe"),
     )
     scored = (
-        q.crossJoin(F.broadcast(v) if _small(v) else v)
+        q.crossJoin(v)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -72,10 +72,16 @@ def cosine_topk(
     )
 
 
-def _small(df: DataFrame) -> bool:
-    # queries side is usually tiny; broadcast decision left to Catalyst for
-    # the corpus side — only hint when we know it helps.
-    return False
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall of an approximate top-k result against the exact one: the
+    fraction of ``exact`` (query_id, neighbor_id) pairs present in
+    ``approx``.  Single-row DataFrame (recall double) — distributed join +
+    count, no collect."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id").withColumn("__hit__", F.lit(1))
+    return e.join(a, ["query_id", "neighbor_id"], "left").agg(
+        (F.count("__hit__") / F.count(F.lit(1))).alias("recall")
+    )
 
 
 def assign_centroids(
@@ -84,10 +90,21 @@ def assign_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cent_id_col: str = "centroid_id",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid by cosine (ties -> lowest
-    centroid id).  Centroids broadcast; ranking is a per-vector window over
-    the K candidate scores."""
+    """Assign every vector to its ``n_probe`` nearest centroids by cosine
+    (ties -> lowest centroid id); one output row per (vector, centroid).
+
+    Centroids broadcast, so scoring is shuffle-free.  The argmax is a
+    ``min_by`` aggregation on (-sim, centroid_id) — partial (map-side)
+    aggregation shuffles ~N pre-reduced rows with NO sort, where a
+    ``row_number`` window would shuffle AND sort all N*K scored rows.  At
+    100 TB that window is the dominant cost of the whole IVF path; the
+    aggregation is the scale-safe form.  Multi-probe (``n_probe > 1``)
+    collects the K candidate scores into an array per vector (K is the
+    centroid count — small by construction) and keeps the best P: still a
+    partial aggregation, never a window.
+    """
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("ve")
     )
@@ -103,13 +120,29 @@ def assign_centroids(
             f"(sqrt({_dot('ve', 've')}) * sqrt({_dot('ce', 'ce')})), 6)"
         ).alias("__sim__"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__sim__").desc(), F.col(cent_id_col).asc()
+    if n_probe == 1:
+        best = scored.groupBy(id_col).agg(
+            F.expr(
+                f"min_by(struct(`{cent_id_col}`, ve), "
+                f"struct(-__sim__, `{cent_id_col}`))"
+            ).alias("__b__")
+        )
+        return best.select(
+            id_col,
+            F.col("__b__.ve").alias("ve"),
+            F.col(f"__b__.`{cent_id_col}`").alias(cent_id_col),
+        )
+    probed = scored.groupBy(id_col).agg(
+        F.expr(
+            f"slice(array_sort(collect_list("
+            f"struct(-__sim__ AS s, `{cent_id_col}` AS c))), 1, {n_probe})"
+        ).alias("__p__"),
+        F.first("ve").alias("ve"),  # constant per id
     )
-    return (
-        scored.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .drop("__rn__", "__sim__")
+    return probed.select(
+        id_col,
+        "ve",
+        F.explode(F.expr("transform(__p__, x -> x.c)")).alias(cent_id_col),
     )
 
 
@@ -121,15 +154,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cent_id_col: str = "centroid_id",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k restricted to the query's centroid bucket.
+    """Approximate cosine top-k restricted to the query's centroid buckets.
 
-    Both corpus and queries are assigned to centroids, then ranked only
-    within matching buckets — the IVF probe.  Output columns match
+    Corpus vectors are assigned to their single nearest centroid; each
+    query probes its ``n_probe`` nearest centroid buckets (raising recall
+    at bucket boundaries at the cost of scanning P buckets instead of 1).
+    Each corpus vector lives in exactly one bucket, so probing P distinct
+    buckets never duplicates a candidate.  With ``n_probe = |centroids|``
+    the probe covers the whole corpus and the result equals ``cosine_topk``
+    exactly — the recall tests pin this.  Output columns match
     ``cosine_topk`` so the two are drop-in comparable for recall checks.
     """
     va = assign_centroids(vectors, centroids, id_col, vec_col, cent_id_col)
-    qa = assign_centroids(queries, centroids, id_col, vec_col, cent_id_col)
+    qa = assign_centroids(queries, centroids, id_col, vec_col, cent_id_col,
+                          n_probe=n_probe)
     v = va.select(
         F.col(cent_id_col).alias("__vc__"),
         F.col(id_col).alias("neighbor_id"),

@@ -618,6 +618,51 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), centroids, k=5)
 
 
+# Multi-probe IVF: each query scans its 2 nearest centroid buckets, lifting
+# recall at bucket boundaries (corpus vectors stay single-assigned, so the
+# probes never duplicate a candidate).
+@query(
+    "similarity_ivf_nprobe",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, c.centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY {_COS.format(a='v.e', b='c.ce')} DESC, c.centroid_id) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, c.centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY {_COS.format(a='v.e', b='c.ce')} DESC, c.centroid_id) AS rn
+        FROM v CROSS JOIN c WHERE v.vec_id % 100 = 0
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_COS.format(a='q.e', b='a.e')} AS cosine
+      FROM qprobe q JOIN assign a
+        ON q.centroid_id = a.centroid_id AND q.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), centroids,
+                    k=5, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # Full declarative pipeline e2e: envelope -> spec-compiled VIEW -> XREF ->
 # FGAC (the reference's signature dataflow, driven entirely by an STTM spec).

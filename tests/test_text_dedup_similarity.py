@@ -188,6 +188,71 @@ def test_ivf_restricts_to_bucket(spark):
     assert {r["neighbor_id"] for r in out} == {1, 4}
 
 
+def test_ivf_multi_probe_recall(spark):
+    v = _vecs(spark)
+    centroids = spark.createDataFrame([
+        Row(centroid_id=100, embedding=[1.0, 0.0, 0.0]),
+        Row(centroid_id=200, embedding=[0.0, 1.0, 0.0]),
+    ])
+    q = v.filter(F.col("vec_id") == 0)
+    # single probe: only bucket-100 members visible
+    p1 = {r["neighbor_id"] for r in ivf_topk(v, q, centroids, k=5).collect()}
+    assert p1 == {1, 4}
+    # probing both buckets covers the whole corpus = exact brute force
+    p2 = {(r["neighbor_id"], r["rn"])
+          for r in ivf_topk(v, q, centroids, k=5, n_probe=2).collect()}
+    exact = {(r["neighbor_id"], r["rn"])
+             for r in cosine_topk(v, q, k=5).collect()}
+    assert p2 == exact
+    assert len(p2) > len(p1)  # multi-probe strictly raised recall here
+
+
+def test_assign_centroids_multi_probe_rows(spark):
+    v = _vecs(spark)
+    centroids = spark.createDataFrame([
+        Row(centroid_id=100, embedding=[1.0, 0.0, 0.0]),
+        Row(centroid_id=200, embedding=[0.0, 1.0, 0.0]),
+    ])
+    two = assign_centroids(v, centroids, n_probe=2).collect()
+    by_vec = {}
+    for r in two:
+        by_vec.setdefault(r["vec_id"], []).append(r["centroid_id"])
+    # every vector probes both centroids, nearest first
+    assert all(sorted(c) == [100, 200] for c in by_vec.values())
+    # n_probe beyond centroid count just caps at K
+    three = assign_centroids(v, centroids, n_probe=5).collect()
+    assert len(three) == len(two)
+
+
+def test_recall_at_k_measurement(spark):
+    from confluent_data_ingestion_spark.operators.similarity import recall_at_k
+
+    v = _vecs(spark)
+    centroids = spark.createDataFrame([
+        Row(centroid_id=100, embedding=[1.0, 0.0, 0.0]),
+        Row(centroid_id=200, embedding=[0.0, 1.0, 0.0]),
+    ])
+    q = v.filter(F.col("vec_id") == 0)
+    exact = cosine_topk(v, q, k=4)
+    r1 = recall_at_k(ivf_topk(v, q, centroids, k=4), exact).collect()[0]["recall"]
+    r2 = recall_at_k(ivf_topk(v, q, centroids, k=4, n_probe=2), exact).collect()[0]["recall"]
+    assert r1 == 0.5      # bucket 100 holds 2 of the 4 exact neighbors
+    assert r2 == 1.0      # full probe = exact
+    assert r2 >= r1
+
+
+def test_assign_centroids_plan_has_no_window(spark):
+    """The argmax must be a partial aggregation, not a Window sort."""
+    v = _vecs(spark)
+    centroids = spark.createDataFrame([
+        Row(centroid_id=100, embedding=[1.0, 0.0, 0.0]),
+        Row(centroid_id=200, embedding=[0.0, 1.0, 0.0]),
+    ])
+    plan = assign_centroids(v, centroids)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min_by" in plan or "HashAggregate" in plan
+
+
 def test_embedding_near_dup_grid_exact(spark):
     from confluent_data_ingestion_spark.operators.dedup import embedding_near_dup
 
@@ -219,13 +284,38 @@ def test_embedding_near_dup_bucketed_pairs_within_bucket_only(spark):
 
 
 def test_embedding_near_dup_loose_threshold_all_pairs(spark):
-    import math
+    import pytest as _pytest
 
     from confluent_data_ingestion_spark.operators.dedup import embedding_near_dup
 
-    # cos(1,2)=cos(45deg)~0.7071 -- only the all-pairs fallback can see it
+    # cos(1,2)=cos(45deg)~0.7071 -- only the all-pairs path can see it
     rows = [(1, [1.0, 0.0]), (2, [1.0, 1.0]), (3, [-1.0, 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # loose threshold without a bucket is never a silent cross join
+    with _pytest.raises(ValueError, match="all-pairs"):
+        embedding_near_dup(df, threshold=0.7)
     got = {(r.vec_id, r.canonical_id)
-           for r in embedding_near_dup(df, threshold=0.7).collect()}
+           for r in embedding_near_dup(df, threshold=0.7,
+                                       allow_all_pairs=True).collect()}
     assert got == {(1, 1), (2, 1)}
+
+
+def test_embedding_near_dup_short_vectors_ansi(spark):
+    """2-dim embeddings with grid_dims=3: try_element_at keeps the grid path
+    working under ANSI mode (element_at would throw out-of-range)."""
+    from confluent_data_ingestion_spark.operators.dedup import embedding_near_dup
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 1.0]),
+                (4, [0.9999, 0.0141])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {(r.vec_id, r.canonical_id, r.n_dups)
+               for r in embedding_near_dup(df, threshold=0.999).collect()}
+        assert got == {(1, 1, 2), (2, 1, 2), (4, 1, 2)}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
