@@ -1,3 +1,8 @@
+from .connect_json import (
+    load_connect_spec,
+    normalize_connect_config,
+    render_connect_json,
+)
 from .connectors import (
     SinkConnectorSpec,
     SourceConnectorSpec,
@@ -20,4 +25,7 @@ __all__ = [
     "with_time_partitions",
     "partition_cols_from_path_format",
     "split_corrupt_json",
+    "load_connect_spec",
+    "normalize_connect_config",
+    "render_connect_json",
 ]

@@ -49,7 +49,12 @@ class ConnectorCommon(BaseModel):
     connector_type: Literal["sink", "source"]
     name: str
     cloud_environment: AllowedEnv = Field(default="dev", alias="cloud.environment")
+    cloud_provider: str = Field(default="gcp", alias="cloud.provider")
     kafka_endpoint: Optional[str] = Field(default=None, alias="kafka.endpoint")
+    kafka_region: Optional[str] = Field(default=None, alias="kafka.region")
+    kafka_auth_mode: str = Field(default="SERVICE_ACCOUNT", alias="kafka.auth.mode")
+    kafka_service_account_id: Optional[str] = Field(
+        default=None, alias="kafka.service.account.id")
     topics_dir: str = Field(default="topics", alias="topics.dir")
     tasks_max: int = Field(default=1, alias="tasks.max")
     status: AllowedStatus = "PAUSED"
@@ -82,6 +87,12 @@ class SourceConnectorSpec(ConnectorCommon):
     output_data_format: AllowedFormats = Field(default="JSON", alias="output.data.format")
     topics: Optional[str] = None
     topic_regex_list: Optional[str] = Field(default=None, alias="topic-regex.list")
+    gcs_credentials_json: Optional[str] = Field(
+        default=None, alias="gcs.credentials.json")
+    value_converter_decimal_format: Optional[Literal["NUMERIC", "STRING"]] = Field(
+        default=None, alias="value.converter.decimal.format")
+    value_converter_replace_null: Optional[Literal["true", "false"]] = Field(
+        default=None, alias="value.converter.replace.null.with.default")
     gcs_pattern: Optional[str] = Field(default=None, alias="gcs.pattern")
     file_regex: Optional[str] = Field(default=None, alias="file.regex")
     poll_interval_ms: Optional[int] = Field(default=None, alias="poll.interval.ms")
@@ -123,9 +134,16 @@ class SinkConnectorSpec(ConnectorCommon):
     time_partition_duration_ms: Optional[int] = Field(
         default=None, alias="time.partition.duration.ms")
     time_path_format: Optional[str] = Field(default=None, alias="time.path.format")
+    filename_template: Optional[str] = Field(default=None, alias="filename.template")
+    gcs_credentials_config: Optional[str] = Field(
+        default=None, alias="gcs.credentials.config")
     compression: Optional[Literal["none", "gz", "snappy"]] = None
     errors_tolerance: Optional[Literal["none", "all"]] = Field(
         default=None, alias="errors.tolerance")
+    errors_log_enable: Optional[Literal["true", "false"]] = Field(
+        default=None, alias="errors.log.enable")
+    errors_dlq_headers_enable: Optional[Literal["true", "false"]] = Field(
+        default=None, alias="errors.deadletterqueue.context.headers.enable")
 
     @model_validator(mode="after")
     def _mask_rules(self):

@@ -118,12 +118,22 @@ class PipelineSpec(BaseModel):
         raise KeyError(table)
 
     def props_for(self, table: str) -> dict[str, str]:
-        """Matrix column for a table with ${table_name} macro expansion."""
+        """Matrix column for a table with ${table_name} macro expansion.
+
+        v21 parity quirk (``scripts/sttm_to_flink_v21.py:256-259``): an
+        ``XREF_*`` table with no explicit ``changelog.mode`` gets
+        ``changelog.mode=upsert`` added — XREF tables are upsert
+        changelogs by construction, so the generator never lets a BA omit
+        the property.  An explicit value is always respected (validation
+        then errors on non-upsert)."""
         raw = self.table_matrix.get(table, {})
-        return {
+        props = {
             k: v.replace("${table_name}", table) if isinstance(v, str) else v
             for k, v in raw.items()
         }
+        if table.upper().startswith("XREF_") and "changelog.mode" not in props:
+            props["changelog.mode"] = "upsert"
+        return props
 
 
 def load_spec(

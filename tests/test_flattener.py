@@ -317,3 +317,84 @@ def test_compiled_max_depth_matches_python_walk(spark):
         got = [{k: v for k, v in r.asDict().items() if v is not None}
                for r in out.collect()]
         assert _normalize(got) == _normalize(expect), f"max_depth={md}"
+
+
+# ---------------------------------------------------------------------------
+# Typed per-table extraction (reference --schema-out workflow completion).
+# ---------------------------------------------------------------------------
+def test_discover_and_extract_typed_tables(spark):
+    from confluent_data_ingestion_spark.flatten import (
+        discover_manifest,
+        extract_tables,
+        flatten_df,
+    )
+
+    docs = [
+        (1, {"k": "a", "xs": [1, 2], "items": [{"n": 1, "f": 1.5, "subs": [5]}]}),
+        (2, {"k": "b", "xs": [7], "items": [{"n": 2, "f": 2.0, "subs": []}]}),
+    ]
+    df = spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in docs], "doc_id long, val string"
+    )
+    flat = flatten_df(df, payload_col="val", key_col="doc_id")
+    manifest = discover_manifest(flat)
+    assert set(manifest) == {"xs", "items", "items_subs"}
+    assert manifest["items"]["types"]["items_n"] == ["int"]
+    tables = extract_tables(flat, manifest)
+    xs = tables["xs"]
+    assert dict(xs.dtypes)["xs"] == "bigint"       # typed, not a JSON string
+    assert dict(xs.dtypes)["k"] == "string"
+    assert sorted(r["xs"] for r in xs.collect()) == [1, 2, 7]
+    items = tables["items"].collect()
+    assert dict(tables["items"].dtypes)["items_f"] == "double"
+    assert {(r["doc_key"], r["items_n"]) for r in items} == {("1", 1), ("2", 2)}
+    subs = tables["items_subs"].collect()
+    assert len(subs) == 1 and subs[0]["items_subs"] == 5
+    # inherited parent scalars ride into the child table, typed
+    assert subs[0]["items_n"] == 1 and subs[0]["k"] == "a"
+    # lineage survives extraction
+    parent_ids = {r["_row_id"] for r in items}
+    assert subs[0]["_parent_id"] in parent_ids
+
+
+def test_extract_type_widening(spark):
+    from confluent_data_ingestion_spark.flatten import extract_tables, flatten_df
+
+    docs = [(1, {"xs": [1, 2.5, None]}), (2, {"xs": ["str", 4]})]
+    df = spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in docs], "doc_id long, val string"
+    )
+    flat = flatten_df(df, payload_col="val", key_col="doc_id")
+    tables = extract_tables(flat)
+    # int+float+str+None -> string, values rendered verbatim
+    assert dict(tables["xs"].dtypes)["xs"] == "string"
+    vals = {r["xs"] for r in tables["xs"].collect()}
+    assert vals == {"1", "2.5", None, "str", "4"}
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_IN), reason="reference not present")
+def test_extract_golden_pair_typed_tables(spark):
+    """The golden doc's flattened tables come back as typed DataFrames whose
+    rows match the committed NDJSON row-for-row."""
+    from confluent_data_ingestion_spark.flatten import extract_tables, flatten_df
+
+    with open(GOLDEN_IN) as f:
+        doc_text = f.read()
+    with open(GOLDEN_OUT) as f:
+        expected = [json.loads(line) for line in f if line.strip()]
+    df = spark.createDataFrame([("d", doc_text)], "doc_key string, val string")
+    flat = flatten_df(df, payload_col="val", key_col="doc_key")
+    tables = extract_tables(flat)
+    by_table = {}
+    for e in expected:
+        by_table.setdefault(e["tableName"], []).append(e)
+    assert set(tables) == set(by_table)
+    for t, exp_rows in by_table.items():
+        got = {r["_row_id"]: r.asDict() for r in tables[t].collect()}
+        assert len(got) == len(exp_rows)
+        for e in exp_rows:
+            g = got[e["_row_id"]]
+            for k, v in e.items():
+                if k in ("tableName",):
+                    continue
+                assert g[k] == v, f"{t} row {e['_row_id']} col {k}: {g[k]!r} != {v!r}"

@@ -158,3 +158,86 @@ def test_write_sink_time_partitioned_masked(spark, tmp_path):
     # directory layout is hive-partitioned by derived time cols
     assert os.path.isdir(f"{path}/year=2026/month=01/day=15")
     assert os.path.isdir(f"{path}/year=2026/month=02/day=20")
+
+
+# ---------------------------------------------------------------------------
+# Kafka-Connect worker JSON artifact parity (reference
+# resources/gcs-{sink,source}-connector.json, gcs_config_generator.py).
+# ---------------------------------------------------------------------------
+SINK_SAMPLE = "/root/reference/resources/gcs-sink-connector.json"
+SOURCE_SAMPLE = "/root/reference/resources/gcs-source-connector.json"
+
+
+def test_normalize_connect_keys():
+    from confluent_data_ingestion_spark.io import normalize_connect_config
+
+    raw = {
+        "gcs. bucket.name": "b", "input.data. format": "JSON",
+        "tasks-max": "5", "cloud provider": "gcp",
+        "topic-regex. list": "X**", "gcs credentials.json": "c",
+        "value.converter.replace.null.with.default": "False",
+    }
+    got = normalize_connect_config(raw)
+    assert got == {
+        "gcs.bucket.name": "b", "input.data.format": "JSON",
+        "tasks.max": "5", "cloud.provider": "gcp",
+        "topic-regex.list": "X**", "gcs.credentials.json": "c",
+        "value.converter.replace.null.with.default": "false",
+    }
+
+
+@pytest.mark.skipif(not os.path.exists(SINK_SAMPLE), reason="reference absent")
+def test_connect_json_round_trip_sink_sample():
+    import json as _json
+
+    from confluent_data_ingestion_spark.io import (
+        load_connect_spec,
+        normalize_connect_config,
+        render_connect_json,
+    )
+
+    with open(SINK_SAMPLE) as f:
+        raw = _json.load(f)
+    spec = load_connect_spec(raw)
+    assert spec.connector_type == "sink"
+    assert spec.transforms_maskfield_fields == "DTL CAPXACTION"
+    rendered = render_connect_json(spec)
+    assert rendered == dict(sorted(normalize_connect_config(raw).items()))
+
+
+@pytest.mark.skipif(not os.path.exists(SOURCE_SAMPLE), reason="reference absent")
+def test_connect_json_round_trip_source_sample():
+    import json as _json
+
+    from confluent_data_ingestion_spark.io import (
+        load_connect_spec,
+        normalize_connect_config,
+        render_connect_json,
+    )
+
+    with open(SOURCE_SAMPLE) as f:
+        raw = _json.load(f)
+    spec = load_connect_spec(raw)
+    assert spec.connector_type == "source"
+    assert spec.topic_regex_list == "CBA_CI_HST**"
+    assert spec.value_converter_replace_null == "false"
+    rendered = render_connect_json(spec)
+    assert rendered == dict(sorted(normalize_connect_config(raw).items()))
+
+
+def test_render_connect_json_defaults_and_redaction():
+    from confluent_data_ingestion_spark.io import render_connect_json
+
+    spec = SinkConnectorSpec(
+        name="s", topics="t1",
+        **{"gcs.bucket.name": "bkt", "input.data.format": "JSON",
+           "output.data.format": "JSON",
+           "gcs.credentials.config": "super-secret"})
+    cfg = render_connect_json(spec, redact=True)
+    assert cfg["connector.class"] == "GcsSink"
+    assert cfg["cloud.provider"] == "gcp"
+    assert cfg["kafka.auth.mode"] == "SERVICE_ACCOUNT"
+    assert cfg["gcs.credentials.config"] == "****************"
+    assert "status" not in cfg and "connector_type" not in cfg
+    assert all(isinstance(v, str) for v in cfg.values())
+    assert list(cfg) == sorted(cfg)

@@ -100,6 +100,52 @@ def test_validate_catches_errors():
     assert any("non-negative integer" in m for m in msgs)
 
 
+def test_xref_auto_upsert_quirk():
+    """v21 parity (sttm_to_flink_v21.py:256-259): XREF_* tables with no
+    explicit changelog.mode get upsert auto-added; explicit values win."""
+    spec = load_spec(SPEC_ROWS)
+    assert spec.props_for("XREF_CBA_CI")["changelog.mode"] == "upsert"
+    assert "changelog.mode" not in spec.props_for("CBA_CI_view")
+    spec2 = load_spec(
+        SPEC_ROWS, table_matrix={"XREF_CBA_CI": {"changelog.mode": "retract"}}
+    )
+    assert spec2.props_for("XREF_CBA_CI")["changelog.mode"] == "retract"
+    issues = validate_spec(spec2)
+    assert any("changelog.mode=upsert" in m for s, _, m in issues if s == "ERROR")
+
+
+def test_format_autodetect_dispatch():
+    """One entry point for both STTM dialects (reference
+    sttm2flink-ui-5_4/sttm2flink/generator.py:33-39 header sniffing)."""
+    import os
+
+    from confluent_data_ingestion_spark.spec import (
+        detect_spec_format,
+        load_any_spec,
+    )
+    from confluent_data_ingestion_spark.spec.colspec import ColSpec
+    from confluent_data_ingestion_spark.spec.models import PipelineSpec
+
+    assert detect_spec_format(["PipelineStage", "TargetTable", "TargetColumn"]) == "mapping"
+    assert detect_spec_format(["Source Table", "Target Table", "Target Column"]) == "column-spec"
+    assert detect_spec_format(["TargetTable", "TargetColumn"]) == "mapping"
+    assert detect_spec_format(["whatever"]) == "column-spec"
+
+    got = load_any_spec(SPEC_ROWS)
+    assert isinstance(got, PipelineSpec)
+    colspec_rows = [{"Source Table": "cust", "Source Column": "id",
+                     "Target Table": "t", "Target Column": "user_id",
+                     "Target Data Type": "INT", "Expression": "hm_cust_vw.id"}]
+    assert isinstance(load_any_spec(colspec_rows), ColSpec)
+
+    v22 = "/root/reference/resources/STTM_v22.xlsx"
+    v3 = "/root/reference/resources/STTM_v3_template.xlsx"
+    if os.path.exists(v22):
+        assert isinstance(load_any_spec(v22), PipelineSpec)
+    if os.path.exists(v3):
+        assert isinstance(load_any_spec(v3), ColSpec)
+
+
 @pytest.fixture(scope="module")
 def compiled(spark):
     spec = load_spec(SPEC_ROWS)
