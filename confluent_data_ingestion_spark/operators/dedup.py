@@ -405,7 +405,12 @@ def embedding_near_dup(
             F.col(vec_col).cast("array<double>").alias("__e__")]
     if bucket_col:
         keep.append(F.col(bucket_col).alias("__bkt__"))
-    v = df.select(*keep)
+    # the norm is computed ONCE per vector here and carried through the
+    # cell explode + join: a candidate pair re-checked in several shared
+    # cells would otherwise re-run two O(dim) norm folds per check
+    v = df.select(*keep).withColumn(
+        "__n__", F.expr("sqrt(" + dot.format(a="__e__", b="__e__") + ")")
+    )
     cell = math.sqrt(2.0 * max(1.0 - threshold, 1e-12))
     if bucket_col:
         keyed = v.withColumn("__cell__", F.col("__bkt__")).drop("__bkt__")
@@ -415,9 +420,8 @@ def embedding_near_dup(
         # try_element_at: out-of-range coordinates (vector shorter than
         # grid_dims) give NULL, which concat_ws drops from the key —
         # selectivity shrinks, the shared-cell guarantee holds.
-        norm = "sqrt(" + dot.format(a="__e__", b="__e__") + ")"
         base = [
-            f"CAST(floor(try_element_at(__e__, {i + 1}) / nullif({norm}, 0.0d)"
+            f"CAST(floor(try_element_at(__e__, {i + 1}) / nullif(__n__, 0.0d)"
             f" / {cell!r}d) AS BIGINT)"
             for i in range(grid_dims)
         ]
@@ -428,7 +432,7 @@ def embedding_near_dup(
             for mask in range(1 << grid_dims)
         ]
         keyed = v.select(
-            "__id__", "__e__",
+            "__id__", "__e__", "__n__",
             F.explode(F.expr(
                 "array_distinct(array(" + ", ".join(combos) + "))"
             )).alias("__cell__"),
@@ -444,8 +448,7 @@ def embedding_near_dup(
     a, b = keyed.alias("a"), keyed.alias("b")
     cos = F.expr(
         "round(" + dot.format(a="a.__e__", b="b.__e__")
-        + " / (sqrt(" + dot.format(a="a.__e__", b="a.__e__")
-        + ") * sqrt(" + dot.format(a="b.__e__", b="b.__e__") + ")), 6)"
+        + " / (a.__n__ * b.__n__), 6)"
     )
     # cosine BEFORE candidate dedup: a colliding pair is re-checked once per
     # shared cell (cheap codegen'd fold) so the distinct runs on two longs —

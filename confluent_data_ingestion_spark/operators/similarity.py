@@ -43,14 +43,16 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector the k nearest corpus vectors
     (self-matches excluded).  Output: query_id, neighbor_id, cosine, rn."""
+    # norms computed ONCE per vector before the join — inside the pair loop
+    # they'd be an O(dim) fold re-run per candidate (the dominant cost)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("ve"),
-    )
+    ).withColumn("__vn__", F.expr(f"sqrt({_dot('ve', 've')})"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qe"),
-    )
+    ).withColumn("__qn__", F.expr(f"sqrt({_dot('qe', 'qe')})"))
     scored = (
         q.crossJoin(v)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -58,8 +60,7 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.expr(
-                f"round({_dot('qe', 've')} / "
-                f"(sqrt({_dot('qe', 'qe')}) * sqrt({_dot('ve', 've')})), 6)"
+                f"round({_dot('qe', 've')} / (__qn__ * __vn__), 6)"
             ).alias("cosine"),
         )
     )
@@ -105,19 +106,20 @@ def assign_centroids(
     centroid count — small by construction) and keeps the best P: still a
     partial aggregation, never a window.
     """
+    # norms once per vector / per centroid, NOT per (vector, centroid) pair:
+    # at N vectors x K centroids the per-pair norm folds are 2/3 of all work
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("ve")
-    )
+    ).withColumn("__vn__", F.expr(f"sqrt({_dot('ve', 've')})"))
     c = centroids.select(
         F.col(cent_id_col), F.col(vec_col).cast("array<double>").alias("ce")
-    )
+    ).withColumn("__cn__", F.expr(f"sqrt({_dot('ce', 'ce')})"))
     scored = v.crossJoin(F.broadcast(c)).select(
         id_col,
         "ve",
         cent_id_col,
         F.expr(
-            f"round({_dot('ve', 'ce')} / "
-            f"(sqrt({_dot('ve', 've')}) * sqrt({_dot('ce', 'ce')})), 6)"
+            f"round({_dot('ve', 'ce')} / (__vn__ * __cn__), 6)"
         ).alias("__sim__"),
     )
     if n_probe == 1:
@@ -170,24 +172,24 @@ def ivf_topk(
     va = assign_centroids(vectors, centroids, id_col, vec_col, cent_id_col)
     qa = assign_centroids(queries, centroids, id_col, vec_col, cent_id_col,
                           n_probe=n_probe)
+    # norms once per row before the bucket join (see assign_centroids)
     v = va.select(
         F.col(cent_id_col).alias("__vc__"),
         F.col(id_col).alias("neighbor_id"),
         F.col("ve"),
-    )
+    ).withColumn("__vn__", F.expr(f"sqrt({_dot('ve', 've')})"))
     q = qa.select(
         F.col(cent_id_col).alias("__qc__"),
         F.col(id_col).alias("query_id"),
         F.col("ve").alias("qe"),
-    )
+    ).withColumn("__qn__", F.expr(f"sqrt({_dot('qe', 'qe')})"))
     scored = (
         q.join(v, F.expr("__qc__ = __vc__ AND query_id <> neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.expr(
-                f"round({_dot('qe', 've')} / "
-                f"(sqrt({_dot('qe', 'qe')}) * sqrt({_dot('ve', 've')})), 6)"
+                f"round({_dot('qe', 've')} / (__qn__ * __vn__), 6)"
             ).alias("cosine"),
         )
     )
