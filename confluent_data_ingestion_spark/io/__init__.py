@@ -3,6 +3,7 @@ from .connect_json import (
     normalize_connect_config,
     render_connect_json,
 )
+from .template import load_template_rows, make_connector_template
 from .connectors import (
     SinkConnectorSpec,
     SourceConnectorSpec,
@@ -28,4 +29,6 @@ __all__ = [
     "load_connect_spec",
     "normalize_connect_config",
     "render_connect_json",
+    "make_connector_template",
+    "load_template_rows",
 ]

@@ -145,3 +145,102 @@ def read_records(path: str, sheet_name: str | None = None) -> list[dict]:
             rec[h] = "" if s.lower() == "nan" else s
         records.append(rec)
     return records
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer (the inverse surface): sheets of rows -> .xlsx.  Strings go
+# as inline strings (no sharedStrings part needed), ints/floats as numbers,
+# bools as booleans — exactly the cell types the reader above parses.  No
+# styling / data validation (the reference template's dropdowns are an
+# authoring nicety, not part of the data contract).
+# ---------------------------------------------------------------------------
+def _col_letters(idx: int) -> str:
+    out = ""
+    n = idx + 1
+    while n:
+        n, r = divmod(n - 1, 26)
+        out = chr(ord("A") + r) + out
+    return out
+
+
+def _esc(s: str) -> str:
+    return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _cell_xml(ref: str, v) -> str:
+    if v is None or (isinstance(v, str) and v == ""):
+        return ""
+    if isinstance(v, bool):
+        return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+    if isinstance(v, (int, float)):
+        return f'<c r="{ref}"><v>{v}</v></c>'
+    return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{_esc(v)}</t></is></c>")
+
+
+def write_workbook(path: str, sheets: dict[str, list[list]]) -> None:
+    """Write ``{sheet_name: grid}`` as a minimal .xlsx (round-trips through
+    :func:`read_sheet` / :func:`read_records`)."""
+    names = list(sheets)
+    sheet_xml = {}
+    for si, name in enumerate(names, start=1):
+        rows_xml = []
+        for ri, row in enumerate(sheets[name], start=1):
+            cells = "".join(
+                _cell_xml(f"{_col_letters(ci)}{ri}", v)
+                for ci, v in enumerate(row)
+            )
+            rows_xml.append(f'<row r="{ri}">{cells}</row>')
+        sheet_xml[si] = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{_NS["m"]}">'
+            f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>"
+        )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(1, len(names) + 1)
+        )
+        + "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_NS["pr"]}">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    wb_sheets = "".join(
+        f'<sheet name="{_esc(n)}" sheetId="{i}" r:id="rId{i}"/>'
+        for i, n in enumerate(names, start=1)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_NS["m"]}" xmlns:r="{_NS["r"]}">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_NS["pr"]}">'
+        + "".join(
+            f'<Relationship Id="rId{i}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i}.xml"/>'
+            for i in range(1, len(names) + 1)
+        )
+        + "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i in range(1, len(names) + 1):
+            z.writestr(f"xl/worksheets/sheet{i}.xml", sheet_xml[i])

@@ -241,3 +241,53 @@ def test_render_connect_json_defaults_and_redaction():
     assert "status" not in cfg and "connector_type" not in cfg
     assert all(isinstance(v, str) for v in cfg.values())
     assert list(cfg) == sorted(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Template workbook generation (reference --make-template parity) + the
+# dependency-free xlsx writer round trip.
+# ---------------------------------------------------------------------------
+def test_xlsx_writer_round_trip(tmp_path):
+    from confluent_data_ingestion_spark.spec.xlsx import (
+        read_records,
+        read_sheet,
+        sheet_names,
+        write_workbook,
+    )
+
+    p = str(tmp_path / "t.xlsx")
+    write_workbook(p, {
+        "S1": [["a", "b&c", "n"], ["x <tag>", True, 1.5], ["", None, 7]],
+        "Empty": [],
+    })
+    assert sheet_names(p) == ["S1", "Empty"]
+    grid = read_sheet(p, "S1")
+    assert grid[0] == ["a", "b&c", "n"]
+    assert grid[1] == ["x <tag>", True, 1.5]
+    assert grid[2] == [None, None, 7]   # empty cells read back as None
+    recs = read_records(p, "S1")
+    assert recs[0] == {"a": "x <tag>", "b&c": "True", "n": "1.5"}
+
+
+def test_make_connector_template_round_trip(tmp_path):
+    from confluent_data_ingestion_spark.io import (
+        load_connect_spec,
+        load_template_rows,
+        make_connector_template,
+    )
+    from confluent_data_ingestion_spark.spec.xlsx import sheet_names
+
+    p = make_connector_template(str(tmp_path / "connectors.xlsx"))
+    assert sheet_names(p) == ["Common", "GCS_Sink", "GCS_Source", "Notes"]
+    rows = load_template_rows(p)
+    assert [r["connector_type"] for r in rows] == ["sink", "source"]
+    # the sample rows validate as real connector specs with the defaults
+    sink = load_connect_spec(rows[0])
+    assert sink.connector_type == "sink"
+    assert sink.transforms_maskfield_fields == "SSN"
+    assert sink.flush_size == 100000
+    source = load_connect_spec(rows[1])
+    assert source.connector_type == "source"
+    assert source.topic_regex_list == "DATA_**"
+    assert source.poll_interval_ms == 60000
+    assert source.tasks_max == 5
