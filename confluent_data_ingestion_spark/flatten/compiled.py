@@ -221,6 +221,24 @@ class _Compiler:
             )
         return offset
 
+    def _counts_col(self, df: DataFrame, col: str, per_elem: str):
+        """Materialize per-element emitted-row counts of array ``col`` as a
+        sibling array column, computed ONCE per document row.  The returned
+        ``cum_of(i)`` builds the preceding-sibling offset for exploded
+        position ``i`` by folding the PRE-COMPUTED longs — without this the
+        count expression (itself a fold for struct elements) re-evaluates
+        per (element, preceding-position) pair: O(len^2 * count_cost) per
+        document on long arrays instead of O(len * count_cost + len^2)
+        plain additions."""
+        c = self._uniq("c")
+        out = df.withColumn(c, F.expr(f"transform(`{col}`, x -> {per_elem})"))
+
+        def cum_of(i: str) -> str:
+            return (f"coalesce(aggregate(slice(`{c}`, 1, `{i}`), 0L, "
+                    f"(acc, x) -> acc + x), 0L)")
+
+        return out, cum_of
+
     def _emit_array(self, df: DataFrame, at: ArrayType, col: str, path: str,
                     ptr: Column, depth: int,
                     inherited: list[tuple[str, DataType]], parent: str,
@@ -238,10 +256,11 @@ class _Compiler:
         if isinstance(et, ArrayType):
             if self.max_depth is not None and depth + 1 > self.max_depth:
                 return  # inner lists would be walked past the depth cap
+            df, cum_of = self._counts_col(
+                df, col, "coalesce(CAST(size(x) AS BIGINT), 0L)")
             i1, v1 = self._uniq("i"), self._uniq("v")
             b1 = df.select("*", F.posexplode(F.col(f"`{col}`")).alias(i1, v1))
-            cum = (f"coalesce(aggregate(slice(`{col}`, 1, `{i1}`), 0L, "
-                   f"(acc, x) -> acc + coalesce(CAST(size(x) AS BIGINT), 0L)), 0L)")
+            cum = cum_of(i1)
             i2, v2 = self._uniq("i"), self._uniq("v")
             b2 = b1.select("*", F.posexplode(F.col(f"`{v1}`")).alias(i2, v2))
             self._row(
@@ -253,6 +272,10 @@ class _Compiler:
             )
             return
         # array of structs
+        df, cum_of = self._counts_col(
+            df, col,
+            _count_struct_elem(et, "x", depth, self.max_depth,
+                               self.emit_empty_parent))
         i, e = self._uniq("i"), self._uniq("e")
         exploded = df.select("*", F.posexplode(F.col(f"`{col}`")).alias(i, e))
         elem_bound = _Bound()
@@ -261,9 +284,7 @@ class _Compiler:
                                      rel_depth=0, inherited=inherited)
         b = exploded.select("*", *sel)
         elem_ptr = F.concat(ptr, F.lit("/"), F.col(i).cast("string"))
-        cum = (f"coalesce(aggregate(slice(`{col}`, 1, `{i}`), 0L, "
-               f"(acc, x) -> acc + "
-               f"{_count_struct_elem(et, 'x', depth, self.max_depth, self.emit_empty_parent)}), 0L)")
+        cum = cum_of(i)
         # mirror the Python walk's ``scalars or (emit_empty_parent and
         # has_children)``: in declared-schema mode has_children = the struct
         # declares ANY nested field (struct or array), and _count_struct_elem
