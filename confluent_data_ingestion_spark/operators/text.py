@@ -144,3 +144,82 @@ def fingerprint(
             f"md5(array_join(array_sort(array_distinct(split({text_col}, ' '))), ' '))"
         ),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document: total and
+    distinct word n-gram counts, the duplicate-n-gram fraction
+    (``1 - distinct/total``), and the count of the single most frequent
+    n-gram.  Boilerplate-heavy / looping documents score high on both.
+
+    Pure per-row expressions (the max-count is an O(distinct * total) fold
+    over the gram arrays — bounded by document length, zero shuffle).
+    Documents shorter than ``n`` tokens get total = 0 and NULL fractions.
+    """
+    t = text_col
+    joins = " , ' ', ".join(f"element_at(__ts__, i + {k})" for k in range(n))
+    grams = (
+        f"CASE WHEN size(__ts__) >= {n} THEN "
+        f"transform(sequence(1, size(__ts__) - {n - 1}), i -> concat({joins})) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return (
+        df.withColumn("__ts__", F.split(F.col(t), " "))
+        .withColumn("__g__", F.expr(grams))
+        .select(
+            "*",
+            F.expr("CAST(size(__g__) AS BIGINT)").alias("n_grams"),
+            F.expr("CAST(size(array_distinct(__g__)) AS BIGINT)").alias(
+                "n_distinct_grams"),
+            F.expr(
+                "round(1.0d - CAST(size(array_distinct(__g__)) AS DOUBLE)"
+                " / nullif(size(__g__), 0), 6)"
+            ).alias("dup_gram_frac"),
+            F.expr(
+                "CAST(aggregate(array_distinct(__g__), 0, (acc, d) -> "
+                "greatest(acc, size(filter(__g__, x -> x = d)))) AS BIGINT)"
+            ).alias("max_gram_count"),
+        )
+        .drop("__ts__", "__g__")
+    )
+
+
+# PII patterns restricted to syntax Java (Spark) and RE2-style engines parse
+# identically: character classes, bounded repeats, \d — no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Scrub PII-shaped substrings (emails, phone numbers, SSNs) with
+    placeholder tokens, counting redactions per category — the masking
+    stage of a training-data pipeline (same spirit as the reference's
+    MaskField SMT, applied inside free text instead of to whole columns).
+
+    Pure per-row ``regexp_replace`` / ``regexp_extract_all`` chain: scan
+    speed, no Python.  Patterns apply in order, each to the previous
+    replacement's output, so overlapping matches resolve deterministically.
+    Built with the column API (not ``F.expr``) so regex backslashes never
+    pass through SQL string-literal escaping.
+    """
+    cleaned = F.col(text_col).cast("string")
+    counts = []
+    for name, pat, repl in patterns:
+        counts.append(
+            F.size(F.regexp_extract_all(cleaned, F.lit(pat), F.lit(0)))
+            .cast("bigint").alias(f"n_{name}")
+        )
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return df.select("*", *counts, cleaned.alias(out_col))

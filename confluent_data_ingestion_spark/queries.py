@@ -418,6 +418,88 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs.select("doc_id", "text")).drop("text")
 
 
+# Gopher/C4-style repetition stats.  The synthetic docs sample a 30-word
+# vocabulary, so bigrams genuinely repeat — no planting needed.
+@query(
+    "text_repetition_stats",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    g AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+      FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) >= 2
+    ),
+    per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(count(*) AS BIGINT) AS n_distinct_grams,
+             CAST(max(c) AS BIGINT) AS max_gram_count
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_distinct_grams,
+           round(1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams, 6) AS dup_gram_frac,
+           max_gram_count
+    FROM agg
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        repetition_stats(docs.select("doc_id", "text"), n=2)
+        .filter(F.expr("size(split(text, ' ')) >= 2"))
+        .drop("text")
+    )
+
+
+# PII scrubbing.  The synthetic corpus contains no PII, so both engines
+# plant the SAME markers (one email + one phone + one SSN appended to every
+# 10th doc) and the operator must count and redact exactly those.
+@query(
+    "pii_scrub",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact bob@example.com or 555-123-4567 ssn 123-45-6789'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(
+        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+        '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(
+        regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                       '\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g'),
+        '\\d{3}-\\d{2}-\\d{4}')) AS BIGINT) AS n_ssn,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g'),
+        '\\d{3}-\\d{2}-\\d{4}', '<SSN>', 'g') AS text_clean
+    FROM d
+    """,
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob@example.com or 555-123-4567 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_scrub(planted).drop("text")
+
+
 @query(
     "dedup_exact",
     """

@@ -319,3 +319,35 @@ def test_embedding_near_dup_short_vectors_ansi(spark):
             spark.conf.unset("spark.sql.ansi.enabled")
         else:
             spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_repetition_stats(spark):
+    from confluent_data_ingestion_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b a b a b"),   # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+        Row(doc_id=2, text="w x y z"),       # all distinct
+        Row(doc_id=3, text="solo"),          # shorter than n
+    ])
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert out[1]["n_grams"] == 5 and out[1]["n_distinct_grams"] == 2
+    assert out[1]["dup_gram_frac"] == 0.6
+    assert out[1]["max_gram_count"] == 3   # 'a b' appears 3 times
+    assert out[2]["dup_gram_frac"] == 0.0 and out[2]["max_gram_count"] == 1
+    assert out[3]["n_grams"] == 0 and out[3]["dup_gram_frac"] is None
+
+
+def test_pii_scrub(spark):
+    from confluent_data_ingestion_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="mail bob@example.com and alice@test.org call 555-123-4567"),
+        Row(doc_id=2, text="ssn 123-45-6789 stays separate from phone shapes"),
+        Row(doc_id=3, text="nothing sensitive here"),
+    ])
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 1 and out[1]["n_ssn"] == 0
+    assert out[1]["text_clean"] == "mail <EMAIL> and <EMAIL> call <PHONE>"
+    assert out[2]["n_ssn"] == 1 and "<SSN>" in out[2]["text_clean"]
+    assert out[3]["text_clean"] == "nothing sensitive here"
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ssn"] == 0
