@@ -418,6 +418,25 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs.select("doc_id", "text")).drop("text")
 
 
+# Deterministic hash-based train/test split: assignment is a pure function
+# of md5(seed|key) so it's row-order/partitioning/engine independent.
+@query(
+    "train_test_split",
+    """
+    SELECT doc_id,
+      CASE WHEN substr(md5('s1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+           THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, key_col="doc_id",
+                      fractions={"train": 0.9, "test": 0.1}, seed="s1")
+
+
 # Gopher/C4-style repetition stats.  The synthetic docs sample a 30-word
 # vocabulary, so bigrams genuinely repeat — no planting needed.
 @query(

@@ -351,3 +351,36 @@ def test_pii_scrub(spark):
     assert out[2]["n_ssn"] == 1 and "<SSN>" in out[2]["text_clean"]
     assert out[3]["text_clean"] == "nothing sensitive here"
     assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ssn"] == 0
+
+
+def test_hash_split_deterministic(spark):
+    import pytest as _pytest
+
+    from confluent_data_ingestion_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(df, seed="x").collect()}
+    s2 = {r["doc_id"]: r["split"]
+          for r in hash_split(df.repartition(7), seed="x").collect()}
+    assert s1 == s2  # partitioning-independent
+    frac = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.85 < frac < 0.95  # ~0.9 by construction
+    s3 = {r["doc_id"]: r["split"] for r in hash_split(df, seed="y").collect()}
+    assert s1 != s3  # seed changes the assignment
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, fractions={"a": 0.5, "b": 0.4})
+    # three-way split covers every row with the declared labels
+    s4 = {r["split"] for r in hash_split(
+        df, fractions={"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert s4 == {"train", "val", "test"}
+
+    n = deterministic_sample(df, 0.25, seed="x").count()
+    assert 350 < n < 650
+    assert deterministic_sample(df, 1.0).count() == 2000
+    # sample is a strict subset relation: smaller fraction ⊂ larger fraction
+    small = {r["doc_id"] for r in deterministic_sample(df, 0.1, seed="x").collect()}
+    big = {r["doc_id"] for r in deterministic_sample(df, 0.3, seed="x").collect()}
+    assert small <= big
