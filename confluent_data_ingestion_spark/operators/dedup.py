@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import track
+from ..session import ensure_min_parallelism
 
 
 def exact_dedup(
@@ -164,7 +165,10 @@ def minhash_lsh_pairs(
     assert num_hashes % rows_per_band == 0
     n_bands = num_hashes // rows_per_band
     sig = minhash_signature(
-        shingle(df.select(id_col, text_col), text_col, n), num_hashes=num_hashes
+        shingle(
+            ensure_min_parallelism(df.select(id_col, text_col)), text_col, n
+        ),
+        num_hashes=num_hashes,
     )
     if persist_signatures:
         sig = track(sig)
@@ -217,7 +221,7 @@ def ngram_jaccard_pairs(
     scale (registered with ``caching.track``, released by the runtime's
     next ``release_caches()``).
     """
-    sh = exploded_shingles(df, id_col, text_col, n)
+    sh = exploded_shingles(ensure_min_parallelism(df), id_col, text_col, n)
     if persist_shingles:
         sh = track(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -261,9 +265,19 @@ def simhash(
     discriminative and downstream band joins stay selective.
 
     Per-row expression: feature hashes computed once into an array, then one
-    aggregate() fold per bit — zero shuffle, linear scan.  Near-duplicate
-    pairs = signatures within small Hamming distance (``simhash_pairs``).
+    aggregate() fold per bit — zero shuffle, linear scan.  Bit b is the
+    parity of hex digit b of the md5; each digest is pre-packed into
+    8-hex-digit integer chunks (one conv per chunk, not one substr+instr per
+    bit x feature) so the per-bit folds are pure integer shift/mask ops —
+    ~10x less string work for 32-bit signatures.  Near-duplicate pairs =
+    signatures within small Hamming distance (``simhash_pairs``).
     """
+    df = ensure_min_parallelism(df)
+    chunks = (bits + 7) // 8
+    packed = (
+        f"transform(sequence(0, {chunks - 1}), "
+        f"c -> cast(conv(substr(md5(t), c * 8 + 1, 8), 16, 10) AS BIGINT))"
+    )
     if ngram > 1:
         joins = " , ' ', ".join(
             f"element_at(__ts0__, i + {k})" for k in range(ngram)
@@ -275,17 +289,22 @@ def simhash(
         )
         df = (
             df.withColumn("__ts0__", F.split(F.col(text_col), " "))
-            .withColumn("__th__", F.expr(f"transform({feats}, t -> md5(t))"))
+            .withColumn("__th__", F.expr(f"transform({feats}, t -> {packed})"))
             .drop("__ts0__")
         )
     else:
-        hashes = f"transform(array_distinct(split({text_col}, ' ')), t -> md5(t))"
+        hashes = (
+            f"transform(array_distinct(split({text_col}, ' ')), t -> {packed})"
+        )
         df = df.withColumn("__th__", F.expr(hashes))
     terms = []
     for b in range(bits):
+        # hex digit b lives in chunk b//8 at nibble 7 - b%8 (big-endian hex);
+        # its parity is that nibble's low bit.
+        chunk, shift = b // 8, 4 * (7 - b % 8)
         bit = (
-            f"aggregate(__th__, 0, (acc, h) -> acc + "
-            f"CASE WHEN (instr('0123456789abcdef', substr(h, {b + 1}, 1)) - 1) % 2 = 1 "
+            f"aggregate(__th__, 0, (acc, v) -> acc + "
+            f"CASE WHEN (shiftright(element_at(v, {chunk + 1}), {shift}) & 1) = 1 "
             f"THEN 1 ELSE -1 END)"
         )
         terms.append(f"CASE WHEN ({bit}) > 0 THEN {1 << b}L ELSE 0L END")
@@ -408,7 +427,7 @@ def embedding_near_dup(
     # the norm is computed ONCE per vector here and carried through the
     # cell explode + join: a candidate pair re-checked in several shared
     # cells would otherwise re-run two O(dim) norm folds per check
-    v = df.select(*keep).withColumn(
+    v = ensure_min_parallelism(df.select(*keep)).withColumn(
         "__n__", F.expr("sqrt(" + dot.format(a="__e__", b="__e__") + ")")
     )
     cell = math.sqrt(2.0 * max(1.0 - threshold, 1e-12))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import ensure_min_parallelism
+
 DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
 
 
@@ -44,8 +46,9 @@ def cosine_topk(
     """Exact cosine top-k: for each query vector the k nearest corpus vectors
     (self-matches excluded).  Output: query_id, neighbor_id, cosine, rn."""
     # norms computed ONCE per vector before the join — inside the pair loop
-    # they'd be an O(dim) fold re-run per candidate (the dominant cost)
-    v = vectors.select(
+    # they'd be an O(dim) fold re-run per candidate (the dominant cost).
+    # The corpus side drives the probe's task count (queries broadcast).
+    v = ensure_min_parallelism(vectors).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("ve"),
     ).withColumn("__vn__", F.expr(f"sqrt({_dot('ve', 've')})"))
@@ -108,7 +111,7 @@ def assign_centroids(
     """
     # norms once per vector / per centroid, NOT per (vector, centroid) pair:
     # at N vectors x K centroids the per-pair norm folds are 2/3 of all work
-    v = vectors.select(
+    v = ensure_min_parallelism(vectors).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("ve")
     ).withColumn("__vn__", F.expr(f"sqrt({_dot('ve', 've')})"))
     c = centroids.select(

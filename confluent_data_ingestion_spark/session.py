@@ -32,6 +32,25 @@ def get_spark(app_name: str = "confluent-data-ingestion-spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+def ensure_min_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition ONLY when the input has fewer partitions than
+    the cluster has task slots.
+
+    At scale this is a no-op: any real file source already yields far more
+    partitions than slots, and the partition-count probe is driver-side plan
+    inspection (no job runs).  On small inputs — a single small parquet file
+    compiles to ONE partition — it unlocks every core for the CPU-heavy
+    per-row expressions these operators are built from (signature folds,
+    shingle explodes, vector norms), which would otherwise run in a single
+    task no matter how many executors are idle.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load driver-provided parquet tables as a dict of DataFrames.
 
