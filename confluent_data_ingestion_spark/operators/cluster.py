@@ -1,0 +1,104 @@
+"""Cluster resolution over near-duplicate pair lists (connected components).
+
+The pair producers (``minhash_lsh_pairs``, ``simhash_pairs``,
+``embedding_near_dup``, ``ngram_jaccard_pairs``) emit EDGES.  Deduplication
+needs the transitive closure of those edges: if A~B and B~C, then A, B, C
+are one duplicate cluster even though (A, C) never surfaced as a pair, and
+exactly one representative should survive.  ``connected_components`` labels
+every node with its cluster's minimum id — the same canonical-id convention
+``exact_dedup`` and ``embedding_near_dup`` use.
+
+Scale design: iterative min-label propagation, pure DataFrame ops.
+ - Each round is ONE equi-join of the edge list with the current labels
+   (shuffle on 8-byte node ids) followed by a min() aggregation that
+   partially aggregates map-side.  Nothing wider than (long, long) ever
+   shuffles.
+ - Convergence in O(component diameter) rounds.  Near-dup graphs are
+   near-cliques by construction (banded LSH emits most pairs of a duplicate
+   group directly), so diameters are tiny; ``max_iter`` is a guard, not the
+   expected round count.
+ - Labels only ever decrease, so the per-round convergence probe is a
+   half-join counting strictly-decreased labels; it doubles as the action
+   that materializes the round's checkpointed label set.  Superseded
+   rounds' checkpoint blocks are released by the context cleaner as their
+   DataFrames go out of scope — live footprint is a couple of label sets
+   (2 longs per node), never the corpus.
+
+The reference's dedup surface stops at A1-style latest-by-key
+(sttm_to_flink_v21.py window dedup); component resolution is the
+generalization a training-data pipeline needs downstream of pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    out_id: str = "doc_id",
+    out_cluster: str = "cluster_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the pair graph with its component's min id.
+
+    Output: one row per distinct node, (``out_id``, ``out_cluster``).
+    Raises if propagation hasn't converged within ``max_iter`` rounds —
+    an unconverged labeling silently under-merges clusters.
+    """
+    half = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    )
+    # localCheckpoint (not persist): iterative plans grow a level of
+    # union+join nesting per round, and Catalyst re-analyzes the FULL
+    # lineage each round — exponential planning cost long before any
+    # executor breaks a sweat.  Checkpointing materializes the rows AND
+    # truncates the plan, keeping every round's analysis O(1).  On a real
+    # cluster swap for reliable checkpoint(dir) if executor loss matters
+    # mid-algorithm; results are identical.
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # multi-band producers emit the same pair once per colliding band;
+        # shrink the edge list once instead of re-joining duplicates each
+        # round (the edge list is re-read every round)
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, F.col("src") == F.col("node")).select(
+            F.col("dst").alias("node"), F.col("lbl")
+        )
+        new = (
+            prop.unionByName(labels)  # keep own label in the min
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias(out_id), F.col("lbl").alias(out_cluster)
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter (component diameter exceeds it)"
+    )

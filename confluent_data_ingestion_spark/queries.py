@@ -608,10 +608,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact copies (always hamming 0) and one-token-appended mutations
 # (whatever small hamming the token's hash parity produces — identical in
 # both engines since the signature math is bit-reproducible).
-@query(
-    "dedup_simhash_pairs",
-    """
-    WITH docs2 AS (
+_SIMHASH_CTES = """
+    docs2 AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
@@ -638,7 +636,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
       SELECT doc_id, s, b AS band, (s >> (b * 8)) & 255 AS key
       FROM sig, unnest(generate_series(0, 3)) AS u(b)
+    )"""
+
+
+def _simhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
     )
+    mutated = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzsim")).alias("text"),
+    )
+    return docs.unionByName(planted).unionByName(mutated)
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTES}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
     FROM bands a JOIN bands b
@@ -649,17 +665,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1000000
-    )
-    mutated = docs.filter(F.col("doc_id") % 100 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzsim")).alias("text"),
-    )
-    corpus = docs.unionByName(planted).unionByName(mutated)
+    corpus = _simhash_corpus(spark, sf_dir)
     return simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
                          persist_signatures=True)
+
+
+# Cluster resolution: transitive closure of the SimHash pair list.  Planted
+# copies/mutations of the same base doc form multi-node components (base,
+# +1M copy, +2M mutation) that pairing alone reports as separate edges; the
+# oracle computes min-reachable-id per node with a recursive CTE — exactly
+# the label the iterative Spark propagation converges to.
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 3
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node
+    )
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cluster import connected_components
+    from .operators.dedup import simhash_pairs
+
+    corpus = _simhash_corpus(spark, sf_dir)
+    pairs = simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
+                          persist_signatures=True)
+    return connected_components(pairs)
 
 
 _COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"

@@ -384,3 +384,53 @@ def test_hash_split_deterministic(spark):
     small = {r["doc_id"] for r in deterministic_sample(df, 0.1, seed="x").collect()}
     big = {r["doc_id"] for r in deterministic_sample(df, 0.3, seed="x").collect()}
     assert small <= big
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3 (transitive merge pairing never emitted directly),
+    # clique 10-11-12, isolated pair (20, 21)
+    from confluent_data_ingestion_spark.operators.cluster import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "doc_a int, doc_b int",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 12-node path has diameter 11: exercises multi-round propagation
+    from confluent_data_ingestion_spark.operators.cluster import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a int, doc_b int"
+    )
+    rows = connected_components(pairs).collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert len(rows) == 13
+
+
+def test_connected_components_max_iter_raises(spark):
+    from confluent_data_ingestion_spark.operators.cluster import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a int, doc_b int"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
