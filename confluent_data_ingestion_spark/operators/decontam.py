@@ -1,0 +1,85 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus and
+an evaluation/benchmark set.
+
+The standard LLM-pretraining hygiene step: a training document sharing
+long word n-grams with a benchmark document leaks the benchmark into the
+model, so such documents are flagged (and usually dropped) before
+training.  This is the eval-overlap formulation used by published LLM
+data pipelines — n-gram collision against the eval set, reported with
+enough detail (hit counts, overlap ratio) to pick a drop threshold.
+
+Scale design:
+ - Both sides decompose to distinct (doc, n-gram) rows via
+   ``exploded_shingles`` (generate on an INT sequence — see that
+   docstring for the Catalyst trap it avoids).
+ - The join key is md5(ngram) — fixed 32-byte keys shuffle instead of
+   arbitrary-length n-gram text, and any SQL engine reproduces it for
+   oracle parity.  A 128-bit collision producing a false flag is beyond
+   negligible at any corpus size.
+ - Benchmarks are small by nature; ``broadcast_eval=True`` broadcasts
+   the eval n-gram set so the 100 TB training side NEVER shuffles — the
+   whole operator is then one map-side join over the train scan plus a
+   groupBy on train doc ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..session import ensure_min_parallelism
+from .dedup import exploded_shingles
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    eval_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing >= ``min_shared`` distinct word
+    ``n``-grams with any eval document.
+
+    Output per contaminated train doc: (``id_col``, n_shared — distinct
+    shared n-grams, n_eval_docs — distinct eval docs hit, contam_ratio —
+    shared / total distinct n-grams of the doc, rounded to 6 decimals).
+    """
+    tr = exploded_shingles(
+        ensure_min_parallelism(train.select(id_col, text_col)),
+        id_col, text_col, n,
+    ).select(F.col(id_col), F.md5("s").alias("__k__"))
+    ev = exploded_shingles(
+        eval_df.select(F.col(eval_id_col).alias("__eid__"), F.col(text_col)),
+        "__eid__", text_col, n,
+    ).select("__eid__", F.md5("s").alias("__k__"))
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    # LEFT join + one groupBy: totals and hit counts come from a SINGLE
+    # pass over the train shingles.  Splitting totals into a separate
+    # groupBy branch would scan + re-shingle the full training corpus
+    # twice — at 100 TB the rescan dwarfs the Expand the multi-distinct
+    # aggregate costs here (distinct keys pre-reduce map-side).
+    joined = tr.join(ev, "__k__", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.countDistinct("__k__").alias("__tot__"),
+            F.countDistinct(
+                F.when(F.col("__eid__").isNotNull(), F.col("__k__"))
+            ).alias("n_shared"),
+            F.countDistinct("__eid__").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            id_col,
+            "n_shared",
+            "n_eval_docs",
+            F.round(F.col("n_shared") / F.col("__tot__"), 6).alias(
+                "contam_ratio"
+            ),
+        )
+    )

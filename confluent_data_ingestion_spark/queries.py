@@ -709,6 +709,54 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+# Benchmark decontamination.  Eval set = every 20th doc; train = the rest
+# plus planted exact copies of every 40th doc (id + 1M) — the planted rows
+# must flag at contam_ratio 1.0, and any natural 5-gram collisions flag
+# identically in both engines because the shingle strings are identical.
+@query(
+    "decontaminate_ngrams",
+    """
+    WITH train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+    ),
+    ev AS (SELECT doc_id AS eid, text FROM documents WHERE doc_id % 20 = 0),
+    ttok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM train),
+    tsh AS (
+      SELECT DISTINCT doc_id,
+             md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]) AS k
+      FROM ttok, unnest(generate_series(1, len(ts)-4)) AS u(i)
+    ),
+    etok AS (SELECT eid, string_split(text, ' ') AS ts FROM ev),
+    esh AS (
+      SELECT DISTINCT eid,
+             md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]) AS k
+      FROM etok, unnest(generate_series(1, len(ts)-4)) AS u(i)
+    ),
+    j AS (SELECT t.doc_id, t.k, e.eid FROM tsh t LEFT JOIN esh e USING (k))
+    SELECT doc_id,
+      count(DISTINCT CASE WHEN eid IS NOT NULL THEN k END) AS n_shared,
+      count(DISTINCT eid) AS n_eval_docs,
+      round(CAST(count(DISTINCT CASE WHEN eid IS NOT NULL THEN k END) AS DOUBLE)
+            / count(DISTINCT k), 6) AS contam_ratio
+    FROM j GROUP BY doc_id
+    HAVING count(DISTINCT CASE WHEN eid IS NOT NULL THEN k END) >= 1
+    """,
+)
+def decontaminate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decontam import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 20 != 0).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(train, ev, n=5)
+
+
 _COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 
 

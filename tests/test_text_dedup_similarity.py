@@ -434,3 +434,25 @@ def test_connected_components_max_iter_raises(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_ngram_contamination_planted_copy(spark):
+    from confluent_data_ingestion_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # exact eval copy -> ratio 1.0
+            (2, "a b c d e x y z w q"),    # shares one 5-gram (a..e)
+            (3, "p q r s t u v w"),        # clean
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_contamination(train, ev, n=5).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].contam_ratio == 1.0 and rows[1].n_eval_docs == 1
+    assert rows[2].n_shared == 1 and 0 < rows[2].contam_ratio < 1
