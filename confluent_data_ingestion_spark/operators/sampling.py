@@ -73,3 +73,47 @@ def deterministic_sample(
         return df
     bucket = _bucket_expr(key_col, seed)
     return df.filter(F.expr(f"{bucket} < '{_hex_cut(fraction)}'"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows, chosen purely by hashed key.
+
+    ``fractions`` maps stratum value (compared as STRING) -> keep rate;
+    strata not listed keep ``default_fraction``.  The hash covers
+    (seed, stratum, key) so each stratum draws an INDEPENDENT uniform
+    sample — hashing the key alone would reuse one permutation across
+    strata, correlating which keys survive everywhere.
+
+    The canonical rebalancing move for training mixes (downsample the
+    dominant language/source, keep the rare ones whole): a single CASE
+    per-row predicate — zero shuffle, scan speed, reproducible by any
+    engine from the same md5 math.
+    """
+    for v, f in {**fractions, "__default__": default_fraction}.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {v!r} must be in [0, 1], got {f}")
+    bucket = (
+        f"substr(md5(concat('{seed}', '|', CAST({strata_col} AS STRING), "
+        f"'|', CAST({key_col} AS STRING))), 1, 8)"
+    )
+
+    def keep(f: float) -> str:
+        if f >= 1.0:
+            return "TRUE"
+        if f <= 0.0:
+            return "FALSE"
+        return f"{bucket} < '{_hex_cut(f)}'"
+
+    cases = " ".join(
+        f"WHEN CAST({strata_col} AS STRING) = '{v}' THEN {keep(f)}"
+        for v, f in fractions.items()
+    )
+    expr = f"CASE {cases} ELSE {keep(default_fraction)} END"
+    return df.filter(F.expr(expr))

@@ -437,6 +437,32 @@ def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       fractions={"train": 0.9, "test": 0.1}, seed="s1")
 
 
+# Stratified deterministic sampling: per-language keep rates, hash over
+# (seed, stratum, key) so each stratum draws an independent sample.  Cuts
+# below are _hex_cut(0.2/0.5/0.1) rendered by the same Python helper the
+# operator uses.
+@query(
+    "stratified_sample_lang",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CASE
+      WHEN lang = 'en' THEN substr(md5('s2' || '|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+      WHEN lang = 'de' THEN substr(md5('s2' || '|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+      WHEN lang = 'zh' THEN TRUE
+      ELSE substr(md5('s2' || '|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+    END
+    """,
+)
+def stratified_sample_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "lang", {"en": 0.2, "de": 0.5, "zh": 1.0},
+        key_col="doc_id", seed="s2", default_fraction=0.1,
+    )
+
+
 # Gopher/C4-style repetition stats.  The synthetic docs sample a 30-word
 # vocabulary, so bigrams genuinely repeat — no planting needed.
 @query(

@@ -456,3 +456,26 @@ def test_ngram_contamination_planted_copy(spark):
     assert set(rows) == {1, 2}
     assert rows[1].contam_ratio == 1.0 and rows[1].n_eval_docs == 1
     assert rows[2].n_shared == 1 and 0 < rows[2].contam_ratio < 1
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from confluent_data_ingestion_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = stratified_sample(df, "grp", {"a": 0.3, "b": 1.0}, seed="t")
+    counts = {r.grp: r.c for r in out.groupBy("grp").count()
+              .withColumnRenamed("count", "c").collect()}
+    assert counts["b"] == 1000            # rate 1.0 keeps everything
+    assert 200 < counts["a"] < 400        # ~300 of 1000
+    # rerun after repartition: identical keys survive
+    a1 = {r.doc_id for r in out.collect()}
+    a2 = {r.doc_id
+          for r in stratified_sample(df.repartition(7), "grp",
+                                     {"a": 0.3, "b": 1.0}, seed="t").collect()}
+    assert a1 == a2
+    # default_fraction=0 drops unlisted strata
+    none = stratified_sample(df, "grp", {"a": 0.5}, seed="t")
+    assert none.filter("grp = 'b'").count() == 0
