@@ -1,0 +1,97 @@
+"""Sequence packing: map documents into fixed token-budget training
+sequences (context windows) for LLM pretraining.
+
+Formulation: the standard concat-and-chunk packing — documents are laid
+end-to-end in a deterministic order and the token stream is cut every
+``budget`` tokens; a document may straddle a cut (training pipelines
+separate docs with EOS and let attention masks handle the seams).  Each
+document gets its pack coordinates: which sequence it starts in and at
+what offset, and how many sequences it spans.
+
+Scale design:
+ - One global ordering would be one panel-wide sort on a single partition.
+   Instead documents hash into ``n_streams`` INDEPENDENT streams packed in
+   parallel: the only shuffle is the window's hash partitioning on the
+   stream id, and per-stream work is a sort of n/``n_streams`` rows.  Set
+   ``n_streams`` to a small multiple of cluster cores; sequence ids are
+   globally unique as (stream, pack_id) pairs.
+ - All assignment is a pure function of (seed, key, token counts): stable
+   under reruns/repartitioning and reproducible in any SQL engine (md5
+   hex order + a windowed running sum), so the packing plan itself can be
+   audited or regenerated without the original cluster.
+ - Zero Python in the path: hashing, ordering, and the running sum are
+   Catalyst window/scalar expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEXPOS = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    budget: int = 2048,
+    n_streams: int = 16,
+    seed: str = "",
+) -> DataFrame:
+    """Assign every document its packed-sequence coordinates.
+
+    Output: (``id_col``, n_tokens, stream, pack_id, pack_offset, n_seqs)
+    where ``pack_id`` is the budget-window index within the stream that
+    the document STARTS in, ``pack_offset`` its token offset inside that
+    window, and ``n_seqs`` how many windows it spans.
+
+    ``tokens_col`` supplies a precomputed token count; otherwise
+    whitespace tokens of ``text_col`` are counted.  ``n_streams`` is
+    capped at 256 (stream id = first two md5 hex digits of the key).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if not 1 <= n_streams <= 256:
+        raise ValueError(f"n_streams must be in [1, 256], got {n_streams}")
+    toks = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.size(F.split(F.col(text_col), " "))
+    )
+    h = f"substr(md5(concat('{seed}', '|', CAST({id_col} AS STRING))), 1, 8)"
+    stream = (
+        f"({_HEXPOS.format(h=h, i=1)} * 16 + {_HEXPOS.format(h=h, i=2)})"
+        f" % {n_streams}"
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.cast("long").alias("n_tokens"),
+        F.expr(h).alias("__h__"),
+        F.expr(stream).cast("int").alias("stream"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(F.col("__h__"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("__end__", F.sum("n_tokens").over(w))
+        .withColumn("__start__", F.col("__end__") - F.col("n_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            "stream",
+            (F.col("__start__") / budget).cast("long").alias("pack_id"),
+            (F.col("__start__") % budget).alias("pack_offset"),
+            F.when(F.col("n_tokens") == 0, F.lit(1))
+            .otherwise(
+                (F.expr("__end__ - 1") / budget).cast("long")
+                - (F.col("__start__") / budget).cast("long")
+                + 1
+            )
+            .cast("long")
+            .alias("n_seqs"),
+        )
+    )

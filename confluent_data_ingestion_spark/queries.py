@@ -463,6 +463,45 @@ def stratified_sample_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Concat-and-chunk sequence packing: docs hash into 8 independent streams,
+# deterministic (md5, id) order within stream, running token offsets cut
+# every 512 tokens.  Pure window math — reproduced verbatim by the oracle.
+@query(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        substr(md5('p1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens, h,
+        CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+              (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8 AS INT) AS stream
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, stream,
+        sum(n_tokens) OVER (PARTITION BY stream ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      FROM s
+    )
+    SELECT doc_id, n_tokens, stream,
+      CAST((e - n_tokens) // 512 AS BIGINT) AS pack_id,
+      CAST((e - n_tokens) % 512 AS BIGINT) AS pack_offset,
+      CAST(CASE WHEN n_tokens = 0 THEN 1
+                ELSE (e - 1) // 512 - (e - n_tokens) // 512 + 1 END AS BIGINT) AS n_seqs
+    FROM c
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget=512, n_streams=8, seed="p1")
+
+
 # Gopher/C4-style repetition stats.  The synthetic docs sample a 30-word
 # vocabulary, so bigrams genuinely repeat — no planting needed.
 @query(

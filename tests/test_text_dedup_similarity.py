@@ -479,3 +479,33 @@ def test_stratified_sample_rates_and_determinism(spark):
     # default_fraction=0 drops unlisted strata
     none = stratified_sample(df, "grp", {"a": 0.5}, seed="t")
     assert none.filter("grp = 'b'").count() == 0
+
+
+def test_pack_sequences_invariants(spark):
+    from confluent_data_ingestion_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 90))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, budget=100, n_streams=4, seed="t").collect()
+    assert len(out) == 300
+    by_stream = {}
+    for r in out:
+        assert 0 <= r.stream < 4
+        assert 0 <= r.pack_offset < 100
+        # doc starts where the previous doc in its stream ended
+        assert r.n_seqs >= 1
+        by_stream.setdefault(r.stream, []).append(r)
+    for rows in by_stream.values():
+        rows.sort(key=lambda r: (r.pack_id, r.pack_offset))
+        total = sum(r.n_tokens for r in rows)
+        last = rows[-1]
+        # offsets are a contiguous token stream: last start + tokens == total
+        assert last.pack_id * 100 + last.pack_offset + last.n_tokens == total
+    # deterministic under repartition
+    again = pack_sequences(docs.repartition(7), budget=100, n_streams=4,
+                           seed="t").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
