@@ -17,12 +17,13 @@ Scale design: iterative min-label propagation, pure DataFrame ops.
    near-cliques by construction (banded LSH emits most pairs of a duplicate
    group directly), so diameters are tiny; ``max_iter`` is a guard, not the
    expected round count.
- - Labels only ever decrease, so the per-round convergence probe is a
-   half-join counting strictly-decreased labels; it doubles as the action
-   that materializes the round's checkpointed label set.  Superseded
-   rounds' checkpoint blocks are released by the context cleaner as their
-   DataFrames go out of scope — live footprint is a couple of label sets
-   (2 longs per node), never the corpus.
+ - Labels only ever decrease, so convergence is detectable from the exact
+   label SUM (strictly decreasing until fixed point): one aggregate job
+   per round that doubles as the action materializing the round's lazily
+   checkpointed label set.  Superseded rounds' checkpoint blocks are
+   released by the context cleaner as their DataFrames go out of scope —
+   live footprint is a couple of label sets (2 longs per node), never the
+   corpus.
 
 The reference's dedup surface stops at A1-style latest-by-key
 (sttm_to_flink_v21.py window dedup); component resolution is the
@@ -66,16 +67,26 @@ def connected_components(
         )
         # multi-band producers emit the same pair once per colliding band;
         # shrink the edge list once instead of re-joining duplicates each
-        # round (the edge list is re-read every round)
+        # round (the edge list is re-read every round).  Lazy checkpoints
+        # throughout: each round's single convergence-probe job
+        # materializes them — no extra blocking jobs.
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # Labels only ever DECREASE (new = min over self + neighbors), so the
+    # label sum strictly decreases until convergence and the probe is one
+    # exact aggregate — ONE job per round that doubles as the action
+    # materializing the round's checkpoint, instead of a join + count.
+    # DECIMAL(38) keeps the sum exact at any node count / id magnitude.
+    prev_sum = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _ in range(max_iter):
         prop = edges.join(labels, F.col("src") == F.col("node")).select(
             F.col("dst").alias("node"), F.col("lbl")
@@ -84,20 +95,17 @@ def connected_components(
             prop.unionByName(labels)  # keep own label in the min
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels.select(
                 F.col("node").alias(out_id), F.col("lbl").alias(out_cluster)
             )
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "raise max_iter (component diameter exceeds it)"

@@ -50,12 +50,12 @@ def ngram_contamination(
     """
     tr = exploded_shingles(
         ensure_min_parallelism(train.select(id_col, text_col)),
-        id_col, text_col, n,
-    ).select(F.col(id_col), F.md5("s").alias("__k__"))
+        id_col, text_col, n, hashed=True,
+    ).select(F.col(id_col), F.col("s").alias("__k__"))
     ev = exploded_shingles(
         eval_df.select(F.col(eval_id_col).alias("__eid__"), F.col(text_col)),
-        "__eid__", text_col, n,
-    ).select("__eid__", F.md5("s").alias("__k__"))
+        "__eid__", text_col, n, hashed=True,
+    ).select("__eid__", F.col("s").alias("__k__"))
     if broadcast_eval:
         ev = F.broadcast(ev)
     # LEFT join + one groupBy: totals and hit counts come from a SINGLE

@@ -112,6 +112,7 @@ def exploded_shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct (doc_id, shingle) rows via position-explode.
 
@@ -120,6 +121,13 @@ def exploded_shingles(
     string-building expression into a pre-explode filter where split() gets
     re-evaluated per element (observed 10x slowdown).  Shingle strings are
     assembled AFTER the explode from the materialized token array.
+
+    ``hashed=True`` emits ``s = md5(shingle)`` instead of the raw shingle:
+    the digest is computed BEFORE the distinct, so everything downstream —
+    the dedupe shuffle and any self-join — moves fixed 32-byte keys
+    instead of arbitrary-length n-gram text.  At 128 bits a colliding pair
+    of distinct shingles is beyond negligible at any corpus size, and any
+    SQL engine reproduces the digests for oracle parity.
     """
     tok = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ts__"))
     pos = tok.select(
@@ -132,9 +140,11 @@ def exploded_shingles(
             )
         ).alias("__i__"),
     )
+    shingle_expr = f"array_join(slice(__ts__, __i__, {n}), ' ')"
+    if hashed:
+        shingle_expr = f"md5({shingle_expr})"
     return pos.select(
-        F.col(id_col),
-        F.expr(f"array_join(slice(__ts__, __i__, {n}), ' ')").alias("s"),
+        F.col(id_col), F.expr(shingle_expr).alias("s")
     ).distinct()
 
 
@@ -220,8 +230,14 @@ def ngram_jaccard_pairs(
     per-doc size agg); ``persist_shingles=True`` computes it once at corpus
     scale (registered with ``caching.track``, released by the runtime's
     next ``release_caches()``).
+
+    Shingles travel as md5 digests (``exploded_shingles(hashed=True)``):
+    the dedupe shuffle, the inverted-index self-join, and the persisted
+    block all carry 32-byte keys, never n-gram text.
     """
-    sh = exploded_shingles(ensure_min_parallelism(df), id_col, text_col, n)
+    sh = exploded_shingles(
+        ensure_min_parallelism(df), id_col, text_col, n, hashed=True
+    )
     if persist_shingles:
         sh = track(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
