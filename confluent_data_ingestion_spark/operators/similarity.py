@@ -151,6 +151,100 @@ def assign_centroids(
     )
 
 
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH approximate cosine top-k.
+
+    Signature bit p = sign of the vector's dot product with hyperplane p
+    (cosine-angle preserving: nearby vectors agree on most bits), cut into
+    ``bands`` contiguous slices; a query's candidates are corpus vectors
+    agreeing EXACTLY on at least one slice.  Complements ``ivf_topk``: no
+    centroid training step, recall tuned by (bits, bands) instead of
+    (K, n_probe), same drop-in output columns as ``cosine_topk``.
+
+    Scale: signatures are per-row folds over broadcast-size plane
+    literals — zero shuffle, zero Python.  The band self-join shuffles
+    (band, slice) int keys only; a pair colliding in several bands is
+    scored per collision (cheap codegen'd fold) and deduped on
+    (ids, cosine) — two longs and a double — before ranking, the same
+    distinct-after-score shape ``embedding_near_dup`` uses.  Dots are
+    rounded to 6 decimals before the sign so bucket boundaries are
+    bit-reproducible across engines.
+
+    ``planes``: ``bits`` rows of vector-dimension floats (any fixed
+    pseudo-random source; embed the same literals in an auditing engine
+    to reproduce the bucketing exactly).
+    """
+    bits = len(planes)
+    if bits == 0 or bits > 63:
+        raise ValueError(f"need 1..63 planes, got {bits}")
+    if bits % bands:
+        raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
+    width = bits // bands
+
+    def sig_col(e: str) -> str:
+        terms = []
+        for p, plane in enumerate(planes):
+            lits = ", ".join(f"{x:.6f}D" for x in plane)
+            dot = DOT.format(a=e, b=f"array({lits})")
+            terms.append(
+                f"CASE WHEN round({dot}, 6) >= 0 THEN {1 << p}L ELSE 0L END"
+            )
+        return " + ".join(terms)
+
+    def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias(out_vec),
+        ).withColumn("__sig__", F.expr(sig_col(out_vec)))
+        return (
+            base.withColumn(
+                "__band__", F.explode(F.expr(f"sequence(0, {bands - 1})"))
+            )
+            .withColumn(
+                "__key__",
+                F.expr(
+                    f"shiftright(__sig__, __band__ * {width})"
+                    f" & {(1 << width) - 1}L"
+                ),
+            )
+            .withColumn("__n__", F.expr(f"sqrt({_dot(out_vec, out_vec)})"))
+        )
+    v = banded(ensure_min_parallelism(vectors), "neighbor_id", "ve").alias("v")
+    q = banded(queries, "query_id", "qe").alias("q")
+    scored = (
+        q.join(
+            v,
+            F.expr(
+                "q.__band__ = v.__band__ AND q.__key__ = v.__key__ "
+                "AND query_id <> neighbor_id"
+            ),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"round({_dot('qe', 've')} / (q.__n__ * v.__n__), 6)"
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

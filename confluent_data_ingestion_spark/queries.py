@@ -825,6 +825,68 @@ def decontaminate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 
 
+# Random-hyperplane LSH top-k.  Planes come from a fixed md5-derived
+# pseudo-random source rounded to 6 decimals; the SAME literals are embedded
+# in the Spark expressions and the oracle SQL, so bucketing (and therefore
+# the candidate set) is bit-identical in both engines.
+import hashlib  # noqa: E402
+
+
+def _lsh_planes(seed: str, bits: int, dim: int) -> list[list[float]]:
+    return [
+        [
+            round(
+                int(hashlib.md5(f"{seed}|{p}|{i}".encode()).hexdigest()[:8], 16)
+                / 2**32
+                - 0.5,
+                6,
+            )
+            for i in range(dim)
+        ]
+        for p in range(bits)
+    ]
+
+
+_LSH_PLANES = _lsh_planes("lsh1", 16, 64)
+
+_LSH_SIG_SQL = " + ".join(
+    "(CASE WHEN round(list_dot_product({e}, ["
+    + ", ".join(f"{x:.6f}" for x in plane)
+    + f"]), 6) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for p, plane in enumerate(_LSH_PLANES)
+)
+
+
+@query(
+    "similarity_lsh_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {_LSH_SIG_SQL.format(e='e')} AS s FROM v),
+    bnd AS (
+      SELECT vec_id, e, b AS band, (s >> (b * 4)) & 15 AS key
+      FROM sig, unnest(generate_series(0, 3)) AS u(b)
+    ),
+    q AS (SELECT * FROM bnd WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT DISTINCT q.vec_id AS query_id, w.vec_id AS neighbor_id,
+             {_COS.format(a='q.e', b='w.e')} AS cosine
+      FROM q JOIN bnd w
+        ON q.band = w.band AND q.key = w.key AND q.vec_id <> w.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") % 100 == 0),
+                    _LSH_PLANES, k=5, bands=4)
+
+
 @query(
     "similarity_cosine_topk",
     f"""

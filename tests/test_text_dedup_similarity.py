@@ -509,3 +509,33 @@ def test_pack_sequences_invariants(spark):
     again = pack_sequences(docs.repartition(7), budget=100, n_streams=4,
                            seed="t").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_lsh_topk_recall_and_validation(spark):
+    from confluent_data_ingestion_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+        recall_at_k,
+    )
+    from confluent_data_ingestion_spark.queries import _lsh_planes
+
+    import pytest as _pytest
+
+    from confluent_data_ingestion_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])[
+        "embeddings"
+    ]
+    qs = emb.filter("vec_id % 50 = 0")
+    planes = _lsh_planes("t", 16, 64)
+    approx = lsh_topk(emb, qs, planes, k=5, bands=4)
+    exact = cosine_topk(emb, qs, k=5)
+    recall = recall_at_k(approx, exact).collect()[0]["recall"]
+    # 16-bit/4-band LSH on a small corpus: well above random, below exact
+    assert recall > 0.3, recall
+    # every reported neighbor is ranked correctly within its candidates
+    assert approx.filter("rn > 5").count() == 0
+    with _pytest.raises(ValueError, match="divide evenly"):
+        lsh_topk(emb, qs, planes, bands=5)
+    with _pytest.raises(ValueError, match="1..63"):
+        lsh_topk(emb, qs, [], bands=1)
