@@ -502,6 +502,33 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=512, n_streams=8, seed="p1")
 
 
+# Corpus composition report: one ROLLUP aggregation yields every level
+# (per (lang, source), per lang, grand total) from a single shuffle; grp
+# disambiguates rollup NULLs from genuine NULL dimension values.
+@query(
+    "corpus_mix_report",
+    """
+    WITH agg AS (
+      SELECT lang, source,
+        CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS grp,
+        count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY ROLLUP(lang, source)
+    )
+    SELECT lang, source, grp, n_docs, n_tokens, n_chars,
+      round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+      round(CAST(n_docs AS DOUBLE) / (SELECT n_docs FROM agg WHERE grp = 3), 6) AS doc_share
+    FROM agg
+    """,
+)
+def corpus_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import corpus_mix_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_mix_report(docs, dims=("lang", "source"))
+
+
 # Gopher/C4-style repetition stats.  The synthetic docs sample a 30-word
 # vocabulary, so bigrams genuinely repeat — no planting needed.
 @query(

@@ -539,3 +539,25 @@ def test_lsh_topk_recall_and_validation(spark):
         lsh_topk(emb, qs, planes, bands=5)
     with _pytest.raises(ValueError, match="1..63"):
         lsh_topk(emb, qs, [], bands=1)
+
+
+def test_corpus_mix_report_levels(spark):
+    from confluent_data_ingestion_spark.operators.stats import (
+        corpus_mix_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s1"), (2, "c d e", "en", "s2"),
+         (3, "f", "de", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = corpus_mix_report(docs).collect()
+    by = {(r.lang, r.source, r.grp): r for r in rows}
+    grand = by[(None, None, 3)]
+    assert grand.n_docs == 3 and grand.n_tokens == 6 and grand.doc_share == 1.0
+    en = by[("en", None, 1)]
+    assert en.n_docs == 2 and en.n_tokens == 5
+    assert abs(en.doc_share - round(2 / 3, 6)) < 1e-9
+    assert by[("de", "s1", 0)].n_docs == 1
+    # levels: 6 finest+per-lang rows + grand = len check
+    assert len(rows) == 3 + 2 + 1
