@@ -54,11 +54,13 @@ def ensure_min_parallelism(df, min_partitions: int | None = None):
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load driver-provided parquet tables as a dict of DataFrames.
 
-    The driver's ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects; we read it as a nanos long
-    (``nanosAsLong``) and rebuild a TIMESTAMP_NTZ truncated to microseconds —
-    exactly what DuckDB produces for the same file, so oracle comparisons
-    agree.  The conversion is session-timezone independent.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    generations (Spark's vectorized reader rejects nanos unless read as a
+    long via ``nanosAsLong``) and TIMESTAMP(MICROS) in others.  We normalize
+    both to TIMESTAMP_NTZ truncated to microseconds — exactly what DuckDB
+    produces for the same file, so oracle comparisons agree — by inspecting
+    the type actually read rather than assuming one generation's layout.
+    The conversion is session-timezone independent.
     """
     names = names or [
         "region",
@@ -77,12 +79,22 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
         if n == "events":
-            df = df.withColumn(
-                "ts",
-                F.expr(
-                    "convert_timezone(current_timezone(), 'UTC', "
-                    "cast(timestamp_micros(ts div 1000) as timestamp_ntz))"
-                ),
-            )
+            ts_type = df.schema["ts"].dataType.simpleString()
+            if ts_type == "bigint":
+                # nanos-as-long generation: rebuild micros-truncated NTZ.
+                df = df.withColumn(
+                    "ts",
+                    F.expr(
+                        "convert_timezone(current_timezone(), 'UTC', "
+                        "cast(timestamp_micros(ts div 1000) as timestamp_ntz))"
+                    ),
+                )
+            elif ts_type == "timestamp":
+                # TIMESTAMP_LTZ generation: strip the zone without shifting
+                # the wall-clock value (session TZ is UTC).
+                df = df.withColumn(
+                    "ts", F.expr("cast(ts as timestamp_ntz)")
+                )
+            # timestamp_ntz: already what the oracle sees — leave untouched.
         out[n] = df
     return out
