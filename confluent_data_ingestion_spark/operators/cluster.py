@@ -43,12 +43,18 @@ def connected_components(
     out_id: str = "doc_id",
     out_cluster: str = "cluster_id",
     max_iter: int = 25,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Label every node of the pair graph with its component's min id.
 
     Output: one row per distinct node, (``out_id``, ``out_cluster``).
     Raises if propagation hasn't converged within ``max_iter`` rounds —
     an unconverged labeling silently under-merges clusters.
+
+    Pass ``pairs_distinct=True`` when the producer already emits each
+    (a, b) pair once (every pairing operator in this package does — they
+    all end in DISTINCT): it skips a full shuffle-dedup of the edge list,
+    the widest intermediate this operator touches.
     """
     half = pairs.select(
         F.col(a_col).cast("long").alias("src"),
@@ -61,22 +67,29 @@ def connected_components(
     # truncates the plan, keeping every round's analysis O(1).  On a real
     # cluster swap for reliable checkpoint(dir) if executor loss matters
     # mid-algorithm; results are identical.
-    edges = (
-        half.unionByName(
-            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        # multi-band producers emit the same pair once per colliding band;
-        # shrink the edge list once instead of re-joining duplicates each
-        # round (the edge list is re-read every round).  Lazy checkpoints
-        # throughout: each round's single convergence-probe job
-        # materializes them — no extra blocking jobs.
-        .distinct()
-        .localCheckpoint(eager=False)
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if not pairs_distinct:
+        # multi-band producers COULD emit the same pair once per colliding
+        # band; shrink the edge list once instead of re-joining duplicates
+        # each round (the edge list is re-read every round).  The doubled
+        # union itself never collides (src<dst vs src>dst), so distinct
+        # pairs need no re-dedup here.
+        edges = edges.distinct()
+    # Lazy checkpoints throughout: each round's single convergence-probe
+    # job materializes them — no extra blocking jobs.
+    edges = edges.localCheckpoint(eager=False)
+    # Seed labels with min(self, neighbors) — the first propagation round
+    # fused into label construction: the groupBy that would otherwise just
+    # collect the distinct node set computes the round-1 min at the same
+    # shuffle cost, saving one full join round.  For the near-clique
+    # components dedup pairing produces (every node adjacent to the min),
+    # this seed IS the fixed point and the loop only runs the convergence
+    # probe.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min(F.least("src", "dst")).alias("lbl"))
         .localCheckpoint(eager=False)
     )
     # Labels only ever DECREASE (new = min over self + neighbors), so the

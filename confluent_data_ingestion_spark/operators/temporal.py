@@ -1,0 +1,182 @@
+"""Temporal join / sessionization operators.
+
+Spark has no built-in AS OF / interval join (Flink and kdb+ ship them as
+primitives; the reference's Flink runtime exposes interval joins for its
+streaming pipelines).  These implement the same semantics Spark-first:
+
+  asof_join       latest right row at-or-before each left row's timestamp,
+                  per key — the point-in-time enrichment join (no leakage
+                  of future data into training features).
+  interval_join   left ⨝ right where right_time ∈ (left_time+lower,
+                  left_time+upper], per key — Flink's interval join,
+                  re-expressed as a bucketed equi-join.
+  sessionize      gap-based session ids per key (the classic clickstream
+                  sessionization window).
+
+Scale design:
+ - ``asof_join`` does NOT range-join: a range join on (key, time<=)
+   degenerates to per-key cross products.  Instead both sides union into
+   one tagged stream and a single window pass per key carries the last
+   right-side values forward (``last(..., ignorenulls=True)``) — ONE hash
+   shuffle on the key + a per-partition sort, the minimum the semantics
+   allow.  100 TB of facts never joins; it sorts once.
+ - ``interval_join`` buckets time at the window width: each right row
+   lands in one bucket, each left row probes the two (or
+   ceil(span/width)+1) buckets its window can overlap, and the exact
+   range predicate filters the equi-join output.  The shuffle is an
+   equi-join on (key, bucket) — never an unbounded theta join — and each
+   qualifying pair is produced exactly once because the right side is
+   bucketed uniquely.
+ - ``sessionize`` is lag + running sum over one (key, time) window —
+   one shuffle, map-side nothing wider than the row itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tie_col: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_time <= left_time`` and matching key (backward as-of,
+    inclusive).  Left rows with no prior right row keep NULLs.
+
+    Deterministic tie-break among right rows sharing the max
+    ``right_time``: the greatest ``tie_col`` wins (pass a unique right
+    key; defaults to the first value column).
+
+    Output: all left columns + ``prefix``-renamed ``value_cols``.
+    """
+    tie = tie_col or value_cols[0]
+    lcols = left.columns
+    r = right.select(
+        F.col(right_on).alias("__k__"),
+        F.col(right_time).alias("__t__"),
+        F.lit(0).alias("__tag__"),
+        F.col(tie).alias("__tie__"),
+        *[F.col(c).alias(f"__v_{c}__") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(
+        F.col(left_on).alias("__k__"),
+        F.col(left_time).alias("__t__"),
+        F.lit(1).alias("__tag__"),
+        F.lit(None).cast(right.schema[tie].dataType).alias("__tie__"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}__")
+            for c in value_cols
+        ],
+        *lcols,
+    )
+    # Events (tag=1) sort after right rows at the same instant, making the
+    # match inclusive; __tie__ ascending makes last() pick the max tie.
+    w = (
+        Window.partitionBy("__k__")
+        .orderBy(F.col("__t__").asc(), F.col("__tag__").asc(), F.col("__tie__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).select(
+        *lcols,
+        F.col("__tag__"),
+        *[
+            F.last(f"__v_{c}__", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__tag__") == 1).drop("__tag__")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Pairs (l, r) with matching key and
+    ``left_time + lower < right_time <= left_time + upper``.
+
+    The equi-join key is (key, time bucket) at the window-span width:
+    each right row is bucketed once, each left row probes every bucket
+    its (lower, upper] window can overlap — pairs are emitted exactly
+    once, no post-join dedup.
+    """
+    if upper_seconds <= lower_seconds:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    span = upper_seconds - lower_seconds
+    bucket_us = int(span * 1_000_000)
+    lo_us = int(lower_seconds * 1_000_000)
+    hi_us = int(upper_seconds * 1_000_000)
+    rcols = right.columns
+    r = right.select(
+        F.col(right_on).alias("__k__"),
+        F.unix_micros(F.col(right_time).cast("timestamp")).alias("__rt__"),
+        # integral div, not float division: at 100 TB a one-ulp error at a
+        # bucket boundary silently drops pairs.
+        F.expr(
+            f"unix_micros(cast({right_time} as timestamp)) div {bucket_us}"
+        ).alias("__b__"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+    )
+    l = left.withColumn(
+        "__lt__", F.unix_micros(F.col(left_time).cast("timestamp"))
+    ).withColumn(
+        "__b__",
+        F.explode(
+            F.sequence(
+                F.expr(f"(__lt__ + {lo_us}) div {bucket_us}"),
+                F.expr(f"(__lt__ + {hi_us}) div {bucket_us}"),
+            )
+        ),
+    )
+    joined = l.join(r, on=[l["__b__"] == r["__b__"], F.col(left_on) == r["__k__"]])
+    return joined.filter(
+        (F.col("__rt__") > F.col("__lt__") + F.lit(lo_us))
+        & (F.col("__rt__") <= F.col("__lt__") + F.lit(hi_us))
+    ).drop("__k__", "__b__", "__lt__", "__rt__")
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    gap_seconds: float,
+    order_tie_col: str,
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Assign each row a per-key session sequence number (1-based): a new
+    session starts when the gap from the previous row of the same key
+    exceeds ``gap_seconds``.  ``order_tie_col`` makes the within-key
+    ordering total (and the labeling deterministic) for equal timestamps.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(time_col).asc(), F.col(order_tie_col).asc()
+    )
+    gap_us = int(gap_seconds * 1_000_000)
+    t = F.unix_micros(F.col(time_col).cast("timestamp"))
+    prev = F.lag(t).over(w)
+    is_new = F.when(prev.isNull() | ((t - prev) > F.lit(gap_us)), 1).otherwise(0)
+    return df.withColumn(
+        out_col,
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )

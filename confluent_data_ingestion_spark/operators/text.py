@@ -15,7 +15,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_STOPWORDS = (
@@ -223,3 +223,82 @@ def pii_scrub(
         )
         cleaned = F.regexp_replace(cleaned, pat, repl)
     return df.select("*", *counts, cleaned.alias(out_col))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    chunk_tokens: int = 40,
+    stride_tokens: int = 30,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window preparation step of a training pipeline (pack long
+    documents into model-sized pieces with ``chunk - stride`` tokens of
+    overlap so no span is ever cut without context).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk); the final chunk may
+    be short.  A document of <= ``chunk_tokens`` tokens yields exactly one
+    chunk.  Pure per-row ``transform`` + ``explode`` over the token array —
+    no shuffle, scan-speed at any corpus size, and chunk rows inherit the
+    parent's partition (downstream groupBys shuffle chunk text, which is
+    why chunking belongs BEFORE wide stages in a pipeline).
+    """
+    if stride_tokens <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride_tokens must be positive")
+    t = text_col
+    n_chunks = (
+        f"1 + CAST(ceil(greatest(0, size(split({t}, ' ')) - {chunk_tokens})"
+        f" / CAST({stride_tokens} AS DOUBLE)) AS INT)"
+    )
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1), i -> struct("
+        f"i AS idx, "
+        f"array_join(slice(split({t}, ' '), i * {stride_tokens} + 1, {chunk_tokens}), ' ') AS txt, "
+        f"size(slice(split({t}, ' '), i * {stride_tokens} + 1, {chunk_tokens})) AS n))"
+    )
+    return df.select(
+        *id_cols, F.explode(F.expr(chunks)).alias("__c__")
+    ).select(
+        *id_cols,
+        F.col("__c__.idx").alias("chunk_idx"),
+        F.col("__c__.n").alias("chunk_tokens"),
+        F.col("__c__.txt").alias("chunk_text"),
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 1,
+) -> DataFrame:
+    """Top-k characteristic terms per document: rank by term frequency
+    descending, then document frequency ascending (rarer wins the tie),
+    then term ascending — the tf-idf ranking with an exact integer
+    tie-break instead of a float idf product, so every engine reproduces
+    the ordering bit-for-bit.
+
+    Two shuffles, both on compact keys: (doc, term) tf aggregation and a
+    term -> doc-frequency aggregation whose output is term-vocabulary
+    sized (tiny vs the corpus — broadcast back onto the tf side), then
+    one window top-k on the doc id.  The corpus text itself never
+    shuffles: only (id, term, count) triples move.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.length("term") >= min_len)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("doc_freq")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term_rank", "term", "tf", "doc_freq")
+    )

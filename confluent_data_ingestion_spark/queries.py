@@ -798,7 +798,8 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _simhash_corpus(spark, sf_dir)
     pairs = simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
                           persist_signatures=True)
-    return connected_components(pairs)
+    # simhash_pairs ends in DISTINCT — skip the edge-list re-dedup shuffle.
+    return connected_components(pairs, pairs_distinct=True)
 
 
 # Benchmark decontamination.  Eval set = every 20th doc; train = the rest
@@ -1360,3 +1361,160 @@ def colspec_quarantine_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     spec = load_colspec(rows)
     return compile_colspec(spark, spec, env)["q_out"]
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins — AS OF / interval join / sessionization.  Spark has no
+# built-in for any of these (Flink ships interval joins as a streaming
+# primitive; the reference's pipelines run on Flink); re-expressed here as
+# single-shuffle window/bucketed-equi-join plans (operators/temporal.py).
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_latest_order",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts,
+           CAST(o_orderkey AS BIGINT) AS asof_orderkey,
+           o_totalprice AS asof_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    ev, orders = _t(spark, sf_dir, "events", "orders")
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+        tie_col="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_o_totalprice").alias("asof_totalprice"),
+    )
+
+
+@query(
+    "range_join_event_pairs",
+    """
+    SELECT a.event_id AS ev_a, b.event_id AS ev_b, a.user_id,
+           CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = interval_join(
+        ev,
+        ev,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="ts",
+        lower_seconds=0,
+        upper_seconds=3600,
+    )
+    return out.select(
+        F.col("event_id").alias("ev_a"),
+        F.col("event_id_r").alias("ev_b"),
+        "user_id",
+        (
+            F.unix_micros(F.col("ts_r").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                         OR date_diff('microsecond', prev_ts, ts) > 14400000000
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+    FROM (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev.select("event_id", "user_id", "ts"),
+        key_col="user_id",
+        time_col="ts",
+        gap_seconds=14400,
+        order_tie_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking + per-doc keyword extraction (training-data prep).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_chunk_overlap",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    n AS (SELECT doc_id, ts,
+                 1 + CAST(ceil(greatest(0, len(ts) - 40) / 30.0) AS INT) AS nc
+          FROM t)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(len(list_slice(ts, i*30+1, i*30+40)) AS INT) AS chunk_tokens,
+           array_to_string(list_slice(ts, i*30+1, i*30+40), ' ') AS chunk_text
+    FROM n, unnest(generate_series(0, nc - 1)) AS u(i)
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=40, stride_tokens=30)
+
+
+@query(
+    "keyword_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE len(term) >= 1 GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term)
+    SELECT doc_id, term_rank, term, tf, doc_freq FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+             CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfq.doc_freq ASC, tf.term ASC) AS INT) AS term_rank
+      FROM tf JOIN dfq USING (term)
+    ) WHERE term_rank <= 3
+    """,
+)
+def keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms(docs, k=3, min_len=1)

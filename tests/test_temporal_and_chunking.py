@@ -1,0 +1,176 @@
+"""Unit tests for temporal joins (as-of / interval / sessionize) and the
+chunking + keyword-extraction text operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from confluent_data_ingestion_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    sessionize,
+)
+from confluent_data_ingestion_spark.operators.text import (
+    chunk_documents,
+    top_terms,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive_and_nulls(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05T00:00:00")),  # after both quotes
+            (2, 10, _ts("2024-01-02T00:00:00")),  # exactly at quote 2 (inclusive)
+            (3, 10, _ts("2024-01-01T11:59:59")),  # only quote 1 precedes
+            (4, 20, _ts("2024-01-05T00:00:00")),  # key with no right rows
+        ],
+        "event_id long, uid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T00:00:00"), 1.0),
+            (101, 10, _ts("2024-01-02T00:00:00"), 2.0),
+        ],
+        "qid long, uid long, qts timestamp, px double",
+    )
+    out = asof_join(
+        left, right,
+        left_on="uid", right_on="uid",
+        left_time="ts", right_time="qts",
+        value_cols=["qid", "px"], tie_col="qid",
+    )
+    got = {r["event_id"]: (r["asof_qid"], r["asof_px"]) for r in out.collect()}
+    assert got == {1: (101, 2.0), 2: (101, 2.0), 3: (100, 1.0), 4: (None, None)}
+
+
+def test_asof_join_tie_break_max_tie_col(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-02T00:00:00"))], "event_id long, uid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T00:00:00"), 1.0),
+            (103, 10, _ts("2024-01-01T00:00:00"), 3.0),
+            (102, 10, _ts("2024-01-01T00:00:00"), 2.0),
+        ],
+        "qid long, uid long, qts timestamp, px double",
+    )
+    out = asof_join(
+        left, right,
+        left_on="uid", right_on="uid",
+        left_time="ts", right_time="qts",
+        value_cols=["qid", "px"], tie_col="qid",
+    ).collect()
+    assert (out[0]["asof_qid"], out[0]["asof_px"]) == (103, 3.0)
+
+
+def test_interval_join_boundaries_and_cross_bucket(spark):
+    base = _ts("2024-01-01T00:00:00")
+    left = spark.createDataFrame(
+        [(1, 7, base)], "lid long, k long, t timestamp"
+    )
+    sec = dt.timedelta(seconds=1)
+    right = spark.createDataFrame(
+        [
+            (10, 7, base),                  # gap 0: excluded (strict lower)
+            (11, 7, base + 60 * sec),       # inside
+            (12, 7, base + 3600 * sec),     # exactly upper: included
+            (13, 7, base + 3601 * sec),     # past upper: excluded
+            (14, 8, base + 60 * sec),       # other key: excluded
+            (15, 7, base - 1 * sec),        # before left: excluded
+        ],
+        "rid long, k long, t timestamp",
+    )
+    out = interval_join(
+        left, right,
+        left_on="k", right_on="k", left_time="t", right_time="t",
+        lower_seconds=0, upper_seconds=3600,
+    )
+    assert sorted(r["rid_r"] for r in out.collect()) == [11, 12]
+
+
+def test_interval_join_emits_each_pair_once(spark):
+    # right row lands mid-bucket while left probes two buckets — the pair
+    # must still appear exactly once.
+    base = _ts("2024-01-01T00:59:00")
+    left = spark.createDataFrame([(1, 7, base)], "lid long, k long, t timestamp")
+    right = spark.createDataFrame(
+        [(11, 7, base + dt.timedelta(seconds=120))], "rid long, k long, t timestamp"
+    )
+    out = interval_join(
+        left, right,
+        left_on="k", right_on="k", left_time="t", right_time="t",
+        lower_seconds=0, upper_seconds=3600,
+    )
+    assert out.count() == 1
+
+
+def test_sessionize_gap_and_ties(spark):
+    base = _ts("2024-01-01T00:00:00")
+    m = dt.timedelta(minutes=1)
+    df = spark.createDataFrame(
+        [
+            (1, 7, base),
+            (2, 7, base + 10 * m),   # same session (gap 10m < 30m)
+            (3, 7, base + 50 * m),   # new session (gap 40m)
+            (4, 7, base + 50 * m),   # same timestamp: tie-broken by id, same session
+            (5, 8, base),            # other key: own numbering
+        ],
+        "event_id long, uid long, ts timestamp",
+    )
+    out = sessionize(
+        df, key_col="uid", time_col="ts", gap_seconds=1800, order_tie_col="event_id"
+    )
+    got = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_chunk_documents_short_and_overlap(spark):
+    toks = [f"t{i}" for i in range(41)]
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(toks))], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=40, stride_tokens=30)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    assert rows[(1, 0)]["chunk_tokens"] == 3
+    assert rows[(1, 0)]["chunk_text"] == "a b c"
+    # 41 tokens -> chunk 0 = tokens[0:40], chunk 1 = tokens[30:41]
+    assert rows[(2, 0)]["chunk_tokens"] == 40
+    assert rows[(2, 1)]["chunk_tokens"] == 11
+    assert rows[(2, 1)]["chunk_text"] == " ".join(toks[30:41])
+    assert len(rows) == 3
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    toks = [f"w{i}" for i in range(99)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=40, stride_tokens=30)
+    covered = set()
+    for r in out.collect():
+        start = r["chunk_idx"] * 30
+        covered.update(range(start, start + r["chunk_tokens"]))
+    assert covered == set(range(99))
+
+
+def test_top_terms_rank_and_tie_break(spark):
+    df = spark.createDataFrame(
+        [
+            # doc 1: 'x' tf=3; 'rare' tf=2; 'common' tf=2 (common appears in
+            # both docs -> doc_freq 2 loses the tie to rare's doc_freq 1)
+            (1, "x x x rare rare common common"),
+            (2, "common y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_terms(df, k=3)
+    d1 = {r["term_rank"]: r["term"] for r in out.collect() if r["doc_id"] == 1}
+    assert d1 == {1: "x", 2: "rare", 3: "common"}
+    # doc 2: both terms tf=1; 'y' (doc_freq 1) outranks 'common' (doc_freq 2)
+    d2 = sorted((r["term_rank"], r["term"]) for r in out.collect() if r["doc_id"] == 2)
+    assert d2 == [(1, "y"), (2, "common")]
