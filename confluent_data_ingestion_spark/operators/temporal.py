@@ -180,3 +180,57 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).cast("int"),
     )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    *,
+    time_col: str,
+    window_seconds: int,
+    group_cols: list[str],
+    aggs: list,
+) -> DataFrame:
+    """Tumbling event-time window aggregation — Flink SQL's
+    ``TUMBLE(...)`` (the reference's Flink runtime exposes it as a
+    first-class streaming construct; batch semantics are identical).
+
+    One shuffle on (window, group keys) with map-side partial aggregation;
+    ``F.window`` is a pure projection, so the window assignment itself is
+    codegen'd and free.  The same expression works under Structured
+    Streaming with a watermark for the streaming path.
+    """
+    w = F.window(F.col(time_col), f"{window_seconds} seconds")
+    agged = df.groupBy(w.alias("__w__"), *group_cols).agg(*aggs)
+    return agged.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        *[c for c in agged.columns if c != "__w__"],
+    )
+
+
+def hopping_window_agg(
+    df: DataFrame,
+    *,
+    time_col: str,
+    window_seconds: int,
+    slide_seconds: int,
+    group_cols: list[str],
+    aggs: list,
+) -> DataFrame:
+    """Hopping (sliding) event-time window aggregation — Flink SQL's
+    ``HOP(...)``.  Each row lands in ``window/slide`` overlapping windows;
+    ``F.window(col, win, slide)`` expands them JVM-side before ONE shuffle
+    on (window, keys) with map-side combine — row duplication is bounded
+    by the overlap factor, never by the data.
+    """
+    if window_seconds % slide_seconds != 0:
+        raise ValueError("window_seconds must be a multiple of slide_seconds")
+    w = F.window(
+        F.col(time_col), f"{window_seconds} seconds", f"{slide_seconds} seconds"
+    )
+    agged = df.groupBy(w.alias("__w__"), *group_cols).agg(*aggs)
+    return agged.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        *[c for c in agged.columns if c != "__w__"],
+    )

@@ -302,3 +302,44 @@ def top_terms(
         .filter(F.col("term_rank") <= k)
         .select(id_col, "term_rank", "term", "tf", "doc_freq")
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    max_stopword_ratio: float = 0.30,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Composite C4/Gopher-style document quality gate: apply the length
+    and stopword-density heuristics and keep the verdict AND the reasons —
+    a training-data pipeline filters on ``quality_pass`` but audits the
+    drop-rate per reason, so both must come out of one scan.
+
+    ``fail_reasons`` is a comma-joined, fixed-order list ("too_short",
+    "too_long", "high_stopword"); empty string when the document passes.
+    Pure per-row expressions over one tokenization — scan speed, no
+    Python, no shuffle.
+    """
+    t = text_col
+    sw = sql_in_list(stopwords)
+    n_tok = f"size(split({t}, ' '))"
+    sw_ratio = (
+        f"round(CAST(size(filter(split({t}, ' '), x -> x IN ({sw}))) AS DOUBLE)"
+        f" / size(split({t}, ' ')), 6)"
+    )
+    reasons = (
+        f"filter(array("
+        f"  IF({n_tok} < {min_tokens}, 'too_short', ''),"
+        f"  IF({n_tok} > {max_tokens}, 'too_long', ''),"
+        f"  IF({sw_ratio} > {max_stopword_ratio}, 'high_stopword', '')"
+        f"), x -> x <> '')"
+    )
+    return df.select(
+        "*",
+        F.expr(n_tok).alias("n_tokens"),
+        F.expr(sw_ratio).alias("stopword_ratio"),
+        F.expr(f"array_join({reasons}, ',')").alias("fail_reasons"),
+        F.expr(f"size({reasons}) = 0").alias("quality_pass"),
+    )

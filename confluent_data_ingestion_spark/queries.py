@@ -1518,3 +1518,119 @@ def keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return top_terms(docs, k=3, min_len=1)
+
+
+# ---------------------------------------------------------------------------
+# Flink windowed aggregations (TUMBLE / HOP) — batch semantics of the
+# reference runtime's streaming windows.  Window boundaries are computed
+# from epoch arithmetic in the oracle so both engines align to midnight UTC
+# regardless of each engine's bucket-origin convention.
+# ---------------------------------------------------------------------------
+@query(
+    "tumbling_window_agg",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             (epoch_us(ts) // 86400000000) * 86400000000 AS ws_us
+      FROM events
+    )
+    SELECT make_timestamp(ws_us) AS window_start,
+           make_timestamp(ws_us + 86400000000) AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM b GROUP BY ws_us, event_type
+    """,
+)
+def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import tumbling_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_window_agg(
+        ev.select("ts", "event_type", "value"),
+        time_col="ts",
+        window_seconds=86400,
+        group_cols=["event_type"],
+        aggs=[
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+    )
+
+
+@query(
+    "hopping_window_agg",
+    """
+    WITH h AS (
+      SELECT event_type, value,
+             ((epoch_us(ts) // 43200000000) - u.k) * 43200000000 AS ws_us
+      FROM events, unnest(generate_series(0, 1)) AS u(k)
+    )
+    SELECT make_timestamp(ws_us) AS window_start,
+           make_timestamp(ws_us + 86400000000) AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM h GROUP BY ws_us, event_type
+    """,
+)
+def hopping_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import hopping_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return hopping_window_agg(
+        ev.select("ts", "event_type", "value"),
+        time_col="ts",
+        window_seconds=86400,
+        slide_seconds=43200,
+        group_cols=["event_type"],
+        aggs=[
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite document quality gate (verdict + per-reason audit in one scan).
+# ---------------------------------------------------------------------------
+@query(
+    "quality_filter_gate",
+    """
+    WITH f AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        round(CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+              / len(string_split(text, ' ')), 6) AS stopword_ratio
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens, stopword_ratio,
+        list_filter([
+          CASE WHEN n_tokens < 20 THEN 'too_short' ELSE '' END,
+          CASE WHEN n_tokens > 90 THEN 'too_long' ELSE '' END,
+          CASE WHEN stopword_ratio > 0.3 THEN 'high_stopword' ELSE '' END
+        ], x -> x <> '') AS reasons
+      FROM f
+    )
+    SELECT doc_id, n_tokens, stopword_ratio,
+           COALESCE(array_to_string(reasons, ','), '') AS fail_reasons,
+           (len(reasons) = 0) AS quality_pass
+    FROM r
+    """,
+)
+def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(
+        docs.select("doc_id", "text"),
+        min_tokens=20,
+        max_tokens=90,
+        max_stopword_ratio=0.30,
+    ).drop("text")

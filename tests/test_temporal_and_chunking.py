@@ -174,3 +174,77 @@ def test_top_terms_rank_and_tie_break(spark):
     # doc 2: both terms tf=1; 'y' (doc_freq 1) outranks 'common' (doc_freq 2)
     d2 = sorted((r["term_rank"], r["term"]) for r in out.collect() if r["doc_id"] == 2)
     assert d2 == [(1, "y"), (2, "common")]
+
+
+def test_tumbling_window_assigns_each_row_once(spark):
+    base = _ts("2024-01-01T00:00:00")
+    h = dt.timedelta(hours=1)
+    df = spark.createDataFrame(
+        [
+            ("a", base, 1.0),
+            ("a", base + 5 * h, 2.0),     # same day
+            ("a", base + 25 * h, 4.0),    # next day
+            ("b", base, 8.0),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    from confluent_data_ingestion_spark.operators.temporal import (
+        tumbling_window_agg,
+    )
+
+    out = tumbling_window_agg(
+        df, time_col="ts", window_seconds=86400, group_cols=["event_type"],
+        aggs=[F.count("*").alias("n"), F.sum("value").alias("s")],
+    )
+    rows = {(r["event_type"], str(r["window_start"])): (r["n"], r["s"])
+            for r in out.collect()}
+    assert rows == {
+        ("a", "2024-01-01 00:00:00"): (2, 3.0),
+        ("a", "2024-01-02 00:00:00"): (1, 4.0),
+        ("b", "2024-01-01 00:00:00"): (1, 8.0),
+    }
+    # total rows across windows == input rows (tumble partitions the axis)
+    assert out.agg(F.sum("n")).collect()[0][0] == 4
+
+
+def test_hopping_window_overlap_factor(spark):
+    base = _ts("2024-01-01T06:00:00")
+    df = spark.createDataFrame(
+        [("a", base, 1.0)], "event_type string, ts timestamp, value double"
+    )
+    from confluent_data_ingestion_spark.operators.temporal import (
+        hopping_window_agg,
+    )
+
+    out = hopping_window_agg(
+        df, time_col="ts", window_seconds=86400, slide_seconds=43200,
+        group_cols=["event_type"],
+        aggs=[F.count("*").alias("n")],
+    )
+    starts = sorted(str(r["window_start"]) for r in out.collect())
+    # one event lands in exactly window/slide = 2 hopping windows
+    assert starts == ["2023-12-31 12:00:00", "2024-01-01 00:00:00"]
+
+
+def test_quality_filter_reasons(spark):
+    from confluent_data_ingestion_spark.operators.text import quality_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(["ok"] * 30)),           # passes
+            (2, "short doc"),                      # too_short
+            (3, " ".join(["x"] * 100)),            # too_long
+            (4, " ".join(["the"] * 30)),           # high_stopword
+            (5, " ".join(["the"] * 5)),            # too_short + high_stopword
+        ],
+        "doc_id long, text string",
+    )
+    out = quality_filter(df, min_tokens=20, max_tokens=90,
+                         max_stopword_ratio=0.30)
+    got = {r["doc_id"]: (r["quality_pass"], r["fail_reasons"])
+           for r in out.collect()}
+    assert got[1] == (True, "")
+    assert got[2] == (False, "too_short")
+    assert got[3] == (False, "too_long")
+    assert got[4] == (False, "high_stopword")
+    assert got[5] == (False, "too_short,high_stopword")
