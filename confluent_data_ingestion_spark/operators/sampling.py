@@ -117,3 +117,60 @@ def stratified_sample(
     )
     expr = f"CASE {cases} ELSE {keep(default_fraction)} END"
     return df.filter(F.expr(expr))
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing: keep each stratum at a rate
+    proportional to ``count^alpha`` (alpha<1 flattens the mix toward
+    uniform — the multilingual-sampling temperature trick), scaled so the
+    expected kept total is ``target_fraction`` of the corpus.
+
+    rate(s) = min(1, target_total * w(s) / count(s)),
+    w(s) = count(s)^alpha / sum_t count(t)^alpha — rounded to 6 decimals
+    before the cutoff so IEEE accumulation-order differences between
+    engines can't flip a row at the boundary.
+
+    Row selection is the same engine-reproducible md5 cutoff as
+    ``stratified_sample``, but compared NUMERICALLY (first 8 hex chars as
+    an integer against floor(rate * 2^32)) because here the rates are
+    data-derived in SQL, not Python-side literals.
+
+    Scale shape: one tiny per-stratum count aggregation (map-side
+    combined), broadcast of the stratum->rate table back onto the corpus,
+    then a pure per-row hash predicate — the corpus itself never
+    shuffles.
+    """
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError("target_fraction must be in (0, 1]")
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    counts = df.groupBy(F.col(strata_col).alias("__s__")).agg(
+        F.count("*").alias("__n__")
+    )
+    tot = counts.agg(
+        F.sum("__n__").alias("__tot__"),
+        F.sum(F.pow(F.col("__n__").cast("double"), F.lit(alpha))).alias("__wsum__"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "__s__",
+        F.expr(
+            f"round(least(1.0d, ({target_fraction}d * __tot__) * "
+            f"(pow(CAST(__n__ AS DOUBLE), {alpha}d) / __wsum__) / __n__), 6)"
+        ).alias("__rate__"),
+    )
+    bucket = (
+        f"CAST(conv(substr(md5(concat('{seed}', '|', CAST({strata_col} AS STRING), "
+        f"'|', CAST({key_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        df.join(F.broadcast(rates), F.col(strata_col) == F.col("__s__"))
+        .filter(F.expr(f"{bucket} < CAST(floor(__rate__ * 4294967296.0d) AS BIGINT)"))
+        .drop("__s__", "__rate__")
+    )

@@ -297,3 +297,39 @@ def ivf_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization, exploded to (id, pos, q,
+    scale) rows: scale = max(|x|)/127, q = floor(x/scale + 0.5) — the
+    storage/bandwidth-reduction step before shipping embeddings into an
+    ANN index (4x smaller than float32; dot products reconstruct within
+    scale/2 per coordinate).
+
+    ``floor(x + 0.5)`` instead of ``round()`` because engines disagree on
+    half-even vs half-away rounding; floor is identical everywhere.
+    Zero vectors quantize to NULL q (scale 0 -> guarded by nullif).  Pure
+    per-row expressions, zero shuffle; 1-based positions match SQL array
+    indexing.
+    """
+    e = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    scale = f"(array_max(transform({e}, x -> abs(x))) / 127.0d)"
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(scale).alias("__scale__"),
+            F.posexplode(F.expr(e)).alias("__p__", "__x__"),
+        )
+        .select(
+            id_col,
+            (F.col("__p__") + 1).cast("int").alias("pos"),
+            F.expr(
+                "CAST(floor(__x__ / nullif(__scale__, 0.0d) + 0.5d) AS INT)"
+            ).alias("q"),
+            F.expr("round(__scale__, 6)").alias("scale"),
+        )
+    )

@@ -273,6 +273,7 @@ def top_terms(
     id_col: str = "doc_id",
     k: int = 3,
     min_len: int = 1,
+    persist_tf: bool = True,
 ) -> DataFrame:
     """Top-k characteristic terms per document: rank by term frequency
     descending, then document frequency ascending (rarer wins the tie),
@@ -285,11 +286,20 @@ def top_terms(
     sized (tiny vs the corpus — broadcast back onto the tf side), then
     one window top-k on the doc id.  The corpus text itself never
     shuffles: only (id, term, count) triples move.
+
+    ``persist_tf`` caches the tf aggregate (released by the runtime via
+    ``caching.release_caches``): without it, Catalyst plans the doc-freq
+    branch as a SECOND scan + explode of the whole corpus — at 100 TB
+    that doubles the dominant cost for no reason.
     """
+    from ..caching import track
+
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).filter(F.length("term") >= min_len)
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    if persist_tf:
+        tf = track(tf)
     dfreq = tf.groupBy("term").agg(
         F.count("*").cast("bigint").alias("doc_freq")
     )

@@ -1634,3 +1634,62 @@ def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_tokens=90,
         max_stopword_ratio=0.30,
     ).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# Temperature (alpha) corpus-mix resampling + int8 embedding quantization.
+# The resample decision compares the md5 bucket NUMERICALLY (Spark: conv();
+# oracle: explicit base-16 fold) against floor(rate * 2^32) with the rate
+# rounded to 6 decimals in both engines, so data-derived rates stay
+# engine-reproducible.
+# ---------------------------------------------------------------------------
+@query(
+    "temperature_resample_mix",
+    """
+    WITH c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS wsum FROM c),
+    r AS (
+      SELECT s, round(least(1.0, (0.5 * tot) * (pow(CAST(n AS DOUBLE), 0.5) / wsum) / n), 6) AS rate
+      FROM c, t
+    ),
+    h AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, r.rate,
+             substr(md5('|' || CAST(d.source AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS hx
+      FROM documents d JOIN r ON d.source = r.s
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM h
+    WHERE (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 8, 1)) - 1) * 1
+          < CAST(floor(rate * 4294967296.0) AS BIGINT)
+    """,
+)
+def temperature_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_resample(
+        docs, strata_col="source", key_col="doc_id", alpha=0.5,
+        target_fraction=0.5,
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    )
+    SELECT vec_id, CAST(i AS INT) AS pos,
+           CAST(floor(e[i] / nullif(scale, 0.0) + 0.5) AS INT) AS q,
+           round(scale, 6) AS scale
+    FROM s, unnest(generate_series(1, len(e))) AS u(i)
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+

@@ -248,3 +248,49 @@ def test_quality_filter_reasons(spark):
     assert got[3] == (False, "too_long")
     assert got[4] == (False, "high_stopword")
     assert got[5] == (False, "too_short,high_stopword")
+
+
+def test_temperature_resample_flattens_mix(spark):
+    from confluent_data_ingestion_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(
+        df, strata_col="source", key_col="doc_id", alpha=0.5,
+        target_fraction=0.5,
+    )
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # alpha=0.5 weights: sqrt(900)=30, sqrt(100)=10 -> target 500 split
+    # 375/125 -> small keeps ALL 100 docs (rate capped at 1), big ~375/900
+    assert got["small"] == 100
+    assert 300 < got["big"] < 450
+    # deterministic: same inputs, same rows kept
+    again = temperature_resample(
+        df, strata_col="source", key_col="doc_id", alpha=0.5,
+        target_fraction=0.5,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_quantize_embeddings_reconstruction(spark):
+    from confluent_data_ingestion_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = quantize_embeddings(df)
+    got = {(r["vec_id"], r["pos"]): (r["q"], r["scale"]) for r in out.collect()}
+    # vec 1: scale = 1/127; q = x * 127
+    assert got[(1, 1)] == (127, round(1.0 / 127, 6))
+    assert got[(1, 2)][0] == -63   # floor(-63.5 + 0.5) = -63
+    assert got[(1, 3)][0] == 32    # floor(31.75 + 0.5) = 32
+    # zero vector: scale 0 -> NULL q
+    assert got[(2, 1)] == (None, 0.0)
