@@ -95,3 +95,54 @@ def pack_sequences(
             .alias("n_seqs"),
         )
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    n_shards: int = 8,
+    mode: str = "hash",
+    seed: str = "",
+) -> DataFrame:
+    """Assign every document to one of ``n_shards`` output shards.
+
+    Output: (``id_col``, n_tokens, shard).
+
+    Two modes for two regimes:
+     - ``hash`` (the corpus-scale path): shard = md5 bucket of the key —
+       a pure per-row predicate, zero shuffle, balanced to ~sqrt(n/shards)
+       tokens by the law of large numbers.  This is the only mode that
+       scans document data, and it never moves it.
+     - ``balanced`` (the shard-PLANNER path): boustrophedon ("snake")
+       assignment over the token-count-descending global order — shard
+       token totals match to within one document.  Runs a global-order
+       window (single-partition sort), which is fine for what it's for:
+       planners run on the (id, n_tokens) METADATA projection — two longs
+       per document, not the corpus — as the finalize step after counts
+       are aggregated.  For 10^9+ docs use ``hash``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    toks = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.size(F.split(F.col(text_col), " "))
+    ).cast("bigint")
+    base = df.select(F.col(id_col), toks.alias("n_tokens"))
+    if mode == "hash":
+        bucket = (
+            f"CAST(conv(substr(md5(concat('{seed}', '|', "
+            f"CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        return base.withColumn(
+            "shard", F.expr(f"CAST({bucket} % {n_shards} AS INT)")
+        )
+    if mode == "balanced":
+        w = Window.orderBy(F.col("n_tokens").desc(), F.col(id_col).asc())
+        rn = F.row_number().over(w) - 1  # 0-based
+        pos = rn % (2 * n_shards)
+        snake = F.when(pos < n_shards, pos).otherwise(2 * n_shards - 1 - pos)
+        return base.withColumn("shard", snake.cast("int"))
+    raise ValueError(f"unknown mode {mode!r}; use 'hash' or 'balanced'")

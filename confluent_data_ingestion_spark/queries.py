@@ -1693,3 +1693,30 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb)
 
+
+
+# ---------------------------------------------------------------------------
+# Training-shard planner: snake assignment over token-sorted metadata.
+# ---------------------------------------------------------------------------
+@query(
+    "shard_assignment_balanced",
+    """
+    WITH m AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1 AS BIGINT) AS rn
+      FROM m
+    )
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN rn % 16 < 8 THEN rn % 16 ELSE 15 - (rn % 16) END AS INT) AS shard
+    FROM r
+    """,
+)
+def shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import shard_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_assignment(docs, n_shards=8, mode="balanced")

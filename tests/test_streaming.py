@@ -245,3 +245,65 @@ def test_parse_state_ttl():
     assert parse_state_ttl("0 ms") is None  # keep state forever
     with pytest.raises(ValueError):
         parse_state_ttl("whenever")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregation under Structured Streaming (watermarked)
+# ---------------------------------------------------------------------------
+def test_tumbling_window_streaming_matches_batch(spark, tmp_path):
+    from confluent_data_ingestion_spark.operators.temporal import (
+        tumbling_window_agg,
+    )
+
+    src = str(tmp_path / "win_in")
+    os.makedirs(src)
+    rows = [
+        {"et": "a", "ts": "2026-01-01T00:00:10", "v": 1.0},
+        {"et": "a", "ts": "2026-01-01T00:01:10", "v": 2.0},
+        {"et": "b", "ts": "2026-01-01T00:00:20", "v": 4.0},
+        {"et": "a", "ts": "2026-01-01T00:02:30", "v": 8.0},
+    ]
+    with open(f"{src}/p1.ndjson", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows)
+
+    def typed(df):
+        return df.select(
+            F.get_json_object("val", "$.et").alias("event_type"),
+            F.get_json_object("val", "$.ts").cast("timestamp").alias("ts"),
+            F.get_json_object("val", "$.v").cast("double").alias("value"),
+        )
+
+    aggs = [F.count("*").alias("n"), F.sum("value").alias("s")]
+
+    # the SAME operator body runs in both execution modes — watermark added
+    # on the streaming side so state is bounded in a real deployment
+    stream = typed(file_envelope_stream(spark, src)).withWatermark("ts", "1 minute")
+    q = (
+        tumbling_window_agg(
+            stream, time_col="ts", window_seconds=60,
+            group_cols=["event_type"], aggs=aggs,
+        )
+        .writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_df = spark.read.text(src).select(F.col("value").alias("val"))
+    expected = {
+        (r["event_type"], str(r["window_start"])): (r["n"], r["s"])
+        for r in tumbling_window_agg(
+            typed(batch_df), time_col="ts", window_seconds=60,
+            group_cols=["event_type"], aggs=aggs,
+        ).collect()
+    }
+    got = {
+        (r["event_type"], str(r["window_start"])): (r["n"], r["s"])
+        for r in spark.sql("select * from win_stream").collect()
+    }
+    assert got == expected
+    assert got[("a", "2026-01-01 00:00:00")] == (1, 1.0)
+    assert got[("a", "2026-01-01 00:01:00")] == (1, 2.0)

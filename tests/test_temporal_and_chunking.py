@@ -294,3 +294,32 @@ def test_quantize_embeddings_reconstruction(spark):
     assert got[(1, 3)][0] == 32    # floor(31.75 + 0.5) = 32
     # zero vector: scale 0 -> NULL q
     assert got[(2, 1)] == (None, 0.0)
+
+
+def test_shard_assignment_modes(spark):
+    from confluent_data_ingestion_spark.operators.packing import (
+        shard_assignment,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(32)],
+        "doc_id long, text string",
+    )
+    balanced = shard_assignment(df, n_shards=4, mode="balanced")
+    per_shard = {
+        r["shard"]: r["s"]
+        for r in balanced.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    assert set(per_shard) == {0, 1, 2, 3}
+    # snake over a linear token ramp balances shard totals tightly
+    assert max(per_shard.values()) - min(per_shard.values()) <= 8
+
+    hashed = shard_assignment(df, n_shards=4, mode="hash")
+    shards = {r["doc_id"]: r["shard"] for r in hashed.collect()}
+    assert set(shards.values()) <= {0, 1, 2, 3}
+    # deterministic under re-evaluation
+    again = {r["doc_id"]: r["shard"]
+             for r in shard_assignment(df, n_shards=4, mode="hash").collect()}
+    assert shards == again
