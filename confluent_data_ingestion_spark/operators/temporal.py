@@ -234,3 +234,30 @@ def hopping_window_agg(
         F.col("__w__.end").alias("window_end"),
         *[c for c in agged.columns if c != "__w__"],
     )
+
+
+def session_window_agg(
+    df: DataFrame,
+    *,
+    time_col: str,
+    gap_seconds: int,
+    group_cols: list[str],
+    aggs: list,
+) -> DataFrame:
+    """Session event-time window aggregation — Flink SQL's ``SESSION(...)``
+    via Spark's native ``session_window`` (windows extend while events
+    arrive within ``gap_seconds`` of the last one; window_end = last event
+    + gap).
+
+    Session merging is Spark-native (dedicated merging state store in
+    streaming; a window-merge pass in batch) behind ONE shuffle on the
+    group keys.  The same expression runs under Structured Streaming with
+    a watermark.
+    """
+    w = F.session_window(F.col(time_col), f"{gap_seconds} seconds")
+    agged = df.groupBy(w.alias("__w__"), *group_cols).agg(*aggs)
+    return agged.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        *[c for c in agged.columns if c != "__w__"],
+    )

@@ -1720,3 +1720,47 @@ def shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return shard_assignment(docs, n_shards=8, mode="balanced")
+
+
+@query(
+    "session_window_agg",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, value, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                     > 14400000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, value, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT min(ts) AS window_start,
+           max(ts) + INTERVAL 4 HOUR AS window_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import session_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return session_window_agg(
+        ev.select("ts", "user_id", "value"),
+        time_col="ts",
+        gap_seconds=14400,
+        group_cols=["user_id"],
+        aggs=[
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+    )

@@ -1,0 +1,110 @@
+"""Custom stateful streaming operator: per-key session aggregation with
+``applyInPandasWithState``.
+
+The built-in ``session_window`` aggregation (operators/temporal.py) covers
+the declarative case.  This operator is the IMPERATIVE path Spark reserves
+for semantics the built-ins can't express — here, emit-on-close session
+records whose state (the open session) survives across microbatches, the
+Structured Streaming equivalent of a Flink KeyedProcessFunction.
+
+Scale design: state per key is ONE fixed-width row (4 numbers), not the
+event history — memory is O(live keys) regardless of stream length.  Rows
+arrive grouped and Arrow-batched per key (one shuffle on the key, the same
+partitioning the stateful store needs, so no extra exchange).  Per batch,
+each key's work is a single sorted pass over that batch's rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = (
+    "key bigint, session_start timestamp, session_end timestamp, "
+    "n_events int, sum_value double"
+)
+# open-session state: all times as epoch micros (fixed-width, no tz traps)
+STATE_SCHEMA = "start bigint, last bigint, n int, s double"
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """Emit one row per CLOSED session (a gap > ``gap_seconds`` closed it);
+    the open session per key rides in the state store until a later batch
+    closes it.  ``session_end`` is the last event time (not +gap — the
+    record reports observed activity).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def fn(key, pdf_iter, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        frames = [p[[time_col, value_col]] for p in pdf_iter]
+        rows = pd.concat(frames).sort_values(time_col)
+        ts = rows[time_col].astype("int64") // 1000  # ns -> us
+        vals = rows[value_col].astype("float64")
+
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start = last = None
+            n, s = 0, 0.0
+
+        closed = []
+        for t, v in zip(ts.tolist(), vals.tolist()):
+            if last is None:
+                start, last, n, s = t, t, 1, v
+            elif t > last:
+                if t - last > gap_us:
+                    closed.append((key[0], start, last, n, s))
+                    start, last, n, s = t, t, 1, v
+                else:
+                    last, n, s = t, n + 1, s + v
+            elif t >= start - gap_us:
+                # late row from a previous batch that still belongs to (or
+                # extends the front of) the open session
+                start, n, s = min(start, t), n + 1, s + v
+            else:
+                # very-late data entirely before the open session: emit as
+                # its own record rather than corrupting the open session
+                closed.append((key[0], t, t, 1, v))
+        state.update((start, last, n, s))
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[2] for c in closed], unit="us"
+                    ),
+                    "n_events": [c[3] for c in closed],
+                    "sum_value": [c[4] for c in closed],
+                }
+            )
+
+    return (
+        stream.selectExpr(
+            f"CAST({key_col} AS BIGINT) AS key",
+            f"{time_col} AS {time_col}",
+            f"{value_col} AS {value_col}",
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

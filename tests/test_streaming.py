@@ -307,3 +307,105 @@ def test_tumbling_window_streaming_matches_batch(spark, tmp_path):
     assert got == expected
     assert got[("a", "2026-01-01 00:00:00")] == (1, 1.0)
     assert got[("a", "2026-01-01 00:01:00")] == (1, 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState sessionizer
+# ---------------------------------------------------------------------------
+def test_stateful_sessionize_across_microbatches(spark, tmp_path):
+    from confluent_data_ingestion_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
+
+    src = str(tmp_path / "ss_in")
+    os.makedirs(src)
+    # file 1: two clusters for key 1 (session A closed by the 2nd cluster)
+    with open(f"{src}/a.ndjson", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in [
+            {"k": 1, "ts": "2026-01-01T00:00:00", "v": 1.0},
+            {"k": 1, "ts": "2026-01-01T00:10:00", "v": 2.0},
+            {"k": 1, "ts": "2026-01-01T02:00:00", "v": 4.0},
+        ])
+    # file 2 (separate microbatch): closes key 1's 2nd session, opens 3rd;
+    # key 2 appears and stays open (never emitted)
+    with open(f"{src}/b.ndjson", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in [
+            {"k": 1, "ts": "2026-01-01T05:00:00", "v": 8.0},
+            {"k": 2, "ts": "2026-01-01T00:00:00", "v": 16.0},
+        ])
+    # the file source orders batches by modification time — pin it so the
+    # "state crosses microbatches" scenario is what actually runs
+    now = os.path.getmtime(f"{src}/b.ndjson")
+    os.utime(f"{src}/a.ndjson", (now - 10, now - 10))
+
+    stream = file_envelope_stream(spark, src, max_files_per_trigger=1).select(
+        F.get_json_object("val", "$.k").cast("bigint").alias("k"),
+        F.get_json_object("val", "$.ts").cast("timestamp").alias("ts"),
+        F.get_json_object("val", "$.v").cast("double").alias("v"),
+    )
+    q = (
+        stateful_sessionize(
+            stream, key_col="k", time_col="ts", value_col="v",
+            gap_seconds=1800,
+        )
+        .writeStream.format("memory")
+        .queryName("ss_out")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["key"], str(r["session_start"])): (str(r["session_end"]), r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from ss_out").collect()
+    }
+    # session A: 00:00-00:10 (2 events), closed within batch 1
+    # session B: 02:00-02:00, closed by batch 2's 05:00 event (state crossed
+    # the microbatch boundary); session C (05:00) and key 2 stay open
+    assert got == {
+        (1, "2026-01-01 00:00:00"): ("2026-01-01 00:10:00", 2, 3.0),
+        (1, "2026-01-01 02:00:00"): ("2026-01-01 02:00:00", 1, 4.0),
+    }
+
+
+def test_stateful_sessionize_late_row_merges_into_open_session(spark, tmp_path):
+    from confluent_data_ingestion_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
+
+    src = str(tmp_path / "ss_late")
+    os.makedirs(src)
+    with open(f"{src}/a.ndjson", "w") as f:
+        f.write(json.dumps({"k": 1, "ts": "2026-01-01T01:00:00", "v": 1.0}) + "\n")
+    # late row 10 min BEFORE the open session start, then a gap-closer
+    with open(f"{src}/b.ndjson", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in [
+            {"k": 1, "ts": "2026-01-01T00:50:00", "v": 2.0},
+            {"k": 1, "ts": "2026-01-01T03:00:00", "v": 4.0},
+        ])
+    now = os.path.getmtime(f"{src}/b.ndjson")
+    os.utime(f"{src}/a.ndjson", (now - 10, now - 10))
+
+    stream = file_envelope_stream(spark, src, max_files_per_trigger=1).select(
+        F.get_json_object("val", "$.k").cast("bigint").alias("k"),
+        F.get_json_object("val", "$.ts").cast("timestamp").alias("ts"),
+        F.get_json_object("val", "$.v").cast("double").alias("v"),
+    )
+    q = (
+        stateful_sessionize(stream, key_col="k", time_col="ts",
+                            value_col="v", gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("ss_late_out")
+        .option("checkpointLocation", str(tmp_path / "ss_late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r["key"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from ss_late_out").collect()
+    ]
+    # the late 00:50 row merged into the open 01:00 session before 03:00
+    # closed it: one session, front-extended
+    assert got == [(1, "2026-01-01 00:50:00", "2026-01-01 01:00:00", 2, 3.0)]

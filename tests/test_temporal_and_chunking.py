@@ -323,3 +323,108 @@ def test_shard_assignment_modes(spark):
     again = {r["doc_id"]: r["shard"]
              for r in shard_assignment(df, n_shards=4, mode="hash").collect()}
     assert shards == again
+
+
+def test_session_window_agg_merges_and_splits(spark):
+    from confluent_data_ingestion_spark.operators.temporal import (
+        session_window_agg,
+    )
+
+    base = _ts("2024-01-01T00:00:00")
+    m = dt.timedelta(minutes=1)
+    df = spark.createDataFrame(
+        [
+            (7, base, 1.0),
+            (7, base + 20 * m, 2.0),    # within 30m gap: same session
+            (7, base + 80 * m, 4.0),    # 60m after previous: new session
+            (8, base, 8.0),
+        ],
+        "uid long, ts timestamp, value double",
+    )
+    out = session_window_agg(
+        df, time_col="ts", gap_seconds=1800, group_cols=["uid"],
+        aggs=[F.count("*").alias("n"), F.sum("value").alias("s")],
+    )
+    rows = {(r["uid"], str(r["window_start"])): (str(r["window_end"]), r["n"], r["s"])
+            for r in out.collect()}
+    # session 1 of uid 7: [00:00, 00:20+30m) -> end 00:50
+    assert rows[(7, "2024-01-01 00:00:00")] == ("2024-01-01 00:50:00", 2, 3.0)
+    assert rows[(7, "2024-01-01 01:20:00")] == ("2024-01-01 01:50:00", 1, 4.0)
+    assert rows[(8, "2024-01-01 00:00:00")] == ("2024-01-01 00:30:00", 1, 8.0)
+
+
+def test_asof_join_matches_naive_range_join_random(spark):
+    """Differential: the single-shuffle tagged-union formulation must equal
+    the naive (quadratic) range-join + row_number formulation on random
+    data with ties and gaps."""
+    import random
+
+    rng = random.Random(42)
+    left = [(i, rng.randrange(5), rng.randrange(100)) for i in range(200)]
+    right = [(j + 1000, rng.randrange(5), rng.randrange(100), float(j))
+             for j in range(150)]
+    ldf = spark.createDataFrame(left, "lid long, k long, t long").withColumn(
+        "t", F.timestamp_seconds(F.col("t")))
+    rdf = spark.createDataFrame(
+        right, "rid long, k long, t long, v double"
+    ).withColumn("t", F.timestamp_seconds(F.col("t")))
+
+    fast = {
+        r["lid"]: (r["asof_rid"], r["asof_v"])
+        for r in asof_join(
+            ldf, rdf, left_on="k", right_on="k", left_time="t",
+            right_time="t", value_cols=["rid", "v"], tie_col="rid",
+        ).collect()
+    }
+    naive = (
+        ldf.alias("l")
+        .join(
+            rdf.alias("r"),
+            F.expr("l.k = r.k AND r.t <= l.t"),
+            "left",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("l.lid")
+                .orderBy(F.col("r.t").desc_nulls_last(),
+                         F.col("r.rid").desc_nulls_last())
+            ),
+        )
+        .filter("rn = 1")
+        .select("l.lid", "r.rid", "r.v")
+    )
+    slow = {r["lid"]: (r["rid"], r["v"]) for r in naive.collect()}
+    assert fast == slow
+
+
+def test_interval_join_matches_naive_theta_join_random(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(4), rng.randrange(0, 10_000)) for i in range(300)]
+    df = spark.createDataFrame(rows, "eid long, k long, t long").withColumn(
+        "t", F.timestamp_seconds(F.col("t")))
+
+    fast = sorted(
+        (r["eid"], r["eid_r"])
+        for r in interval_join(
+            df, df, left_on="k", right_on="k", left_time="t", right_time="t",
+            lower_seconds=0, upper_seconds=777,
+        ).collect()
+    )
+    naive = sorted(
+        (r["a"], r["b"])
+        for r in df.alias("x")
+        .join(
+            df.alias("y"),
+            F.expr(
+                "x.k = y.k AND y.t > x.t "
+                "AND y.t <= x.t + INTERVAL 777 SECONDS"
+            ),
+        )
+        .select(F.col("x.eid").alias("a"), F.col("y.eid").alias("b"))
+        .collect()
+    )
+    assert fast == naive
