@@ -333,3 +333,49 @@ def quantize_embeddings(
             F.expr("round(__scale__, 6)").alias("scale"),
         )
     )
+
+
+def kmeans_refine(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Lloyd's k-means refinement of an initial centroid set — the
+    centroid-training step the IVF index needs before ``ivf_topk``.
+
+    Each iteration: assign every vector to its nearest centroid (the
+    broadcast + ``min_by`` partial-agg path of ``assign_centroids`` — no
+    window, no N*K sort), then recompute centroids as per-cluster
+    coordinate means.  Means shuffle (centroid, pos, partial-sum) triples
+    with map-side combine — the corpus vectors themselves move at most
+    once per iteration (into their cluster's partial aggregate).  Mean
+    coordinates round to 6 decimals so refined centroids (and every
+    downstream assignment) are bit-reproducible across engines despite
+    float accumulation order.  Clusters that lose all members drop out
+    (standard Lloyd behavior).
+
+    Returns the final (``id_col``, ``cent_id_col``) assignment against
+    the refined centroids.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    cur = centroids
+    for _ in range(iters):
+        a = assign_centroids(vectors, cur, id_col=id_col, vec_col=vec_col,
+                             cent_id_col=cent_id_col)
+        means = (
+            a.select(cent_id_col, F.posexplode("ve").alias("pos", "x"))
+            .groupBy(cent_id_col, "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        cur = means.groupBy(cent_id_col).agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias(vec_col)
+        )
+    final = assign_centroids(vectors, cur, id_col=id_col, vec_col=vec_col,
+                             cent_id_col=cent_id_col)
+    return final.select(id_col, cent_id_col)

@@ -1764,3 +1764,90 @@ def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup removal: pair -> cluster -> keep min-id representative.
+# The composite workflow a training pipeline actually runs; everything
+# upstream (signatures, banding, components) is exercised in one query.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_apply_pipeline",
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 3
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node
+    ),
+    labels AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM docs2 d
+    WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster_id)
+    """,
+)
+def dedup_apply_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cluster import connected_components
+    from .operators.dedup import simhash_pairs
+
+    corpus = _simhash_corpus(spark, sf_dir)
+    pairs = simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
+                          persist_signatures=True)
+    labels = connected_components(pairs, pairs_distinct=True)
+    drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return corpus.join(drop, "doc_id", "left_anti").select(
+        "doc_id", F.expr("CAST(char_length(text) AS BIGINT)").alias("n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means centroid refinement (one Lloyd iteration, unrolled in the oracle).
+# ---------------------------------------------------------------------------
+@query(
+    "kmeans_refine_assign",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 50 = 0),
+    a1 AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT v.vec_id, v.e, c0.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY {_COS.format(a='v.e', b='c0.ce')} DESC, c0.cid ASC) AS rn
+        FROM v CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT cid, i AS pos, round(avg(e[i]), 6) AS mv
+      FROM a1, unnest(generate_series(1, len(e))) AS u(i)
+      GROUP BY cid, i
+    ),
+    c1 AS (SELECT cid, list(mv ORDER BY pos) AS ce FROM m GROUP BY cid)
+    SELECT vec_id, centroid_id FROM (
+      SELECT v.vec_id, c1.cid AS centroid_id,
+        ROW_NUMBER() OVER (PARTITION BY v.vec_id
+          ORDER BY {_COS.format(a='v.e', b='c1.ce')} DESC, c1.cid ASC) AS rn
+      FROM v CROSS JOIN c1
+    ) WHERE rn = 1
+    """,
+)
+def kmeans_refine_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_refine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return kmeans_refine(emb, cents, iters=1)

@@ -428,3 +428,27 @@ def test_interval_join_matches_naive_theta_join_random(spark):
         .collect()
     )
     assert fast == naive
+
+
+def test_kmeans_refine_recovers_clusters(spark):
+    from confluent_data_ingestion_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    # two tight angular clusters; both seed centroids start inside cluster A
+    # (cosine-degenerate init) — after one Lloyd step the means separate and
+    # every vector lands with its own cluster
+    a = [[1.0, 0.02 * i, 0.0] for i in range(5)]
+    b = [[0.0, 0.02 * i, 1.0] for i in range(5)]
+    rows = [(i, v) for i, v in enumerate(a)] + [(10 + i, v) for i, v in enumerate(b)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.44])],
+        "centroid_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["centroid_id"]
+           for r in kmeans_refine(vecs, cents, iters=2).collect()}
+    a_labels = {out[i] for i in range(5)}
+    b_labels = {out[10 + i] for i in range(5)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
