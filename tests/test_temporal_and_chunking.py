@@ -452,3 +452,30 @@ def test_kmeans_refine_recovers_clusters(spark):
     b_labels = {out[10 + i] for i in range(5)}
     assert len(a_labels) == 1 and len(b_labels) == 1
     assert a_labels != b_labels
+
+
+def test_salted_join_matches_plain_join(spark):
+    from confluent_data_ingestion_spark.operators.skew import salted_join
+
+    # 90% of fact rows share one hot key
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 10 else i % 7, float(i)) for i in range(500)],
+        "fid long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(7)], "k long, label string"
+    )
+    for how in ("inner", "left"):
+        fast = sorted(
+            (r["fid"], r["label"])
+            for r in salted_join(fact, dim, on=["k"], how=how, n_salt=8).collect()
+        )
+        plain = sorted(
+            (r["fid"], r["label"])
+            for r in fact.join(dim, "k", how).collect()
+        )
+        assert fast == plain
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, on=["k"], how="full")
