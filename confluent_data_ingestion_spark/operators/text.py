@@ -353,3 +353,52 @@ def quality_filter(
         F.expr(f"array_join({reasons}, ',')").alias("fail_reasons"),
         F.expr(f"size({reasons}) = 0").alias("quality_pass"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punct: bool = False,
+) -> DataFrame:
+    """Canonical text normalization (the first stage of every text
+    pipeline): lowercase, whitespace collapse+trim, optional punctuation
+    stripping.  Pure per-row regexp/string expressions — scan speed.
+
+    Patterns use only character classes so Java and RE2-style engines
+    agree; applied in a fixed order (case -> punct -> whitespace) so the
+    composition is deterministic.
+    """
+    c = F.col(text_col).cast("string")
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r" +", " "))
+    return df.withColumn(out_col, c)
+
+
+def length_quantiles(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum token-length distribution: count + exact p25/p50/p75/p95
+    (linear interpolation — Spark ``percentile`` and SQL ``quantile_cont``
+    agree bit-for-bit after round-6).
+
+    Exact percentile shuffles per-group values once; for a 100 TB corpus
+    swap in ``percentile_approx`` at the cost of oracle equality —
+    exactness here is what makes the result auditable.
+    """
+    n_tok = f"size(split({text_col}, ' '))"
+    return df.groupBy(strata_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr(f"round(percentile({n_tok}, 0.25), 6)").alias("p25"),
+        F.expr(f"round(percentile({n_tok}, 0.5), 6)").alias("p50"),
+        F.expr(f"round(percentile({n_tok}, 0.75), 6)").alias("p75"),
+        F.expr(f"round(percentile({n_tok}, 0.95), 6)").alias("p95"),
+    )

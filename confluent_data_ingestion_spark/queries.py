@@ -1851,3 +1851,43 @@ def kmeans_refine_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return kmeans_refine(emb, cents, iters=1)
+
+
+# ---------------------------------------------------------------------------
+# Text normalization + per-source length quantiles (corpus audit stats).
+# ---------------------------------------------------------------------------
+@query(
+    "normalize_text_stage",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS text_norm
+    FROM documents
+    """,
+)
+def normalize_text_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return normalize_text(
+        docs.select("doc_id", "text"), strip_punct=True
+    ).select("doc_id", "text_norm")
+
+
+@query(
+    "corpus_length_quantiles",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(len(string_split(text, ' ')), 0.25), 6) AS p25,
+           round(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
+           round(quantile_cont(len(string_split(text, ' ')), 0.75), 6) AS p75,
+           round(quantile_cont(len(string_split(text, ' ')), 0.95), 6) AS p95
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import length_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_quantiles(docs)
