@@ -1891,3 +1891,62 @@ def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return length_quantiles(docs)
+
+
+# ---------------------------------------------------------------------------
+# Flagship composite: the full training-data preparation pipeline in one
+# query — normalize -> quality gate -> exact dedup (canonical id wins) ->
+# deterministic train/test split.  Every stage is the registered operator,
+# composed; the oracle chains the equivalent CTEs.
+# ---------------------------------------------------------------------------
+@query(
+    "training_prep_e2e",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS t
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, t,
+             len(string_split(t, ' ')) AS n_tokens,
+             round(CAST(len(list_filter(string_split(t, ' '),
+                    x -> x IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+                   / len(string_split(t, ' ')), 6) AS sw_ratio
+      FROM norm
+    ),
+    pass AS (
+      SELECT doc_id, t, n_tokens FROM feat
+      WHERE n_tokens >= 20 AND n_tokens <= 90 AND sw_ratio <= 0.3
+    ),
+    ded AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY md5(t) ORDER BY doc_id ASC) AS rn
+      FROM pass
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                THEN 'train' ELSE 'test' END AS split
+    FROM ded WHERE rn = 1
+    """,
+)
+def training_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+    from .operators.sampling import hash_split
+    from .operators.text import normalize_text, quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text(docs.select("doc_id", "text"), strip_punct=True)
+    gated = quality_filter(
+        norm.select("doc_id", F.col("text_norm")),
+        text_col="text_norm",
+        min_tokens=20, max_tokens=90, max_stopword_ratio=0.30,
+    ).filter("quality_pass")
+    canon = exact_dedup(gated, text_col="text_norm").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = gated.join(canon, "doc_id", "semi")
+    return hash_split(kept, key_col="doc_id").select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "split"
+    )

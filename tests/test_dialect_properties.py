@@ -5,7 +5,7 @@ ANY expression cell a BA could type into an STTM sheet."""
 import re
 import string
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from confluent_data_ingestion_spark.functions.dialect import (
@@ -73,6 +73,10 @@ def test_json_path_quotes_or_passthrough(key):
 @settings(max_examples=200, deadline=None)
 def test_sanitize_predicate_strips_prefix_and_semicolon(prefix, body):
     body = body.strip()
+    # a body that IS a bare keyword makes the prefix check ambiguous by
+    # construction (hypothesis found body='or'); the sanitizer keeps it,
+    # which is correct — only a keyword followed by more text is a prefix
+    assume(body.lower() not in ("where", "and", "or"))
     out = sanitize_predicate(f"{prefix}{body};")
     assert not out.endswith(";")
     assert not re.match(r"(?i)^(WHERE|AND|OR)\s", out + " ")
