@@ -165,12 +165,17 @@ def temperature_resample(
             f"(pow(CAST(__n__ AS DOUBLE), {alpha}d) / __wsum__) / __n__), 6)"
         ).alias("__rate__"),
     )
+    # coalesce: concat() NULLs out on a NULL stratum, which would silently
+    # drop those rows at the cutoff compare — a NULL stratum is a stratum
     bucket = (
-        f"CAST(conv(substr(md5(concat('{seed}', '|', CAST({strata_col} AS STRING), "
+        f"CAST(conv(substr(md5(concat('{seed}', '|', "
+        f"coalesce(CAST({strata_col} AS STRING), '<NULL>'), "
         f"'|', CAST({key_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
     )
     return (
-        df.join(F.broadcast(rates), F.col(strata_col) == F.col("__s__"))
+        # eqNullSafe: a NULL stratum is itself a stratum (the groupBy above
+        # counts it) — a plain equality join would silently drop those rows
+        df.join(F.broadcast(rates), F.col(strata_col).eqNullSafe(F.col("__s__")))
         .filter(F.expr(f"{bucket} < CAST(floor(__rate__ * 4294967296.0d) AS BIGINT)"))
         .drop("__s__", "__rate__")
     )

@@ -4,14 +4,19 @@ Spark has no built-in AS OF / interval join (Flink and kdb+ ship them as
 primitives; the reference's Flink runtime exposes interval joins for its
 streaming pipelines).  These implement the same semantics Spark-first:
 
-  asof_join       latest right row at-or-before each left row's timestamp,
-                  per key — the point-in-time enrichment join (no leakage
-                  of future data into training features).
-  interval_join   left ⨝ right where right_time ∈ (left_time+lower,
-                  left_time+upper], per key — Flink's interval join,
-                  re-expressed as a bucketed equi-join.
-  sessionize      gap-based session ids per key (the classic clickstream
-                  sessionization window).
+  asof_join           latest right row at-or-before each left row's
+                      timestamp, per key — the point-in-time enrichment
+                      join (no leakage of future data into training
+                      features).
+  interval_join       left ⨝ right where right_time ∈ (left_time+lower,
+                      left_time+upper], per key — Flink's interval join,
+                      re-expressed as a bucketed equi-join.
+  sessionize          gap-based session ids per key (the classic
+                      clickstream sessionization window).
+  tumbling_window_agg Flink TUMBLE: non-overlapping event-time windows.
+  hopping_window_agg  Flink HOP: overlapping sliding windows.
+  session_window_agg  Flink SESSION: gap-merged windows (Spark-native
+                      session_window).
 
 Scale design:
  - ``asof_join`` does NOT range-join: a range join on (key, time<=)

@@ -479,3 +479,19 @@ def test_salted_join_matches_plain_join(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         salted_join(fact, dim, on=["k"], how="full")
+
+
+def test_temperature_resample_null_stratum_is_a_stratum(spark):
+    from confluent_data_ingestion_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows = [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(
+        df, strata_col="source", key_col="doc_id", alpha=0.5,
+        target_fraction=1.0,
+    )
+    # target_fraction=1 with equal strata -> every rate caps at 1: nothing
+    # may be dropped, including the NULL stratum
+    assert out.count() == 100
