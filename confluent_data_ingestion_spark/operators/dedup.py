@@ -511,3 +511,62 @@ def embedding_near_dup(
              F.count(F.lit(1)).alias("n_dups"))
         .select(F.col("id").alias(id_col), "canonical_id", "n_dups")
     )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_chars: int = 60,
+    anchor_chars: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the substring-level
+    dedup family (suffix-array dedup à la "Deduplicating Training Data
+    Makes Language Models Better"), re-expressed for Spark.
+
+    The alignment problem: fixed-stride character grams of the SAME
+    substring at different offsets in two documents never line up, so
+    stride sampling cannot see shared spans.  Content-defined anchors fix
+    it: a position is an anchor when the md5 of its ``anchor_chars``-char
+    prefix starts with hex '0' (1/16 of positions, chosen by CONTENT), so
+    a shared substring anchors at the same internal offsets in every
+    document that contains it.  Spans of ``span_chars`` extracted at
+    anchors hash equal wherever the text is equal.
+
+    Output: one row per (doc, anchor position) whose span recurs in >=
+    ``min_docs`` distinct documents: (id, pos 1-based, span_hash, n_docs).
+
+    Cost shape: the anchor scan evaluates an md5 per character position —
+    the declarative stand-in for a rolling CDC hash.  It is a per-row
+    projection (zero shuffle); the only shuffles are (span_hash, id)
+    pairs into the distinct-doc count and the hash join back.  At corpus
+    scale, swap the anchor scan for an Arrow-batched rolling-hash kernel
+    (`mapInPandas`) and keep the identical downstream plan.
+    """
+    t, g, a = text_col, span_chars, anchor_chars
+    spans = (
+        f"CASE WHEN char_length({t}) >= {g} THEN "
+        f"filter(transform(sequence(1, char_length({t}) - {g} + 1), "
+        f"p -> IF(substr(md5(substr({t}, p, {a})), 1, 1) = '0', "
+        f"named_struct('pos', p, 'h', md5(substr({t}, p, {g}))), NULL)), "
+        f"x -> x IS NOT NULL) "
+        f"ELSE array() END"
+    )
+    grams = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.explode(F.expr(spans)).alias("__s__"))
+        .select(
+            id_col,
+            F.col("__s__.pos").alias("pos"),
+            F.col("__s__.h").alias("span_hash"),
+        )
+    )
+    hits = (
+        grams.groupBy("span_hash")
+        .agg(F.countDistinct(id_col).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return grams.join(hits, "span_hash").select(
+        id_col, "pos", "span_hash", "n_docs"
+    )

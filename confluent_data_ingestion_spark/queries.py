@@ -1950,3 +1950,47 @@ def training_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(kept, key_col="doc_id").select(
         "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level repeated-span detection (content-defined anchors).  The
+# synthetic corpus shares little long-range text, so both engines plant the
+# SAME 80-char tail on every 25th doc — those spans must surface; any
+# natural cross-doc span collisions surface identically in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "repeated_spans_cdc",
+    """
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000,
+             text || ' the quick brown fox jumps over the lazy dog again and again tonight'
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    grams AS (
+      SELECT doc_id, p AS pos, md5(substr(text, p, 60)) AS span_hash
+      FROM docs2, unnest(generate_series(1, greatest(0, length(text) - 59))) AS u(p)
+      WHERE substr(md5(substr(text, p, 8)), 1, 1) = '0'
+    ),
+    hits AS (
+      SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM grams GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT g.doc_id, CAST(g.pos AS INT) AS pos, g.span_hash, h.n_docs
+    FROM grams g JOIN hits h USING (span_hash)
+    """,
+)
+def repeated_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import repeated_substring_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tail = (" the quick brown fox jumps over the lazy dog again and again"
+            " tonight")
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(tail)).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return repeated_substring_spans(corpus, span_chars=60, anchor_chars=8,
+                                    min_docs=2)

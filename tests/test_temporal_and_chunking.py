@@ -495,3 +495,31 @@ def test_temperature_resample_null_stratum_is_a_stratum(spark):
     # target_fraction=1 with equal strata -> every rate caps at 1: nothing
     # may be dropped, including the NULL stratum
     assert out.count() == 100
+
+
+def test_repeated_spans_detects_shared_text_at_different_offsets(spark):
+    from confluent_data_ingestion_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    shared = ("the quick brown fox jumps over the lazy dog while the band "
+              "plays on through the night")
+    df = spark.createDataFrame(
+        [
+            (1, "aaa bbb ccc " + shared),            # shared at offset 12
+            (2, shared + " xxx yyy zzz"),            # shared at offset 0
+            (3, "totally different content with no overlap whatsoever in "
+                "any of its characters or phrasing at all ever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_substring_spans(df, span_chars=60, anchor_chars=8,
+                                   min_docs=2)
+    rows = out.collect()
+    flagged_docs = {r["doc_id"] for r in rows}
+    assert flagged_docs == {1, 2}          # offsets differ, spans still match
+    assert all(r["n_docs"] == 2 for r in rows)
+    # the span hashes flagged in doc 1 and doc 2 are the same set
+    h1 = {r["span_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["span_hash"] for r in rows if r["doc_id"] == 2}
+    assert h1 == h2 and h1
