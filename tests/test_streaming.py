@@ -409,3 +409,48 @@ def test_stateful_sessionize_late_row_merges_into_open_session(spark, tmp_path):
     # the late 00:50 row merged into the open 01:00 session before 03:00
     # closed it: one session, front-extended
     assert got == [(1, "2026-01-01 00:50:00", "2026-01-01 01:00:00", 2, 3.0)]
+
+
+def test_session_window_streaming_append_emits_closed_sessions(spark, tmp_path):
+    from confluent_data_ingestion_spark.operators.temporal import (
+        session_window_agg,
+    )
+
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src)
+    rows = [
+        {"k": 1, "ts": "2026-01-01T00:00:00", "v": 1.0},
+        {"k": 1, "ts": "2026-01-01T00:10:00", "v": 2.0},
+        # far-future row advances the watermark past key 1's session end
+        {"k": 2, "ts": "2026-01-02T00:00:00", "v": 4.0},
+    ]
+    with open(f"{src}/p1.ndjson", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows)
+
+    stream = file_envelope_stream(spark, src).select(
+        F.get_json_object("val", "$.k").cast("bigint").alias("k"),
+        F.get_json_object("val", "$.ts").cast("timestamp").alias("ts"),
+        F.get_json_object("val", "$.v").cast("double").alias("v"),
+    ).withWatermark("ts", "1 minute")
+    q = (
+        session_window_agg(
+            stream, time_col="ts", gap_seconds=1800, group_cols=["k"],
+            aggs=[F.count("*").alias("n"), F.sum("v").alias("s")],
+        )
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["k"], str(r["window_start"])): (str(r["window_end"]), r["n"], r["s"])
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    # key 1's session closed below the final watermark -> emitted in append
+    # mode; key 2's session is still open against the watermark -> withheld
+    assert got == {
+        (1, "2026-01-01 00:00:00"): ("2026-01-01 00:40:00", 2, 3.0),
+    }
