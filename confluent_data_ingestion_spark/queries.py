@@ -1994,3 +1994,53 @@ def repeated_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(planted)
     return repeated_substring_spans(corpus, span_chars=60, anchor_chars=8,
                                     min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal end-to-end: binary payload -> Arrow-batched feature extraction
+# (deterministic sha256 stub kernel) -> exact cosine top-k.  The oracle
+# recomputes the stub features in SQL (sha256 agrees byte-for-byte) with an
+# explicit REAL round-trip matching Spark's array<float> storage.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_embed_topk",
+    """
+    WITH f AS (SELECT doc_id, sha256('feat' || text) AS hx FROM documents),
+    v AS (
+      SELECT doc_id,
+           [CAST(CAST(((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 8, 1)) - 1) * 1) / 4294967296.0 AS REAL) AS DOUBLE),
+             CAST(CAST(((instr('0123456789abcdef', substr(hx, 9, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(hx, 10, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(hx, 11, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(hx, 12, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(hx, 13, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(hx, 14, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(hx, 15, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 16, 1)) - 1) * 1) / 4294967296.0 AS REAL) AS DOUBLE),
+             CAST(CAST(((instr('0123456789abcdef', substr(hx, 17, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(hx, 18, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(hx, 19, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(hx, 20, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(hx, 21, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(hx, 22, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(hx, 23, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 24, 1)) - 1) * 1) / 4294967296.0 AS REAL) AS DOUBLE),
+             CAST(CAST(((instr('0123456789abcdef', substr(hx, 25, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(hx, 26, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(hx, 27, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(hx, 28, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(hx, 29, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(hx, 30, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(hx, 31, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 32, 1)) - 1) * 1) / 4294967296.0 AS REAL) AS DOUBLE),
+             CAST(CAST(((instr('0123456789abcdef', substr(hx, 33, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(hx, 34, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(hx, 35, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(hx, 36, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(hx, 37, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(hx, 38, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(hx, 39, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 40, 1)) - 1) * 1) / 4294967296.0 AS REAL) AS DOUBLE),
+             CAST(CAST(((instr('0123456789abcdef', substr(hx, 41, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(hx, 42, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(hx, 43, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(hx, 44, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(hx, 45, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(hx, 46, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(hx, 47, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 48, 1)) - 1) * 1) / 4294967296.0 AS REAL) AS DOUBLE),
+             CAST(CAST(((instr('0123456789abcdef', substr(hx, 49, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(hx, 50, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(hx, 51, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(hx, 52, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(hx, 53, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(hx, 54, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(hx, 55, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 56, 1)) - 1) * 1) / 4294967296.0 AS REAL) AS DOUBLE),
+             CAST(CAST(((instr('0123456789abcdef', substr(hx, 57, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(hx, 58, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(hx, 59, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(hx, 60, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(hx, 61, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(hx, 62, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(hx, 63, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 64, 1)) - 1) * 1) / 4294967296.0 AS REAL) AS DOUBLE)] AS e
+      FROM f
+    ),
+    q AS (SELECT * FROM v WHERE doc_id % 100 = 0),
+    scored AS (
+      SELECT q.doc_id AS query_id, v.doc_id AS neighbor_id,
+             round(list_dot_product(q.e, v.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+      FROM q JOIN v ON q.doc_id <> v.doc_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_features, pack_multimodal
+    from .operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_multimodal(docs, "encode(text, 'utf-8')", "image", {})
+    feats = extract_features(packed.drop("text"), feature_dim=8)
+    vectors = feats.select("doc_id", "features")
+    return cosine_topk(
+        vectors, vectors.filter(F.col("doc_id") % 100 == 0),
+        k=5, id_col="doc_id", vec_col="features",
+    ).withColumn("rn", F.col("rn").cast("int"))
+
