@@ -402,3 +402,49 @@ def length_quantiles(
         F.expr(f"round(percentile({n_tok}, 0.75), 6)").alias("p75"),
         F.expr(f"round(percentile({n_tok}, 0.95), 6)").alias("p95"),
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-unigram log-probability score per document — the cheap
+    stand-in for perplexity filtering (docs whose tokens are improbable
+    under the corpus's own unigram LM are outliers: boilerplate, noise,
+    wrong-language).
+
+    Determinism recipe: per-TERM log-prob is rounded to 6 decimals (one
+    ln per vocabulary entry — a 1-ulp ln difference would have to land
+    exactly on a rounding boundary to diverge), then summed as exact
+    DECIMAL so accumulation order cannot matter, then averaged.
+
+    Scale shape: one (term) vocab aggregation (tiny output, broadcast
+    back), one (doc, term-count) shuffle of compact triples; corpus text
+    never shuffles.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.length("term") >= 1)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    from ..caching import track
+
+    tf = track(tf)
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.expr(
+            "CAST(round(ln(CAST(cnt AS DOUBLE) / total), 6) AS DECIMAL(18,6))"
+        ).alias("logp"),
+    )
+    return (
+        tf.join(F.broadcast(vocab), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "round(CAST(sum(tf * logp) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)"
+            ).alias("avg_logprob"),
+        )
+    )

@@ -2044,3 +2044,34 @@ def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, id_col="doc_id", vec_col="features",
     ).withColumn("rn", F.col("rn").cast("int"))
 
+
+
+@query(
+    "unigram_logprob_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE len(term) >= 1 GROUP BY doc_id, term
+    ),
+    vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    lp AS (
+      SELECT term,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS logp
+      FROM vocab, tot
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(tf.tf * lp.logp) AS DOUBLE) / CAST(sum(tf.tf) AS DOUBLE), 6) AS avg_logprob
+    FROM tf JOIN lp USING (term)
+    GROUP BY tf.doc_id
+    """,
+)
+def unigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(docs.select("doc_id", "text"))
