@@ -448,3 +448,51 @@ def unigram_logprob_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "char_entropy",
+) -> DataFrame:
+    """Shannon entropy of the document's character distribution (bits) —
+    a cheap noise/boilerplate signal: natural text sits in a narrow
+    entropy band; base64 blobs score high, repeated filler scores low.
+
+    Pure per-row higher-order fold.  Each character's entropy term is
+    rounded to 6 decimals and accumulated as exact DECIMAL, so the total
+    is independent of iteration/accumulation order — any engine summing
+    the same per-character terms reproduces it bit-for-bit.
+    """
+    t = text_col
+    # O(len log len) per row: sort the chars and fold run lengths with a
+    # struct accumulator (prev char, run count, running DECIMAL total).
+    # The naive per-distinct-char filter fold is O(distinct * len) — a
+    # 10k-char doc with 100 distinct chars pays 1M compares per row.
+    # DECIMAL accumulation keeps the total independent of order; each
+    # run's term is rounded to 6 before the exact add.  The decimal cast
+    # after '+' restores DECIMAL(18,6) (addition widens to 19,6), which
+    # aggregate()'s accumulator contract requires.
+    def term(k: str) -> str:
+        return (
+            f"CAST(round(-(CAST({k} AS DOUBLE) / size(__cs__))"
+            f" * ln(CAST({k} AS DOUBLE) / size(__cs__)) / ln(2.0d), 6)"
+            f" AS DECIMAL(18,6))"
+        )
+
+    expr = (
+        f"aggregate(array_sort(__cs__), "
+        f"named_struct('p', CAST(NULL AS STRING), 'k', 0, "
+        f"'tot', CAST(0 AS DECIMAL(18,6))), "
+        f"(a, c) -> IF(a.p IS NULL OR c = a.p, "
+        f"named_struct('p', c, 'k', a.k + 1, 'tot', a.tot), "
+        f"named_struct('p', c, 'k', 1, "
+        f"'tot', CAST(a.tot + {term('a.k')} AS DECIMAL(18,6)))), "
+        f"a -> CAST(IF(a.k = 0, a.tot, "
+        f"CAST(a.tot + {term('a.k')} AS DECIMAL(18,6))) AS DOUBLE))"
+    )
+    return (
+        df.withColumn("__cs__", F.expr(f"split({t}, '')"))
+        .withColumn(out_col, F.expr(expr))
+        .drop("__cs__")
+    )

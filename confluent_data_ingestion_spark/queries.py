@@ -2075,3 +2075,29 @@ def unigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return unigram_logprob_score(docs.select("doc_id", "text"))
+
+
+@query(
+    "char_entropy_scores",
+    """
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n, unnest(string_split(text, '')) AS c
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, n, c, count(*) AS k FROM chars GROUP BY doc_id, n, c
+    )
+    SELECT doc_id,
+           CAST(sum(CAST(round(-(CAST(k AS DOUBLE) / n)
+                               * ln(CAST(k AS DOUBLE) / n) / ln(2.0), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS char_entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs.select("doc_id", "text")).select(
+        "doc_id", "char_entropy"
+    )
