@@ -544,6 +544,25 @@ def repeated_substring_spans(
     scale, swap the anchor scan for an Arrow-batched rolling-hash kernel
     (`mapInPandas`) and keep the identical downstream plan.
     """
+    grams = _anchor_grams(df, id_col, text_col, span_chars, anchor_chars)
+    hits = (
+        grams.groupBy("span_hash")
+        .agg(F.countDistinct(id_col).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return grams.join(hits, "span_hash").select(
+        id_col, "pos", "span_hash", "n_docs"
+    )
+
+
+def _anchor_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_chars: int,
+    anchor_chars: int,
+) -> DataFrame:
+    """(id, pos, span_hash) rows at content-defined anchor positions."""
     t, g, a = text_col, span_chars, anchor_chars
     spans = (
         f"CASE WHEN char_length({t}) >= {g} THEN "
@@ -553,7 +572,7 @@ def repeated_substring_spans(
         f"x -> x IS NOT NULL) "
         f"ELSE array() END"
     )
-    grams = (
+    return (
         ensure_min_parallelism(df)
         .select(F.col(id_col), F.explode(F.expr(spans)).alias("__s__"))
         .select(
@@ -562,11 +581,39 @@ def repeated_substring_spans(
             F.col("__s__.h").alias("span_hash"),
         )
     )
-    hits = (
-        grams.groupBy("span_hash")
-        .agg(F.countDistinct(id_col).cast("bigint").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
+
+
+def cross_set_span_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_chars: int = 60,
+    anchor_chars: int = 8,
+) -> DataFrame:
+    """Character-level benchmark decontamination: training documents that
+    share a >= ``span_chars``-char verbatim span with ANY eval document —
+    catches contamination that token-n-gram overlap misses after
+    formatting/punctuation changes shift token boundaries.
+
+    Same content-defined anchors as ``repeated_substring_spans`` (shared
+    spans align regardless of offset).  The eval span set is benchmark-
+    sized and broadcast: the training corpus's grams stream past it with
+    no shuffle of the corpus side.
+
+    Output: (train ``id_col``, n_shared_spans, first_pos).
+    """
+    tg = _anchor_grams(train, id_col, text_col, span_chars, anchor_chars)
+    eg = (
+        _anchor_grams(eval_df, id_col, text_col, span_chars, anchor_chars)
+        .select("span_hash")
+        .distinct()
     )
-    return grams.join(hits, "span_hash").select(
-        id_col, "pos", "span_hash", "n_docs"
+    return (
+        tg.join(F.broadcast(eg), "span_hash")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("span_hash").cast("bigint").alias("n_shared_spans"),
+            F.min("pos").cast("int").alias("first_pos"),
+        )
     )

@@ -2101,3 +2101,50 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(docs.select("doc_id", "text")).select(
         "doc_id", "char_entropy"
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-level benchmark decontamination: train docs sharing a verbatim
+# >=60-char span with any eval doc.  Eval = every 20th doc; train = the
+# rest plus planted exact copies of every 40th doc (ids + 1M) — planted
+# rows must flag; any natural span collisions flag identically in both
+# engines.
+# ---------------------------------------------------------------------------
+@query(
+    "span_decontaminate",
+    """
+    WITH train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+    ),
+    ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    tg AS (
+      SELECT doc_id, p AS pos, md5(substr(text, p, 60)) AS span_hash
+      FROM train, unnest(generate_series(1, greatest(0, length(text) - 59))) AS u(p)
+      WHERE substr(md5(substr(text, p, 8)), 1, 1) = '0'
+    ),
+    eg AS (
+      SELECT DISTINCT md5(substr(text, p, 60)) AS span_hash
+      FROM ev, unnest(generate_series(1, greatest(0, length(text) - 59))) AS u(p)
+      WHERE substr(md5(substr(text, p, 8)), 1, 1) = '0'
+    )
+    SELECT tg.doc_id,
+           CAST(count(DISTINCT tg.span_hash) AS BIGINT) AS n_shared_spans,
+           CAST(min(tg.pos) AS INT) AS first_pos
+    FROM tg JOIN eg USING (span_hash)
+    GROUP BY tg.doc_id
+    """,
+)
+def span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import cross_set_span_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 20 != 0).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    return cross_set_span_contamination(train, ev, span_chars=60,
+                                        anchor_chars=8)

@@ -1,0 +1,50 @@
+"""Structural plan guards: compile EVERY registry query and assert no
+accidental quadratic join strategy crept in.
+
+CartesianProduct / BroadcastNestedLoopJoin are allowed only where the
+operator's design calls for them (broadcast centroid/plane scoring, the
+declared brute-force baseline, 1-row total broadcasts, spec-mandated
+missing-ON joins).  Anything else is a regression: a lost equi-join key
+silently turns a 100 TB join into an n^2 plan long before any test data
+notices.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# queries whose DESIGN includes a non-equi join strategy
+NESTED_LOOP_ALLOWED = {
+    "similarity_cosine_topk",     # declared brute-force baseline
+    "similarity_ivf_topk",        # broadcast centroid scoring
+    "similarity_ivf_nprobe",      # broadcast centroid scoring
+    "kmeans_refine_assign",       # broadcast centroid scoring
+    "similarity_lsh_topk",        # broadcast plane scoring
+    "multimodal_embed_topk",      # brute-force cosine over stub features
+    "temperature_resample_mix",   # 1-row totals broadcast
+    "unigram_logprob_score",      # 1-row totals broadcast
+    "corpus_mix_report",          # 1-row grand-total broadcast
+    "dedup_embedding_cosine",     # broadcast grid-parameter row
+}
+
+# streaming / side-effecting queries that can't be compiled lazily
+SKIP = {"streaming_xref_upsert"}
+
+
+def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
+    import __spark_entry__ as e
+
+    failures = []
+    for name, fn in e.queries().items():
+        if name in SKIP:
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # pragma: no cover - compile failure IS a failure
+            failures.append(f"{name}: failed to compile ({ex})")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_ALLOWED:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not failures, "\n".join(failures)
