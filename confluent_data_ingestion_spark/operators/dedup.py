@@ -148,6 +148,57 @@ def exploded_shingles(
     ).distinct()
 
 
+def _cap_hot_groups(
+    keyed: DataFrame, key_cols: list[str], cap: int | None
+) -> DataFrame:
+    """Drop rows whose pairing key collides in more than ``cap`` rows.
+
+    Every banded-LSH / inverted-index self-join below is quadratic in the
+    COLLISION-GROUP size: one boilerplate shingle (or one degenerate band
+    key) shared by k documents emits k^2/2 join rows into a single reducer.
+    Frequency capping is the standard MinHash-dedup fix: a key that matches
+    >cap documents carries no dedup signal (it is a stopword feature), so
+    the group is dropped before the self-join.
+
+    Scale shape: the count aggregation shuffles (key, partial-count) pairs
+    only — map-side combine keeps the hot key's reducer input at
+    O(num_partitions).  The hot-key SET is tiny by construction (few keys
+    exceed the cap), so it broadcasts and the corpus-side filter is a
+    broadcast anti-join: the keyed rows take NO extra shuffle.
+
+    ``cap=None`` disables capping (plan unchanged).
+    """
+    if cap is None:
+        return keyed
+    hot = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__gc__"))
+        .filter(F.col("__gc__") > cap)
+        .drop("__gc__")
+    )
+    return keyed.join(F.broadcast(hot), key_cols, "left_anti")
+
+
+def hot_shingle_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    cap: int = 500,
+) -> DataFrame:
+    """Document frequency of over-shared shingles: the (digest, n_docs) keys
+    that ``ngram_jaccard_pairs(max_group_size=cap)`` drops.  Run this to
+    audit what the cap removed (boilerplate headers, license blocks, ...)
+    before tuning ``cap``.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n, hashed=True)
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > cap)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -156,6 +207,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     persist_signatures: bool = False,
+    max_group_size: int | None = 500,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -171,6 +223,12 @@ def minhash_lsh_pairs(
     persist upstream via the statement-set runtime) so documents are
     shingled+hashed once; the cache registers with ``caching.track`` and is
     released by the runtime's next ``release_caches()`` call.
+
+    ``max_group_size`` frequency-caps band collision groups before the
+    self-join (see ``_cap_hot_groups``): a band key shared by more than
+    that many docs — e.g. a signature degenerated by boilerplate — would
+    otherwise emit a quadratic pair blowup into one reducer.  Dropped keys
+    match >cap docs and carry no pairing signal.  ``None`` disables.
     """
     assert num_hashes % rows_per_band == 0
     n_bands = num_hashes // rows_per_band
@@ -198,6 +256,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("key").isNotNull())
     )
+    allb = _cap_hot_groups(allb, ["band", "key"], max_group_size)
     a = allb.alias("a")
     b_ = allb.alias("b")
     return (
@@ -219,12 +278,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.03,
     persist_shingles: bool = False,
+    max_group_size: int | None = 500,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity over shingle-sharing pairs.
 
     Inverted-index join: explode distinct shingles, self-join on shingle,
     count intersections, compute |A ∩ B| / (|A| + |B| - |A ∩ B|).  Quadratic
     in collision-group size — at 100 TB, run AFTER an LSH prefilter.
+
+    ``max_group_size`` document-frequency-caps shingles before the join
+    (see ``_cap_hot_groups``): a boilerplate shingle shared by k docs emits
+    k^2/2 join rows into one reducer, so shingles matching more than
+    ``max_group_size`` docs are dropped from BOTH the inverted index and
+    the per-doc size counts — Jaccard is then computed over the capped
+    (discriminative) feature space, the standard stopword-feature
+    treatment.  Inspect dropped keys with ``hot_shingle_stats``.  ``None``
+    disables capping.
 
     The shingle explode feeds three plan subtrees (both join sides + the
     per-doc size agg); ``persist_shingles=True`` computes it once at corpus
@@ -238,8 +307,11 @@ def ngram_jaccard_pairs(
     sh = exploded_shingles(
         ensure_min_parallelism(df), id_col, text_col, n, hashed=True
     )
+    # persist BEFORE capping: the hot-key count and the capped main path
+    # then share one cached explode instead of shingling the corpus twice
     if persist_shingles:
         sh = track(sh)
+    sh = _cap_hot_groups(sh, ["s"], max_group_size)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -336,6 +408,7 @@ def simhash_pairs(
     bands: int | None = None,
     ngram: int = 1,
     persist_signatures: bool = False,
+    max_group_size: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate pairs via SimHash banding: documents whose ``bits``-bit
     signatures are within ``max_hamming`` bit flips.
@@ -353,7 +426,11 @@ def simhash_pairs(
     Scale: signatures are per-row folds (zero shuffle); the only shuffle is
     the self-join on (band, slice) keys — 8-byte ints, never text.  Slice
     collision groups are bounded by corpus skew on a (bits/bands)-bit key;
-    widen ``bits`` to shrink them.
+    widen ``bits`` to shrink them.  ``max_group_size`` frequency-caps slice
+    collision groups before the self-join (see ``_cap_hot_groups``) — note
+    capping trades the pigeonhole recall guarantee on pairs involving a
+    dropped (degenerate) slice for bounded reducers; widen ``bits`` first,
+    cap as the backstop.  ``None`` disables.
     """
     if bands is None:
         bands = max_hamming + 1
@@ -376,6 +453,7 @@ def simhash_pairs(
             F.expr(f"shiftright(__sig__, __band__ * {width}) & {(1 << width) - 1}L"),
         )
     )
+    banded = _cap_hot_groups(banded, ["__band__", "__key__"], max_group_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -627,10 +627,13 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLE_SQL},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    -- document-frequency cap: mirrors max_group_size=500 in the operator
+    csh AS (SELECT doc_id, s FROM sh
+            QUALIFY count(*) OVER (PARTITION BY s) <= 500),
+    sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
@@ -661,9 +664,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
       UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
       UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
-    )
+    ),
+    -- band-group frequency cap: mirrors max_group_size=500 in the operator
+    cbands AS (SELECT * FROM bands
+               QUALIFY count(*) OVER (PARTITION BY band, key) <= 500)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM cbands a JOIN cbands b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     """,
 )
@@ -728,6 +734,11 @@ _SIMHASH_CTES = """
     bands AS (
       SELECT doc_id, s, b AS band, (s >> (b * 8)) & 255 AS key
       FROM sig, unnest(generate_series(0, 3)) AS u(b)
+    ),
+    cbands AS (
+      -- band-group frequency cap: mirrors max_group_size=500 in the operator
+      SELECT * FROM bands
+      QUALIFY count(*) OVER (PARTITION BY band, key) <= 500
     )"""
 
 
@@ -749,7 +760,7 @@ def _simhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SIMHASH_CTES}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
-    FROM bands a JOIN bands b
+    FROM cbands a JOIN cbands b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.s, b.s)) <= 3
     """,
@@ -773,7 +784,7 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_SIMHASH_CTES},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM cbands a JOIN cbands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.s, b.s)) <= 3
     ),
@@ -1777,7 +1788,7 @@ def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_SIMHASH_CTES},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM cbands a JOIN cbands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.s, b.s)) <= 3
     ),

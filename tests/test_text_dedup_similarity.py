@@ -140,6 +140,51 @@ def test_simhash_pairs_exact_dup_and_validation(spark):
         simhash_pairs(docs, bits=32, max_hamming=2, bands=3)
 
 
+def test_hot_shingle_cap_bounds_boilerplate_skew(spark):
+    """A boilerplate shingle shared by 1000 docs would emit ~500k join rows
+    into one reducer; the document-frequency cap drops it while genuine
+    near-dup pairs (discriminative shingles) survive."""
+    from confluent_data_ingestion_spark.operators.dedup import hot_shingle_stats
+
+    rows = [Row(doc_id=i, text=f"common legal header u{i} v{i} w{i}")
+            for i in range(1000)]
+    # genuine near-dups: share unique trigrams, no boilerplate prefix
+    rows.append(Row(doc_id=2001, text="alpha beta gamma delta epsilon"))
+    rows.append(Row(doc_id=2002, text="alpha beta gamma delta zeta"))
+    docs = spark.createDataFrame(rows)
+
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.0,
+                                max_group_size=500).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(2001, 2002)}
+
+    hot = hot_shingle_stats(docs, n=3, cap=500).collect()
+    assert len(hot) == 1 and hot[0]["n_docs"] == 1000
+
+
+def test_hot_band_cap_bounds_identical_doc_skew(spark):
+    """600 byte-identical docs collide in EVERY minhash/simhash band: the
+    band-group cap drops those groups (exact dedup handles identical text)
+    while a distinct near-dup pair in the same corpus is still found."""
+    from confluent_data_ingestion_spark.operators.dedup import simhash_pairs
+
+    rows = [Row(doc_id=i, text="the same exact boilerplate document body here")
+            for i in range(600)]
+    near = " ".join(f"tok{k}" for k in range(30))
+    rows.append(Row(doc_id=9001, text=near + " words"))
+    rows.append(Row(doc_id=9002, text=near + " tokens"))
+    docs = spark.createDataFrame(rows)
+
+    mh = {(r["doc_a"], r["doc_b"])
+          for r in minhash_lsh_pairs(docs, max_group_size=500).collect()}
+    assert (9001, 9002) in mh
+    assert all(a >= 9001 for a, _ in mh)  # no pair from the hot clone group
+
+    sh = {(r["doc_a"], r["doc_b"])
+          for r in simhash_pairs(docs, bits=32, max_hamming=3, ngram=3,
+                                 max_group_size=500).collect()}
+    assert sh and all(a >= 9001 for a, _ in sh)
+
+
 def test_persist_tracking_released(spark):
     from confluent_data_ingestion_spark.caching import release_caches
     from confluent_data_ingestion_spark.operators.dedup import simhash_pairs

@@ -2,7 +2,7 @@
 via Spark and its oracle_sql() via DuckDB at sf0.01, compare row count,
 schema-ish shape, and order-insensitive values.
 
-Usage: python tools/check_correctness.py [sf_dir]
+Usage: python tools/check_correctness.py [sf_dir] [--only name1,name2,...]
 """
 
 from __future__ import annotations
@@ -38,7 +38,13 @@ def frame_to_key_rows(cols, rows):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import __spark_entry__ as e
     from confluent_data_ingestion_spark.session import get_spark
@@ -57,6 +63,8 @@ def main() -> None:
     oracles = e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         scols = sdf.columns
