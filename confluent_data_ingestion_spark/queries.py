@@ -895,6 +895,20 @@ _LSH_SIG_SQL = " + ".join(
     for p, plane in enumerate(_LSH_PLANES)
 )
 
+# Planes for the multimodal composite's LSH stage: 24 bits over the 8-dim
+# stub features, signature-centered at 0.5 (the features are uniform in
+# [0,1); see lsh_topk's ``center`` doc).  The bias literal -0.5*sum(plane)
+# is embedded identically in the Spark expression and the oracle SQL.
+_MM_PLANES = _lsh_planes("mm1", 24, 8)
+
+_MM_SIG_SQL = " + ".join(
+    "(CASE WHEN round(list_dot_product({e}, ["
+    + ", ".join(f"{x:.6f}" for x in plane)
+    + f"]) + ({round(-0.5 * sum(plane), 6):.6f}), 6) >= 0"
+    + f" THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for p, plane in enumerate(_MM_PLANES)
+)
+
 
 @query(
     "similarity_lsh_topk",
@@ -2009,13 +2023,15 @@ def repeated_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Multimodal end-to-end: binary payload -> Arrow-batched feature extraction
-# (deterministic sha256 stub kernel) -> exact cosine top-k.  The oracle
-# recomputes the stub features in SQL (sha256 agrees byte-for-byte) with an
-# explicit REAL round-trip matching Spark's array<float> storage.
+# (deterministic sha256 stub kernel) -> banded LSH cosine top-k (the scale
+# path: band-key equi-joins only, no cross join).  The oracle recomputes the
+# stub features in SQL (sha256 agrees byte-for-byte) with an explicit REAL
+# round-trip matching Spark's array<float> storage, then mirrors the banding
+# with the same plane+bias literals.
 # ---------------------------------------------------------------------------
 @query(
     "multimodal_embed_topk",
-    """
+    f"""
     WITH f AS (SELECT doc_id, sha256('feat' || text) AS hx FROM documents),
     v AS (
       SELECT doc_id,
@@ -2029,11 +2045,17 @@ def repeated_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(((instr('0123456789abcdef', substr(hx, 57, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(hx, 58, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(hx, 59, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(hx, 60, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(hx, 61, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(hx, 62, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(hx, 63, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 64, 1)) - 1) * 1) / 4294967296.0 AS REAL) AS DOUBLE)] AS e
       FROM f
     ),
-    q AS (SELECT * FROM v WHERE doc_id % 100 = 0),
+    sig AS (SELECT doc_id, e, {_MM_SIG_SQL.format(e='e')} AS s FROM v),
+    bnd AS (
+      SELECT doc_id, e, b AS band, (s >> (b * 4)) & 15 AS key
+      FROM sig, unnest(generate_series(0, 5)) AS u(b)
+    ),
+    q AS (SELECT * FROM bnd WHERE doc_id % 100 = 0),
     scored AS (
-      SELECT q.doc_id AS query_id, v.doc_id AS neighbor_id,
-             round(list_dot_product(q.e, v.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
-      FROM q JOIN v ON q.doc_id <> v.doc_id
+      SELECT DISTINCT q.doc_id AS query_id, w.doc_id AS neighbor_id,
+             round(list_dot_product(q.e, w.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(w.e, w.e))), 6) AS cosine
+      FROM q JOIN bnd w
+        ON q.band = w.band AND q.key = w.key AND q.doc_id <> w.doc_id
     )
     SELECT query_id, neighbor_id, cosine, rn FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2043,16 +2065,23 @@ def repeated_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal e2e on the SCALE path: binary payload -> Arrow-batched
+    feature extraction -> banded LSH top-k (equi-join on band keys — no
+    cross join anywhere in the plan).  The exact-cosine variant remains
+    the recall oracle: tests/test_multimodal.py pins recall@5 >= 0.9 for
+    this exact pipeline against ``cosine_topk`` over the same features.
+    """
     from .operators.multimodal import extract_features, pack_multimodal
-    from .operators.similarity import cosine_topk
+    from .operators.similarity import lsh_topk
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     packed = pack_multimodal(docs, "encode(text, 'utf-8')", "image", {})
     feats = extract_features(packed.drop("text"), feature_dim=8)
     vectors = feats.select("doc_id", "features")
-    return cosine_topk(
+    return lsh_topk(
         vectors, vectors.filter(F.col("doc_id") % 100 == 0),
-        k=5, id_col="doc_id", vec_col="features",
+        _MM_PLANES, k=5, bands=6, center=0.5,
+        id_col="doc_id", vec_col="features",
     ).withColumn("rn", F.col("rn").cast("int"))
 
 

@@ -91,3 +91,30 @@ def test_resize_images_meta(spark, sf_dir):
     assert all(r["meta"]["width"] == "64" and r["meta"]["resized"] == "stub"
                for r in out)
     assert all(r["content"] is not None for r in out)  # payload preserved
+
+
+def test_embed_topk_lsh_recall_vs_exact(spark, sf_dir):
+    """The flagship multimodal composite runs the banded-LSH scale path;
+    this pins its recall@5 against the exact-cosine baseline over the SAME
+    extracted features (the signature-centered planes must keep >= 0.9 of
+    the true neighbors while pruning most of the corpus scan)."""
+    from confluent_data_ingestion_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+        recall_at_k,
+    )
+    from confluent_data_ingestion_spark.queries import _MM_PLANES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    packed = pack_multimodal(docs, "encode(text, 'utf-8')", "image", {})
+    feats = extract_features(packed.drop("text"), feature_dim=8).select(
+        "doc_id", "features"
+    )
+    q = feats.filter(F.col("doc_id") % 100 == 0)
+    exact = cosine_topk(feats, q, k=5, id_col="doc_id", vec_col="features")
+    approx = lsh_topk(feats, q, _MM_PLANES, k=5, bands=6, center=0.5,
+                      id_col="doc_id", vec_col="features")
+    recall = recall_at_k(approx, exact).collect()[0]["recall"]
+    assert recall >= 0.9, f"LSH recall@5 {recall} below 0.9"

@@ -20,7 +20,6 @@ NESTED_LOOP_ALLOWED = {
     "similarity_ivf_nprobe",      # broadcast centroid scoring
     "kmeans_refine_assign",       # broadcast centroid scoring
     "similarity_lsh_topk",        # broadcast plane scoring
-    "multimodal_embed_topk",      # brute-force cosine over stub features
     "temperature_resample_mix",   # 1-row totals broadcast
     "unigram_logprob_score",      # 1-row totals broadcast
     "corpus_mix_report",          # 1-row grand-total broadcast
