@@ -66,12 +66,21 @@ def asof_join(
     """
     tie = tie_col or value_cols[0]
     lcols = left.columns
+    # ALL value columns travel in ONE struct carried by ONE last(): the
+    # per-column formulation (last per value col independently) mixes
+    # values from different right rows whenever the latest right row has
+    # NULL in some value col — the older non-null value bleeds through
+    # ignorenulls.  A struct built from a right row is non-null even when
+    # every member is NULL, so ignorenulls skips exactly the left rows.
+    vs_type = right.select(
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vs__")
+    ).schema["__vs__"].dataType
     r = right.select(
         F.col(right_on).alias("__k__"),
         F.col(right_time).alias("__t__"),
         F.lit(0).alias("__tag__"),
         F.col(tie).alias("__tie__"),
-        *[F.col(c).alias(f"__v_{c}__") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vs__"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     l = left.select(
@@ -79,10 +88,7 @@ def asof_join(
         F.col(left_time).alias("__t__"),
         F.lit(1).alias("__tag__"),
         F.lit(None).cast(right.schema[tie].dataType).alias("__tie__"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}__")
-            for c in value_cols
-        ],
+        F.lit(None).cast(vs_type).alias("__vs__"),
         *lcols,
     )
     # Events (tag=1) sort after right rows at the same instant, making the
@@ -95,12 +101,15 @@ def asof_join(
     carried = r.unionByName(l).select(
         *lcols,
         F.col("__tag__"),
+        F.last("__vs__", ignorenulls=True).over(w).alias("__asof__"),
+    )
+    return carried.filter(F.col("__tag__") == 1).select(
+        *lcols,
         *[
-            F.last(f"__v_{c}__", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            F.col("__asof__").getField(c).alias(f"{prefix}{c}")
             for c in value_cols
         ],
     )
-    return carried.filter(F.col("__tag__") == 1).drop("__tag__")
 
 
 def interval_join(

@@ -1678,9 +1678,12 @@ def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c, t
     ),
     h AS (
+      -- COALESCE + IS NOT DISTINCT FROM mirror the operator exactly: a
+      -- NULL source is a stratum (hashed as '<NULL>', null-safe joined),
+      -- not a row to silently drop.
       SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, r.rate,
-             substr(md5('|' || CAST(d.source AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS hx
-      FROM documents d JOIN r ON d.source = r.s
+             substr(md5('|' || COALESCE(CAST(d.source AS VARCHAR), '<NULL>') || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS hx
+      FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.s
     )
     SELECT doc_id, text, lang, source, n_chars FROM h
     WHERE (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 8, 1)) - 1) * 1

@@ -90,10 +90,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                     ),
                 )
             elif ts_type == "timestamp":
-                # TIMESTAMP_LTZ generation: strip the zone without shifting
-                # the wall-clock value (session TZ is UTC).
+                # TIMESTAMP_LTZ generation: the cast reads the wall clock in
+                # the SESSION timezone, so re-anchor that NTZ from the
+                # session zone to UTC — same shape as the nanos branch, and
+                # correct even if a caller changed the session timezone.
                 df = df.withColumn(
-                    "ts", F.expr("cast(ts as timestamp_ntz)")
+                    "ts",
+                    F.expr(
+                        "convert_timezone(current_timezone(), 'UTC', "
+                        "cast(ts as timestamp_ntz))"
+                    ),
                 )
             # timestamp_ntz: already what the oracle sees — leave untouched.
         out[n] = df

@@ -49,6 +49,30 @@ def test_asof_join_backward_inclusive_and_nulls(spark):
     assert got == {1: (101, 2.0), 2: (101, 2.0), 3: (100, 1.0), 4: (None, None)}
 
 
+def test_asof_join_null_value_in_latest_right_row(spark):
+    """All attached values must come from ONE right row — the latest match.
+    A NULL value col in that row must surface as NULL, not as the older
+    row's non-null value bleeding through a per-column ignorenulls carry."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-05T00:00:00"))],
+        "event_id long, uid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T00:00:00"), 1.0),
+            (101, 10, _ts("2024-01-02T00:00:00"), None),  # latest: px NULL
+        ],
+        "qid long, uid long, qts timestamp, px double",
+    )
+    out = asof_join(
+        left, right,
+        left_on="uid", right_on="uid",
+        left_time="ts", right_time="qts",
+        value_cols=["qid", "px"], tie_col="qid",
+    ).collect()
+    assert (out[0]["asof_qid"], out[0]["asof_px"]) == (101, None)
+
+
 def test_asof_join_tie_break_max_tie_col(spark):
     left = spark.createDataFrame(
         [(1, 10, _ts("2024-01-02T00:00:00"))], "event_id long, uid long, ts timestamp"
