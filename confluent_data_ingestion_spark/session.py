@@ -32,23 +32,53 @@ def get_spark(app_name: str = "confluent-data-ingestion-spark") -> SparkSession:
     return builder.getOrCreate()
 
 
-def ensure_min_parallelism(df, min_partitions: int | None = None):
-    """Round-robin repartition ONLY when the input has fewer partitions than
-    the cluster has task slots.
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf values: bare ints or int + b/k/m/g/t suffix
+    (optionally with a trailing 'b', e.g. '128m', '128mb', '134217728b')."""
+    s = str(v).strip().lower()
+    mult = 1
+    if s.endswith("b"):
+        s = s[:-1]
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suf):
+            s, mult = s[:-1], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 134217728
 
-    At scale this is a no-op: any real file source already yields far more
-    partitions than slots, and the partition-count probe is driver-side plan
-    inspection (no job runs).  On small inputs — a single small parquet file
-    compiles to ONE partition — it unlocks every core for the CPU-heavy
-    per-row expressions these operators are built from (signature folds,
-    shingle explodes, vector norms), which would otherwise run in a single
-    task no matter how many executors are idle.
+
+def ensure_min_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition ONLY when the input is too small to occupy
+    the cluster's task slots.
+
+    The probe is Catalyst's driver-side size statistic
+    (``optimizedPlan().stats().sizeInBytes`` — file-listing / row-count
+    based, no job, and unlike a ``df.rdd`` partition probe no physical
+    planning or RDD DAG construction on wide plans).  An input estimated
+    at >= slots * maxPartitionBytes already compiles to at least one scan
+    partition per slot, so the repartition is skipped — at scale this is
+    always a no-op.  On small inputs — a single small parquet file
+    compiles to ONE partition — the repartition unlocks every core for
+    the CPU-heavy per-row expressions these operators are built from
+    (signature folds, shingle explodes, vector norms), which would
+    otherwise run in a single task no matter how many executors are idle.
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    max_pb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        size = 0  # no estimate -> treat as small, keep the cores busy
+    if size >= target * max_pb:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
