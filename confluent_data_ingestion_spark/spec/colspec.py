@@ -168,18 +168,25 @@ def load_colspec(
     """Load from a list of row dicts or an .xlsx path (Config + STTM
     sheets, reading via the built-in dependency-free reader)."""
     if isinstance(rows, str):
-        from . import xlsx
+        if rows.endswith(".xlsx"):
+            from . import xlsx
 
-        names = xlsx.sheet_names(rows)
-        sheet = "STTM" if "STTM" in names else names[-1]
-        records = xlsx.read_records(rows, sheet)
-        if config is None and "Config" in names:
-            config = {
-                rec.get("Key", ""): rec.get("Value", "")
-                for rec in xlsx.read_records(rows, "Config")
-                if rec.get("Key")
-            }
-        rows = records
+            names = xlsx.sheet_names(rows)
+            sheet = "STTM" if "STTM" in names else names[-1]
+            records = xlsx.read_records(rows, sheet)
+            if config is None and "Config" in names:
+                config = {
+                    rec.get("Key", ""): rec.get("Value", "")
+                    for rec in xlsx.read_records(rows, "Config")
+                    if rec.get("Key")
+                }
+            rows = records
+        else:
+            # CSV column-spec (no Config sheet: pass ``config`` explicitly),
+            # encoding-sniffed like the reference UI's CSV upload path.
+            from .csvio import read_csv_records
+
+            rows = read_csv_records(rows)
     parsed = [
         ColSpecRow(**{_snake(k): v for k, v in r.items()}) for r in rows
     ]

@@ -61,9 +61,12 @@ def load_any_spec(
             records = xlsx.read_records(src, sheet)
             headers = records[0].keys() if records else []
         else:
-            import pandas as pd
+            # CSV: decode once with encoding sniffing (reference UI accepts
+            # chardet-sniffed CSV STTMs) and route the records directly.
+            from .csvio import read_csv_records
 
-            headers = list(pd.read_csv(src, nrows=0).columns)
+            src = read_csv_records(src)
+            headers = src[0].keys() if src else []
     else:
         headers = src[0].keys() if src else []
     if detect_spec_format(headers) == "mapping":

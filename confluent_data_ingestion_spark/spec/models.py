@@ -164,11 +164,9 @@ def load_spec(
             opts.setdefault("unmapped_policy", "passthrough")
             rows = records
         else:
-            import pandas as pd
+            from .csvio import read_csv_records
 
-            df = pd.read_csv(rows, dtype=str).fillna("")
-            df.columns = [c.strip() for c in df.columns]
-            rows = df.to_dict(orient="records")
+            rows = read_csv_records(rows)
     return PipelineSpec(
         rows=[MappingRow(**r) for r in rows],
         table_matrix=table_matrix or {},
