@@ -547,3 +547,45 @@ def test_repeated_spans_detects_shared_text_at_different_offsets(spark):
     h1 = {r["span_hash"] for r in rows if r["doc_id"] == 1}
     h2 = {r["span_hash"] for r in rows if r["doc_id"] == 2}
     assert h1 == h2 and h1
+
+
+def test_anchor_kernels_differential(spark):
+    """The Arrow-batched pandas anchor kernel must emit row-identical
+    (id, pos, span_hash) to the Catalyst expression kernel — same md5
+    anchor rule, char-based slicing (non-ASCII text included)."""
+    import pytest as _pytest
+
+    from confluent_data_ingestion_spark.operators.dedup import (
+        _anchor_grams,
+        repeated_substring_spans,
+    )
+
+    shared = ("the quick brown fox jumps over the lazy dog while the band "
+              "plays on through the night")
+    df = spark.createDataFrame(
+        [
+            (1, "aaa bbb ccc " + shared + " café résumé naïve tail here"),
+            (2, shared + " xxx yyy zzz"),
+            (3, "short"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    expr_rows = sorted(
+        map(tuple, _anchor_grams(df, "doc_id", "text", 60, 8).collect())
+    )
+    pd_rows = sorted(
+        map(tuple, _anchor_grams(df, "doc_id", "text", 60, 8,
+                                 kernel="pandas").collect())
+    )
+    assert expr_rows == pd_rows and expr_rows
+
+    # and the full operator agrees end-to-end on both kernels
+    a = repeated_substring_spans(df, span_chars=60, anchor_chars=8,
+                                 min_docs=2, kernel="expr")
+    b = repeated_substring_spans(df, span_chars=60, anchor_chars=8,
+                                 min_docs=2, kernel="pandas")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    with _pytest.raises(ValueError, match="kernel"):
+        repeated_substring_spans(df, kernel="nope").collect()
