@@ -73,17 +73,22 @@ def kafka_envelope_stream(
     topics: str | list[str] | None = None,
     *,
     payload_col: str = "val",
+    format_name: str = "kafka",
     **kwargs,
 ) -> DataFrame:
     """`readStream.format("kafka")` -> one-string-column envelope.
 
-    Not exercised in tests (no broker in the test environment); the shape
-    contract is covered via ``file_envelope_stream``, which produces the
-    identical schema.
+    ``format_name`` exists for contract testing: Spark reserves the
+    source name ``kafka`` (a Python Data Source cannot shadow it), so the
+    test suite registers a fake Python source serving the real Kafka wire
+    schema under another name and injects it here — everything else
+    (option construction, load, value->payload projection) is the
+    production path.  Against a real broker the default needs the
+    spark-sql-kafka connector package on the classpath.
     """
     opts = kafka_source_options(bootstrap_servers, topics, **kwargs)
     return (
-        spark.readStream.format("kafka")
+        spark.readStream.format(format_name)
         .options(**opts)
         .load()
         .select(F.col("value").cast("string").alias(payload_col))
