@@ -778,3 +778,91 @@ def cross_set_span_contamination(
             F.min("pos").cast("int").alias("first_pos"),
         )
     )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    max_group_size: int | None = 500,
+) -> DataFrame:
+    """Incremental dedup: label each NEW document against an existing
+    corpus — the shape a production ingest actually runs (a daily batch
+    against the accumulated index), where re-pairing the whole corpus
+    per batch would be quadratic over time.
+
+    Labels (one row per new doc):
+     - ``dup_exact``: byte-identical text exists in the base (md5 digest
+       equi-join — 32-byte keys, text never shuffles).
+     - ``dup_near``: shares at least one MinHash LSH band key with a base
+       doc (same banding as ``minhash_lsh_pairs``; signature scan of the
+       NEW batch only — the base side would be a precomputed band index
+       in steady state).
+     - ``novel``: neither.
+
+    Scale: the base side shuffles digests/band keys only; both joins are
+    LEFT SEMI (existence), so output is bounded by the new batch and a
+    popular base key cannot fan out.  ``max_group_size`` caps degenerate
+    band groups on both sides before the membership join (a band key
+    matching half the base corpus carries no dedup signal).  Docs with no
+    shingles (shorter than n tokens) can only be exact dups or novel.
+    """
+    new_docs = new_df.select(id_col, text_col)
+    base_docs = base_df.select(id_col, text_col)
+
+    digest = F.md5(F.col(text_col)).alias("__d__")
+    new_d = new_docs.select(F.col(id_col), digest)
+    base_d = base_docs.select(digest).distinct()
+    exact_ids = (
+        new_d.join(base_d, "__d__", "left_semi").select(id_col)
+    )
+
+    def band_keys(docs: DataFrame) -> DataFrame:
+        assert num_hashes % rows_per_band == 0
+        n_bands = num_hashes // rows_per_band
+        sig = minhash_signature(
+            shingle(ensure_min_parallelism(docs), text_col, n),
+            num_hashes=num_hashes,
+        )
+        key_case = "CASE __band__ " + " ".join(
+            f"WHEN {b} THEN md5("
+            + "||".join(f"mh{b * rows_per_band + k}" for k in range(rows_per_band))
+            + ")"
+            for b in range(n_bands)
+        ) + " END"
+        return (
+            sig.select(F.col(id_col), *[f"mh{j}" for j in range(num_hashes)])
+            .withColumn("__band__", F.explode(F.expr(f"sequence(0, {n_bands - 1})")))
+            .select(
+                F.col(id_col),
+                F.col("__band__").alias("band"),
+                F.expr(key_case).alias("key"),
+            )
+            .filter(F.col("key").isNotNull())
+        )
+    new_b = _cap_hot_groups(band_keys(new_docs), ["band", "key"], max_group_size)
+    base_b = _cap_hot_groups(
+        band_keys(base_docs), ["band", "key"], max_group_size
+    ).select("band", "key").distinct()
+    near_ids = (
+        new_b.join(base_b, ["band", "key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+    return (
+        new_docs.select(id_col)
+        .join(exact_ids.withColumn("__e__", F.lit(1)), id_col, "left")
+        .join(near_ids.withColumn("__n__", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            F.expr(
+                "CASE WHEN __e__ = 1 THEN 'dup_exact' "
+                "WHEN __n__ = 1 THEN 'dup_near' ELSE 'novel' END"
+            ).alias("verdict"),
+        )
+    )

@@ -179,3 +179,104 @@ def temperature_resample(
         .filter(F.expr(f"{bucket} < CAST(floor(__rate__ * 4294967296.0d) AS BIGINT)"))
         .drop("__s__", "__rate__")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    cap: int = 1000,
+    mode: str = "exact",
+    seed: str = "",
+) -> DataFrame:
+    """Bound each group's contribution to the corpus — the per-domain cap
+    every web-scale training mix applies so a single crawl host cannot
+    dominate.  Selection order within a group is the md5 hash of the key
+    (a seeded uniform shuffle), never file order, so the kept subset is a
+    fair sample of the group and reruns/repartitions keep the same rows.
+
+     - ``mode="exact"``: keep EXACTLY min(cap, n) rows per group via
+       ROW_NUMBER over (group, hash order).  One shuffle on the group
+       key; a mega-group sorts in one task — fine for bounded group
+       counts, wrong shape for web-host skew.
+     - ``mode="rate"``: keep ~cap rows per group IN EXPECTATION via a
+       per-group hash-cutoff rate = min(1, cap/n).  Same shape as
+       ``temperature_resample``: a tiny per-group count agg (map-side
+       combined) broadcast back, then a pure per-row predicate — the
+       corpus NEVER shuffles and no group ever sorts in one task.  The
+       scale path; cap deviation is O(sqrt(cap)).
+
+    A NULL group is a group (null-safe join, '<NULL>' hash tag), matching
+    ``stratified_sample`` / ``temperature_resample`` semantics.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    order_hash = (
+        f"md5(concat('{seed}', '|', "
+        f"coalesce(CAST({group_col} AS STRING), '<NULL>'), "
+        f"'|', CAST({key_col} AS STRING)))"
+    )
+    if mode == "exact":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.expr(order_hash).asc(), F.col(key_col).asc()
+        )
+        return (
+            df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= cap)
+            .drop("__rn__")
+        )
+    if mode != "rate":
+        raise ValueError(f"mode must be 'exact' or 'rate', got {mode!r}")
+    counts = df.groupBy(F.col(group_col).alias("__g__")).agg(
+        F.count("*").alias("__n__")
+    )
+    rates = counts.select(
+        "__g__",
+        F.expr(f"round(least(1.0d, {cap}d / __n__), 6)").alias("__rate__"),
+    )
+    bucket = (
+        f"CAST(conv(substr({order_hash}, 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        df.join(F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("__g__")))
+        .filter(F.expr(f"{bucket} < CAST(floor(__rate__ * 4294967296.0d) AS BIGINT)"))
+        .drop("__g__", "__rate__")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 16,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-epoch training order: every key gets a shard and
+    an in-shard sort position, both pure functions of (seed, epoch, key) —
+    a new epoch is a fresh uniform shuffle, and any engine can reproduce
+    (and audit) the exact batch order from the key alone.
+
+    The assignment is a zero-shuffle projection (two slices of one md5:
+    hex chars 1-8 -> order, 9-12 -> shard).  Materializing the order is
+    the writer's move:
+    ``out.repartition(n_shards, 'shard').sortWithinPartitions('sort_key')``
+    — one partition-count-bounded shuffle and per-partition sorts, never
+    a global orderBy.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = (
+        f"md5(concat('{seed}', '|', CAST({epoch} AS STRING), '|', "
+        f"CAST({key_col} AS STRING)))"
+    )
+    return df.withColumn(
+        "shard",
+        F.expr(
+            f"CAST(pmod(conv(substr({h}, 9, 4), 16, 10), {n_shards}) AS INT)"
+        ),
+    ).withColumn(
+        "sort_key",
+        F.expr(f"CAST(conv(substr({h}, 1, 8), 16, 10) AS BIGINT)"),
+    )

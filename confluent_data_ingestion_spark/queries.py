@@ -2191,3 +2191,169 @@ def span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     return cross_set_span_contamination(train, ev, span_chars=60,
                                         anchor_chars=8)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain caps: bound each source's contribution (web-host dominance
+# control).  Exact mode (ROW_NUMBER over seeded hash order) + rate mode
+# (hash-cutoff expectation, the zero-corpus-shuffle scale path).
+# ---------------------------------------------------------------------------
+def _duck_hex_num(hx: str, start: int, width: int) -> str:
+    """DuckDB-side numeric value of a hex slice (no conv() there)."""
+    return "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({hx}, {start + i}, 1)) - 1)"
+        f" * {16 ** (width - 1 - i)}"
+        for i in range(width)
+    ) + ")"
+
+
+_CAP_HASH = "md5('|' || COALESCE(CAST(source AS VARCHAR), '<NULL>') || '|' || CAST(doc_id AS VARCHAR))"
+
+
+@query(
+    "domain_cap_exact",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY {_CAP_HASH}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def domain_cap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, group_col="source", cap=20, mode="exact")
+
+
+@query(
+    "domain_cap_rate",
+    f"""
+    WITH c AS (SELECT source AS g, count(*) AS n FROM documents GROUP BY source),
+    r AS (SELECT g, round(least(1.0, 15.0 / n), 6) AS rate FROM c),
+    h AS (
+      SELECT d.doc_id, d.source, r.rate,
+             substr({_CAP_HASH.replace('source', 'd.source').replace('doc_id', 'd.doc_id')}, 1, 8) AS hx
+      FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.g
+    )
+    SELECT doc_id, source FROM h
+    WHERE {_duck_hex_num('hx', 1, 8)} < CAST(floor(rate * 4294967296.0) AS BIGINT)
+    """,
+)
+def domain_cap_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, group_col="source", cap=15, mode="rate")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle: shard + in-shard order as pure functions of
+# (seed, epoch, key) — auditable batch order, zero-shuffle assignment.
+# ---------------------------------------------------------------------------
+@query(
+    "epoch_shuffle_assign",
+    f"""
+    WITH h AS (
+      SELECT doc_id, md5('|1|' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    )
+    SELECT doc_id,
+           CAST({_duck_hex_num('hx', 9, 4)} % 16 AS INT) AS shard,
+           CAST({_duck_hex_num('hx', 1, 8)} AS BIGINT) AS sort_key
+    FROM h
+    """,
+)
+def epoch_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, epoch=1, n_shards=16)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: label a NEW batch against the accumulated corpus
+# (exact digest membership, then MinHash band membership) — the daily-ingest
+# shape where re-pairing the whole corpus per batch would be quadratic.
+# Planted rows: +7M exact copies of base docs, +8M one-token mutations.
+# ---------------------------------------------------------------------------
+def _mh_band_ctes(src: str, p: str) -> str:
+    """Shingle -> minhash sig -> band CTEs for source CTE ``src``, names
+    prefixed with ``p`` (mirrors the operator's n=5, 8 hashes, 2 rows/band,
+    group cap 500)."""
+    sh5 = ("ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]"
+           " || ' ' || ts[i+4]")
+    return f"""
+    {p}tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM {src}),
+    {p}sh AS (
+      SELECT DISTINCT doc_id, {sh5} AS s
+      FROM {p}tok, unnest(generate_series(1, len(ts)-4)) AS u(i)
+    ),
+    {p}sig AS (
+      SELECT doc_id,
+        min(substr(md5('0|' || s), 1, 8))  AS mh0, min(substr(md5('0|' || s), 9, 8))  AS mh1,
+        min(substr(md5('0|' || s), 17, 8)) AS mh2, min(substr(md5('0|' || s), 25, 8)) AS mh3,
+        min(substr(md5('1|' || s), 1, 8))  AS mh4, min(substr(md5('1|' || s), 9, 8))  AS mh5,
+        min(substr(md5('1|' || s), 17, 8)) AS mh6, min(substr(md5('1|' || s), 25, 8)) AS mh7
+      FROM {p}sh GROUP BY doc_id
+    ),
+    {p}band AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS key FROM {p}sig
+      UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM {p}sig
+      UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM {p}sig
+      UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM {p}sig
+    ),
+    {p}cband AS (SELECT * FROM {p}band
+                 QUALIFY count(*) OVER (PARTITION BY band, key) <= 500)"""
+
+
+@query(
+    "dedup_incremental",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    newd AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 7000000, text FROM documents WHERE doc_id % 30 = 1
+      UNION ALL
+      SELECT doc_id + 8000000, text || ' zzinc' FROM documents WHERE doc_id % 40 = 2
+    ),
+    {_mh_band_ctes('base', 'b')},
+    {_mh_band_ctes('newd', 'n')},
+    bkeys AS (SELECT DISTINCT band, key FROM bcband),
+    near AS (
+      SELECT DISTINCT ncband.doc_id FROM ncband JOIN bkeys USING (band, key)
+    ),
+    bdig AS (SELECT DISTINCT md5(text) AS d FROM base),
+    ex AS (
+      SELECT DISTINCT n.doc_id FROM newd n JOIN bdig ON md5(n.text) = bdig.d
+    )
+    SELECT n.doc_id,
+      CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+           WHEN nr.doc_id IS NOT NULL THEN 'dup_near'
+           ELSE 'novel' END AS verdict
+    FROM newd n LEFT JOIN ex e ON n.doc_id = e.doc_id
+                LEFT JOIN near nr ON n.doc_id = nr.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    new = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 30 == 1).select(
+                (F.col("doc_id") + 7000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 40 == 2).select(
+                (F.col("doc_id") + 8000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzinc")).alias("text"),
+            )
+        )
+    )
+    return dedup_against_corpus(new, base, n=5)

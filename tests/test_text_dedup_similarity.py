@@ -606,3 +606,85 @@ def test_corpus_mix_report_levels(spark):
     assert by[("de", "s1", 0)].n_docs == 1
     # levels: 6 finest+per-lang rows + grand = len check
     assert len(rows) == 3 + 2 + 1
+
+
+def test_cap_per_group_exact_and_rate(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.sampling import cap_per_group
+
+    rows = [_Row(doc_id=i, source="big" if i < 400 else None)
+            for i in range(500)]
+    df = spark.createDataFrame(rows)
+
+    exact = cap_per_group(df, cap=50, mode="exact")
+    per = {r["source"]: r["count"]
+           for r in exact.groupBy("source").count().collect()}
+    assert per["big"] == 50          # capped exactly
+    assert per[None] == 50           # NULL group is a group, also capped
+    # deterministic: same rows on rerun
+    assert sorted(r["doc_id"] for r in exact.collect()) == \
+        sorted(r["doc_id"] for r in cap_per_group(df, cap=50).collect())
+
+    rate = cap_per_group(df, cap=50, mode="rate")
+    per_r = {r["source"]: r["count"]
+             for r in rate.groupBy("source").count().collect()}
+    # expectation cap: within 3*sqrt(50) of the target for the big group
+    assert abs(per_r.get("big", 0) - 50) < 22
+    assert per_r.get(None, 0) > 0    # NULL group sampled, not dropped
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        cap_per_group(df, mode="nope")
+    with _pytest.raises(ValueError, match="cap"):
+        cap_per_group(df, cap=0)
+
+
+def test_epoch_shuffle_deterministic_and_reshuffled(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([_Row(doc_id=i) for i in range(200)])
+    e0 = {r["doc_id"]: (r["shard"], r["sort_key"])
+          for r in epoch_shuffle(df, epoch=0, n_shards=8).collect()}
+    e0b = {r["doc_id"]: (r["shard"], r["sort_key"])
+           for r in epoch_shuffle(df, epoch=0, n_shards=8).collect()}
+    e1 = {r["doc_id"]: (r["shard"], r["sort_key"])
+          for r in epoch_shuffle(df, epoch=1, n_shards=8).collect()}
+    assert e0 == e0b                       # pure function of (epoch, key)
+    assert e0 != e1                        # a new epoch reshuffles
+    assert all(0 <= s < 8 for s, _ in e0.values())
+    # shards roughly balanced: no shard empty, none > 3x fair share
+    from collections import Counter
+    c = Counter(s for s, _ in e0.values())
+    assert len(c) == 8 and max(c.values()) < 3 * (200 / 8)
+
+
+def test_dedup_against_corpus_labels(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    base = spark.createDataFrame([
+        _Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        _Row(doc_id=2, text="pack my box with five dozen liquor jugs now"),
+    ])
+    new = spark.createDataFrame([
+        # exact copy of base 1
+        _Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+        # near-dup of base 2 (one token appended)
+        _Row(doc_id=11, text="pack my box with five dozen liquor jugs now ok"),
+        # unrelated
+        _Row(doc_id=12, text="completely different words entirely here folks"),
+        # too short to shingle: only exact/novel possible
+        _Row(doc_id=13, text="tiny"),
+    ])
+    got = {r["doc_id"]: r["verdict"]
+           for r in dedup_against_corpus(new, base).collect()}
+    assert got[10] == "dup_exact"
+    assert got[11] == "dup_near"
+    assert got[12] == "novel"
+    assert got[13] == "novel"
