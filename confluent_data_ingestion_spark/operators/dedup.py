@@ -866,3 +866,57 @@ def dedup_against_corpus(
             ).alias("verdict"),
         )
     )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY on candidate pairs — the verify
+    stage of the two-phase corpus dedup (``minhash_lsh_pairs`` to
+    generate candidates, this to remove LSH false positives).  At 100 TB
+    the all-pairs ``ngram_jaccard_pairs`` inverted index is quadratic in
+    collision groups; verification is linear in |candidates| * shingles.
+
+    ``pairs``: (doc_a, doc_b) candidates.  Output: the pairs with
+    ``jaccard >= threshold`` and the exact score.
+
+    Scale shape: only docs APPEARING in pairs are shingled (semi-join
+    prune); the intersection join shuffles on (doc, shingle-digest) keys;
+    sizes are a per-doc count agg.  Pairs sharing no shingle get 0 and
+    drop at any positive threshold.
+    """
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    docs = df.select(id_col, text_col).join(ids, id_col, "left_semi")
+    sh = exploded_shingles(
+        ensure_min_parallelism(docs), id_col, text_col, n, hashed=True
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        pairs.join(a, F.expr(f"doc_a = a.{id_col}"))
+        .join(b, F.expr(f"doc_b = b.{id_col} AND a.s = b.s"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("__c__", F.coalesce(F.col("__c__"), F.lit(0)))
+        .join(sa, F.expr(f"doc_a = sa.{id_col}"))
+        .join(sb, F.expr(f"doc_b = sb.{id_col}"))
+        .withColumn(
+            "jaccard",
+            F.expr("round(CAST(__c__ AS DOUBLE) / (sa.n_sh + sb.n_sh - __c__), 6)"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

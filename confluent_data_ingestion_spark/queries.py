@@ -2357,3 +2357,60 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup_against_corpus(new, base, n=5)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase corpus dedup: MinHash-LSH candidates -> exact Jaccard verify.
+# The 100 TB composition the module docstring prescribes — generation is
+# banded (linear), verification touches only candidate pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_lsh_verified",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sig AS (
+      SELECT doc_id,
+        min(substr(md5('0|' || s), 1, 8))  AS mh0, min(substr(md5('0|' || s), 9, 8))  AS mh1,
+        min(substr(md5('0|' || s), 17, 8)) AS mh2, min(substr(md5('0|' || s), 25, 8)) AS mh3,
+        min(substr(md5('1|' || s), 1, 8))  AS mh4, min(substr(md5('1|' || s), 9, 8))  AS mh5,
+        min(substr(md5('1|' || s), 17, 8)) AS mh6, min(substr(md5('1|' || s), 25, 8)) AS mh7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+    ),
+    cbands AS (SELECT * FROM bands
+               QUALIFY count(*) OVER (PARTITION BY band, key) <= 500),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cbands a JOIN cbands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (sa.nsh + sb.nsh - COALESCE(i.i, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                / (sa.nsh + sb.nsh - COALESCE(i.i, 0)), 6) >= 0.5
+    """,
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_verify_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, n=5, persist_signatures=True)
+    return jaccard_verify_pairs(docs, pairs, n=5, threshold=0.5)

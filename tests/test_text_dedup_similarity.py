@@ -688,3 +688,21 @@ def test_dedup_against_corpus_labels(spark):
     assert got[11] == "dup_near"
     assert got[12] == "novel"
     assert got[13] == "novel"
+
+
+def test_jaccard_verify_drops_false_candidates(spark):
+    from confluent_data_ingestion_spark.operators.dedup import (
+        jaccard_verify_pairs,
+    )
+
+    docs = _docs(spark)
+    cand = spark.createDataFrame(
+        [(1, 4), (1, 3), (1, 5)], "doc_a long, doc_b long"
+    )  # true dup, unrelated, and a shingle-less doc
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_verify_pairs(docs, cand, threshold=0.9).collect()}
+    assert got == {(1, 4): 1.0}
+    # with threshold 0 the unrelated pair surfaces with score 0.0
+    loose = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_verify_pairs(docs, cand, threshold=0.0).collect()}
+    assert loose[(1, 3)] == 0.0
