@@ -62,11 +62,14 @@ def main() -> None:
     qs = e.queries()
     oracles = e.oracle_sql()
     failures = 0
+    from confluent_data_ingestion_spark.caching import release_caches
+
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
+        release_caches()  # drop per-query persisted blocks (63 queries)
         scols = sdf.columns
         if name not in oracles:
             print(f"{name:32s} rows={len(srows):7d}  (no oracle — rows-only)")
