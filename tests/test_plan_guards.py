@@ -47,3 +47,29 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_ALLOWED:
             failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not failures, "\n".join(failures)
+
+
+def test_epoch_shuffle_assignment_is_zero_shuffle(spark, sf_dir):
+    """The epoch-shuffle ASSIGNMENT must stay a pure projection — any
+    Exchange in its plan means someone broke the zero-shuffle contract."""
+    from confluent_data_ingestion_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = epoch_shuffle(docs, epoch=1, n_shards=16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_cap_per_group_rate_mode_broadcasts_rates(spark, sf_dir):
+    """Rate mode's corpus side must join the per-group rate table via
+    BroadcastHashJoin (corpus never shuffles for the filter); a
+    SortMergeJoin here would be the web-host-skew regression."""
+    from confluent_data_ingestion_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    plan = cap_per_group(docs, cap=10, mode="rate") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
