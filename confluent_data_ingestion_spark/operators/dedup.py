@@ -12,7 +12,7 @@ Scale design (the whole point of these):
    (32-byte keys instead of full documents).
  - Pairwise n-gram Jaccard is the quadratic fallback — at scale you run
    minhash_lsh_pairs first and feed ONLY candidate pairs into the exact
-   Jaccard verifier (``verify`` flag below).
+   Jaccard verifier (:func:`jaccard_verify_pairs`).
 """
 
 from __future__ import annotations
