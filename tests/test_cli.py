@@ -52,3 +52,19 @@ def test_cli_no_zip_and_fail_on_error(tmp_path):
     # the v22 workbook has warnings but no errors: --fail-on-error still 0
     rc = main(["generate", WB, str(tmp_path / "f"), "--fail-on-error"])
     assert rc == 0
+
+
+COLSPEC_WB = "/root/reference/resources/STTM_v3_template.xlsx"
+
+
+@pytest.mark.skipif(not os.path.exists(COLSPEC_WB),
+                    reason="reference colspec template not present")
+def test_cli_generate_colspec_script(tmp_path):
+    out = tmp_path / "colspec"
+    rc = main(["generate", COLSPEC_WB, str(out)])
+    assert rc == 0
+    script = (out / "00_all.sql").read_text()
+    assert "CREATE" in script and "INSERT" in script
+    zf = zipfile.ZipFile(out / "bundle.zip")
+    assert zf.namelist() == ["bundle/00_all.sql"]
+    assert zf.read("bundle/00_all.sql").decode() == script
