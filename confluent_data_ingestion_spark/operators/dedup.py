@@ -780,8 +780,41 @@ def cross_set_span_contamination(
     )
 
 
-def dedup_against_corpus(
-    new_df: DataFrame,
+def _minhash_band_keys(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(id, band, key) MinHash LSH band keys — the shared banding of
+    ``minhash_lsh_pairs`` / ``dedup_against_corpus`` / ``build_dedup_index``."""
+    assert num_hashes % rows_per_band == 0
+    n_bands = num_hashes // rows_per_band
+    sig = minhash_signature(
+        shingle(ensure_min_parallelism(docs), text_col, n),
+        num_hashes=num_hashes,
+    )
+    key_case = "CASE __band__ " + " ".join(
+        f"WHEN {b} THEN md5("
+        + "||".join(f"mh{b * rows_per_band + k}" for k in range(rows_per_band))
+        + ")"
+        for b in range(n_bands)
+    ) + " END"
+    return (
+        sig.select(F.col(id_col), *[f"mh{j}" for j in range(num_hashes)])
+        .withColumn("__band__", F.explode(F.expr(f"sequence(0, {n_bands - 1})")))
+        .select(
+            F.col(id_col),
+            F.col("__band__").alias("band"),
+            F.expr(key_case).alias("key"),
+        )
+        .filter(F.col("key").isNotNull())
+    )
+
+
+def build_dedup_index(
     base_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -789,6 +822,41 @@ def dedup_against_corpus(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     max_group_size: int | None = 500,
+) -> dict[str, DataFrame]:
+    """Precompute the corpus-side dedup index ``dedup_against_corpus``
+    probes: ``{"digests": (d), "bands": (band, key)}`` — both distinct,
+    both tiny relative to the corpus (32-byte digests / band keys only).
+
+    This is the steady-state shape: write both frames to parquet once,
+    then every daily ingest reads them back and labels its batch without
+    touching base text at all.  Growing the index after accepting a batch
+    is a union + distinct (or a parquet append + dedup-on-read).
+    """
+    base_docs = base_df.select(id_col, text_col)
+    digests = base_docs.select(F.md5(F.col(text_col)).alias("d")).distinct()
+    bands = (
+        _cap_hot_groups(
+            _minhash_band_keys(base_docs, id_col, text_col, n, num_hashes,
+                               rows_per_band),
+            ["band", "key"],
+            max_group_size,
+        )
+        .select("band", "key")
+        .distinct()
+    )
+    return {"digests": digests, "bands": bands}
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    base_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    max_group_size: int | None = 500,
+    index: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental dedup: label each NEW document against an existing
     corpus — the shape a production ingest actually runs (a daily batch
@@ -800,9 +868,12 @@ def dedup_against_corpus(
        equi-join — 32-byte keys, text never shuffles).
      - ``dup_near``: shares at least one MinHash LSH band key with a base
        doc (same banding as ``minhash_lsh_pairs``; signature scan of the
-       NEW batch only — the base side would be a precomputed band index
-       in steady state).
+       NEW batch only).
      - ``novel``: neither.
+
+    Pass either ``base_df`` (index computed inline) or ``index`` (the
+    :func:`build_dedup_index` frames, typically read back from parquet —
+    the steady state where base text is never re-scanned).
 
     Scale: the base side shuffles digests/band keys only; both joins are
     LEFT SEMI (existence), so output is bounded by the new batch and a
@@ -811,43 +882,25 @@ def dedup_against_corpus(
     matching half the base corpus carries no dedup signal).  Docs with no
     shingles (shorter than n tokens) can only be exact dups or novel.
     """
+    if (base_df is None) == (index is None):
+        raise ValueError("exactly one of base_df / index is required")
+    if index is None:
+        index = build_dedup_index(base_df, id_col, text_col, n, num_hashes,
+                                  rows_per_band, max_group_size)
     new_docs = new_df.select(id_col, text_col)
-    base_docs = base_df.select(id_col, text_col)
 
-    digest = F.md5(F.col(text_col)).alias("__d__")
-    new_d = new_docs.select(F.col(id_col), digest)
-    base_d = base_docs.select(digest).distinct()
+    new_d = new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("d"))
     exact_ids = (
-        new_d.join(base_d, "__d__", "left_semi").select(id_col)
+        new_d.join(index["digests"], "d", "left_semi").select(id_col)
     )
 
-    def band_keys(docs: DataFrame) -> DataFrame:
-        assert num_hashes % rows_per_band == 0
-        n_bands = num_hashes // rows_per_band
-        sig = minhash_signature(
-            shingle(ensure_min_parallelism(docs), text_col, n),
-            num_hashes=num_hashes,
-        )
-        key_case = "CASE __band__ " + " ".join(
-            f"WHEN {b} THEN md5("
-            + "||".join(f"mh{b * rows_per_band + k}" for k in range(rows_per_band))
-            + ")"
-            for b in range(n_bands)
-        ) + " END"
-        return (
-            sig.select(F.col(id_col), *[f"mh{j}" for j in range(num_hashes)])
-            .withColumn("__band__", F.explode(F.expr(f"sequence(0, {n_bands - 1})")))
-            .select(
-                F.col(id_col),
-                F.col("__band__").alias("band"),
-                F.expr(key_case).alias("key"),
-            )
-            .filter(F.col("key").isNotNull())
-        )
-    new_b = _cap_hot_groups(band_keys(new_docs), ["band", "key"], max_group_size)
-    base_b = _cap_hot_groups(
-        band_keys(base_docs), ["band", "key"], max_group_size
-    ).select("band", "key").distinct()
+    new_b = _cap_hot_groups(
+        _minhash_band_keys(new_docs, id_col, text_col, n, num_hashes,
+                           rows_per_band),
+        ["band", "key"],
+        max_group_size,
+    )
+    base_b = index["bands"]
     near_ids = (
         new_b.join(base_b, ["band", "key"], "left_semi")
         .select(id_col)

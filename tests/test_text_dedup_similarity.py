@@ -706,3 +706,37 @@ def test_jaccard_verify_drops_false_candidates(spark):
     loose = {(r["doc_a"], r["doc_b"]): r["jaccard"]
              for r in jaccard_verify_pairs(docs, cand, threshold=0.0).collect()}
     assert loose[(1, 3)] == 0.0
+
+
+def test_dedup_index_parquet_roundtrip_matches_inline(spark, tmp_path):
+    """Steady-state incremental dedup: labels computed against a parquet
+    round-tripped build_dedup_index must equal the inline base_df path."""
+    from confluent_data_ingestion_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_corpus,
+    )
+
+    docs = _docs(spark)
+    base = docs.filter("doc_id <= 3")
+    new = docs.filter("doc_id >= 4")  # 4 = exact dup of 1, 5 = shingle-less
+
+    inline = {r["doc_id"]: r["verdict"]
+              for r in dedup_against_corpus(new, base).collect()}
+
+    idx = build_dedup_index(base)
+    idx["digests"].write.parquet(str(tmp_path / "digests"))
+    idx["bands"].write.parquet(str(tmp_path / "bands"))
+    loaded = {
+        "digests": spark.read.parquet(str(tmp_path / "digests")),
+        "bands": spark.read.parquet(str(tmp_path / "bands")),
+    }
+    from_index = {r["doc_id"]: r["verdict"]
+                  for r in dedup_against_corpus(new, index=loaded).collect()}
+    assert from_index == inline
+    assert from_index[4] == "dup_exact"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly one"):
+        dedup_against_corpus(new, base, index=loaded)
+    with _pytest.raises(ValueError, match="exactly one"):
+        dedup_against_corpus(new)
