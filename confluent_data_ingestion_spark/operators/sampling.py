@@ -280,3 +280,30 @@ def epoch_shuffle(
         "sort_key",
         F.expr(f"CAST(conv(substr({h}, 1, 8), 16, 10) AS BIGINT)"),
     )
+
+
+def sample_exact_n(
+    df: DataFrame,
+    n: int,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic EXACT-size corpus sample: the n smallest seeded key
+    hashes — a uniform sample that is stable under reruns, repartitioning,
+    and row order, and reproducible by any auditing engine.
+
+    Scale shape: Spark executes orderBy+limit as TakeOrderedAndProject —
+    each partition keeps its local top-n heap and the driver merges n
+    rows, so there is NO full-sort shuffle.  The merge is driver-side
+    O(n): right for samples up to ~1M rows; for larger takes use
+    ``hash_split`` fractions (distributed, approximate size) instead.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    h = f"md5(concat('{seed}', '|', CAST({key_col} AS STRING)))"
+    return (
+        df.withColumn("__h__", F.expr(h))
+        .orderBy(F.col("__h__").asc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("__h__")
+    )

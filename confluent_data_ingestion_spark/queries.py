@@ -2414,3 +2414,22 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = minhash_lsh_pairs(docs, n=5, persist_signatures=True)
     return jaccard_verify_pairs(docs, pairs, n=5, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Exact-size deterministic sample: global top-n by seeded key hash, executed
+# as TakeOrderedAndProject (per-partition heaps, no full-sort shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_sample_exact_n",
+    """
+    SELECT doc_id, source FROM documents
+    ORDER BY md5('|' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+)
+def corpus_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import sample_exact_n
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_exact_n(docs, 100)

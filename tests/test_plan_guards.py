@@ -73,3 +73,16 @@ def test_cap_per_group_rate_mode_broadcasts_rates(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sample_exact_n_uses_take_ordered(spark, sf_dir):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    top-n heaps), never a full-sort Exchange feeding a GlobalLimit sort."""
+    from confluent_data_ingestion_spark.operators.sampling import sample_exact_n
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    plan = sample_exact_n(docs, 50) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
