@@ -545,3 +545,61 @@ def test_kafka_envelope_stream_against_fake_broker(spark, tmp_path):
     # options round-tripped through the source: S1's WITH-clause contract
     assert all(p["topic"] == "t-orders" for p in payloads)
     assert all(p["bootstrap"] == "b:9092" for p in payloads)
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup: the index grows ACROSS microbatches — a doc
+# first accepted in batch 1 must label dup_exact when it reappears in
+# batch 2.
+# ---------------------------------------------------------------------------
+def test_streaming_ingest_dedup_index_grows_across_batches(spark, tmp_path):
+    from confluent_data_ingestion_spark.streaming.incremental import (
+        init_dedup_index,
+        streaming_ingest_dedup,
+    )
+
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog")]
+    )
+    idx_dir = str(tmp_path / "index")
+    init_dedup_index(base, idx_dir)
+
+    # two NDJSON files -> two microbatches (maxFilesPerTrigger=1),
+    # ordered by file modification time (set below).
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "batch_a.ndjson").write_text("\n".join([
+        json.dumps({"doc_id": 10,
+                    "text": "the quick brown fox jumps over the lazy dog"}),
+        json.dumps({"doc_id": 11,
+                    "text": "a wholly novel document body appears right here"}),
+    ]))
+    (d / "batch_b.ndjson").write_text("\n".join([
+        json.dumps({"doc_id": 20,
+                    "text": "a wholly novel document body appears right here"}),
+        json.dumps({"doc_id": 21,
+                    "text": "another entirely different novel text shows up"}),
+    ]))
+    # FileStreamSource orders by modification time: force a -> b
+    t = os.path.getmtime(d / "batch_b.ndjson")
+    os.utime(d / "batch_a.ndjson", (t - 60, t - 60))
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+        .select(F.from_json(
+            F.col("value"), "doc_id long, text string").alias("j"))
+        .select("j.doc_id", "j.text")
+    )
+    q = streaming_ingest_dedup(
+        stream, idx_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {r["doc_id"]: r["verdict"]
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got[10] == "dup_exact"   # matched the pre-built base index
+    assert got[11] == "novel"       # first sighting, accepted into index
+    assert got[20] == "dup_exact"   # SAME text as 11 -> caught by grown index
+    assert got[21] == "novel"
