@@ -942,7 +942,15 @@ def jaccard_verify_pairs(
     prune); the intersection join shuffles on (doc, shingle-digest) keys;
     sizes are a per-doc count agg.  Pairs sharing no shingle get 0 and
     drop at any positive threshold.
+
+    The candidate list feeds FOUR plan subtrees (both id-union sides, the
+    intersection join, the final pair join); when ``pairs`` is itself an
+    expensive subtree (an LSH self-join), Spark would recompute it per
+    reference — so it is persisted here (candidates are pair-id rows,
+    small by construction; registered with ``caching.track`` and released
+    by the runtime's next ``release_caches()``).
     """
+    pairs = track(pairs.select("doc_a", "doc_b"))
     ids = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
