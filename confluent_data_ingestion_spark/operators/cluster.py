@@ -123,3 +123,29 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds; "
         "raise max_iter (component diameter exceeds it)"
     )
+
+
+def select_cluster_representatives(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "q",
+) -> DataFrame:
+    """One representative per near-dup cluster: the member with the MAX
+    score (ties -> lowest id) — the quality-aware alternative to min-id
+    when applying dedup (keep the longest / highest-quality copy, drop
+    the rest).
+
+    Scale: join labels to scores on id, then a ``max_by`` partial
+    aggregation on (score, -id) — map-side combined, no window, no sort
+    of cluster members.  Output: (``cluster_col``, rep_id).
+    """
+    j = labels.select(id_col, cluster_col).join(
+        scores.select(id_col, score_col), id_col
+    )
+    return j.groupBy(cluster_col).agg(
+        F.expr(
+            f"max_by({id_col}, struct({score_col}, -{id_col}))"
+        ).alias("rep_id")
+    )

@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .caching import release_caches
+from .caching import release_caches, track
 from .operators import (
     csv_view,
     json_view,
@@ -2433,3 +2433,72 @@ def corpus_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return sample_exact_n(docs, 100)
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup apply: per cluster keep the LONGEST member (ties ->
+# lowest id) instead of the min-id one — the representative policy a real
+# training pipeline wants (keep the best copy, not an arbitrary one).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_best_quality",
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cbands a JOIN cbands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 3
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node
+    ),
+    labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    scored AS (
+      SELECT l.node AS doc_id, l.cluster_id, length(d.text) AS q
+      FROM labels l JOIN docs2 d ON d.doc_id = l.node
+    ),
+    rep AS (
+      SELECT cluster_id, doc_id FROM (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                 ORDER BY q DESC, doc_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM docs2 d
+    WHERE d.doc_id NOT IN (SELECT node FROM labels)
+       OR d.doc_id IN (SELECT doc_id FROM rep)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cluster import (
+        connected_components,
+        select_cluster_representatives,
+    )
+    from .operators.dedup import simhash_pairs
+
+    corpus = _simhash_corpus(spark, sf_dir)
+    pairs = simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
+                          persist_signatures=True)
+    labels = track(connected_components(pairs, pairs_distinct=True))
+    scores = corpus.select(
+        "doc_id", F.expr("char_length(text)").alias("q")
+    )
+    reps = select_cluster_representatives(labels, scores)
+    drop = (
+        labels.join(reps, "cluster_id")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id")
+    )
+    return corpus.join(drop, "doc_id", "left_anti").select(
+        "doc_id", F.expr("CAST(char_length(text) AS BIGINT)").alias("n_chars")
+    )

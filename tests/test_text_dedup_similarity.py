@@ -740,3 +740,24 @@ def test_dedup_index_parquet_roundtrip_matches_inline(spark, tmp_path):
         dedup_against_corpus(new, base, index=loaded)
     with _pytest.raises(ValueError, match="exactly one"):
         dedup_against_corpus(new)
+
+
+def test_select_cluster_representatives_max_score_tie_min_id(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.cluster import (
+        select_cluster_representatives,
+    )
+
+    labels = spark.createDataFrame([
+        _Row(doc_id=1, cluster_id=1), _Row(doc_id=2, cluster_id=1),
+        _Row(doc_id=3, cluster_id=1),
+        _Row(doc_id=7, cluster_id=7), _Row(doc_id=8, cluster_id=7),
+    ])
+    scores = spark.createDataFrame([
+        _Row(doc_id=1, q=10), _Row(doc_id=2, q=99), _Row(doc_id=3, q=50),
+        _Row(doc_id=7, q=5), _Row(doc_id=8, q=5),  # tie -> lowest id wins
+    ])
+    got = {r["cluster_id"]: r["rep_id"]
+           for r in select_cluster_representatives(labels, scores).collect()}
+    assert got == {1: 2, 7: 7}
