@@ -146,3 +146,73 @@ def shard_assignment(
         snake = F.when(pos < n_shards, pos).otherwise(2 * n_shards - 1 - pos)
         return base.withColumn("shard", snake.cast("int"))
     raise ValueError(f"unknown mode {mode!r}; use 'hash' or 'balanced'")
+
+
+def concat_chunk_plan(
+    df: DataFrame,
+    chunk_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    epoch: int = 0,
+    seed: str = "",
+) -> DataFrame:
+    """Pretraining sequence construction: concatenate documents in a
+    deterministic per-epoch order and split the stream into fixed
+    ``chunk_tokens`` windows that CROSS document boundaries — the actual
+    shape of LM training batches (``pack_sequences`` keeps documents
+    whole; this is the concat-and-chunk alternative).
+
+    Output: one row per (document, chunk) overlap —
+    (shard, chunk_no, id, tok_from, tok_to), 1-based inclusive token
+    slice of the document that lands in that chunk.  A writer groups by
+    (shard, chunk_no) and slices each doc's tokens to materialize
+    sequences; every column is a pure function of (seed, epoch, ids), so
+    any engine reproduces the exact same batches.
+
+    Scale shape: the order is ``sampling.epoch_shuffle``'s md5 hash; the
+    cumulative token offset is ONE window sum per shard partition (shard
+    count = parallelism knob, shards are hash-balanced so partitions are
+    corpus/n_shards sized); chunk overlap rows come from a per-row
+    sequence explode (a doc spans ceil(n/chunk)+1 chunks at most).  No
+    text moves — the plan carries only ids, counts, and offsets.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    from .sampling import epoch_shuffle
+
+    c = chunk_tokens
+    toks = df.select(
+        id_col, F.expr(f"size(split({text_col}, ' '))").alias("__n__")
+    ).filter(F.col("__n__") > 0)
+    ordered = epoch_shuffle(toks, key_col=id_col, epoch=epoch,
+                            n_shards=n_shards, seed=seed)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("sort_key").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = ordered.withColumn(
+        "__start__", F.coalesce(F.sum("__n__").over(w), F.lit(0))
+    )
+    return (
+        pos.select(
+            "shard",
+            F.col(id_col),
+            "__n__",
+            "__start__",
+            F.explode(
+                F.expr(f"sequence(__start__ div {c}, "
+                       f"(__start__ + __n__ - 1) div {c})")
+            ).alias("__k__"),
+        )
+        .select(
+            "shard",
+            F.col("__k__").cast("int").alias("chunk_no"),
+            F.col(id_col),
+            F.expr(f"CAST(greatest(__k__ * {c} - __start__, 0) + 1 AS INT)")
+            .alias("tok_from"),
+            F.expr(f"CAST(least((__k__ + 1) * {c} - __start__, __n__) AS INT)")
+            .alias("tok_to"),
+        )
+    )

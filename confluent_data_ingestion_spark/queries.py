@@ -2502,3 +2502,40 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(drop, "doc_id", "left_anti").select(
         "doc_id", F.expr("CAST(char_length(text) AS BIGINT)").alias("n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk training sequences: docs concatenated in epoch-shuffled
+# shard order, split into fixed 256-token windows crossing doc boundaries.
+# ---------------------------------------------------------------------------
+@query(
+    "concat_chunks_plan",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n,
+             md5('|0|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n,
+        CAST({_duck_hex_num('hx', 9, 4)} % 16 AS INT) AS shard,
+        CAST({_duck_hex_num('hx', 1, 8)} AS BIGINT) AS sort_key
+      FROM t WHERE n > 0
+    ),
+    c AS (
+      SELECT doc_id, n, shard,
+        CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY sort_key, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+      FROM o
+    )
+    SELECT shard, CAST(k AS INT) AS chunk_no, doc_id,
+      CAST(greatest(k * 256 - strt, 0) + 1 AS INT) AS tok_from,
+      CAST(least((k + 1) * 256 - strt, n) AS INT) AS tok_to
+    FROM c, unnest(generate_series(strt // 256, (strt + n - 1) // 256)) AS u(k)
+    """,
+)
+def concat_chunks_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import concat_chunk_plan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return concat_chunk_plan(docs, chunk_tokens=256, n_shards=16, epoch=0)

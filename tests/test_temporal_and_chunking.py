@@ -589,3 +589,47 @@ def test_anchor_kernels_differential(spark):
 
     with _pytest.raises(ValueError, match="kernel"):
         repeated_substring_spans(df, kernel="nope").collect()
+
+
+def test_concat_chunk_plan_covers_docs_and_fills_chunks(spark):
+    """Concat-and-chunk invariants: (a) every document's tokens are covered
+    exactly once across its chunk slices; (b) every chunk except each
+    shard's last is exactly chunk_tokens full; (c) slices never exceed doc
+    bounds."""
+    from confluent_data_ingestion_spark.operators.packing import (
+        concat_chunk_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(5 + (i * 7) % 40)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = concat_chunk_plan(docs, chunk_tokens=16, n_shards=4).collect()
+    n_by_doc = {r["doc_id"]: len(r["text"].split())
+                for r in docs.collect()}
+
+    # (a) per-doc coverage: slices are contiguous from 1..n with no overlap
+    from collections import defaultdict
+    slices = defaultdict(list)
+    for r in out:
+        assert 1 <= r["tok_from"] <= r["tok_to"] <= n_by_doc[r["doc_id"]]
+        slices[r["doc_id"]].append((r["tok_from"], r["tok_to"]))
+    for d, sl in slices.items():
+        sl.sort()
+        assert sl[0][0] == 1 and sl[-1][1] == n_by_doc[d]
+        for (a1, b1), (a2, _) in zip(sl, sl[1:]):
+            assert a2 == b1 + 1
+    assert set(slices) == set(n_by_doc)
+
+    # (b) chunk fill: every non-final chunk of a shard holds exactly 16
+    fill = defaultdict(int)
+    for r in out:
+        fill[(r["shard"], r["chunk_no"])] += r["tok_to"] - r["tok_from"] + 1
+    last = {s: max(k for (sh, k) in fill if sh == s)
+            for s in {sh for (sh, _) in fill}}
+    for (sh, k), tot in fill.items():
+        if k < last[sh]:
+            assert tot == 16, (sh, k, tot)
+        else:
+            assert tot <= 16
