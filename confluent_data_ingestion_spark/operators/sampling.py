@@ -307,3 +307,36 @@ def sample_exact_n(
         .limit(n)
         .drop("__h__")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    labels: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/test split that hashes the near-dup CLUSTER label, not the
+    document id: every member of a duplicate cluster lands in the same
+    split, so near-duplicates never straddle train/test — the eval
+    leakage a plain ``hash_split`` cannot prevent (two near-identical
+    docs hash independently and can land on opposite sides).
+
+    ``labels``: (id, cluster) from ``cluster.connected_components`` over
+    any pairing operator.  Docs absent from ``labels`` (never paired)
+    split by their own id, which is exactly the cluster-of-one case.
+
+    Scale: one LEFT join against the labels frame (duplicate-doc sized,
+    typically a small fraction of the corpus — AQE broadcasts it when it
+    fits), then the same pure per-row md5 predicate as ``hash_split``.
+    """
+    lab = labels.select(
+        F.col(id_col), F.col(cluster_col).alias("__cl__")
+    )
+    keyed = df.join(lab, id_col, "left").withColumn(
+        "__skey__", F.coalesce(F.col("__cl__"), F.col(id_col))
+    ).drop("__cl__")
+    return hash_split(keyed, key_col="__skey__", fractions=fractions,
+                      seed=seed, out_col=out_col).drop("__skey__")

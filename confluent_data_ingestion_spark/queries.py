@@ -2539,3 +2539,53 @@ def concat_chunks_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return concat_chunk_plan(docs, chunk_tokens=256, n_shards=16, epoch=0)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: hash the near-dup CLUSTER, not the doc id — duplicate
+# clusters never straddle train/test.
+# ---------------------------------------------------------------------------
+from .operators.sampling import _hex_cut  # noqa: E402
+
+
+@query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cbands a JOIN cbands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 3
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node
+    ),
+    labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+      CASE WHEN substr(md5('|' || CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+                < '{_hex_cut(0.9)}'
+           THEN 'train' ELSE 'test' END AS split
+    FROM docs2 d LEFT JOIN labels l ON d.doc_id = l.node
+    """,
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cluster import connected_components
+    from .operators.dedup import simhash_pairs
+    from .operators.sampling import leakage_safe_split
+
+    corpus = _simhash_corpus(spark, sf_dir)
+    pairs = simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
+                          persist_signatures=True)
+    labels = connected_components(pairs, pairs_distinct=True)
+    return leakage_safe_split(
+        corpus.select("doc_id"), labels,
+        fractions={"train": 0.9, "test": 0.1},
+    )

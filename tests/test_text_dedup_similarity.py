@@ -761,3 +761,32 @@ def test_select_cluster_representatives_max_score_tie_min_id(spark):
     got = {r["cluster_id"]: r["rep_id"]
            for r in select_cluster_representatives(labels, scores).collect()}
     assert got == {1: 2, 7: 7}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([_Row(doc_id=i) for i in range(400)])
+    # pair consecutive docs into 100 clusters of 2 + 200 singletons
+    labels = spark.createDataFrame(
+        [_Row(doc_id=i, cluster_id=(i // 2) * 2) for i in range(200)]
+    )
+    out = leakage_safe_split(docs, labels,
+                             fractions={"train": 0.9, "test": 0.1})
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 400
+    # every 2-doc cluster lands in ONE split
+    for c in range(0, 200, 2):
+        assert got[c] == got[c + 1], c
+    # sanity: plain hash_split DOES straddle at least one of those pairs
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, fractions={"train": 0.9, "test": 0.1})
+             .collect()}
+    assert any(plain[c] != plain[c + 1] for c in range(0, 200, 2))
+    # both splits populated
+    assert {"train", "test"} == set(got.values())
