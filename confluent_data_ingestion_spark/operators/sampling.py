@@ -309,6 +309,113 @@ def sample_exact_n(
     )
 
 
+def weighted_sample_priority(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: str = "",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep exactly
+    ``n`` rows with inclusion odds proportional to ``weight_col`` — the
+    quality-weighted corpus subset selection step ("sample the best 1M
+    docs, long docs more likely") that uniform hash sampling can't do.
+
+    Efraimidis–Spirakis priority sampling: each row draws a uniform
+    u in (0, 1] (derived from md5 of the seeded key, so reruns /
+    repartitions / other engines reproduce it bit-for-bit — never an RNG)
+    and gets priority u^(1/w); the n largest priorities ARE a weighted
+    sample without replacement.  Priorities are rounded to 6 decimals
+    before ranking (ties -> key asc) so IEEE pow() ulp differences
+    between engines cannot reorder the cut.
+
+    Scale shape: priority is a per-row projection (zero shuffle);
+    orderBy+limit executes as TakeOrderedAndProject — per-partition
+    top-n heaps, driver merges n rows, NO full-sort shuffle.  Driver
+    merge is O(n): right up to ~1M rows, use rate-based operators above
+    for larger takes.  Rows with NULL or non-positive weight are
+    excluded (they carry no sampling mass).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    u = (
+        f"(CAST(conv(substr(md5(concat('{seed}', '|', "
+        f"CAST({key_col} AS STRING))), 1, 8), 16, 10) AS DOUBLE) + 1.0d)"
+        f" / 4294967296.0d"
+    )
+    pr = (
+        f"round(pow({u}, 1.0d / CAST({weight_col} AS DOUBLE)), 6)"
+    )
+    return (
+        df.filter(F.expr(f"{weight_col} IS NOT NULL AND {weight_col} > 0"))
+        .withColumn(priority_col, F.expr(pr))
+        .orderBy(F.col(priority_col).desc(), F.col(key_col).asc())
+        .limit(n)
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    group_col: str = "source",
+    token_count_expr: str = "size(split(text, ' '))",
+) -> DataFrame:
+    """Domain-mixture planning: given target mixture ``weights`` per
+    domain and a total token ``budget_tokens``, compute per-domain
+    availability and the sampling rate / epoch count that realizes the
+    mix — the planning step before ``stratified_sample`` /
+    ``temperature_resample`` executes it.
+
+    Per listed domain: ``n_tokens`` available, ``target_tokens`` =
+    budget * weight / sum(weights), ``rate`` = min(1, target/available)
+    (the keep-rate when the domain over-supplies) and ``epochs`` =
+    ceil(target/available) (the repeat count when it under-supplies —
+    the up-sampling knob for rare high-quality domains).  Rates round to
+    6 decimals, targets to 2, so any engine reproduces the plan.
+
+    Scale shape: one per-domain token-count aggregation (map-side
+    combined, domain-count-sized output) joined to a literal weights
+    frame — the corpus itself never shuffles and the result is
+    dashboard-sized.  Domains absent from ``weights`` are excluded
+    (weight 0); listed domains absent from the corpus yield no row —
+    surface them upstream if a missing domain should be an error.
+    """
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v) / wsum) for k, v in weights.items()],
+        schema=f"{group_col} string, __w__ double",
+    )
+    avail = (
+        df.groupBy(group_col)
+        .agg(F.expr(f"sum(CAST(({token_count_expr}) AS BIGINT))").alias("n_tokens"))
+    )
+    return (
+        avail.join(F.broadcast(wdf), group_col)
+        .select(
+            group_col,
+            "n_tokens",
+            F.expr(f"round({budget_tokens}d * __w__, 2)").alias("target_tokens"),
+            F.expr(
+                f"round(least(1.0d, {budget_tokens}d * __w__ "
+                f"/ CAST(n_tokens AS DOUBLE)), 6)"
+            ).alias("rate"),
+            F.expr(
+                f"CAST(ceil({budget_tokens}d * __w__ "
+                f"/ CAST(n_tokens AS DOUBLE)) AS INT)"
+            ).alias("epochs"),
+        )
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     labels: DataFrame,

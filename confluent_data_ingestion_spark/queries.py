@@ -2589,3 +2589,63 @@ def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select("doc_id"), labels,
         fractions={"train": 0.9, "test": 0.1},
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement: Efraimidis-Spirakis priorities from
+# a hashed uniform — inclusion odds proportional to document length, exact
+# sample size, reproducible by any engine.  Executes as TakeOrderedAndProject
+# (per-partition heaps, no full-sort shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_sample_priority",
+    f"""
+    WITH h AS (
+      SELECT doc_id, n_chars, md5('|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, n_chars,
+           round(pow((CAST({_duck_hex_num('hx', 1, 8)} AS DOUBLE) + 1.0)
+                     / 4294967296.0, 1.0 / CAST(n_chars AS DOUBLE)), 6)
+             AS priority
+    FROM h
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+)
+def weighted_sample_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample_priority
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_priority(docs, 100, weight_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture planning: per-domain token availability vs target weights ->
+# sampling rate / epoch count.  One tiny per-domain agg + a broadcast literal
+# weights frame; the corpus never shuffles.
+# ---------------------------------------------------------------------------
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 10000
+
+
+@query(
+    "mixture_plan",
+    f"""
+    WITH a AS (
+      SELECT source, sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w(source, wt) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())})
+    SELECT a.source, a.n_tokens,
+           round({_MIX_BUDGET} * w.wt, 2) AS target_tokens,
+           round(least(1.0, {_MIX_BUDGET} * w.wt / CAST(a.n_tokens AS DOUBLE)), 6) AS rate,
+           CAST(ceil({_MIX_BUDGET} * w.wt / CAST(a.n_tokens AS DOUBLE)) AS INT) AS epochs
+    FROM a JOIN w ON a.source = w.source
+    """,
+)
+def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET)

@@ -790,3 +790,70 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert any(plain[c] != plain[c + 1] for c in range(0, 200, 2))
     # both splits populated
     assert {"train", "test"} == set(got.values())
+
+
+def test_weighted_sample_priority(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.sampling import (
+        weighted_sample_priority,
+    )
+
+    # half light (w=1), half heavy (w=50): heavy rows should dominate the
+    # kept set, and the sample is exact-size + rerun-deterministic
+    rows = [_Row(doc_id=i, w=(50 if i % 2 == 0 else 1)) for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    kept = weighted_sample_priority(df, 100, weight_col="w").collect()
+    assert len(kept) == 100
+    heavy = sum(1 for r in kept if r["w"] == 50)
+    assert heavy > 80          # weight-proportional inclusion, not uniform
+    again = weighted_sample_priority(df, 100, weight_col="w").collect()
+    assert sorted(r["doc_id"] for r in kept) == \
+        sorted(r["doc_id"] for r in again)
+
+    # NULL / non-positive weights carry no mass and are never selected
+    rows2 = [_Row(doc_id=i, w=(None if i < 5 else (0 if i < 10 else 1)))
+             for i in range(60)]
+    k2 = weighted_sample_priority(
+        spark.createDataFrame(rows2), 50, weight_col="w"
+    ).collect()
+    assert len(k2) == 50 and all(r["doc_id"] >= 10 for r in k2)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must"):
+        weighted_sample_priority(df, 0, weight_col="w")
+
+
+def test_mixture_plan(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.sampling import mixture_plan
+
+    rows = (
+        [_Row(source="a", text="x " * 9 + "x")] * 10     # 100 tokens
+        + [_Row(source="b", text="y")] * 10              # 10 tokens
+        + [_Row(source="c", text="z z")] * 5             # unlisted
+    )
+    df = spark.createDataFrame(rows)
+    plan = {r["source"]: r for r in mixture_plan(
+        df, {"a": 0.5, "b": 0.5}, budget_tokens=100
+    ).collect()}
+    assert set(plan) == {"a", "b"}          # unlisted domain excluded
+    a, b = plan["a"], plan["b"]
+    assert a["n_tokens"] == 100 and b["n_tokens"] == 10
+    assert a["target_tokens"] == 50.0 and b["target_tokens"] == 50.0
+    assert a["rate"] == 0.5                 # over-supplied: downsample
+    assert b["rate"] == 1.0 and b["epochs"] == 5   # under-supplied: repeat
+    assert a["epochs"] == 1
+
+    # weights normalize: {1, 1} == {0.5, 0.5}
+    plan2 = {r["source"]: r["rate"] for r in mixture_plan(
+        df, {"a": 1.0, "b": 1.0}, budget_tokens=100
+    ).collect()}
+    assert plan2 == {"a": 0.5, "b": 1.0}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="weights"):
+        mixture_plan(df, {}, budget_tokens=100)
+    with _pytest.raises(ValueError, match="budget"):
+        mixture_plan(df, {"a": 1.0}, budget_tokens=0)
