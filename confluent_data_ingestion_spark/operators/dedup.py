@@ -981,3 +981,43 @@ def jaccard_verify_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    cent_id_col: str = "centroid_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings by nearest
+    centroid, then find cosine near-duplicates WITHIN each cluster only —
+    the embedding-space analogue of banded LSH ("SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", Abbas et al.,
+    public arXiv method).  Catches paraphrase/translation duplicates that
+    text-hash dedup cannot see, at thresholds far looser than
+    ``embedding_near_dup``'s grid supports.
+
+    Output matches ``embedding_near_dup``: (``id_col``, canonical_id,
+    n_dups) for every vector with at least one near-duplicate in its
+    cluster; drop everything whose ``canonical_id != id`` to apply.
+
+    Scale shape: centroid assignment is a broadcast scan + ``min_by``
+    partial aggregation (see ``similarity.assign_centroids`` — no window,
+    no shuffle of the vectors beyond the cluster-key join); pairing is an
+    equi-join on the cluster id, so work is quadratic only in CLUSTER
+    size, bounded by K — size K to the corpus (K ~ sqrt(N) keeps clusters
+    ~sqrt(N)).  Cross-cluster near-dups at the boundary are the
+    documented approximation, exactly as in the published method.
+    """
+    from .similarity import assign_centroids
+
+    assigned = assign_centroids(
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        cent_id_col=cent_id_col,
+    )
+    return embedding_near_dup(
+        assigned, id_col=id_col, vec_col="ve", threshold=threshold,
+        bucket_col=cent_id_col,
+    )

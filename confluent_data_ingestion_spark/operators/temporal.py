@@ -275,3 +275,106 @@ def session_window_agg(
         F.col("__w__.end").alias("window_end"),
         *[c for c in agged.columns if c != "__w__"],
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users complete each prefix of
+    ``steps`` IN ORDER (each step strictly after the previous one's first
+    qualifying occurrence) — the classic conversion funnel
+    (view -> click -> purchase), which a plain per-step count cannot
+    answer because it ignores ordering.
+
+    Semantics: a user reaches step k when there exists an occurrence of
+    ``steps[k]`` strictly after the user's EARLIEST qualifying occurrence
+    of step k-1 (the standard greedy funnel — earliest-completion
+    matching maximizes reachable depth for strictly-increasing chains).
+    Output: one row per step, (step int 1-based, step_name, n_users),
+    n_users monotonically non-increasing.
+
+    Scale shape: one filtered min-aggregation per step, each a map-side
+    combined shuffle on the user key producing user-count-sized frames;
+    step k joins step k-1's (user, first_ts) frame — k-1 equi-joins on
+    the user key, no windows, no self-join of the raw stream.  The raw
+    events scan is re-read per step; persist upstream if the source scan
+    dominates (step frames themselves are small).  The final counts are
+    single-row aggregates unioned driver-side (k rows total).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    prev: DataFrame | None = None
+    counts: DataFrame | None = None
+    for k, step in enumerate(steps):
+        occ = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("__t__")
+        )
+        if prev is None:
+            cur = occ.groupBy(user_col).agg(F.min("__t__").alias("__ft__"))
+        else:
+            cur = (
+                occ.join(prev.select(user_col, "__ft__"), user_col)
+                .filter(F.col("__t__") > F.col("__ft__"))
+                .groupBy(user_col)
+                .agg(F.min("__t__").alias("__ft__"))
+            )
+        row = cur.agg(
+            F.lit(k + 1).cast("int").alias("step"),
+            F.lit(step).alias("step_name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+        prev = cur
+    return counts
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    window_rows: int = 5,
+) -> DataFrame:
+    """Per-key rolling statistics over the trailing ``window_rows`` rows
+    in time order — the feature-engineering primitive (trailing spend,
+    trailing event rate) behind sessionless user features.
+
+    Output: input columns + roll_sum / roll_avg / roll_n over the frame
+    ``ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW`` ordered by
+    (``ts_col``, ``order_tiebreak``) within each key.
+
+    Determinism across engines: the frame is an explicit ROWS frame with
+    a total order (timestamp + unique tiebreak), and the windowed sum
+    accumulates DECIMAL(18,2) — exact arithmetic, so segment-tree vs
+    sequential accumulation differences between engines cannot change a
+    bit.  The average divides the exact sum and rounds to 6 decimals.
+
+    Scale shape: ONE hash shuffle on the key + a per-partition sort —
+    the minimum the semantics allow; the frame is O(window_rows) state
+    per row.  Keys are users: cardinality is high and per-key row counts
+    are bounded, so no single-reducer risk (unlike a global window).
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
+    return (
+        df.withColumn("__rsum__", F.sum(dec).over(w))
+        .withColumn("__rn__", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "roll_avg",
+            F.expr("round(CAST(__rsum__ AS DOUBLE) / __rn__, 6)"),
+        )
+        .withColumn("roll_sum", F.col("__rsum__").cast("double"))
+        .withColumn("roll_n", F.col("__rn__").cast("int"))
+        .drop("__rsum__", "__rn__")
+    )

@@ -496,3 +496,43 @@ def char_entropy(
         .withColumn(out_col, F.expr(expr))
         .drop("__cs__")
     )
+
+
+def quality_cutoff_filter(
+    df: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "n_chars",
+    pct: float = 0.25,
+    cutoff_col: str = "cutoff",
+) -> DataFrame:
+    """Drop each group's bottom ``pct`` quality tail: keep rows whose
+    ``score_col`` is at or above the group's ``pct`` percentile — the
+    per-language quality floor ("drop the shortest quartile of every
+    language") that a single global threshold gets wrong for languages
+    with different length distributions.
+
+    The cutoff is the EXACT linearly-interpolated percentile
+    (rank = pct * (n-1)), rounded to 4 decimals before the compare so
+    every engine draws the same boundary.  Output: input columns +
+    ``cutoff_col`` (the group's threshold, for auditability).
+
+    Scale shape: one per-group exact-percentile aggregation — its
+    shuffle carries (group, score) pairs and the output is
+    group-count-sized — broadcast back onto the corpus, then a pure
+    per-row predicate: the corpus itself never shuffles.  Exact
+    percentile buffers each GROUP's scores in its reducer; groups here
+    are languages/domains (bounded cardinality, millions of rows at
+    most) — for billion-row groups switch to ``approx_percentile`` and
+    accept the epsilon.  NULL scores are excluded by the percentile and
+    never kept (a NULL score is not above any cutoff).
+    """
+    if not 0.0 <= pct < 1.0:
+        raise ValueError(f"pct must be in [0, 1), got {pct}")
+    cuts = df.groupBy(F.col(group_col).alias("__g__")).agg(
+        F.expr(f"round(percentile({score_col}, {pct!r}d), 4)").alias(cutoff_col)
+    )
+    return (
+        df.join(F.broadcast(cuts), F.col(group_col).eqNullSafe(F.col("__g__")))
+        .filter(F.col(score_col) >= F.col(cutoff_col))
+        .drop("__g__")
+    )

@@ -2649,3 +2649,249 @@ def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("source", "text")
     return mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: nearest-centroid clustering bounds the
+# pairing (quadratic in CLUSTER size, never corpus size); cosine near-dups
+# are found within clusters only.  Planted rows: +1M ids carrying a +0.005
+# per-coordinate perturbation of every 100th vector (cos ~0.9992 — a
+# "paraphrase", not a byte copy).
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_dedup",
+    f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    v AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(e, x -> x + 0.005)
+      FROM base WHERE vec_id % 100 = 0
+    ),
+    c AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id % 50 = 0),
+    a AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT v.vec_id, v.e, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY {_COS.format(a='v.e', b='c.ce')} DESC, c.cid) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a1.vec_id AS ia, a2.vec_id AS ib
+      FROM a a1 JOIN a a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+      WHERE {_COS.format(a='a1.e', b='a2.e')} >= 0.95
+    ),
+    edges AS (
+      SELECT ia AS id, ib AS nb FROM pairs
+      UNION ALL
+      SELECT ib, ia FROM pairs
+    )
+    SELECT id AS vec_id, least(id, min(nb)) AS canonical_id,
+           count(*) AS n_dups
+    FROM edges GROUP BY id
+    """,
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x + 0.005d)"
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return semantic_dedup(corpus, centroids, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel: users completing view -> click -> purchase in
+# strict order.  One min-agg + equi-join per step on the user key — no
+# window over, and no self-join of, the raw stream.
+# ---------------------------------------------------------------------------
+@query(
+    "event_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS ft FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS ft
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.ft GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS ft
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.ft GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', count(*) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', count(*) FROM s3
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import funnel_stages
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# Per-key trailing-window features: rolling sum/avg over the last 5 events
+# per user.  Explicit ROWS frame with a total order + DECIMAL accumulation,
+# so both engines produce identical bits; one hash shuffle on the user key.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_event_stats",
+    """
+    SELECT event_id, user_id,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+      round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            / count(*) OVER w, 6) AS roll_avg,
+      CAST(count(*) OVER w AS INT) AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import rolling_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_stats(ev, window_rows=5).select(
+        "event_id", "user_id", "roll_sum", "roll_avg", "roll_n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality floor: drop each language's shortest quartile.  Exact
+# interpolated percentile per group, broadcast back; the corpus never
+# shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_cutoff_per_lang",
+    """
+    WITH c AS (
+      SELECT lang AS g, round(quantile_cont(n_chars, 0.25), 4) AS cutoff
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, c.cutoff
+    FROM documents d JOIN c ON d.lang IS NOT DISTINCT FROM c.g
+    WHERE d.n_chars >= c.cutoff
+    """,
+)
+def quality_cutoff_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_cutoff_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return quality_cutoff_filter(docs, group_col="lang", score_col="n_chars",
+                                 pct=0.25)
+
+
+# ---------------------------------------------------------------------------
+# OLAP join-planning demonstrations (TPC-H-shaped; reference: the engine's
+# SQL analytics surface).  Big-big joins shuffle on their keys; dimension
+# tables broadcast explicitly so the 100 TB plan stays a pair of hash joins
+# + map-side dimension probes.  Decimal accumulation keeps both engines
+# bit-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "regional_revenue",
+    """
+    SELECT n.n_name AS nation,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, od, cu, na, re = _t(spark, sf_dir, "lineitem", "orders", "customer",
+                            "nation", "region")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    # date filter BEFORE the join so the scan prunes; dims broadcast
+    od_f = od.filter(
+        (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    ).select("o_orderkey", "o_custkey")
+    asia = (
+        na.join(F.broadcast(re.filter(F.col("r_name") == "ASIA")),
+                na.n_regionkey == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = cu.join(F.broadcast(asia), cu.c_nationkey == F.col("n_nationkey")) \
+             .select("c_custkey", "n_name")
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(od_f, li.l_orderkey == od_f.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "shipping_priority_topk",
+    """
+    SELECT l.l_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, od, cu = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    ts = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    seg = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    od_f = od.filter(F.col("o_orderdate") < ts).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li_f = li.filter(F.col("l_shipdate") > ts).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li_f.join(od_f, li_f.l_orderkey == od_f.o_orderkey)
+        .join(seg, F.col("o_custkey") == seg.c_custkey, "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+            .cast("double").alias("revenue"),
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )

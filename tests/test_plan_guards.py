@@ -24,6 +24,7 @@ NESTED_LOOP_ALLOWED = {
     "unigram_logprob_score",      # 1-row totals broadcast
     "corpus_mix_report",          # 1-row grand-total broadcast
     "dedup_embedding_cosine",     # broadcast grid-parameter row
+    "semantic_dedup",             # broadcast centroid scoring
 }
 
 # streaming / side-effecting queries that can't be compiled lazily
@@ -84,5 +85,28 @@ def test_sample_exact_n_uses_take_ordered(spark, sf_dir):
         "doc_id", "source"
     )
     plan = sample_exact_n(docs, 50) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_regional_revenue_broadcasts_dimensions(spark, sf_dir):
+    """The Q5-shaped join must probe nation/region (and the derived
+    customer dim) via BroadcastHashJoin — a SortMergeJoin against a
+    dimension table means the 100 TB fact side shuffles for no reason."""
+    import __spark_entry__ as e
+
+    plan = e.queries()["regional_revenue"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the date filter must reach the orders scan as a pushed filter
+    assert "PushedFilters" in plan
+
+
+def test_shipping_priority_topk_take_ordered(spark, sf_dir):
+    """Top-10 by revenue must execute as TakeOrderedAndProject, never a
+    global sort."""
+    import __spark_entry__ as e
+
+    plan = e.queries()["shipping_priority_topk"](spark, sf_dir) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan

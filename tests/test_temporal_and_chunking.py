@@ -633,3 +633,64 @@ def test_concat_chunk_plan_covers_docs_and_fills_chunks(spark):
             assert tot == 16, (sh, k, tot)
         else:
             assert tot <= 16
+
+
+def test_funnel_stages_strict_order(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.temporal import funnel_stages
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1 completes the full funnel in order
+        _Row(user_id=1, ts=t(1), event_type="view"),
+        _Row(user_id=1, ts=t(2), event_type="click"),
+        _Row(user_id=1, ts=t(3), event_type="purchase"),
+        # u2 clicked BEFORE viewing: reaches step 1 only
+        _Row(user_id=2, ts=t(5), event_type="click"),
+        _Row(user_id=2, ts=t(6), event_type="view"),
+        # u3 view->click, purchase earlier than the click: stops at 2
+        _Row(user_id=3, ts=t(1), event_type="purchase"),
+        _Row(user_id=3, ts=t(2), event_type="view"),
+        _Row(user_id=3, ts=t(4), event_type="click"),
+        # u4 never viewed
+        _Row(user_id=4, ts=t(1), event_type="purchase"),
+    ]
+    out = {r["step_name"]: r for r in funnel_stages(
+        spark.createDataFrame(rows), ["view", "click", "purchase"]
+    ).collect()}
+    assert out["view"]["n_users"] == 3        # u1, u2, u3
+    assert out["click"]["n_users"] == 2       # u1, u3 (u2 clicked first)
+    assert out["purchase"]["n_users"] == 1    # u1 only
+    assert [out[s]["step"] for s in ("view", "click", "purchase")] == [1, 2, 3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="steps"):
+        funnel_stages(spark.createDataFrame(rows), [])
+
+
+def test_rolling_stats_frame_and_determinism(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.temporal import rolling_stats
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        _Row(event_id=i, user_id=7, ts=t(i), value=float(i)) for i in range(6)
+    ]
+    out = {r["event_id"]: r for r in rolling_stats(
+        spark.createDataFrame(rows), window_rows=3
+    ).collect()}
+    assert out[0]["roll_sum"] == 0.0 and out[0]["roll_n"] == 1
+    assert out[2]["roll_sum"] == 3.0          # 0+1+2
+    assert out[5]["roll_sum"] == 12.0         # 3+4+5 (frame slides)
+    assert out[5]["roll_avg"] == 4.0
+    assert out[5]["roll_n"] == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window_rows"):
+        rolling_stats(spark.createDataFrame(rows), window_rows=0)

@@ -857,3 +857,78 @@ def test_mixture_plan(spark):
         mixture_plan(df, {}, budget_tokens=100)
     with _pytest.raises(ValueError, match="budget"):
         mixture_plan(df, {"a": 1.0}, budget_tokens=0)
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.dedup import semantic_dedup
+
+    # two well-separated clusters around orthogonal axes; 1/2 are
+    # near-dups in cluster x, 10/11 in cluster y; 3 sits in cluster x but
+    # far from everything (no dup).
+    vecs = [
+        _Row(vec_id=1, embedding=[1.0, 0.0, 0.01]),
+        _Row(vec_id=2, embedding=[1.0, 0.0, 0.012]),   # ~dup of 1
+        _Row(vec_id=3, embedding=[0.8, 0.55, 0.0]),    # cluster x, not a dup
+        _Row(vec_id=10, embedding=[0.0, 1.0, 0.01]),
+        _Row(vec_id=11, embedding=[0.0, 1.0, 0.011]),  # ~dup of 10
+    ]
+    cents = [
+        _Row(centroid_id=100, embedding=[1.0, 0.0, 0.0]),
+        _Row(centroid_id=200, embedding=[0.0, 1.0, 0.0]),
+    ]
+    out = semantic_dedup(
+        spark.createDataFrame(vecs), spark.createDataFrame(cents),
+        threshold=0.99,
+    ).collect()
+    by = {r["vec_id"]: r for r in out}
+    assert set(by) == {1, 2, 10, 11}           # 3 has no near-dup
+    assert by[1]["canonical_id"] == 1 and by[2]["canonical_id"] == 1
+    assert by[10]["canonical_id"] == 10 and by[11]["canonical_id"] == 10
+    assert by[2]["n_dups"] == 1
+
+    # cross-cluster near-dups at the boundary are NOT paired — the
+    # documented SemDeDup approximation: 20/21 are ~identical but land on
+    # opposite sides of the x/y bisector, so each assigns to a different
+    # centroid and the bucket join never sees the pair.
+    straddle = [
+        _Row(vec_id=20, embedding=[0.72, 0.69, 0.0]),
+        _Row(vec_id=21, embedding=[0.69, 0.72, 0.0]),
+    ]
+    out2 = semantic_dedup(
+        spark.createDataFrame(vecs + straddle), spark.createDataFrame(cents),
+        threshold=0.99,
+    ).collect()
+    assert not {20, 21} & {r["vec_id"] for r in out2}
+
+
+def test_quality_cutoff_filter(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.text import (
+        quality_cutoff_filter,
+    )
+
+    rows = (
+        [_Row(doc_id=i, lang="en", n_chars=i * 10) for i in range(1, 11)]
+        + [_Row(doc_id=100 + i, lang="de", n_chars=1000 + i) for i in range(5)]
+        + [_Row(doc_id=200, lang=None, n_chars=None)]
+        + [_Row(doc_id=201, lang=None, n_chars=50)]
+    )
+    out = quality_cutoff_filter(
+        spark.createDataFrame(rows), pct=0.25
+    ).collect()
+    en = sorted(r["n_chars"] for r in out if r["lang"] == "en")
+    # en scores 10..100, p25 = 32.5: keep 40..100
+    assert en == [40, 50, 60, 70, 80, 90, 100]
+    assert all(r["cutoff"] == 32.5 for r in out if r["lang"] == "en")
+    # de has its OWN cutoff: p25 of 1000..1004 is 1001, so 1000 drops
+    assert sorted(r["doc_id"] for r in out if r["lang"] == "de") == \
+        [101, 102, 103, 104]
+    # NULL lang is a group; its only non-NULL score is its percentile
+    assert [r["doc_id"] for r in out if r["lang"] is None] == [201]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pct"):
+        quality_cutoff_filter(spark.createDataFrame(rows), pct=1.0)
