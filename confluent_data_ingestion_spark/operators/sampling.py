@@ -389,10 +389,16 @@ def mixture_plan(
     wsum = sum(weights.values())
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")
+    # JVM-side VALUES literal, not createDataFrame: the weights are a few
+    # rows of config, and Python->JVM frame conversion pays a multi-second
+    # first-call serializer warmup that a literal plan never touches
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(k, float(v) / wsum) for k, v in weights.items()],
-        schema=f"{group_col} string, __w__ double",
+    rows = ", ".join(
+        "('" + str(k).replace("'", "''") + f"', CAST({float(v) / wsum!r} AS DOUBLE))"
+        for k, v in weights.items()
+    )
+    wdf = spark.sql(
+        f"SELECT * FROM (VALUES {rows}) AS t(`{group_col}`, __w__)"
     )
     avail = (
         df.groupBy(group_col)
