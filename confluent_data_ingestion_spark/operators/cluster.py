@@ -149,3 +149,24 @@ def select_cluster_representatives(
             f"max_by({id_col}, struct({score_col}, -{id_col}))"
         ).alias("rep_id")
     )
+
+
+def cluster_size_stats(
+    labels: DataFrame,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Duplicate-cluster size histogram: (cluster_size, n_clusters) from a
+    ``connected_components`` label frame — the dedup AUDIT view (how much
+    of the corpus is 2-copies vs 1000-copy boilerplate) that decides cap
+    and representative policy before anything is dropped.
+
+    Two partial aggregations on narrow keys (cluster id, then size);
+    output is histogram-sized.
+    """
+    sizes = labels.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )

@@ -393,3 +393,55 @@ def kmeans_refine(
     final = assign_centroids(vectors, cur, id_col=id_col, vec_col=vec_col,
                              cent_id_col=cent_id_col)
     return final.select(id_col, cent_id_col)
+
+
+def knn_classify(
+    neighbors: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority-vote k-NN classification over ANY top-k neighbor frame —
+    compose with ``cosine_topk`` (exact), ``lsh_topk`` or ``ivf_topk``
+    (the scale paths): the label-propagation step that turns a neighbor
+    index into an auto-labeler for unlabeled corpus slices.
+
+    ``neighbors``: (query_id, neighbor_id, ...) from a top-k operator.
+    ``labels``: (``id_col``, ``label_col``) for the corpus side.
+    Output: (query_id, pred_label, votes, confidence) — the label with
+    the most neighbor votes (ties -> smallest label), confidence =
+    votes / neighbors-with-labels.
+
+    Scale shape: one equi-join of the (tiny, k-per-query) neighbor frame
+    against the label frame on the neighbor id, then two partial
+    aggregations (per-(query,label) count, per-query argmax via
+    ``max_by`` on the (count, label) pair) — no window, nothing wider
+    than (id, label, count) shuffles.  Neighbors without a label row
+    drop out of the vote (and the denominator).
+    """
+    lab = labels.select(
+        F.col(id_col).alias("__nid__"), F.col(label_col).alias("__lab__")
+    )
+    votes = (
+        neighbors.select("query_id", "neighbor_id")
+        .join(lab, F.col("neighbor_id") == F.col("__nid__"))
+        .groupBy("query_id", "__lab__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    # argmax by (votes desc, label asc): min_by on (-votes, label) — a
+    # partial aggregation, where a row_number window would sort every vote
+    return (
+        votes.groupBy("query_id")
+        .agg(
+            F.expr("min_by(struct(__lab__, __c__), struct(-__c__, __lab__))")
+            .alias("__b__"),
+            F.sum("__c__").alias("__n__"),
+        )
+        .select(
+            "query_id",
+            F.col("__b__.__lab__").alias("pred_label"),
+            F.col("__b__.__c__").alias("votes"),
+            F.expr("round(CAST(__b__.__c__ AS DOUBLE) / __n__, 6)")
+            .alias("confidence"),
+        )
+    )

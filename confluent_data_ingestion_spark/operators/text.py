@@ -536,3 +536,147 @@ def quality_cutoff_filter(
         .filter(F.col(score_col) >= F.col(cutoff_col))
         .drop("__g__")
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated-bigram log-probability per document — one step up from
+    ``unigram_logprob_score`` toward real perplexity filtering: word-order
+    scrambles and unnatural token sequences score low even when their
+    unigram mix is typical.
+
+    Model: P(w2|w1) = lam * c(w1,w2)/c(w1,*) + (1-lam) * c(*,w2)/N over
+    the corpus's own bigram counts (Jelinek-Mercer interpolation with the
+    bigram-position unigram as backoff — every observed bigram has
+    positive probability mass).  Per-TYPE log-probs round to 6 decimals
+    then accumulate as exact DECIMAL (the ``unigram_logprob_score``
+    determinism recipe), so any engine reproduces the scores.
+
+    Output: (``id_col``, n_bigrams, avg_bigram_logprob); docs with fewer
+    than 2 tokens have no bigrams and yield no row.
+
+    Scale shape: per-doc bigram counts shuffle (doc, w1, w2, tf)
+    quadruples once (computed once, persisted — they feed both the vocab
+    aggregation and the scoring join); the bigram-probability table is
+    |observed bigrams|-sized and joins back on the (w1, w2) key — an
+    equi-join that AQE broadcasts when the vocab is small and
+    shuffle-joins when it is web-scale (never forced driver-side).
+    Corpus text never shuffles.
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    from ..caching import track
+
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__ts__")
+    )
+    pairs = toks.select(
+        F.col(id_col),
+        "__ts__",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__ts__) >= 2 THEN sequence(1, size(__ts__) - 1) "
+                "ELSE CAST(array() AS array<int>) END"
+            )
+        ).alias("__i__"),
+    ).select(
+        F.col(id_col),
+        F.expr("element_at(__ts__, __i__)").alias("w1"),
+        F.expr("element_at(__ts__, __i__ + 1)").alias("w2"),
+    )
+    tf = track(
+        pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    big = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    uni = big.groupBy("w2").agg(F.sum("c2").alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("n"))
+    logp = (
+        big.join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.expr(
+                f"CAST(round(ln({lam}d * (CAST(c2 AS DOUBLE) / c1) "
+                f"+ {1.0 - lam}d * (CAST(cu AS DOUBLE) / n)), 6) "
+                "AS DECIMAL(18,6))"
+            ).alias("logp"),
+        )
+    )
+    return (
+        tf.join(logp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "round(CAST(sum(tf * logp) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)"
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation extraction via pointwise mutual information over
+    ADJACENT token pairs: PMI(w1,w2) = ln(N * c(w1,w2) / (c(w1,*) *
+    c(*,w2))) — the corpus-analysis primitive behind multi-word-unit
+    discovery and tokenizer-merge candidates ("new york", "machine
+    learning" score high; chance adjacencies score ~0).
+
+    Adjacent pairs, not within-window pairs, deliberately: windowed
+    co-occurrence is quadratic in window size per token, adjacency is
+    LINEAR in corpus length with the same top-collocation signal.
+    ``min_count`` drops unstable low-frequency pairs (PMI's known bias
+    toward hapax pairs).  PMI rounds to 6 decimals; output
+    (w1, w2, n_pair, pmi).
+
+    Scale shape: one (w1, w2) pair-count aggregation (map-side combined
+    — the only corpus-sized shuffle, carrying token pairs not text),
+    then position-marginal aggregations of the pair TABLE (vocab²-
+    bounded, far smaller) joined back on single-token keys.  The N total
+    is a 1-row broadcast.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = df.select(F.split(F.col(text_col), " ").alias("__ts__"))
+    pairs = toks.select(
+        "__ts__",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__ts__) >= 2 THEN sequence(1, size(__ts__) - 1) "
+                "ELSE CAST(array() AS array<int>) END"
+            )
+        ).alias("__i__"),
+    ).select(
+        F.expr("element_at(__ts__, __i__)").alias("w1"),
+        F.expr("element_at(__ts__, __i__ + 1)").alias("w2"),
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    ctx = big.groupBy("w1").agg(F.sum("n_pair").alias("c1"))
+    uni = big.groupBy("w2").agg(F.sum("n_pair").alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("n"))
+    return (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.expr(
+                "round(ln(CAST(n AS DOUBLE) * n_pair "
+                "/ (CAST(c1 AS DOUBLE) * cu)), 6)"
+            ).alias("pmi"),
+        )
+    )

@@ -2895,3 +2895,161 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN auto-labeling: exact cosine top-5 neighbors -> majority-vote label.
+# The vote is two partial aggregations (count + min_by argmax), no window.
+# ---------------------------------------------------------------------------
+@query(
+    "knn_classify_labels",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+    topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               {_COS.format(a='q.e', b='v.e')} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a='q.e', b='v.e')} DESC, v.vec_id) AS rn
+        FROM q JOIN v ON q.vec_id <> v.vec_id
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT t.query_id, v.label AS lab, count(*) AS c
+      FROM topk t JOIN v ON t.neighbor_id = v.vec_id
+      GROUP BY t.query_id, v.label
+    ),
+    best AS (
+      SELECT query_id, lab, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, lab) AS rn,
+             sum(c) OVER (PARTITION BY query_id) AS n
+      FROM votes
+    )
+    SELECT query_id, lab AS pred_label, c AS votes,
+           round(CAST(c AS DOUBLE) / n, 6) AS confidence
+    FROM best WHERE rn = 1
+    """,
+)
+def knn_classify_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nbrs = cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), k=5)
+    return knn_classify(nbrs, emb)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated-bigram LM scoring: the perplexity-filter signal that catches
+# word-order scrambles unigram scoring cannot.  Per-type log-probs round to
+# 6 decimals then accumulate as DECIMAL — engine-identical bits.
+# ---------------------------------------------------------------------------
+@query(
+    "bigram_logprob_score",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    p AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) >= 2
+    ),
+    tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM p GROUP BY ALL),
+    big AS (SELECT w1, w2, sum(tf) AS c2 FROM tf GROUP BY ALL),
+    ctx AS (SELECT w1, sum(c2) AS c1 FROM big GROUP BY w1),
+    uni AS (SELECT w2, sum(c2) AS cu FROM big GROUP BY w2),
+    tot AS (SELECT sum(cu) AS n FROM uni),
+    logp AS (
+      SELECT b.w1, b.w2,
+        CAST(round(ln(0.7 * (CAST(b.c2 AS DOUBLE) / c.c1)
+                      + 0.3 * (CAST(u.cu AS DOUBLE) / tot.n)), 6)
+             AS DECIMAL(18,6)) AS logp
+      FROM big b JOIN ctx c ON b.w1 = c.w1
+      JOIN uni u ON b.w2 = u.w2, tot
+    )
+    SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(tf.tf * l.logp) AS DOUBLE)
+                 / CAST(sum(tf.tf) AS DOUBLE), 6) AS avg_bigram_logprob
+    FROM tf JOIN logp l ON tf.w1 = l.w1 AND tf.w2 = l.w2
+    GROUP BY tf.doc_id
+    """,
+)
+def bigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob_score(docs, lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Collocation PMI over adjacent token pairs (linear in corpus length, never
+# windowed-quadratic); marginals computed from the pair table, N broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "collocation_pmi",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+    p AS (
+      SELECT ts[i] AS w1, ts[i+1] AS w2
+      FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) >= 2
+    ),
+    big AS (SELECT w1, w2, count(*) AS n_pair FROM p GROUP BY ALL),
+    ctx AS (SELECT w1, sum(n_pair) AS c1 FROM big GROUP BY w1),
+    uni AS (SELECT w2, sum(n_pair) AS cu FROM big GROUP BY w2),
+    tot AS (SELECT sum(cu) AS n FROM uni)
+    SELECT b.w1, b.w2, CAST(b.n_pair AS BIGINT) AS n_pair,
+           round(ln(CAST(tot.n AS DOUBLE) * b.n_pair
+                    / (CAST(c.c1 AS DOUBLE) * u.cu)), 6) AS pmi
+    FROM big b JOIN ctx c ON b.w1 = c.w1
+    JOIN uni u ON b.w2 = u.w2, tot
+    WHERE b.n_pair >= 5
+    """,
+)
+def collocation_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import collocation_pmi
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return collocation_pmi(docs, min_count=5)
+
+
+# ---------------------------------------------------------------------------
+# Dedup audit: near-dup cluster size histogram (how much of the corpus is
+# small-multiplicity vs boilerplate mega-clusters) — two narrow-key aggs
+# over the connected-components labels.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cluster_sizes",
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cbands a JOIN cbands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 3
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node
+    ),
+    labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM labels GROUP BY cluster_id)
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cluster import cluster_size_stats, connected_components
+    from .operators.dedup import simhash_pairs
+
+    corpus = _simhash_corpus(spark, sf_dir)
+    pairs = simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
+                          persist_signatures=True)
+    labels = connected_components(pairs, pairs_distinct=True)
+    return cluster_size_stats(labels)

@@ -22,9 +22,12 @@ NESTED_LOOP_ALLOWED = {
     "similarity_lsh_topk",        # broadcast plane scoring
     "temperature_resample_mix",   # 1-row totals broadcast
     "unigram_logprob_score",      # 1-row totals broadcast
+    "bigram_logprob_score",       # 1-row totals broadcast
+    "collocation_pmi",            # 1-row totals broadcast
     "corpus_mix_report",          # 1-row grand-total broadcast
     "dedup_embedding_cosine",     # broadcast grid-parameter row
     "semantic_dedup",             # broadcast centroid scoring
+    "knn_classify_labels",        # votes over the brute-force baseline
 }
 
 # streaming / side-effecting queries that can't be compiled lazily

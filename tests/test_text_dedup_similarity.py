@@ -932,3 +932,112 @@ def test_quality_cutoff_filter(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="pct"):
         quality_cutoff_filter(spark.createDataFrame(rows), pct=1.0)
+
+
+def test_knn_classify_majority_and_ties(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    nbrs = spark.createDataFrame(
+        [_Row(query_id=1, neighbor_id=n) for n in (10, 11, 12, 13, 14)]
+        + [_Row(query_id=2, neighbor_id=n) for n in (10, 11, 20, 21)]
+        + [_Row(query_id=3, neighbor_id=99)]   # unlabeled neighbor only
+    )
+    labels = spark.createDataFrame(
+        [_Row(vec_id=n, label=0) for n in (10, 11, 12)]
+        + [_Row(vec_id=n, label=1) for n in (13, 14, 20, 21)]
+    )
+    out = {r["query_id"]: r for r in knn_classify(nbrs, labels).collect()}
+    assert out[1]["pred_label"] == 0 and out[1]["votes"] == 3
+    assert out[1]["confidence"] == 0.6
+    # 2-2 tie between labels 0 and 1 -> smallest label wins
+    assert out[2]["pred_label"] == 0 and out[2]["votes"] == 2
+    assert out[2]["confidence"] == 0.5
+    # a query with no labeled neighbors yields no row
+    assert 3 not in out
+
+
+def test_bigram_logprob_score(spark):
+    import math
+
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.text import (
+        bigram_logprob_score,
+    )
+
+    # corpus dominated by the "a b" transition; doc 3 uses the same
+    # unigrams in an order the corpus never follows -> lower bigram score
+    rows = [
+        _Row(doc_id=1, text="a b a b a b"),
+        _Row(doc_id=2, text="a b a b"),
+        _Row(doc_id=3, text="b b a a"),
+        _Row(doc_id=4, text="x"),            # 1 token: no bigrams
+    ]
+    out = {r["doc_id"]: r for r in bigram_logprob_score(
+        spark.createDataFrame(rows)).collect()}
+    assert 4 not in out
+    assert out[1]["n_bigrams"] == 5
+    assert out[3]["avg_bigram_logprob"] < out[1]["avg_bigram_logprob"]
+
+    # hand-check doc 1 (ab x3, ba x2): corpus types ab=5, ba=4, bb=1,
+    # aa=1, N=11; c(a,*)=6, c(b,*)=5, c(*,b)=6, c(*,a)=5
+    pab = 0.7 * (5 / 6) + 0.3 * (6 / 11)
+    pba = 0.7 * (4 / 5) + 0.3 * (5 / 11)
+    exp1 = round(
+        (3 * round(math.log(pab), 6) + 2 * round(math.log(pba), 6)) / 5, 6
+    )
+    assert abs(out[1]["avg_bigram_logprob"] - exp1) < 1e-6
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lam"):
+        bigram_logprob_score(spark.createDataFrame(rows), lam=1.0)
+
+
+def test_collocation_pmi(spark):
+    import math
+
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.text import collocation_pmi
+
+    # "new york" always adjacent; "the cat/dog" split evenly -> low PMI
+    rows = (
+        [_Row(doc_id=i, text="new york") for i in range(10)]
+        + [_Row(doc_id=100 + i, text="the cat") for i in range(5)]
+        + [_Row(doc_id=200 + i, text="the dog") for i in range(5)]
+        + [_Row(doc_id=300, text="solo")]       # 1 token: no pairs
+    )
+    out = {(r["w1"], r["w2"]): r for r in collocation_pmi(
+        spark.createDataFrame(rows), min_count=5).collect()}
+    assert set(out) == {("new", "york"), ("the", "cat"), ("the", "dog")}
+    # N=20; c(new,*)=10, c(*,york)=10, pair=10 -> pmi = ln(20*10/100)
+    assert abs(out[("new", "york")]["pmi"] - round(math.log(2.0), 6)) < 1e-6
+    # the-cat: ln(20*5/(10*5)) = ln(2) as well; both below a perfect
+    # always-adjacent pair with unique words would be ln(N/c) — check
+    # n_pair instead
+    assert out[("the", "cat")]["n_pair"] == 5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_count"):
+        collocation_pmi(spark.createDataFrame(rows), min_count=0)
+
+
+def test_cluster_size_stats(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.cluster import (
+        cluster_size_stats,
+    )
+
+    labels = spark.createDataFrame(
+        [_Row(doc_id=i, cluster_id=1) for i in (1, 2, 3)]      # size 3
+        + [_Row(doc_id=i, cluster_id=10) for i in (10, 11)]    # size 2
+        + [_Row(doc_id=i, cluster_id=20) for i in (20, 21)]    # size 2
+    )
+    out = {r["cluster_size"]: r["n_clusters"]
+           for r in cluster_size_stats(labels).collect()}
+    assert out == {3: 1, 2: 2}
