@@ -83,3 +83,58 @@ def ngram_contamination(
             ),
         )
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    span_chars: int = 60,
+    anchor_chars: int = 8,
+) -> DataFrame:
+    """Unified decontamination report: token-level (n-gram collision) AND
+    character-level (verbatim-span) contamination in one per-document
+    verdict — the two detectors catch different leaks (n-grams survive
+    paraphrase-adjacent token edits; spans survive formatting/punctuation
+    changes that shift token boundaries), so a release gate wants both.
+
+    Output: one row per flagged training doc — (``id_col``,
+    n_shared_ngrams, ngram_ratio, n_shared_spans, verdict) with verdict
+    in {'ngram_only', 'span_only', 'both'}; unflagged docs are absent.
+
+    Scale shape: both detectors stream the training corpus against a
+    broadcast eval-set digest (the corpus never shuffles); their outputs
+    are contaminated-subset-sized, and the full-outer merge joins those
+    two small frames on the doc id.
+    """
+    from .dedup import cross_set_span_contamination
+
+    ng = ngram_contamination(train, eval_df, id_col=id_col,
+                             text_col=text_col, n=n).select(
+        F.col(id_col),
+        F.col("n_shared").alias("n_shared_ngrams"),
+        F.col("contam_ratio").alias("ngram_ratio"),
+    )
+    sp = cross_set_span_contamination(
+        train, eval_df, id_col=id_col, text_col=text_col,
+        span_chars=span_chars, anchor_chars=anchor_chars,
+    ).select(F.col(id_col), "n_shared_spans")
+    return (
+        ng.join(sp, id_col, "full_outer")
+        .select(
+            id_col,
+            F.coalesce("n_shared_ngrams", F.lit(0)).cast("bigint")
+            .alias("n_shared_ngrams"),
+            F.coalesce("ngram_ratio", F.lit(0.0)).alias("ngram_ratio"),
+            F.coalesce("n_shared_spans", F.lit(0)).cast("bigint")
+            .alias("n_shared_spans"),
+            F.expr(
+                "CASE WHEN n_shared_ngrams IS NOT NULL "
+                "AND n_shared_spans IS NOT NULL THEN 'both' "
+                "WHEN n_shared_ngrams IS NOT NULL THEN 'ngram_only' "
+                "ELSE 'span_only' END"
+            ).alias("verdict"),
+        )
+    )

@@ -3053,3 +3053,115 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                           persist_signatures=True)
     labels = connected_components(pairs, pairs_distinct=True)
     return cluster_size_stats(labels)
+
+
+# ---------------------------------------------------------------------------
+# Unified decontamination gate: token-level n-gram collisions AND verbatim
+# character spans in one per-doc verdict (the two detectors catch different
+# leak shapes).  Same planted rows as the individual queries.
+# ---------------------------------------------------------------------------
+@query(
+    "contamination_report",
+    """
+    WITH train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+    ),
+    ev AS (SELECT doc_id AS eid, text FROM documents WHERE doc_id % 20 = 0),
+    ttok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM train),
+    tsh AS (
+      SELECT DISTINCT doc_id,
+             md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]) AS k
+      FROM ttok, unnest(generate_series(1, len(ts)-4)) AS u(i)
+    ),
+    etok AS (SELECT eid, string_split(text, ' ') AS ts FROM ev),
+    esh AS (
+      SELECT DISTINCT md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]) AS k
+      FROM etok, unnest(generate_series(1, len(ts)-4)) AS u(i)
+    ),
+    ng AS (
+      SELECT t.doc_id,
+        count(DISTINCT CASE WHEN e.k IS NOT NULL THEN t.k END) AS n_shared_ngrams,
+        round(CAST(count(DISTINCT CASE WHEN e.k IS NOT NULL THEN t.k END) AS DOUBLE)
+              / count(DISTINCT t.k), 6) AS ngram_ratio
+      FROM tsh t LEFT JOIN esh e USING (k)
+      GROUP BY t.doc_id
+      HAVING count(DISTINCT CASE WHEN e.k IS NOT NULL THEN t.k END) >= 1
+    ),
+    tg AS (
+      SELECT doc_id, md5(substr(text, p, 60)) AS span_hash
+      FROM train, unnest(generate_series(1, greatest(0, length(text) - 59))) AS u(p)
+      WHERE substr(md5(substr(text, p, 8)), 1, 1) = '0'
+    ),
+    eg AS (
+      SELECT DISTINCT md5(substr(text, p, 60)) AS span_hash
+      FROM ev, unnest(generate_series(1, greatest(0, length(text) - 59))) AS u(p)
+      WHERE substr(md5(substr(text, p, 8)), 1, 1) = '0'
+    ),
+    sp AS (
+      SELECT tg.doc_id,
+             CAST(count(DISTINCT tg.span_hash) AS BIGINT) AS n_shared_spans
+      FROM tg JOIN eg USING (span_hash)
+      GROUP BY tg.doc_id
+    )
+    SELECT COALESCE(ng.doc_id, sp.doc_id) AS doc_id,
+           CAST(COALESCE(ng.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams,
+           COALESCE(ng.ngram_ratio, 0.0) AS ngram_ratio,
+           CAST(COALESCE(sp.n_shared_spans, 0) AS BIGINT) AS n_shared_spans,
+           CASE WHEN ng.doc_id IS NOT NULL AND sp.doc_id IS NOT NULL THEN 'both'
+                WHEN ng.doc_id IS NOT NULL THEN 'ngram_only'
+                ELSE 'span_only' END AS verdict
+    FROM ng FULL OUTER JOIN sp ON ng.doc_id = sp.doc_id
+    """,
+)
+def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decontam import contamination_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 20 != 0).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    return contamination_report(train, ev, n=5, span_chars=60,
+                                anchor_chars=8)
+
+
+# ---------------------------------------------------------------------------
+# Quantized-index search end-to-end: int8 round-trip reconstruction feeding
+# cosine top-k — the recall-vs-storage trade measured in-plan (the pytest
+# suite pins recall vs the float baseline).
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_int8_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sc AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, y -> abs(y))) / 127.0 AS s
+      FROM v
+    ),
+    rec AS (
+      SELECT vec_id, list_transform(e, x -> floor(x / s + 0.5) * s) AS e
+      FROM sc WHERE s > 0
+    ),
+    q AS (SELECT * FROM rec WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+             {_COS.format(a='q.e', b='r.e')} AS cosine
+      FROM q JOIN rec r ON q.vec_id <> r.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import reconstruct_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rec = reconstruct_embeddings(emb)
+    return cosine_topk(rec, rec.filter(F.col("vec_id") % 100 == 0), k=5)

@@ -28,6 +28,7 @@ NESTED_LOOP_ALLOWED = {
     "dedup_embedding_cosine",     # broadcast grid-parameter row
     "semantic_dedup",             # broadcast centroid scoring
     "knn_classify_labels",        # votes over the brute-force baseline
+    "similarity_int8_topk",       # brute-force baseline over int8 round-trip
 }
 
 # streaming / side-effecting queries that can't be compiled lazily

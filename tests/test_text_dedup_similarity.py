@@ -1041,3 +1041,64 @@ def test_cluster_size_stats(spark):
     out = {r["cluster_size"]: r["n_clusters"]
            for r in cluster_size_stats(labels).collect()}
     assert out == {3: 1, 2: 2}
+
+
+def test_contamination_report_verdicts(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    # 63 chars, 4 tokens (>=60-char span, but fewer than 5 tokens so no
+    # 5-gram can match), with a content-defined anchor at pos 2
+    span_only = (
+        "qq00008aaaaaaaa bbbbbbbbbbbbbbb ccccccccccccccc ddddddddddddddd"
+    )
+    # 6 short tokens, total < 60 chars: 5-grams match, no span can
+    ngram_only = "alpha beta gamma delta epsilon zeta"
+    both = "shared prefix words here " * 5   # 125 chars, many tokens
+    ev = spark.createDataFrame([
+        _Row(doc_id=900, text=span_only),
+        _Row(doc_id=901, text=ngram_only),
+        _Row(doc_id=902, text=both),
+    ])
+    train = spark.createDataFrame([
+        _Row(doc_id=1, text=span_only),
+        _Row(doc_id=2, text=ngram_only),
+        _Row(doc_id=3, text=both),
+        _Row(doc_id=4, text="totally unrelated clean content row"),
+    ])
+    out = {r["doc_id"]: r for r in contamination_report(
+        train, ev, n=5, span_chars=60, anchor_chars=8).collect()}
+    assert out[1]["verdict"] == "span_only" and out[1]["n_shared_ngrams"] == 0
+    assert out[2]["verdict"] == "ngram_only" and out[2]["n_shared_spans"] == 0
+    assert out[2]["n_shared_ngrams"] == 2          # 6 tokens -> 2 5-grams
+    assert out[3]["verdict"] == "both"
+    assert 4 not in out                            # clean doc absent
+
+
+def test_int8_reconstruction_recall(spark):
+    """The int8 round-trip must cost almost no recall on the fixture
+    embeddings: top-5 over reconstructed vectors vs the float baseline."""
+    from confluent_data_ingestion_spark.operators.similarity import (
+        recall_at_k,
+        reconstruct_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = cosine_topk(emb, q, k=5)
+    rec = reconstruct_embeddings(emb)
+    approx = cosine_topk(rec, reconstruct_embeddings(q), k=5)
+    r = recall_at_k(approx, exact).collect()[0]["recall"]
+    assert r >= 0.9
+
+    # reconstruction error bounded by scale/2 per coordinate
+    orig = {r["vec_id"]: r["embedding"] for r in emb.limit(5).collect()}
+    got = {r["vec_id"]: r["embedding"]
+           for r in rec.filter(F.col("vec_id").isin(*orig)).collect()}
+    for vid, e in orig.items():
+        scale = max(abs(x) for x in e) / 127.0
+        assert all(abs(a - b) <= scale / 2 + 1e-9
+                   for a, b in zip(e, got[vid]))
