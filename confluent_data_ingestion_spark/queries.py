@@ -3165,3 +3165,74 @@ def similarity_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     rec = reconstruct_embeddings(emb)
     return cosine_topk(rec, rec.filter(F.col("vec_id") % 100 == 0), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Streaming stateful funnel e2e: events -> availableNow stream ->
+# applyInPandasWithState funnel tracker -> parquet at quiescence.  Input is
+# a single file (one microbatch), so the streaming greedy matcher must
+# agree exactly with the batch funnel oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_event_funnel",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE user_id % 20 = 0 AND event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (SELECT user_id, min(ts) AS ft FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS ft FROM ev e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.ft GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS ft FROM ev e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.ft GROUP BY e.user_id)
+    SELECT user_id, CAST(1 AS INT) AS stage, 'view' AS step_name, ft AS ts FROM s1
+    UNION ALL
+    SELECT user_id, CAST(2 AS INT), 'click', ft FROM s2
+    UNION ALL
+    SELECT user_id, CAST(3 AS INT), 'purchase', ft FROM s3
+    """,
+)
+def streaming_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .streaming import file_envelope_stream
+    from .streaming.stateful import stateful_funnel
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 20 == 0)
+        & F.col("event_type").isin("view", "click", "purchase")
+    )
+    src_dir = tempfile.mkdtemp(prefix="cdis-funnel-src-")
+    out_dir = tempfile.mkdtemp(prefix="cdis-funnel-out-")
+    ckpt = tempfile.mkdtemp(prefix="cdis-funnel-ckpt-")
+    # ONE file -> one microbatch: in-batch time-sorted greedy matching is
+    # then exactly the batch funnel semantics the oracle states
+    # ts rides as a STRING cast: to_json's timestamp format truncates to
+    # milliseconds, a plain cast keeps full microseconds
+    ev.select(
+        F.to_json(F.struct(
+            "user_id", F.col("ts").cast("string").alias("ts"), "event_type"
+        )).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(src_dir)
+
+    stream = file_envelope_stream(spark, src_dir).select(
+        F.get_json_object("val", "$.user_id").cast("bigint").alias("user_id"),
+        F.get_json_object("val", "$.ts").cast("timestamp_ntz").alias("ts"),
+        F.get_json_object("val", "$.event_type").alias("event_type"),
+    )
+    q = (
+        stateful_funnel(stream, ["view", "click", "purchase"])
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "user_id", "stage", "step_name",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )

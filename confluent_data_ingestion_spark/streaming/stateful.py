@@ -108,3 +108,102 @@ def stateful_sessionize(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id bigint, stage int, step_name string, ts timestamp"
+)
+# funnel progress: deepest stage reached + that stage's event time (micros)
+FUNNEL_STATE_SCHEMA = "stage int, last bigint"
+
+
+def stateful_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming ordered-funnel tracker: per-user progress through
+    ``steps`` maintained in the state store across microbatches — the
+    live-conversion view whose batch equivalent is
+    ``operators.temporal.funnel_stages``.
+
+    Emits one row per ADVANCE: when a user first reaches stage k (their
+    earliest qualifying occurrence of ``steps[k-1]`` strictly after the
+    time they reached stage k-1), the row (user, k, step name, event
+    time) appends.  A user completing all steps across five microbatches
+    emits len(steps) rows total, each in the batch where the advance
+    happened.
+
+    Semantics note vs the batch operator: within a batch, rows process
+    in time order (identical greedy matching); an event arriving in a
+    LATER batch than a same-step event it precedes in event time cannot
+    retroactively lower the recorded advance time — the standard
+    at-arrival streaming approximation, bounded by the source's
+    out-of-orderness across batches.
+
+    Scale design: state per user is TWO fixed-width numbers regardless
+    of stream length or funnel depth; rows arrive grouped per key by the
+    state store's own shuffle (no extra exchange); per batch each key
+    does one sorted pass over its batch rows.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    step_index = {s: k for k, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        frames = [p[[time_col, type_col]] for p in pdf_iter]
+        rows = pd.concat(frames).sort_values(time_col)
+        ts = rows[time_col].astype("int64") // 1000  # ns -> us
+        types = rows[type_col]
+
+        if state.exists:
+            stage, last = state.get
+        else:
+            stage, last = 0, None
+
+        out = []
+        for t, typ in zip(ts.tolist(), types.tolist()):
+            if stage >= n_steps:
+                break
+            if step_index.get(typ) != stage:
+                continue
+            # stage 0 needs no predecessor; deeper stages need strictly-
+            # later arrival than the time the previous stage was reached
+            if stage == 0 or (last is not None and t > last):
+                stage += 1
+                last = t
+                out.append((key[0], stage, steps[stage - 1], t))
+        state.update((stage, last))
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "stage": [o[1] for o in out],
+                    "step_name": [o[2] for o in out],
+                    "ts": pd.to_datetime([o[3] for o in out], unit="us"),
+                }
+            )
+
+    return (
+        stream.selectExpr(
+            f"CAST({user_col} AS BIGINT) AS user_id",
+            f"{time_col} AS {time_col}",
+            f"{type_col} AS {type_col}",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            FUNNEL_OUTPUT_SCHEMA,
+            FUNNEL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

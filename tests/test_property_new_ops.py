@@ -1,0 +1,146 @@
+"""Property-based tests for the round-5 sampling / funnel / rolling
+operators: invariants that must hold for ANY input, with Spark results
+cross-checked against independent driver-side recomputation.
+
+Examples are deliberately few (each runs Spark jobs); the properties are
+about structure (determinism, exact sizes, monotonicity, frame math), not
+statistical behavior.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+
+# -- weighted_sample_priority ------------------------------------------------
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=50), min_size=5,
+                     max_size=40),
+    n=st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=8, deadline=None)
+def test_weighted_sample_invariants(spark, weights, n):
+    from confluent_data_ingestion_spark.operators.sampling import (
+        weighted_sample_priority,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=w) for i, w in enumerate(weights)]
+    )
+    out = weighted_sample_priority(df, n, weight_col="w").collect()
+    positive = [i for i, w in enumerate(weights) if w > 0]
+    # exact size min(n, eligible); only positive-weight rows; no dup rows
+    assert len(out) == min(n, len(positive))
+    ids = [r["doc_id"] for r in out]
+    assert len(set(ids)) == len(ids)
+    assert set(ids) <= set(positive)
+    # deterministic under repartitioning (assignment is key-pure)
+    again = weighted_sample_priority(
+        df.repartition(7), n, weight_col="w"
+    ).collect()
+    assert sorted(ids) == sorted(r["doc_id"] for r in again)
+
+
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.floats(min_value=0.05, max_value=10.0, allow_nan=False),
+        min_size=1, max_size=4,
+    ),
+    budget=st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=8, deadline=None)
+def test_mixture_plan_invariants(spark, weights, budget):
+    from confluent_data_ingestion_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [Row(source=s, text="x " * (5 * (i + 1)))
+         for i, s in enumerate(["a", "b", "c"])]
+    )
+    rows = mixture_plan(df, weights, budget_tokens=budget).collect()
+    present = {"a", "b", "c"} & set(weights)
+    assert {r["source"] for r in rows} == present
+    wsum = sum(weights.values())
+    for r in rows:
+        # rate in (0, 1]; epochs = ceil(target/available) >= 1; target
+        # proportional to the normalized weight
+        assert 0.0 < r["rate"] <= 1.0
+        assert r["epochs"] >= 1
+        assert abs(r["target_tokens"]
+                   - round(budget * weights[r["source"]] / wsum, 2)) < 0.011
+        if r["rate"] < 1.0:
+            assert r["epochs"] == 1          # over-supplied: single pass
+
+
+# -- funnel_stages -----------------------------------------------------------
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=5),        # user
+                  st.integers(min_value=0, max_value=50),       # second
+                  st.sampled_from(["view", "click", "purchase"])),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_funnel_counts_monotone_and_match_bruteforce(spark, events):
+    from datetime import datetime
+
+    from confluent_data_ingestion_spark.operators.temporal import (
+        funnel_stages,
+    )
+
+    rows = [Row(user_id=u, ts=datetime(2024, 1, 1, 0, 0, s), event_type=e)
+            for u, s, e in events]
+    out = {r["step"]: r["n_users"] for r in funnel_stages(
+        spark.createDataFrame(rows), ["view", "click", "purchase"]
+    ).collect()}
+    assert out[1] >= out[2] >= out[3]          # funnel never widens
+
+    # brute-force greedy per user must agree exactly
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for u, s, e in events:
+        by_user[u].append((s, e))
+    steps = ["view", "click", "purchase"]
+    reach = [0, 0, 0]
+    for evs in by_user.values():
+        stage, last = 0, None
+        for s, e in sorted(evs):
+            if stage < 3 and e == steps[stage] and (
+                stage == 0 or s > last
+            ):
+                # strict ordering: equal timestamps cannot advance
+                stage += 1
+                last = s
+                reach[stage - 1] += 1
+    assert [out[1], out[2], out[3]] == reach
+
+
+# -- rolling_stats -----------------------------------------------------------
+
+@given(
+    vals=st.lists(st.integers(min_value=-100, max_value=100), min_size=1,
+                  max_size=25),
+    w=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_rolling_stats_matches_bruteforce(spark, vals, w):
+    from datetime import datetime
+
+    from confluent_data_ingestion_spark.operators.temporal import (
+        rolling_stats,
+    )
+
+    rows = [Row(event_id=i, user_id=1, ts=datetime(2024, 1, 1, 0, 0, 0, i),
+                value=float(v)) for i, v in enumerate(vals)]
+    out = {r["event_id"]: r for r in rolling_stats(
+        spark.createDataFrame(rows), window_rows=w
+    ).collect()}
+    for i in range(len(vals)):
+        frame = vals[max(0, i - w + 1): i + 1]
+        assert out[i]["roll_sum"] == float(sum(frame))
+        assert out[i]["roll_n"] == len(frame)
+        assert abs(out[i]["roll_avg"] - round(sum(frame) / len(frame), 6)) \
+            < 1e-9

@@ -603,3 +603,60 @@ def test_streaming_ingest_dedup_index_grows_across_batches(spark, tmp_path):
     assert got[11] == "novel"       # first sighting, accepted into index
     assert got[20] == "dup_exact"   # SAME text as 11 -> caught by grown index
     assert got[21] == "novel"
+
+
+def test_stateful_funnel_across_microbatches(spark, tmp_path):
+    from confluent_data_ingestion_spark.streaming.stateful import (
+        stateful_funnel,
+    )
+
+    src = str(tmp_path / "fn_in")
+    os.makedirs(src)
+    # batch 1: u1 views then clicks; u2 clicks BEFORE viewing (click must
+    # not count toward stage 2 — wrong order)
+    with open(f"{src}/a.ndjson", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in [
+            {"u": 1, "ts": "2026-01-01T00:00:01", "e": "view"},
+            {"u": 1, "ts": "2026-01-01T00:00:05", "e": "click"},
+            {"u": 2, "ts": "2026-01-01T00:00:02", "e": "click"},
+            {"u": 2, "ts": "2026-01-01T00:00:04", "e": "view"},
+        ])
+    # batch 2: u1 purchases (stage carried in state across the batch
+    # boundary); u2 clicks AFTER its view -> advances to stage 2 now
+    with open(f"{src}/b.ndjson", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in [
+            {"u": 1, "ts": "2026-01-01T00:01:00", "e": "purchase"},
+            {"u": 2, "ts": "2026-01-01T00:01:01", "e": "click"},
+        ])
+    now = os.path.getmtime(f"{src}/b.ndjson")
+    os.utime(f"{src}/a.ndjson", (now - 10, now - 10))
+
+    stream = file_envelope_stream(spark, src, max_files_per_trigger=1).select(
+        F.get_json_object("val", "$.u").cast("bigint").alias("u"),
+        F.get_json_object("val", "$.ts").cast("timestamp").alias("ts"),
+        F.get_json_object("val", "$.e").alias("e"),
+    )
+    q = (
+        stateful_funnel(stream, ["view", "click", "purchase"],
+                        user_col="u", time_col="ts", type_col="e")
+        .writeStream.format("memory")
+        .queryName("fn_out")
+        .option("checkpointLocation", str(tmp_path / "fn_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"], r["stage"]): (r["step_name"], str(r["ts"]))
+           for r in spark.sql("select * from fn_out").collect()}
+    assert got == {
+        (1, 1): ("view", "2026-01-01 00:00:01"),
+        (1, 2): ("click", "2026-01-01 00:00:05"),
+        (1, 3): ("purchase", "2026-01-01 00:01:00"),   # state crossed batches
+        (2, 1): ("view", "2026-01-01 00:00:04"),
+        (2, 2): ("click", "2026-01-01 00:01:01"),      # first click ignored
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="steps"):
+        stateful_funnel(stream, [], user_col="u", time_col="ts",
+                        type_col="e")
