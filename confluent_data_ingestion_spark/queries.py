@@ -3236,3 +3236,46 @@ def streaming_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "stage", "step_name",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Part/supplier profit rollup (Q9-shaped): completes coverage of all ten
+# driver tables.  lineitem x part is the big join (shuffle on partkey);
+# supplier + nation broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_nation_revenue",
+    """
+    SELECT p.p_brand, n.n_name AS supp_nation,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand, n.n_name
+    """,
+)
+def brand_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, pa, su, na = _t(spark, sf_dir, "lineitem", "part", "supplier",
+                        "nation")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # size filter BEFORE the join (pushed to the part scan); the supplier
+    # dim pre-joins its nation name so one broadcast probe serves both
+    pa_f = pa.filter(F.col("p_size") <= 20).select("p_partkey", "p_brand")
+    sn = su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(pa_f, li.l_partkey == pa_f.p_partkey)
+        .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
+        .groupBy("p_brand", "supp_nation")
+        .agg(
+            F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
