@@ -1,0 +1,101 @@
+"""Compile every registry query and summarize its physical plan: exchange
+count, join strategies, scan pushdown, whole-stage codegen presence.
+
+Writes PLAN_AUDIT.md — the per-query evidence behind SCALE.md's claims
+(where the shuffles are, which joins broadcast, what reaches the scan).
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# streaming / side-effecting queries cannot be compiled lazily
+SKIP = {"streaming_xref_upsert", "streaming_event_funnel"}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as e
+    from confluent_data_ingestion_spark.caching import release_caches
+    from confluent_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("cdis-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for name, fn in e.queries().items():
+        if name in SKIP:
+            rows.append((name, "— streaming e2e (executes a query; audited "
+                               "by its pytest + oracle entry)", ""))
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        release_caches()
+        n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+        n_single = len(re.findall(r"\bExchange SinglePartition", plan))
+        joins = []
+        for pat, label in [
+            (r"\bBroadcastHashJoin", "BHJ"),
+            (r"\bSortMergeJoin", "SMJ"),
+            (r"\bShuffledHashJoin", "SHJ"),
+            (r"\bBroadcastNestedLoopJoin", "BNLJ"),
+            (r"\bCartesianProduct", "CART"),
+        ]:
+            k = len(re.findall(pat, plan))
+            if k:
+                joins.append(f"{k}x{label}")
+        flags = []
+        if "PushedFilters: [" in plan and not re.search(
+            r"PushedFilters: \[\]", plan
+        ):
+            flags.append("pushdown")
+        if "TakeOrderedAndProject" in plan:
+            flags.append("take-ordered")
+        if re.search(r"\bWindow\b", plan):
+            flags.append("window")
+        # whole-stage codegen renders as "*(n) Op" prefixes in toString()
+        if "WholeStageCodegen" in plan or re.search(r"\*\(\d+\) ", plan):
+            flags.append("codegen")
+        if "mapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
+            flags.append("arrow-udf")
+        shuffles = f"{n_ex}" + (f"+{n_single}s" if n_single else "")
+        rows.append((name, shuffles, " ".join(joins) or "—",
+                     " ".join(flags) or "—"))
+
+    out = [
+        "# PLAN AUDIT — physical-plan inventory per registry query",
+        "",
+        f"Compiled at `{sf_dir}`, Spark executedPlan. `shuffles` counts",
+        "`Exchange hashpartitioning` (+`Ns` = single-partition exchanges,",
+        "final 1-row aggregates).  Join labels: BHJ broadcast-hash, SMJ",
+        "sort-merge, SHJ shuffled-hash, BNLJ broadcast-nested-loop (allowed",
+        "only for the documented broadcast-scoring/1-row cases — enforced by",
+        "`tests/test_plan_guards.py`), CART cartesian (never allowed).",
+        "Note: plans compile under AQE before execution, so `codegen` only",
+        "shows where the initial plan renders `*(n)` stages; every",
+        "expression here is built-in (JVM codegen-eligible) except the",
+        "flagged `arrow-udf` operators.",
+        "",
+        "| query | shuffles | joins | properties |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        if len(r) == 3:
+            out.append(f"| `{r[0]}` | {r[1]} | | |")
+        else:
+            out.append(f"| `{r[0]}` | {r[1]} | {r[2]} | {r[3]} |")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLAN_AUDIT.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path} ({len(rows)} queries)")
+
+
+if __name__ == "__main__":
+    main()
