@@ -144,3 +144,70 @@ def test_rolling_stats_matches_bruteforce(spark, vals, w):
         assert out[i]["roll_n"] == len(frame)
         assert abs(out[i]["roll_avg"] - round(sum(frame) / len(frame), 6)) \
             < 1e-9
+
+
+# -- empty-input robustness ---------------------------------------------------
+
+def test_operators_tolerate_empty_input(spark):
+    """A daily batch CAN be empty (holiday, upstream outage): every core
+    operator must plan and return an empty (or identity) result, never
+    raise."""
+    from confluent_data_ingestion_spark.operators.cluster import (
+        cluster_size_stats,
+        connected_components,
+    )
+    from confluent_data_ingestion_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from confluent_data_ingestion_spark.operators.sampling import (
+        cap_per_group,
+        mixture_plan,
+        temperature_resample,
+        weighted_sample_priority,
+    )
+    from confluent_data_ingestion_spark.operators.temporal import (
+        funnel_stages,
+        rolling_stats,
+    )
+    from confluent_data_ingestion_spark.operators.text import (
+        bigram_logprob_score,
+        collocation_pmi,
+        quality_cutoff_filter,
+        unigram_logprob_score,
+    )
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert exact_dedup(docs).count() == 0
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert simhash_pairs(docs).count() == 0
+    assert unigram_logprob_score(docs).count() == 0
+    assert bigram_logprob_score(docs).count() == 0
+    assert collocation_pmi(docs).count() == 0
+
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    labels = connected_components(pairs)
+    assert labels.count() == 0
+    assert cluster_size_stats(labels).count() == 0
+
+    scored = spark.createDataFrame(
+        [], "doc_id bigint, lang string, n_chars bigint"
+    )
+    assert quality_cutoff_filter(scored).count() == 0
+    weighted = spark.createDataFrame([], "doc_id bigint, w bigint")
+    assert weighted_sample_priority(weighted, 10, weight_col="w").count() == 0
+    srcd = spark.createDataFrame([], "doc_id bigint, source string, text string")
+    assert temperature_resample(srcd).count() == 0
+    assert cap_per_group(srcd, mode="rate").count() == 0
+    assert mixture_plan(srcd, {"a": 1.0}, budget_tokens=10).count() == 0
+
+    ev = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    fun = {r["step"]: r["n_users"]
+           for r in funnel_stages(ev, ["view", "click"]).collect()}
+    assert fun == {1: 0, 2: 0}          # stage rows exist, all zero
+    assert rolling_stats(ev).count() == 0
