@@ -680,3 +680,51 @@ def collocation_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    lower_pct: float = 0.05,
+    upper_pct: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` into the group's
+    [``lower_pct``, ``upper_pct``] percentile band — the outlier-robust
+    normalization for quality scores whose tails are garbage (a 10 MB
+    "document" shouldn't drag a mean; a 3-char one shouldn't either)
+    while keeping every row, unlike a cutoff filter.
+
+    Same determinism and scale recipe as ``quality_cutoff_filter``: exact
+    interpolated percentiles rounded to 4 decimals, computed in one
+    group-count-sized aggregation, broadcast back onto the corpus, then a
+    pure per-row least/greatest — the corpus never shuffles.  Output:
+    input columns + clamped ``out_col`` (default ``value_col + '_w'``)
+    plus the band edges for audit.  NULL values stay NULL.
+    """
+    if not 0.0 <= lower_pct < upper_pct <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower_pct < upper_pct <= 1, got "
+            f"({lower_pct}, {upper_pct})"
+        )
+    out_col = out_col or f"{value_col}_w"
+    cuts = df.groupBy(F.col(group_col).alias("__g__")).agg(
+        F.expr(f"round(percentile({value_col}, {lower_pct!r}d), 4)")
+        .alias("lo"),
+        F.expr(f"round(percentile({value_col}, {upper_pct!r}d), 4)")
+        .alias("hi"),
+    )
+    return (
+        df.join(F.broadcast(cuts), F.col(group_col).eqNullSafe(F.col("__g__")))
+        .withColumn(
+            out_col,
+            # explicit NULL guard: greatest/least SKIP nulls (Postgres
+            # semantics), which would silently clamp a NULL to the band edge
+            F.expr(
+                f"CASE WHEN {value_col} IS NULL THEN NULL "
+                f"ELSE least(greatest(CAST({value_col} AS DOUBLE), lo), hi) END"
+            ),
+        )
+        .drop("__g__")
+    )

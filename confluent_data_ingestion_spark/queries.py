@@ -3279,3 +3279,31 @@ def brand_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language winsorization: clamp document lengths into the [p05, p95]
+# band per language (outlier-robust, keeps every row).  Same broadcast-back
+# shape as the percentile cutoff.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorize_doc_lengths",
+    """
+    WITH c AS (
+      SELECT lang AS g,
+             round(quantile_cont(n_chars, 0.05), 4) AS lo,
+             round(quantile_cont(n_chars, 0.95), 4) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CASE WHEN d.n_chars IS NULL THEN NULL ELSE least(greatest(CAST(d.n_chars AS DOUBLE), c.lo), c.hi) END AS n_chars_w,
+           c.lo, c.hi
+    FROM documents d JOIN c ON d.lang IS NOT DISTINCT FROM c.g
+    """,
+)
+def winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import winsorize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return winsorize(docs, group_col="lang", value_col="n_chars",
+                     lower_pct=0.05, upper_pct=0.95)

@@ -660,3 +660,58 @@ def test_stateful_funnel_across_microbatches(spark, tmp_path):
     with _pytest.raises(ValueError, match="steps"):
         stateful_funnel(stream, [], user_col="u", time_col="ts",
                         type_col="e")
+
+
+def test_stateful_funnel_restart_from_checkpoint(spark, tmp_path):
+    """A RESTARTED query (same checkpoint) must resume funnel state, not
+    re-derive it: the user's stage survives process death."""
+    from confluent_data_ingestion_spark.streaming.stateful import (
+        stateful_funnel,
+    )
+
+    src = str(tmp_path / "fr_in")
+    out = str(tmp_path / "fr_out")
+    ckpt = str(tmp_path / "fr_ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = file_envelope_stream(spark, src).select(
+            F.get_json_object("val", "$.u").cast("bigint").alias("u"),
+            F.get_json_object("val", "$.ts").cast("timestamp").alias("ts"),
+            F.get_json_object("val", "$.e").alias("e"),
+        )
+        q = (
+            stateful_funnel(stream, ["view", "click", "purchase"],
+                            user_col="u", time_col="ts", type_col="e")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with open(f"{src}/a.ndjson", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in [
+            {"u": 1, "ts": "2026-01-01T00:00:01", "e": "view"},
+            {"u": 1, "ts": "2026-01-01T00:00:02", "e": "click"},
+        ])
+    run_once()                 # first process: reaches stage 2, then dies
+
+    with open(f"{src}/b.ndjson", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in [
+            # would be stage 1+2 again if state were lost; with state it
+            # must be ignored (stage already passed) ...
+            {"u": 1, "ts": "2026-01-01T00:00:09", "e": "view"},
+            # ... and the purchase advances straight to stage 3
+            {"u": 1, "ts": "2026-01-01T00:00:10", "e": "purchase"},
+        ])
+    run_once()                 # second process: resumes from checkpoint
+
+    got = {(r["user_id"], r["stage"]): r["step_name"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        (1, 1): "view",
+        (1, 2): "click",
+        (1, 3): "purchase",    # resumed at stage 2 — no duplicate advances
+    }

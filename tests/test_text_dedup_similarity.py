@@ -1102,3 +1102,32 @@ def test_int8_reconstruction_recall(spark):
         scale = max(abs(x) for x in e) / 127.0
         assert all(abs(a - b) <= scale / 2 + 1e-9
                    for a, b in zip(e, got[vid]))
+
+
+def test_winsorize_clamps_per_group(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.text import winsorize
+
+    rows = (
+        [_Row(doc_id=i, lang="en", n_chars=i) for i in range(1, 101)]
+        + [_Row(doc_id=200, lang="en", n_chars=10_000)]   # wild outlier
+        + [_Row(doc_id=300, lang="de", n_chars=5)]        # own tiny group
+        + [_Row(doc_id=400, lang="en", n_chars=None)]
+    )
+    out = {r["doc_id"]: r for r in winsorize(
+        spark.createDataFrame(rows), lower_pct=0.1, upper_pct=0.9
+    ).collect()}
+    en_hi = out[1]["hi"]
+    # the outlier clamps to the p90 band edge, in-band rows are unchanged
+    assert out[200]["n_chars_w"] == en_hi and en_hi < 10_000
+    assert out[50]["n_chars_w"] == 50.0
+    assert out[1]["n_chars_w"] == out[1]["lo"]            # below p10: raised
+    # de's single value is its own band: unchanged
+    assert out[300]["n_chars_w"] == 5.0
+    # NULL value stays NULL (and the row survives)
+    assert out[400]["n_chars_w"] is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lower_pct"):
+        winsorize(spark.createDataFrame(rows), lower_pct=0.9, upper_pct=0.1)
