@@ -3307,3 +3307,107 @@ def winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return winsorize(docs, group_col="lang", value_col="n_chars",
                      lower_pct=0.05, upper_pct=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Normalized exact dedup: hash-groupBy AFTER canonical normalization —
+# catches case/whitespace/punctuation re-encodes of the same document that
+# byte-exact dedup misses, at exact-dedup cost (no pairing join at all).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_normalized",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS tn
+      FROM documents
+    )
+    SELECT md5(tn) AS text_hash, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM n GROUP BY md5(tn)
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+    from .operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_dedup(
+        normalize_text(docs, strip_punct=True), text_col="text_norm"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packing audit: per-stream fill report from the pack_sequences plan —
+# token totals, window counts, tail fill-rate, and stream balance, before
+# any writer materializes the packs.
+# ---------------------------------------------------------------------------
+@query(
+    "packing_fill_report",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n,
+             md5('|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             CAST({_duck_hex_num('hx', 1, 2)} % 16 AS INT) AS stream
+      FROM t
+    )
+    SELECT stream, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(ceil(sum(n) / 512.0) AS BIGINT) AS n_windows,
+           round(sum(n) / (ceil(sum(n) / 512.0) * 512.0), 6) AS fill_rate
+    FROM s GROUP BY stream
+    """,
+)
+def packing_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_sequences(docs, budget=512, n_streams=16)
+    return (
+        packed.groupBy("stream")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("CAST(max(pack_id + n_seqs - 1) + 1 AS BIGINT)")
+            .alias("n_windows"),
+            F.expr(
+                "round(CAST(sum(n_tokens) AS DOUBLE) "
+                "/ ((max(pack_id + n_seqs - 1) + 1) * 512.0d), 6)"
+            ).alias("fill_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k documents per domain by quality score (longest-k here): bounded
+# group counts -> the window form; for web-host skew use cap_per_group's
+# rate mode instead (documented there).
+# ---------------------------------------------------------------------------
+@query(
+    "top_docs_per_source",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = _W.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
