@@ -1021,3 +1021,58 @@ def semantic_dedup(
         assigned, id_col=id_col, vec_col="ve", threshold=threshold,
         bucket_col=cent_id_col,
     )
+
+
+def chunk_boilerplate_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Chunk-level boilerplate detection (the C4-style paragraph-hash
+    move, re-cut on fixed token windows since the fixture corpus has no
+    paragraph marks): hash each non-overlapping ``chunk_tokens``-token
+    window, count how many DISTINCT documents each chunk hash appears
+    in, and report per document what fraction of its chunks are shared
+    boilerplate — the signal behind both "drop repeated lines" cleanup
+    and navigation/footer removal.
+
+    Output: (``id_col``, n_chunks, n_boiler, boiler_ratio) for every doc
+    (ratio 0 when nothing is shared).  ``min_docs`` is the cross-doc
+    multiplicity that makes a chunk boilerplate.
+
+    Scale shape: chunking is a per-row explode (zero shuffle, chunk rows
+    inherit the parent partition); chunk hashes aggregate twice on the
+    32-byte digest key (distinct-doc counts map-side combine) and join
+    back to the per-doc chunk list on that digest — the same
+    inverted-index shape as ``repeated_substring_spans`` but with
+    O(len/chunk) rows per doc instead of O(len) positions, which is why
+    this is the cheap first pass and span detection the precise second.
+    """
+    from .text import chunk_documents as _chunks  # local import: no cycle
+
+    ch = _chunks(
+        ensure_min_parallelism(df.select(id_col, text_col)),
+        text_col=text_col, id_cols=(id_col,),
+        chunk_tokens=chunk_tokens, stride_tokens=chunk_tokens,
+    ).select(F.col(id_col), F.md5(F.col("chunk_text")).alias("h"))
+    ch = track(ch)  # feeds the multiplicity agg AND the per-doc join
+    multi = (
+        ch.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("h")
+        .withColumn("__b__", F.lit(1))
+    )
+    return (
+        ch.join(multi, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("__b__").alias("n_boiler"),
+            F.expr(
+                "round(CAST(count(__b__) AS DOUBLE) / count(1), 6)"
+            ).alias("boiler_ratio"),
+        )
+    )

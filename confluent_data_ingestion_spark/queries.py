@@ -3411,3 +3411,46 @@ def top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level boilerplate ratio (C4-style paragraph-hash dedup on fixed
+# token windows): planted rows = every 25th doc re-appears under +2M ids
+# with a unique suffix token, making its leading chunks shared boilerplate.
+# ---------------------------------------------------------------------------
+@query(
+    "chunk_boilerplate_ratio",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' uniq' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+    c AS (
+      SELECT doc_id,
+             md5(array_to_string(ts[i*20+1 : i*20+20], ' ')) AS h
+      FROM t, unnest(generate_series(0,
+             CAST(ceil(greatest(0, len(ts) - 20) / 20.0) AS INT))) AS u(i)
+    ),
+    m AS (
+      SELECT h FROM c GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT c.doc_id, count(*) AS n_chunks, count(m.h) AS n_boiler,
+           round(CAST(count(m.h) AS DOUBLE) / count(*), 6) AS boiler_ratio
+    FROM c LEFT JOIN m ON c.h = m.h
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_boilerplate_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import chunk_boilerplate_ratio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("text || ' uniq' || CAST(doc_id AS STRING)").alias("text"),
+    )
+    return chunk_boilerplate_ratio(
+        docs.unionByName(planted), chunk_tokens=20, min_docs=2
+    )

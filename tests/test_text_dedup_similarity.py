@@ -1131,3 +1131,25 @@ def test_winsorize_clamps_per_group(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="lower_pct"):
         winsorize(spark.createDataFrame(rows), lower_pct=0.9, upper_pct=0.1)
+
+
+def test_chunk_boilerplate_ratio(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.dedup import (
+        chunk_boilerplate_ratio,
+    )
+
+    header = " ".join(f"h{k}" for k in range(20))       # one shared chunk
+    rows = [
+        _Row(doc_id=i, text=header + " " + " ".join(
+            f"b{i}x{k}" for k in range(20)))             # unique body chunk
+        for i in range(1, 4)
+    ] + [_Row(doc_id=9, text=" ".join(f"z{k}" for k in range(40)))]  # clean
+    out = {r["doc_id"]: r for r in chunk_boilerplate_ratio(
+        spark.createDataFrame(rows), chunk_tokens=20).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_chunks"] == 2
+        assert out[i]["n_boiler"] == 1                  # the shared header
+        assert out[i]["boiler_ratio"] == 0.5
+    assert out[9]["n_boiler"] == 0 and out[9]["boiler_ratio"] == 0.0
