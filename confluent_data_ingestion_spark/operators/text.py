@@ -602,9 +602,12 @@ def bigram_logprob_score(
         .select(
             "w1",
             "w2",
+            # the backoff weight literal is rounded so the EXACT same
+            # double appears here and in any oracle SQL (1.0 - 0.7 is
+            # 0.30000000000000004 — a different bit pattern than 0.3)
             F.expr(
-                f"CAST(round(ln({lam}d * (CAST(c2 AS DOUBLE) / c1) "
-                f"+ {1.0 - lam}d * (CAST(cu AS DOUBLE) / n)), 6) "
+                f"CAST(round(ln({lam!r}d * (CAST(c2 AS DOUBLE) / c1) "
+                f"+ {round(1.0 - lam, 12)!r}d * (CAST(cu AS DOUBLE) / n)), 6) "
                 "AS DECIMAL(18,6))"
             ).alias("logp"),
         )

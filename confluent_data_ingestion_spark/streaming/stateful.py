@@ -49,7 +49,9 @@ def stateful_sessionize(
 
         frames = [p[[time_col, value_col]] for p in pdf_iter]
         rows = pd.concat(frames).sort_values(time_col)
-        ts = rows[time_col].astype("int64") // 1000  # ns -> us
+        # pin the unit before the int cast: pandas 2.x can deliver
+        # non-ns datetime64 resolutions, which would silently scale ts
+        ts = rows[time_col].astype("datetime64[ns]").astype("int64") // 1000
         vals = rows[value_col].astype("float64")
 
         if state.exists:
@@ -160,7 +162,8 @@ def stateful_funnel(
 
         frames = [p[[time_col, type_col]] for p in pdf_iter]
         rows = pd.concat(frames).sort_values(time_col)
-        ts = rows[time_col].astype("int64") // 1000  # ns -> us
+        # unit pinned as in stateful_sessionize above
+        ts = rows[time_col].astype("datetime64[ns]").astype("int64") // 1000
         types = rows[type_col]
 
         if state.exists:

@@ -1078,7 +1078,7 @@ def test_contamination_report_verdicts(spark):
     assert 4 not in out                            # clean doc absent
 
 
-def test_int8_reconstruction_recall(spark):
+def test_int8_reconstruction_recall(spark, sf_dir):
     """The int8 round-trip must cost almost no recall on the fixture
     embeddings: top-5 over reconstructed vectors vs the float baseline."""
     from confluent_data_ingestion_spark.operators.similarity import (
@@ -1086,7 +1086,7 @@ def test_int8_reconstruction_recall(spark):
         reconstruct_embeddings,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 10 == 0)
     exact = cosine_topk(emb, q, k=5)
     rec = reconstruct_embeddings(emb)

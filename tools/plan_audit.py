@@ -51,9 +51,10 @@ def main() -> None:
             if k:
                 joins.append(f"{k}x{label}")
         flags = []
-        if "PushedFilters: [" in plan and not re.search(
-            r"PushedFilters: \[\]", plan
-        ):
+        # per-scan: flag if ANY scan carries a non-empty pushed filter
+        # (an unfiltered second scan must not suppress the flag)
+        if any(m != "PushedFilters: []"
+               for m in re.findall(r"PushedFilters: \[[^\]]*\]", plan)):
             flags.append("pushdown")
         if "TakeOrderedAndProject" in plan:
             flags.append("take-ordered")
