@@ -731,3 +731,47 @@ def winsorize(
         )
         .drop("__g__")
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") text embedding: each distinct
+    token hashes to one of ``dim`` buckets with a ±1 sign, and the
+    document vector is the per-bucket signed sum — a model-free
+    embedding that plugs the raw text corpus straight into the
+    embedding operators (``lsh_topk``, ``semantic_dedup``,
+    ``embedding_near_dup``) when no trained encoder is available.
+    Token-set cosine under this map approximates set overlap, which is
+    exactly the near-dup signal.
+
+    Bucket = first 4 md5 hex digits mod ``dim``; sign = parity of hex
+    digit 5 — reproducible in any engine from the same md5 math.
+
+    Scale shape: per-row expressions only (token hashes computed ONCE
+    into a struct array, then one fold per dimension) — zero shuffle,
+    scan speed, like ``simhash``.  Keep ``dim`` modest (<= 64): work is
+    O(tokens + dim·tokens) per row.
+    """
+    if not 1 <= dim <= 256:
+        raise ValueError(f"dim must be in [1, 256], got {dim}")
+    th = (
+        f"transform(array_distinct(split({text_col}, ' ')), t -> "
+        f"named_struct("
+        f"'d', CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT) % {dim}, "
+        f"'s', 1 - 2 * (CAST(conv(substr(md5(t), 5, 1), 16, 10) AS INT) % 2)))"
+    )
+    emb = (
+        f"transform(sequence(0, {dim - 1}), d -> "
+        f"CAST(aggregate(__th__, 0, (acc, x) -> acc + IF(x.d = d, x.s, 0)) "
+        f"AS DOUBLE))"
+    )
+    return (
+        df.withColumn("__th__", F.expr(th))
+        .withColumn(out_col, F.expr(emb))
+        .drop("__th__")
+    )

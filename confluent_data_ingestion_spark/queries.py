@@ -3454,3 +3454,42 @@ def chunk_boilerplate_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_boilerplate_ratio(
         docs.unionByName(planted), chunk_tokens=20, min_docs=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing embeddings: model-free text vectors (per-row folds, zero
+# shuffle) that feed the embedding operator family directly.
+# ---------------------------------------------------------------------------
+_HE_D = "CAST({h} % 16 AS INT)"
+
+
+@query(
+    "hash_embed_vectors",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, hx,
+             CAST({_duck_hex_num('hx', 1, 4)} % 16 AS INT) AS d,
+             1 - 2 * CAST({_duck_hex_num('hx', 5, 1)} % 2 AS INT) AS s
+      FROM (SELECT doc_id, md5(t) AS hx FROM tok)
+    ),
+    agg AS (SELECT doc_id, d, sum(s) AS v FROM h GROUP BY doc_id, d),
+    dims AS (SELECT unnest(generate_series(0, 15)) AS d),
+    full_grid AS (
+      SELECT dd.doc_id, dims.d, CAST(COALESCE(agg.v, 0) AS DOUBLE) AS v
+      FROM (SELECT DISTINCT doc_id FROM documents) dd
+      CROSS JOIN dims
+      LEFT JOIN agg ON agg.doc_id = dd.doc_id AND agg.d = dims.d
+    )
+    SELECT doc_id, array_agg(v ORDER BY d) AS embedding
+    FROM full_grid GROUP BY doc_id
+    """,
+)
+def hash_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import hash_embed
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hash_embed(docs, dim=16).select("doc_id", "embedding")

@@ -1153,3 +1153,26 @@ def test_chunk_boilerplate_ratio(spark):
         assert out[i]["n_boiler"] == 1                  # the shared header
         assert out[i]["boiler_ratio"] == 0.5
     assert out[9]["n_boiler"] == 0 and out[9]["boiler_ratio"] == 0.0
+
+
+def test_hash_embed_set_semantics(spark):
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.text import hash_embed
+
+    rows = [
+        _Row(doc_id=1, text="alpha beta gamma"),
+        _Row(doc_id=2, text="gamma beta alpha beta"),   # same token SET
+        _Row(doc_id=3, text="delta epsilon zeta"),
+    ]
+    out = {r["doc_id"]: r["embedding"] for r in hash_embed(
+        spark.createDataFrame(rows), dim=16).collect()}
+    assert len(out[1]) == 16
+    assert out[1] == out[2]              # order/multiplicity-invariant
+    assert out[1] != out[3]
+    # vector entries are the signed bucket sums of 3 tokens
+    assert sum(abs(x) for x in out[1]) <= 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dim"):
+        hash_embed(spark.createDataFrame(rows), dim=0)
