@@ -261,9 +261,12 @@ def epoch_shuffle(
     The assignment is a zero-shuffle projection (two slices of one md5:
     hex chars 1-8 -> order, 9-12 -> shard).  Materializing the order is
     the writer's move:
-    ``out.repartition(n_shards, 'shard').sortWithinPartitions('sort_key')``
-    — one partition-count-bounded shuffle and per-partition sorts, never
-    a global orderBy.
+    ``out.repartition(n_shards, 'shard')
+    .sortWithinPartitions('shard', 'sort_key')`` — one partition-count-
+    bounded shuffle and per-partition sorts, never a global orderBy.
+    Sort by BOTH columns: hash partitioning can land several shards in
+    one partition (murmur3 collisions are the norm at small n), and the
+    shard prefix keeps each shard's rows contiguous there.
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")

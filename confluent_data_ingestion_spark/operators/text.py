@@ -736,7 +736,6 @@ def winsorize(
 def hash_embed(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     dim: int = 16,
     out_col: str = "embedding",
 ) -> DataFrame:
@@ -759,11 +758,15 @@ def hash_embed(
     """
     if not 1 <= dim <= 256:
         raise ValueError(f"dim must be in [1, 256], got {dim}")
+    # md5 once per token (nested transform — lambda bodies get no common-
+    # subexpression elimination); NULL text coalesces to '' so the output
+    # is always a well-formed vector, mirrored in any oracle SQL
     th = (
-        f"transform(array_distinct(split({text_col}, ' ')), t -> "
-        f"named_struct("
-        f"'d', CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT) % {dim}, "
-        f"'s', 1 - 2 * (CAST(conv(substr(md5(t), 5, 1), 16, 10) AS INT) % 2)))"
+        f"transform("
+        f"transform(array_distinct(split(coalesce({text_col}, ''), ' ')), "
+        f"t -> md5(t)), h -> named_struct("
+        f"'d', CAST(conv(substr(h, 1, 4), 16, 10) AS INT) % {dim}, "
+        f"'s', 1 - 2 * (CAST(conv(substr(h, 5, 1), 16, 10) AS INT) % 2)))"
     )
     emb = (
         f"transform(sequence(0, {dim - 1}), d -> "

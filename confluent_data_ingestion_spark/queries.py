@@ -3460,18 +3460,16 @@ def chunk_boilerplate_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Feature-hashing embeddings: model-free text vectors (per-row folds, zero
 # shuffle) that feed the embedding operator family directly.
 # ---------------------------------------------------------------------------
-_HE_D = "CAST({h} % 16 AS INT)"
-
-
 @query(
     "hash_embed_vectors",
     f"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      SELECT doc_id,
+             unnest(list_distinct(string_split(COALESCE(text, ''), ' '))) AS t
       FROM documents
     ),
     h AS (
-      SELECT doc_id, hx,
+      SELECT doc_id,
              CAST({_duck_hex_num('hx', 1, 4)} % 16 AS INT) AS d,
              1 - 2 * CAST({_duck_hex_num('hx', 5, 1)} % 2 AS INT) AS s
       FROM (SELECT doc_id, md5(t) AS hx FROM tok)

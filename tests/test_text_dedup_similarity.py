@@ -1180,9 +1180,10 @@ def test_hash_embed_set_semantics(spark):
 
 def test_epoch_shuffle_writer_layout(spark, tmp_path):
     """The documented writer move — repartition(n, shard) +
-    sortWithinPartitions(sort_key) + parquet — must materialize each
-    shard's rows contiguously in sort_key order (the auditable batch
-    order epoch_shuffle promises), with one shard per output partition."""
+    sortWithinPartitions(shard, sort_key) + parquet — must materialize
+    every shard's rows contiguously and in sort_key order, even when
+    hash partitioning lands several shards in one output partition
+    (murmur3 collisions are the norm at small n)."""
     from pyspark.sql import Row as _Row
 
     from confluent_data_ingestion_spark.operators.sampling import epoch_shuffle
@@ -1192,25 +1193,41 @@ def test_epoch_shuffle_writer_layout(spark, tmp_path):
     (
         epoch_shuffle(docs, epoch=2, n_shards=4)
         .repartition(4, "shard")
-        .sortWithinPartitions("sort_key")
+        .sortWithinPartitions("shard", "sort_key")
         .write.mode("overwrite")
         .parquet(out)
     )
     back = spark.read.parquet(out)
-    # every row present exactly once
-    assert back.count() == 400
-    # within each file (= write partition), sort_key must be nondecreasing
+    # every input row present exactly once
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) \
+        == list(range(400))
+    # per file, in row order: shards form contiguous runs, and sort_key
+    # is nondecreasing within each run — the auditable batch order
     import pyspark.sql.functions as _F
 
-    files = back.withColumn("f", _F.input_file_name()).collect()
+    rows = back.select(
+        _F.input_file_name().alias("f"), "shard", "sort_key",
+        _F.monotonically_increasing_id().alias("rid"),
+    ).collect()
     from collections import defaultdict
     by_file = defaultdict(list)
-    for r in files:
-        by_file[r["f"]].append((r["sort_key"], r["shard"]))
-    for rows in by_file.values():
-        keys = [k for k, _ in rows]
-        assert keys == sorted(keys)          # contiguous sorted order
-    # shards land whole: no shard is split across files beyond the
-    # repartition's own file count (hash partitioning: 1 partition/shard
-    # barring collisions, so <= 4 files carry data)
-    assert len([f for f, rows in by_file.items() if rows]) <= 4
+    for r in sorted(rows, key=lambda r: r["rid"]):
+        by_file[r["f"]].append((r["shard"], r["sort_key"]))
+    saw_multi_shard_file = False
+    for seq in by_file.values():
+        shards_in_order = [s for s, _ in seq]
+        # contiguous runs: once a shard ends it never reappears
+        seen, prev = set(), None
+        for sh in shards_in_order:
+            if sh != prev:
+                assert sh not in seen, "shard split into non-contiguous runs"
+                seen.add(sh)
+                prev = sh
+        if len(seen) > 1:
+            saw_multi_shard_file = True
+        # within each shard run, sort_key nondecreasing
+        for sh in seen:
+            keys = [k for s, k in seq if s == sh]
+            assert keys == sorted(keys)
+    # the scenario that motivates the shard-prefix sort actually occurs
+    assert saw_multi_shard_file

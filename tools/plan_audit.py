@@ -51,10 +51,10 @@ def main() -> None:
             if k:
                 joins.append(f"{k}x{label}")
         flags = []
-        # per-scan: flag if ANY scan carries a non-empty pushed filter
-        # (an unfiltered second scan must not suppress the flag)
-        if any(m != "PushedFilters: []"
-               for m in re.findall(r"PushedFilters: \[[^\]]*\]", plan)):
+        # per-scan: flag if ANY scan opens a non-empty pushed-filter list
+        # (an unfiltered second scan must not suppress the flag, and a
+        # metadata-truncated list — no closing bracket — still counts)
+        if re.search(r"PushedFilters: \[[^\]]", plan):
             flags.append("pushdown")
         if "TakeOrderedAndProject" in plan:
             flags.append("take-ordered")
