@@ -330,8 +330,14 @@ def weighted_sample_priority(
     repartitions / other engines reproduce it bit-for-bit — never an RNG)
     and gets priority u^(1/w); the n largest priorities ARE a weighted
     sample without replacement.  Priorities are rounded to 6 decimals
-    before ranking (ties -> key asc) so IEEE pow() ulp differences
-    between engines cannot reorder the cut.
+    before ranking so IEEE pow() ulp differences between engines cannot
+    reorder the cut; rounding ties break on the unrounded u descending
+    (then key asc as the final total order).  Tie-breaking on u keeps
+    the cut pseudo-random under heavy weights — for w >= ~1e4 the
+    rounded u^(1/w) collapses onto few values, and a key-ordered
+    tie-break there would systematically favor low keys.  u itself is
+    exact (32-bit integer / 2^32), so it never ties except on true
+    hash collisions.
 
     Scale shape: priority is a per-row projection (zero shuffle);
     orderBy+limit executes as TakeOrderedAndProject — per-partition
@@ -353,8 +359,14 @@ def weighted_sample_priority(
     return (
         df.filter(F.expr(f"{weight_col} IS NOT NULL AND {weight_col} > 0"))
         .withColumn(priority_col, F.expr(pr))
-        .orderBy(F.col(priority_col).desc(), F.col(key_col).asc())
+        .withColumn("__u__", F.expr(u))
+        .orderBy(
+            F.col(priority_col).desc(),
+            F.col("__u__").desc(),
+            F.col(key_col).asc(),
+        )
         .limit(n)
+        .drop("__u__")
     )
 
 
@@ -394,14 +406,20 @@ def mixture_plan(
         raise ValueError("weights must sum to a positive value")
     # JVM-side VALUES literal, not createDataFrame: the weights are a few
     # rows of config, and Python->JVM frame conversion pays a multi-second
-    # first-call serializer warmup that a literal plan never touches
+    # first-call serializer warmup that a literal plan never touches.
+    # Config values are pasted into SQL, so escape for Spark's parser:
+    # backslashes and quotes in keys (Spark string literals are
+    # backslash-escaped), backticks in the pasted identifier.
     spark = df.sparkSession
     rows = ", ".join(
-        "('" + str(k).replace("'", "''") + f"', CAST({float(v) / wsum!r} AS DOUBLE))"
+        "('"
+        + str(k).replace("\\", "\\\\").replace("'", "\\'")
+        + f"', CAST({float(v) / wsum!r} AS DOUBLE))"
         for k, v in weights.items()
     )
+    gcol = group_col.replace("`", "``")
     wdf = spark.sql(
-        f"SELECT * FROM (VALUES {rows}) AS t(`{group_col}`, __w__)"
+        f"SELECT * FROM (VALUES {rows}) AS t(`{gcol}`, __w__)"
     )
     avail = (
         df.groupBy(group_col)

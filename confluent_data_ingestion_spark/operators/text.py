@@ -528,6 +528,11 @@ def quality_cutoff_filter(
     """
     if not 0.0 <= pct < 1.0:
         raise ValueError(f"pct must be in [0, 1), got {pct}")
+    if cutoff_col in df.columns:
+        raise ValueError(
+            f"input already has column {cutoff_col!r}; pass cutoff_col "
+            f"to avoid a silent duplicate column"
+        )
     cuts = df.groupBy(F.col(group_col).alias("__g__")).agg(
         F.expr(f"round(percentile({score_col}, {pct!r}d), 4)").alias(cutoff_col)
     )
@@ -692,6 +697,8 @@ def winsorize(
     lower_pct: float = 0.05,
     upper_pct: float = 0.95,
     out_col: str | None = None,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
 ) -> DataFrame:
     """Per-group winsorization: clamp ``value_col`` into the group's
     [``lower_pct``, ``upper_pct``] percentile band — the outlier-robust
@@ -704,7 +711,10 @@ def winsorize(
     group-count-sized aggregation, broadcast back onto the corpus, then a
     pure per-row least/greatest — the corpus never shuffles.  Output:
     input columns + clamped ``out_col`` (default ``value_col + '_w'``)
-    plus the band edges for audit.  NULL values stay NULL.
+    plus the band edges (``lo_col``/``hi_col``, default ``lo``/``hi``)
+    for audit.  NULL values stay NULL.  Raises if the input already
+    carries any output column name — a silent duplicate column would
+    break downstream selects.
     """
     if not 0.0 <= lower_pct < upper_pct <= 1.0:
         raise ValueError(
@@ -712,11 +722,17 @@ def winsorize(
             f"({lower_pct}, {upper_pct})"
         )
     out_col = out_col or f"{value_col}_w"
+    clash = {out_col, lo_col, hi_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)}; pass out_col/"
+            f"lo_col/hi_col to avoid a silent duplicate column"
+        )
     cuts = df.groupBy(F.col(group_col).alias("__g__")).agg(
         F.expr(f"round(percentile({value_col}, {lower_pct!r}d), 4)")
-        .alias("lo"),
+        .alias(lo_col),
         F.expr(f"round(percentile({value_col}, {upper_pct!r}d), 4)")
-        .alias("hi"),
+        .alias(hi_col),
     )
     return (
         df.join(F.broadcast(cuts), F.col(group_col).eqNullSafe(F.col("__g__")))
@@ -726,7 +742,8 @@ def winsorize(
             # semantics), which would silently clamp a NULL to the band edge
             F.expr(
                 f"CASE WHEN {value_col} IS NULL THEN NULL "
-                f"ELSE least(greatest(CAST({value_col} AS DOUBLE), lo), hi) END"
+                f"ELSE least(greatest(CAST({value_col} AS DOUBLE), "
+                f"`{lo_col}`), `{hi_col}`) END"
             ),
         )
         .drop("__g__")

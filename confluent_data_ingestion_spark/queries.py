@@ -2603,13 +2603,17 @@ def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT doc_id, n_chars, md5('|' || CAST(doc_id AS VARCHAR)) AS hx
       FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    p AS (
+      SELECT doc_id, n_chars,
+             (CAST({_duck_hex_num('hx', 1, 8)} AS DOUBLE) + 1.0)
+               / 4294967296.0 AS u
+      FROM h
     )
     SELECT doc_id, n_chars,
-           round(pow((CAST({_duck_hex_num('hx', 1, 8)} AS DOUBLE) + 1.0)
-                     / 4294967296.0, 1.0 / CAST(n_chars AS DOUBLE)), 6)
-             AS priority
-    FROM h
-    ORDER BY priority DESC, doc_id
+           round(pow(u, 1.0 / CAST(n_chars AS DOUBLE)), 6) AS priority
+    FROM p
+    ORDER BY priority DESC, u DESC, doc_id
     LIMIT 100
     """,
 )

@@ -48,7 +48,9 @@ def stateful_sessionize(
         import pandas as pd
 
         frames = [p[[time_col, value_col]] for p in pdf_iter]
-        rows = pd.concat(frames).sort_values(time_col)
+        # null/NaT event times carry no session position — drop before
+        # the int64 cast turns NaT into -2^63 garbage
+        rows = pd.concat(frames).dropna(subset=[time_col]).sort_values(time_col)
         # pin the unit before the int cast: pandas 2.x can deliver
         # non-ns datetime64 resolutions, which would silently scale ts
         ts = rows[time_col].astype("datetime64[ns]").astype("int64") // 1000
@@ -161,7 +163,10 @@ def stateful_funnel(
         import pandas as pd
 
         frames = [p[[time_col, type_col]] for p in pdf_iter]
-        rows = pd.concat(frames).sort_values(time_col)
+        # drop null/NaT event times BEFORE the int64 conversion (NaT
+        # would become -2^63 garbage and could advance stage 0), matching
+        # the batch funnel's null semantics where min/join drops them
+        rows = pd.concat(frames).dropna(subset=[time_col]).sort_values(time_col)
         # unit pinned as in stateful_sessionize above
         ts = rows[time_col].astype("datetime64[ns]").astype("int64") // 1000
         types = rows[type_col]

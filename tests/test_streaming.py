@@ -715,3 +715,43 @@ def test_stateful_funnel_restart_from_checkpoint(spark, tmp_path):
         (1, 2): "click",
         (1, 3): "purchase",    # resumed at stage 2 — no duplicate advances
     }
+
+
+def test_stateful_funnel_drops_null_event_times(spark, tmp_path):
+    """A null/NaT event time must not advance the funnel (regression:
+    NaT -> astype(int64) garbage could advance stage 0), matching the
+    batch funnel's null-dropping min/join semantics."""
+    from confluent_data_ingestion_spark.streaming.stateful import (
+        stateful_funnel,
+    )
+
+    src = str(tmp_path / "fnn_in")
+    os.makedirs(src)
+    with open(f"{src}/a.ndjson", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in [
+            {"u": 1, "ts": None, "e": "view"},              # null ts: ignored
+            {"u": 1, "ts": "2026-01-01T00:00:03", "e": "view"},
+            {"u": 1, "ts": None, "e": "click"},             # null ts: ignored
+            {"u": 2, "ts": None, "e": "view"},              # u2: ONLY null ts
+        ])
+
+    stream = file_envelope_stream(spark, src).select(
+        F.get_json_object("val", "$.u").cast("bigint").alias("u"),
+        F.get_json_object("val", "$.ts").cast("timestamp").alias("ts"),
+        F.get_json_object("val", "$.e").alias("e"),
+    )
+    q = (
+        stateful_funnel(stream, ["view", "click"],
+                        user_col="u", time_col="ts", type_col="e")
+        .writeStream.format("memory")
+        .queryName("fnn_out")
+        .option("checkpointLocation", str(tmp_path / "fnn_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"], r["stage"]): (r["step_name"], str(r["ts"]))
+           for r in spark.sql("select * from fnn_out").collect()}
+    # u1 advances only on its timestamped view; u2 (all-null ts) never
+    # appears — neither a bogus advance row nor a garbage timestamp
+    assert got == {(1, 1): ("view", "2026-01-01 00:00:03")}

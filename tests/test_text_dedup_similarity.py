@@ -1231,3 +1231,78 @@ def test_epoch_shuffle_writer_layout(spark, tmp_path):
             assert keys == sorted(keys)
     # the scenario that motivates the shard-prefix sort actually occurs
     assert saw_multi_shard_file
+
+
+def test_weighted_sample_heavy_weight_ties_not_key_biased(spark):
+    """Regression: with heavy weights (w >= ~1e4) u^(1/w) rounds to few
+    distinct values at 6 decimals; the tie-break must stay pseudo-random
+    (unrounded u), not collapse to lowest-key selection."""
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.sampling import (
+        weighted_sample_priority,
+    )
+
+    # equal heavy weights: every row rounds to priority ~1.000000, so
+    # the ENTIRE cut is decided by the tie-break
+    rows = [_Row(doc_id=i, w=100_000) for i in range(1, 2001)]
+    df = spark.createDataFrame(rows)
+    kept = sorted(r["doc_id"] for r in
+                  weighted_sample_priority(df, 100, weight_col="w").collect())
+    assert len(kept) == 100
+    # a key-ordered tie-break would return exactly 1..100; the hash
+    # tie-break must not
+    assert kept != list(range(1, 101))
+    # and the selection is spread across the key range, not clustered low
+    assert max(kept) > 1000
+    # still deterministic across re-runs
+    again = sorted(r["doc_id"] for r in
+                   weighted_sample_priority(df, 100, weight_col="w").collect())
+    assert kept == again
+
+
+def test_mixture_plan_escapes_config_into_sql(spark):
+    """Weight keys with quotes/backslashes and a group_col needing
+    backtick-quoting must not produce malformed SQL."""
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.sampling import mixture_plan
+
+    rows = [
+        _Row(**{"the source": "it's\\here", "text": "a b c d"}),
+        _Row(**{"the source": "plain", "text": "x y"}),
+    ]
+    df = spark.createDataFrame(rows)
+    plan = {r["the source"]: r for r in mixture_plan(
+        df, {"it's\\here": 0.75, "plain": 0.25}, budget_tokens=8,
+        group_col="the source",
+    ).collect()}
+    assert plan["it's\\here"]["n_tokens"] == 4
+    assert plan["it's\\here"]["target_tokens"] == 6.0
+    assert plan["plain"]["n_tokens"] == 2
+    assert plan["plain"]["target_tokens"] == 2.0
+
+
+def test_winsorize_and_cutoff_reject_column_clash(spark):
+    """Audit columns must never silently duplicate an input column."""
+    import pytest as _pytest
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.text import (
+        quality_cutoff_filter,
+        winsorize,
+    )
+
+    rows = [_Row(doc_id=i, lang="en", n_chars=i, lo=0.0) for i in range(20)]
+    df = spark.createDataFrame(rows)
+    with _pytest.raises(ValueError, match="lo"):
+        winsorize(df)
+    # renaming the audit column resolves the clash
+    out = winsorize(df, lo_col="band_lo", hi_col="band_hi")
+    assert {"band_lo", "band_hi", "n_chars_w", "lo"} <= set(out.columns)
+
+    rows2 = [_Row(doc_id=i, lang="en", n_chars=i, cutoff=1.0) for i in range(20)]
+    df2 = spark.createDataFrame(rows2)
+    with _pytest.raises(ValueError, match="cutoff"):
+        quality_cutoff_filter(df2)
+    assert "q_cut" in quality_cutoff_filter(df2, cutoff_col="q_cut").columns
