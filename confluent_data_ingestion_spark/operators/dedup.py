@@ -148,6 +148,19 @@ def exploded_shingles(
     ).distinct()
 
 
+def _shuffle_partitions(df: DataFrame) -> int:
+    """Session shuffle-partition count, for EXPLICIT repartition widths.
+
+    A bare ``repartition(cols)`` compiles to REPARTITION_BY_COL, whose
+    partition count AQE may coalesce — so a cache built on top of it has
+    no deterministic output partitioning and every downstream consumer
+    re-shuffles.  Passing the number pins REPARTITION_BY_NUM, which AQE
+    leaves alone, and the cached partitioning then satisfies downstream
+    join/agg distribution requirements with zero further exchanges.
+    """
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def _cap_hot_groups(
     keyed: DataFrame, key_cols: list[str], cap: int | None
 ) -> DataFrame:
@@ -220,9 +233,11 @@ def minhash_lsh_pairs(
     Both sides of the self-join share the signature subtree; when the join
     broadcasts, Spark cannot reuse the exchange and shingling runs TWICE
     over the corpus.  At corpus scale set ``persist_signatures=True`` (or
-    persist upstream via the statement-set runtime) so documents are
-    shingled+hashed once; the cache registers with ``caching.track`` and is
-    released by the runtime's next ``release_caches()`` call.
+    persist upstream via the statement-set runtime): the band rows are then
+    cached (``caching.track``, released by the runtime's next
+    ``release_caches()``) pre-partitioned on (band, key), so documents are
+    shingled+hashed once AND the frequency-cap count plus both join sides
+    consume the cache without any further exchange.
 
     ``max_group_size`` frequency-caps band collision groups before the
     self-join (see ``_cap_hot_groups``): a band key shared by more than
@@ -238,8 +253,6 @@ def minhash_lsh_pairs(
         ),
         num_hashes=num_hashes,
     )
-    if persist_signatures:
-        sig = track(sig)
     key_case = "CASE __band__ " + " ".join(
         f"WHEN {b} THEN md5("
         + "||".join(f"mh{b * rows_per_band + k}" for k in range(rows_per_band))
@@ -256,6 +269,17 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("key").isNotNull())
     )
+    # persist the BAND ROWS, not the raw signatures, and persist them
+    # already partitioned on the join key: the (band, key)-clustered cache
+    # satisfies the distribution required by the hot-key count agg and both
+    # self-join sides, so the signature subtree (shingle + minhash over the
+    # corpus) is computed exactly once and nothing downstream re-shuffles it
+    if persist_signatures:
+        allb = track(
+            allb.repartition(
+                _shuffle_partitions(allb), F.col("band"), F.col("key")
+            )
+        )
     allb = _cap_hot_groups(allb, ["band", "key"], max_group_size)
     a = allb.alias("a")
     b_ = allb.alias("b")
@@ -307,10 +331,15 @@ def ngram_jaccard_pairs(
     sh = exploded_shingles(
         ensure_min_parallelism(df), id_col, text_col, n, hashed=True
     )
-    # persist BEFORE capping: the hot-key count and the capped main path
-    # then share one cached explode instead of shingling the corpus twice
+    # persist BEFORE capping so the hot-key count and the capped main path
+    # share one cached explode instead of shingling the corpus twice — and
+    # persist ALREADY PARTITIONED on the join key: a cache clustered by s
+    # satisfies the distribution required by the hot-key count agg AND both
+    # self-join sides, so none of the three downstream consumers re-shuffles
+    # the shingle set (one exchange in the cache build vs three on top of an
+    # unpartitioned cache)
     if persist_shingles:
-        sh = track(sh)
+        sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
     sh = _cap_hot_groups(sh, ["s"], max_group_size)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -444,8 +473,6 @@ def simhash_pairs(
     width = bits // bands
     sig = simhash(df.select(id_col, text_col), text_col=text_col, bits=bits,
                   out_col="__sig__", ngram=ngram).select(id_col, "__sig__")
-    if persist_signatures:
-        sig = track(sig)
     banded = (
         sig.withColumn("__band__", F.explode(F.expr(f"sequence(0, {bands - 1})")))
         .withColumn(
@@ -453,6 +480,15 @@ def simhash_pairs(
             F.expr(f"shiftright(__sig__, __band__ * {width}) & {(1 << width) - 1}L"),
         )
     )
+    # cache the band rows pre-partitioned on the join key (see
+    # minhash_lsh_pairs): one exchange in the cache build, none in the cap
+    # count or either self-join side
+    if persist_signatures:
+        banded = track(
+            banded.repartition(
+                _shuffle_partitions(banded), F.col("__band__"), F.col("__key__")
+            )
+        )
     banded = _cap_hot_groups(banded, ["__band__", "__key__"], max_group_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -960,6 +996,12 @@ def jaccard_verify_pairs(
     sh = exploded_shingles(
         ensure_min_parallelism(docs), id_col, text_col, n, hashed=True
     )
+    # the pruned shingle set feeds THREE subtrees (both intersection join
+    # sides + the size agg); persist it partitioned on the doc id — an
+    # id-clustered cache satisfies the size agg (groupBy id) and both join
+    # sides (equi-keys (id) and (id, s) ⊇ id), so the semi-join + explode
+    # runs once and no consumer re-shuffles it
+    sh = track(sh.repartition(_shuffle_partitions(sh), F.col(id_col)))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

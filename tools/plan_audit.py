@@ -37,8 +37,30 @@ def main() -> None:
             continue
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         release_caches()
-        n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
-        n_single = len(re.findall(r"\bExchange SinglePartition", plan))
+        # a cached (InMemoryRelation) subtree prints its FULL text again at
+        # every InMemoryTableScan site, so naive line counts multiply each
+        # cached exchange/join by its consumer count.  Operator nodes carry
+        # a stable [plan_id=N], and one plan_id executes once — dedupe on it
+        # (nodes printed without a plan_id fall back to the line count).
+        def _count(pat: str) -> int:
+            ids = set()
+            bare = 0
+            for m in re.finditer(pat + r"[^\n]*", plan):
+                pid = re.search(r"\[plan_id=(\d+)\]", m.group(0))
+                if pid:
+                    ids.add(pid.group(1))
+                else:
+                    bare += 1
+            # bare lines have no identity: the same node reprinted under
+            # several cache-scan sites is indistinguishable, so dedupe on
+            # the full line text instead of overcounting
+            if bare:
+                bare = len({m.group(0) for m in re.finditer(pat + r"[^\n]*", plan)
+                            if "plan_id=" not in m.group(0)})
+            return len(ids) + bare
+
+        n_ex = _count(r"\bExchange hashpartitioning")
+        n_single = _count(r"\bExchange SinglePartition")
         joins = []
         for pat, label in [
             (r"\bBroadcastHashJoin", "BHJ"),
@@ -47,7 +69,7 @@ def main() -> None:
             (r"\bBroadcastNestedLoopJoin", "BNLJ"),
             (r"\bCartesianProduct", "CART"),
         ]:
-            k = len(re.findall(pat, plan))
+            k = _count(pat)
             if k:
                 joins.append(f"{k}x{label}")
         flags = []
@@ -74,7 +96,9 @@ def main() -> None:
         "",
         f"Compiled at `{sf_dir}`, Spark executedPlan. `shuffles` counts",
         "`Exchange hashpartitioning` (+`Ns` = single-partition exchanges,",
-        "final 1-row aggregates).  Join labels: BHJ broadcast-hash, SMJ",
+        "final 1-row aggregates), deduplicated by plan_id so a cached",
+        "subtree reprinted at every cache-scan site counts once — each",
+        "plan_id executes once.  Join labels: BHJ broadcast-hash, SMJ",
         "sort-merge, SHJ shuffled-hash, BNLJ broadcast-nested-loop (allowed",
         "only for the documented broadcast-scoring/1-row cases — enforced by",
         "`tests/test_plan_guards.py`), CART cartesian (never allowed).",
