@@ -44,6 +44,8 @@ def connected_components(
     out_cluster: str = "cluster_id",
     max_iter: int = 25,
     pairs_distinct: bool = False,
+    algorithm: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the pair graph with its component's min id.
 
@@ -55,7 +57,30 @@ def connected_components(
     (a, b) pair once (every pairing operator in this package does — they
     all end in DISTINCT): it skips a full shuffle-dedup of the edge list,
     the widest intermediate this operator touches.
+
+    ``algorithm`` picks the round structure (identical results):
+
+    - ``"label"`` (default): min-label propagation — ONE join + ONE min
+      agg per round, converging in O(component diameter) rounds.  Right
+      for the near-clique components dedup pairing produces (banded LSH
+      emits most pairs of a duplicate group directly, diameter ~1-2).
+    - ``"star"``: alternating large-star/small-star contraction (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", public
+      method) — TWO join+agg phases per round but O(log n) rounds
+      regardless of diameter.  Right for chain-shaped graphs (e.g.
+      incremental near-dup drift A~B~C~...) where label propagation
+      needs O(n) rounds.
+
+    ``stats``, when a dict, receives ``{"rounds": <rounds run>}`` —
+    observability for tuning the algorithm choice.
     """
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
+    if algorithm == "star":
+        return _cc_two_phase_star(
+            pairs, a_col, b_col, out_id, out_cluster, max_iter,
+            pairs_distinct, stats,
+        )
     half = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
@@ -100,7 +125,7 @@ def connected_components(
     prev_sum = labels.agg(
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         prop = edges.join(labels, F.col("src") == F.col("node")).select(
             F.col("dst").alias("node"), F.col("lbl")
         )
@@ -115,13 +140,133 @@ def connected_components(
         ).collect()[0]["s"]
         labels = new
         if new_sum == prev_sum:
+            if stats is not None:
+                stats["rounds"] = _round + 1
             return labels.select(
                 F.col("node").alias(out_id), F.col("lbl").alias(out_cluster)
             )
         prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
-        "raise max_iter (component diameter exceeds it)"
+        "raise max_iter (component diameter exceeds it) or use "
+        "algorithm='star' (O(log n) rounds at any diameter)"
+    )
+
+
+def _cc_two_phase_star(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_id: str,
+    out_cluster: str,
+    max_iter: int,
+    pairs_distinct: bool,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.).
+
+    Each round rewires the edge list toward per-component stars:
+
+    - Large-star: per node u with undirected neighborhood Γ(u) and
+      m = min(Γ(u) ∪ {u}), emit edge (v, m) for every v ∈ Γ(u), v > u —
+      strictly-larger neighbors re-attach to the local minimum.
+    - Small-star: orient every edge big→small; per center u with (all
+      smaller) neighbors Γ(u) and m = min(Γ(u)), emit (v, m) for every
+      v ∈ Γ(u) plus (u, m) — the center and its smaller neighbors all
+      attach to the minimum.
+
+    At the fixed point every component is a star rooted at its min id,
+    reached in O(log n) rounds regardless of diameter.  Each phase is
+    one min-aggregation plus one equi-join on 8-byte node ids — nothing
+    wider than (long, long) shuffles, same as label propagation; the
+    premium is 2 joins + 2 aggs per round instead of 1 + 1, bought back
+    exponentially on high-diameter graphs.
+
+    Convergence probe: the edge set is literally unchanged at the fixed
+    point, so (count, xxhash64-sum) per round detects it in one scalar
+    aggregate job — the same one that materializes the round's lazy
+    checkpoint.  A false match would need a 128-bit checksum collision
+    between consecutive rounds (negligible; and the probe never affects
+    emitted labels, only when iteration stops — the fixed point itself
+    is stable under extra rounds).
+    """
+    half = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    )
+    if not pairs_distinct:
+        half = half.distinct()
+    # node inventory up front (BEFORE dropping self-pairs, which still name
+    # a node): star rounds drop already-settled roots from the edge list's
+    # left column, so the final label frame is rebuilt against the ORIGINAL
+    # node set
+    nodes = (
+        half.select(F.col("src").alias("node"))
+        .unionByName(half.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = half.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=False)
+
+    def _checksum(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = _checksum(edges)
+    for _round in range(max_iter):
+        # -- large-star ---------------------------------------------------
+        und = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = und.groupBy(F.col("src").alias("c")).agg(
+            F.min(F.least("src", "dst")).alias("m")
+        )
+        edges = (
+            und.join(mins, F.col("src") == F.col("c"))
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # -- small-star ---------------------------------------------------
+        oriented = edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        mins = oriented.groupBy(F.col("src").alias("c")).agg(
+            F.min("dst").alias("m")
+        )
+        rewired = (
+            oriented.join(mins, F.col("src") == F.col("c"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        edges = (
+            rewired.unionByName(
+                mins.select(F.col("c").alias("src"), F.col("m").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cur = _checksum(edges)
+        if cur == prev:
+            if stats is not None:
+                stats["rounds"] = _round + 1
+            final = edges.groupBy(F.col("src").alias("node")).agg(
+                F.min("dst").alias("lbl")
+            )
+            return (
+                nodes.join(final, "node", "left")
+                .select(
+                    F.col("node").alias(out_id),
+                    F.coalesce(F.col("lbl"), F.col("node")).alias(out_cluster),
+                )
+            )
+        prev = cur
+    raise RuntimeError(
+        f"connected_components(star) did not converge in {max_iter} rounds"
     )
 
 

@@ -1306,3 +1306,62 @@ def test_winsorize_and_cutoff_reject_column_clash(spark):
     with _pytest.raises(ValueError, match="cutoff"):
         quality_cutoff_filter(df2)
     assert "q_cut" in quality_cutoff_filter(df2, cutoff_col="q_cut").columns
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """Differential: the two-phase star contraction must produce exactly
+    the label-propagation result on mixed-shape graphs."""
+    import random as _random
+
+    from confluent_data_ingestion_spark.operators.cluster import (
+        connected_components,
+    )
+
+    fixtures = [
+        # chain + clique + isolated pair (the canonical fixture above)
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        # self-pair and duplicate edges
+        [(5, 5), (1, 2), (2, 1), (1, 2), (7, 9)],
+        # two stars sharing a leaf (merges through it)
+        [(100, i) for i in range(101, 106)]
+        + [(200, i) for i in range(201, 206)] + [(105, 205)],
+    ]
+    rng = _random.Random(42)
+    random_edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(80)]
+    fixtures.append([(a, b) for a, b in random_edges])
+
+    for edges in fixtures:
+        pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+        lab = {(r.doc_id, r.cluster_id)
+               for r in connected_components(pairs, algorithm="label").collect()}
+        star = {(r.doc_id, r.cluster_id)
+                for r in connected_components(pairs, algorithm="star").collect()}
+        assert star == lab, f"divergence on fixture {edges[:6]}..."
+
+
+def test_connected_components_star_chain_rounds_logarithmic(spark):
+    """On a path graph, label propagation needs O(diameter) rounds; the
+    star contraction must finish in O(log n)."""
+    from confluent_data_ingestion_spark.operators.cluster import (
+        connected_components,
+    )
+
+    n = 64  # 65-node path, diameter 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a int, doc_b int"
+    )
+    lab_stats: dict = {}
+    star_stats: dict = {}
+    lab = connected_components(
+        pairs, algorithm="label", max_iter=100, stats=lab_stats
+    )
+    star = connected_components(
+        pairs, algorithm="star", max_iter=100, stats=star_stats
+    )
+    assert {r.cluster_id for r in star.collect()} == {0}
+    assert star.count() == n + 1
+    # label propagation walks the diameter; star contraction halves it
+    # per round (2 * log2(65) ~ 12.1 plus the convergence-confirm round)
+    assert lab_stats["rounds"] >= n // 2
+    assert star_stats["rounds"] <= 14
+    assert {r.cluster_id for r in lab.collect()} == {0}
