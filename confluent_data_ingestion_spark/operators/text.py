@@ -548,6 +548,8 @@ def bigram_logprob_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     lam: float = 0.7,
+    vocab_size: int | None = None,
+    oov_token: str = "<unk>",
 ) -> DataFrame:
     """Interpolated-bigram log-probability per document — one step up from
     ``unigram_logprob_score`` toward real perplexity filtering: word-order
@@ -571,9 +573,22 @@ def bigram_logprob_score(
     equi-join that AQE broadcasts when the vocab is small and
     shuffle-joins when it is web-scale (never forced driver-side).
     Corpus text never shuffles.
+
+    ``vocab_size`` bounds the model: tokens outside the top-V by corpus
+    frequency (ties: count desc, then token asc — a total order any
+    engine reproduces) map to ``oov_token`` BEFORE counting, standard LM
+    vocabulary flooring.  Without it the (w1, w2) type table grows with
+    the corpus (near-linearly on natural text — new names/typos keep
+    appearing); with it the table is bounded by (V+1)^2 at ANY corpus
+    size, which is what makes this operator safe in a 100 TB pipeline.
+    The top-V table itself is V rows via a per-partition top-V heap
+    (TakeOrderedAndProject) and broadcasts onto the pair stream — no
+    corpus shuffle is added.
     """
     if not 0.0 < lam < 1.0:
         raise ValueError(f"lam must be in (0, 1), got {lam}")
+    if vocab_size is not None and vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     from ..caching import track
 
     toks = df.select(
@@ -593,6 +608,30 @@ def bigram_logprob_score(
         F.expr("element_at(__ts__, __i__)").alias("w1"),
         F.expr("element_at(__ts__, __i__ + 1)").alias("w2"),
     )
+    if vocab_size is not None:
+        vocab = (
+            toks.select(F.explode("__ts__").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("__c__"))
+            .orderBy(F.col("__c__").desc(), F.col("w").asc())
+            .limit(vocab_size)
+            .select("w")
+        )
+        for side in ("w1", "w2"):
+            pairs = (
+                pairs.join(
+                    F.broadcast(vocab.select(F.col("w").alias(side))
+                                .withColumn("__in__", F.lit(1))),
+                    side,
+                    "left",
+                )
+                .withColumn(
+                    side,
+                    F.when(F.col("__in__").isNotNull(), F.col(side))
+                    .otherwise(F.lit(oov_token)),
+                )
+                .drop("__in__")
+            )
     tf = track(
         pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
     )

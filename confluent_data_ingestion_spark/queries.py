@@ -2985,6 +2985,58 @@ def bigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bounded-vocabulary bigram LM: tokens outside the top-V corpus vocabulary
+# map to <unk> before counting, so the (w1, w2) type table is bounded by
+# (V+1)^2 at any corpus size — the fix for the one near-linear state table
+# in the unbounded variant.  Vocabulary tie-break (count desc, token asc) is
+# a total order both engines reproduce.
+# ---------------------------------------------------------------------------
+@query(
+    "bigram_logprob_vocab",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    vc AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w
+    ),
+    vocab AS (SELECT w FROM vc ORDER BY c DESC, w ASC LIMIT 200),
+    p AS (
+      SELECT doc_id,
+             CASE WHEN ts[i] IN (SELECT w FROM vocab)
+                  THEN ts[i] ELSE '<unk>' END AS w1,
+             CASE WHEN ts[i+1] IN (SELECT w FROM vocab)
+                  THEN ts[i+1] ELSE '<unk>' END AS w2
+      FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) >= 2
+    ),
+    tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM p GROUP BY ALL),
+    big AS (SELECT w1, w2, sum(tf) AS c2 FROM tf GROUP BY ALL),
+    ctx AS (SELECT w1, sum(c2) AS c1 FROM big GROUP BY w1),
+    uni AS (SELECT w2, sum(c2) AS cu FROM big GROUP BY w2),
+    tot AS (SELECT sum(cu) AS n FROM uni),
+    logp AS (
+      SELECT b.w1, b.w2,
+        CAST(round(ln(0.7 * (CAST(b.c2 AS DOUBLE) / c.c1)
+                      + 0.3 * (CAST(u.cu AS DOUBLE) / tot.n)), 6)
+             AS DECIMAL(18,6)) AS logp
+      FROM big b JOIN ctx c ON b.w1 = c.w1
+      JOIN uni u ON b.w2 = u.w2, tot
+    )
+    SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(tf.tf * l.logp) AS DOUBLE)
+                 / CAST(sum(tf.tf) AS DOUBLE), 6) AS avg_bigram_logprob
+    FROM tf JOIN logp l ON tf.w1 = l.w1 AND tf.w2 = l.w2
+    GROUP BY tf.doc_id
+    """,
+)
+def bigram_logprob_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob_score(docs, lam=0.7, vocab_size=200)
+
+
+# ---------------------------------------------------------------------------
 # Collocation PMI over adjacent token pairs (linear in corpus length, never
 # windowed-quadratic); marginals computed from the pair table, N broadcast.
 # ---------------------------------------------------------------------------
@@ -3526,6 +3578,8 @@ _PRIORITY_ORDER = [
     "brand_nation_revenue", "winsorize_doc_lengths", "dedup_exact_normalized",
     "packing_fill_report", "top_docs_per_source", "chunk_boilerplate_ratio",
     "hash_embed_vectors",
+    # round-6 additions (the 50th slot of the recorded window)
+    "bigram_logprob_vocab",
 ]
 
 
