@@ -29,7 +29,41 @@ def get_spark(app_name: str = "confluent-data-ingestion-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
+    # capability probe: when the delta-spark package is importable, wire the
+    # Delta SQL extension + catalog so UpsertSnapshot(backend="delta") can
+    # MERGE; absent (as in minimal installs) the parquet-log backend is the
+    # fallback and nothing here changes
+    try:
+        import delta  # noqa: F401
+
+        builder = (
+            builder.config(
+                "spark.sql.extensions",
+                "io.delta.sql.DeltaSparkSessionExtension",
+            ).config(
+                "spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+            )
+        )
+    except ImportError:
+        pass
     return builder.getOrCreate()
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when the session can run Delta Lake MERGE: the delta-spark
+    package imports AND the session was built with the Delta SQL
+    extension (a session created before the package was installed, or by
+    another factory, may import delta yet lack the extension)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError:
+        return False
+    try:
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        return False
+    return "DeltaSparkSessionExtension" in exts
 
 
 def _parse_bytes(v: str) -> int:

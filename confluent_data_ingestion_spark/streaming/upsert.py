@@ -25,6 +25,17 @@ the semantics allow); periodic ``compact()`` keeps that scan proportional to
 the live key count rather than total history.  On a real deployment the same
 class of object-store renames/markers applies (task commit protocol), or the
 log is simply a Delta table and ``upsert`` becomes MERGE.
+
+``backend="delta"`` IS that production landing (the reference materializes
+XREF into Iceberg, ``resources/architecture/sprint-demo-20250919:29-32`` —
+Delta is the equivalent table format this package can drive from OSS
+PySpark): each batch collapses to latest-per-key then MERGEs into a Delta
+table keyed on the PK, so the table always holds exactly the current rows
+and ``snapshot()`` is a plain read with no ranking scan.  The marker-commit
+protocol is backend-independent — foreachBatch retries skip an
+already-committed batch id either way.  ``backend="auto"`` probes
+``session.delta_available`` and falls back to the parquet log (as in
+environments without the delta-spark package).
 """
 
 from __future__ import annotations
@@ -34,6 +45,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.xref import latest_by_key
 
@@ -48,16 +60,36 @@ class UpsertSnapshot:
         delete_flag_field: str | None = None,
         delete_flag_values: tuple[str, ...] = ("true", "1"),
         delete_mode: str = "exclude",
+        backend: str = "parquet-log",
     ):
+        if backend not in ("parquet-log", "delta", "auto"):
+            raise ValueError(
+                f"backend must be 'parquet-log', 'delta' or 'auto', got {backend!r}"
+            )
         self.path = path.rstrip("/")
         self.keys = keys
         self.order_by = order_by
         self.delete_flag_field = delete_flag_field
         self.delete_flag_values = delete_flag_values
         self.delete_mode = delete_mode
+        self.backend = backend
         self.log_dir = f"{self.path}/log"
+        self.delta_dir = f"{self.path}/delta"
         self.txn_dir = f"{self.path}/_txn"
         os.makedirs(self.txn_dir, exist_ok=True)
+
+    def _resolve_backend(self, spark: SparkSession) -> str:
+        from ..session import delta_available
+
+        if self.backend == "auto":
+            self.backend = "delta" if delta_available(spark) else "parquet-log"
+        elif self.backend == "delta" and not delta_available(spark):
+            raise RuntimeError(
+                "backend='delta' requires the delta-spark package and a "
+                "session built with the Delta SQL extension (see "
+                "session.get_spark); use backend='auto' to fall back"
+            )
+        return self.backend
 
     # -- write path ----------------------------------------------------------
 
@@ -68,27 +100,120 @@ class UpsertSnapshot:
         return os.path.exists(self._marker(batch_id))
 
     def upsert(self, batch_df: DataFrame, batch_id=None) -> bool:
-        """Append a (micro)batch to the changelog. Returns False when this
-        batch_id already committed (idempotent replay — PR-3)."""
+        """Apply a (micro)batch. Returns False when this batch_id already
+        committed (idempotent replay — PR-3).
+
+        parquet-log: append to the changelog (ranking deferred to
+        ``snapshot()``).  delta: collapse the batch to latest-per-key and
+        MERGE into the materialized table — matched keys update only when
+        the source is strictly newer on ``order_by`` (lexicographic;
+        target kept on ties), so cross-batch out-of-order replays are
+        no-ops, same as the log's global ranking.
+        """
         if batch_id is not None and self.committed(batch_id):
             return False
-        batch_df.write.mode("append").parquet(self.log_dir)
+        if self._resolve_backend(batch_df.sparkSession) == "delta":
+            self._upsert_delta(batch_df)
+        else:
+            batch_df.write.mode("append").parquet(self.log_dir)
         if batch_id is not None:
             with open(self._marker(batch_id), "w") as f:
                 f.write("1")
         return True
 
+    def _is_deleted_expr(self, qualifier: str = ""):
+        flag = F.lower(
+            F.trim(F.col(f"{qualifier}{self.delete_flag_field}").cast("string"))
+        )
+        vals = [v.lower() for v in self.delete_flag_values]
+        return F.coalesce(flag.isNotNull() & flag.isin(*vals), F.lit(False))
+
+    def _upsert_delta(self, batch_df: DataFrame) -> None:
+        """MERGE one microbatch into the Delta table.
+
+        Semantics parity with the log backend's ``snapshot()`` ranking:
+
+        - ``delete_mode="exclude"``: flagged rows never participate (the
+          log drops them before ranking — a delete event leaves the
+          previous version standing), so they are filtered from the batch
+          before the MERGE and no delete clause exists.
+        - ``delete_mode="tombstone"``: a key whose newest row is flagged
+          is retracted — whenMatchedDelete for a strictly-newer flagged
+          source row; flagged rows for absent keys insert nothing.
+
+        Caveat shared by every materialized-MERGE sink: a tombstone's
+        order key is gone once the row is deleted, so an OLDER update
+        replayed in a LATER batch can resurrect a retracted key, where
+        the full log would keep it retracted.  Same-batch and in-order
+        streams (the foreachBatch contract) are unaffected.  ``order_by``
+        columns should be non-null here — a NULL order field makes the
+        newer-than comparison NULL and the target row wins.
+        """
+        from delta.tables import DeltaTable
+
+        spark = batch_df.sparkSession
+        batch = batch_df
+        # exclude mode drops flagged rows BEFORE ranking (log parity: an
+        # older unflagged row in the same batch must win the key)
+        if self.delete_flag_field and self.delete_mode == "exclude":
+            batch = batch.filter(~self._is_deleted_expr())
+        batch = latest_by_key(batch, self.keys, self.order_by)
+        if not DeltaTable.isDeltaTable(spark, self.delta_dir):
+            seed = batch
+            if self.delete_flag_field and self.delete_mode == "tombstone":
+                seed = seed.filter(~self._is_deleted_expr())
+            seed.write.format("delta").mode("overwrite").save(self.delta_dir)
+            return
+        tgt = DeltaTable.forPath(spark, self.delta_dir)
+        newer = (
+            "struct("
+            + ", ".join(f"s.{c}" for c in self.order_by)
+            + ") > struct("
+            + ", ".join(f"t.{c}" for c in self.order_by)
+            + ")"
+        )
+        m = tgt.alias("t").merge(
+            batch.alias("s"),
+            " AND ".join(f"t.{k} <=> s.{k}" for k in self.keys),
+        )
+        if self.delete_flag_field and self.delete_mode == "tombstone":
+            flagged = (
+                f"lower(trim(CAST(s.{self.delete_flag_field} AS STRING))) IN ("
+                + ", ".join(f"'{v.lower()}'" for v in self.delete_flag_values)
+                + ")"
+            )
+            m = (
+                m.whenMatchedDelete(condition=f"({newer}) AND ({flagged})")
+                .whenMatchedUpdateAll(condition=f"({newer}) AND NOT ({flagged})")
+                .whenNotMatchedInsertAll(condition=f"NOT ({flagged})")
+            )
+        else:
+            m = m.whenMatchedUpdateAll(condition=newer).whenNotMatchedInsertAll()
+        m.execute()
+
     # -- read path -----------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.exists(self.log_dir)
+        return os.path.exists(self.log_dir) or os.path.exists(
+            f"{self.delta_dir}/_delta_log"
+        )
 
     def log(self, spark: SparkSession) -> DataFrame:
+        """The raw changelog (parquet-log backend only — the delta backend
+        materializes current rows and keeps history in the Delta log)."""
+        if self._resolve_backend(spark) == "delta":
+            raise RuntimeError(
+                "log() is parquet-log-only; the delta backend's history "
+                "lives in the Delta transaction log (DESCRIBE HISTORY)"
+            )
         return spark.read.parquet(self.log_dir)
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
-        """Latest-per-key view of the changelog — the upsert table's current
-        contents."""
+        """The upsert table's current contents: latest-per-key view of the
+        changelog (parquet-log), or a plain read of the materialized table
+        (delta — the MERGE already applied ranking + deletes)."""
+        if self._resolve_backend(spark) == "delta":
+            return spark.read.format("delta").load(self.delta_dir)
         return latest_by_key(
             self.log(spark),
             self.keys,
@@ -103,7 +228,11 @@ class UpsertSnapshot:
     def compact(self, spark: SparkSession) -> None:
         """Rewrite the log as its snapshot (changelog compaction).  Writes to
         a side directory then swaps, so a concurrent reader sees either the
-        old or the new log, never a partial one."""
+        old or the new log, never a partial one.  No-op on the delta
+        backend — MERGE keeps the table materialized (file-count hygiene
+        there is OPTIMIZE/VACUUM, a storage concern, not a semantic one)."""
+        if self._resolve_backend(spark) == "delta":
+            return
         tmp = f"{self.path}/log-compact-{uuid.uuid4().hex[:8]}"
         self.snapshot(spark).write.mode("overwrite").parquet(tmp)
         old = f"{self.path}/log-old-{uuid.uuid4().hex[:8]}"

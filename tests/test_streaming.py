@@ -755,3 +755,83 @@ def test_stateful_funnel_drops_null_event_times(spark, tmp_path):
     # u1 advances only on its timestamped view; u2 (all-null ts) never
     # appears — neither a bogus advance row nor a garbage timestamp
     assert got == {(1, 1): ("view", "2026-01-01 00:00:03")}
+
+
+# ---------------------------------------------------------------------------
+# Delta backend for UpsertSnapshot
+# ---------------------------------------------------------------------------
+def _delta_ok(spark):
+    from confluent_data_ingestion_spark.session import delta_available
+
+    return delta_available(spark)
+
+
+def test_upsert_backend_validation_and_auto_fallback(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="backend"):
+        _mk_store(tmp_path, backend="iceberg")
+
+    store = _mk_store(tmp_path, backend="auto")
+    store.upsert(spark.createDataFrame([Row(k=1, seq=1, v="a")]))
+    if not _delta_ok(spark):
+        # sandbox has no delta-spark: auto must resolve to the parquet log
+        assert store.backend == "parquet-log"
+        assert store.snapshot(spark).collect()[0]["v"] == "a"
+
+    if not _delta_ok(spark):
+        hard = UpsertSnapshot(str(tmp_path / "d"), ["k"], ["seq"],
+                              backend="delta")
+        with _pytest.raises(RuntimeError, match="delta-spark"):
+            hard.upsert(spark.createDataFrame([Row(k=1, seq=1, v="a")]))
+
+
+def test_upsert_delta_merge_replay_idempotent(spark, tmp_path):
+    """Delta-backend contract: latest-wins MERGE, strictly-newer condition,
+    idempotent double replay (skipped where delta-spark is unavailable)."""
+    import pytest as _pytest
+
+    if not _delta_ok(spark):
+        _pytest.skip("delta-spark not installed in this environment")
+    store = _mk_store(tmp_path, backend="delta")
+    b1 = spark.createDataFrame([Row(k=1, seq=5, v="new"), Row(k=2, seq=1, v="b")])
+    b2 = spark.createDataFrame([Row(k=1, seq=3, v="stale")])
+    assert store.upsert(b1, batch_id=1)
+    assert store.upsert(b2, batch_id=2)      # late arrival: older seq loses
+    assert not store.upsert(b1, batch_id=1)  # replay: marker skips the MERGE
+    assert store.upsert(b1.selectExpr("k", "seq", "v"), batch_id=3)  # re-MERGE
+    snap = {r["k"]: (r["seq"], r["v"]) for r in store.snapshot(spark).collect()}
+    # double-applied newest batch is a no-op: strictly-newer keeps target
+    assert snap == {1: (5, "new"), 2: (1, "b")}
+
+
+def test_upsert_delta_matches_parquet_log_backend(spark, tmp_path):
+    """Differential: the same batch sequence through both backends yields
+    the same snapshot (skipped where delta-spark is unavailable)."""
+    import pytest as _pytest
+
+    if not _delta_ok(spark):
+        _pytest.skip("delta-spark not installed in this environment")
+    batches = [
+        [Row(k=1, seq=1, v="a", deleted="false"),
+         Row(k=2, seq=1, v="b", deleted="false")],
+        [Row(k=1, seq=3, v="a3", deleted="false"),
+         Row(k=1, seq=2, v="a2", deleted="false"),
+         Row(k=3, seq=1, v="c", deleted="true")],
+        [Row(k=2, seq=2, v="gone", deleted="true")],
+    ]
+    for mode in ("exclude", "tombstone"):
+        stores = {
+            b: UpsertSnapshot(str(tmp_path / f"{mode}-{b}"), ["k"], ["seq"],
+                              delete_flag_field="deleted", delete_mode=mode,
+                              backend=b)
+            for b in ("parquet-log", "delta")
+        }
+        for i, rows in enumerate(batches):
+            for s in stores.values():
+                s.upsert(spark.createDataFrame(rows), batch_id=i)
+        got = {
+            b: {(r["k"], r["seq"], r["v"]) for r in s.snapshot(spark).collect()}
+            for b, s in stores.items()
+        }
+        assert got["delta"] == got["parquet-log"], f"mode={mode}: {got}"
