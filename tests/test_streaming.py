@@ -835,3 +835,63 @@ def test_upsert_delta_matches_parquet_log_backend(spark, tmp_path):
             for b, s in stores.items()
         }
         assert got["delta"] == got["parquet-log"], f"mode={mode}: {got}"
+
+
+def test_statement_set_mid_batch_failure_exactly_once(spark, tmp_path):
+    """Kill the pipeline BETWEEN sink writes inside one microbatch: the
+    XREF upsert commits, then the quarantine append dies before writing.
+    On restart the batch replays; the marker-commit protocol must skip the
+    already-committed XREF (no duplicate log rows) and commit the
+    quarantine append exactly once — per-sink exactly-once-effect (the
+    reference's PR-3 idempotency requirement)."""
+    src = str(tmp_path / "msgs")
+    _write_envelope_files(src, n_files=2)
+    dim = spark.createDataFrame([Row(id=i, segment="s") for i in range(10)])
+    spec = _pipeline_spec()
+
+    # clean reference run
+    clean = StatementSetRunner(spark, spec, {"dim": dim}, str(tmp_path / "ok"))
+    clean.run_streaming(file_envelope_stream(spark, src, max_files_per_trigger=1))
+    clean_xref_log = clean._xref_store(
+        "XREF_ACCT", spec.tables()["XREF_ACCT"]).log(spark).count()
+    clean_xref = sorted(map(tuple, spark.read.parquet(
+        clean.table_path("XREF_ACCT")).collect()))
+    clean_q = sorted(map(tuple, spark.read.parquet(
+        clean.table_path("Q_ACCT")).collect()))
+
+    # faulty run: die after the first sink (XREF upsert) of batch 0,
+    # before the quarantine append writes anything
+    out = str(tmp_path / "out")
+    faulty = StatementSetRunner(spark, spec, {"dim": dim}, out)
+
+    def _boom(df, table, batch_id):
+        raise RuntimeError("injected failure between sinks")
+
+    faulty._append_once = _boom
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected failure"):
+        faulty.run_streaming(
+            file_envelope_stream(spark, src, max_files_per_trigger=1))
+    # the first sink committed before the crash
+    store = faulty._xref_store("XREF_ACCT", spec.tables()["XREF_ACCT"])
+    assert store.exists() and store.log(spark).count() > 0
+    assert not os.path.exists(faulty.table_path("Q_ACCT"))
+
+    # recovery: fresh runner, same out dir + checkpoint — the failed batch
+    # replays from the checkpoint with the injection removed
+    recovered = StatementSetRunner(spark, spec, {"dim": dim}, out)
+    recovered.run_streaming(
+        file_envelope_stream(spark, src, max_files_per_trigger=1))
+
+    got_xref_log = recovered._xref_store(
+        "XREF_ACCT", spec.tables()["XREF_ACCT"]).log(spark).count()
+    got_xref = sorted(map(tuple, spark.read.parquet(
+        recovered.table_path("XREF_ACCT")).collect()))
+    got_q = sorted(map(tuple, spark.read.parquet(
+        recovered.table_path("Q_ACCT")).collect()))
+    # no duplicate XREF log rows (replayed batch skipped via marker), no
+    # lost/duplicate quarantine rows (append committed exactly once)
+    assert got_xref_log == clean_xref_log
+    assert got_xref == clean_xref
+    assert got_q == clean_q
