@@ -23,6 +23,7 @@ NESTED_LOOP_ALLOWED = {
     "temperature_resample_mix",   # 1-row totals broadcast
     "unigram_logprob_score",      # 1-row totals broadcast
     "bigram_logprob_score",       # 1-row totals broadcast
+    "bigram_logprob_vocab",       # 1-row totals broadcast (vocab-floored variant)
     "collocation_pmi",            # 1-row totals broadcast
     "corpus_mix_report",          # 1-row grand-total broadcast
     "dedup_embedding_cosine",     # broadcast grid-parameter row
