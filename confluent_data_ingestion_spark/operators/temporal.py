@@ -378,3 +378,110 @@ def rolling_stats(
         .withColumn("roll_n", F.col("__rn__").cast("int"))
         .drop("__rsum__", "__rn__")
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    max_offset_weeks: int | None = None,
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the ISO week
+    (Monday-start ``date_trunc('week', ...)``) of their FIRST event;
+    for each (cohort_week, week_offset) the output counts the distinct
+    cohort users active in that week and the retention rate against the
+    cohort's size — the standard product-analytics retention triangle.
+
+    Output: (cohort_week, week_offset, n_users, retention_rate) with
+    offset 0 being the cohort week itself (rate 1.0 by construction —
+    every user is active in their first week).  ``max_offset_weeks``
+    truncates the triangle's tail.
+
+    Scale shape: one min-aggregation on the user key (map-side combined)
+    to build cohorts, one distinct-aggregation on (user, week) — both
+    user-cardinality frames, far smaller than the event stream — then an
+    equi-join on the user key and a final small aggregation on
+    (cohort, offset).  The cohort-size denominator comes from a window
+    over the (cohort, offset) AGGREGATE (cohort-count rows, not users),
+    so no second pass over the data.  Nothing here scales with events
+    beyond the two initial map-side-combined aggregations.
+    """
+    wk = lambda c: F.date_trunc("week", F.col(c))  # noqa: E731
+    cohorts = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = (
+        events.select(F.col(user_col), wk(ts_col).alias("__wk__")).distinct()
+    )
+    grid = (
+        active.join(cohorts, user_col)
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("__wk__"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    if max_offset_weeks is not None:
+        grid = grid.filter(F.col("week_offset") <= max_offset_weeks)
+    w0 = Window.partitionBy("cohort_week")
+    size0 = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(w0)
+    return (
+        grid.withColumn("__sz__", size0)
+        .withColumn(
+            "retention_rate",
+            F.round(F.col("n_users").cast("double") / F.col("__sz__"), 6),
+        )
+        .drop("__sz__")
+    )
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    *,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key z-score outlier detection: flag events whose ``value_col``
+    deviates from the key's own mean by more than ``threshold`` standard
+    deviations (population sigma) — the metrics-anomaly primitive behind
+    per-entity spend/latency alerting.
+
+    Determinism across engines: the per-key moments accumulate as exact
+    DECIMAL sums (sum and sum-of-squares of DECIMAL(18,6)-quantized
+    values), so mean/variance derive from bit-identical inputs in any
+    engine; the z-score computes in DOUBLE from those exact sums and
+    rounds to 6 decimals.  Keys with zero variance (or a single event)
+    yield NULL z and are never flagged.
+
+    Output: flagged rows only — (event row columns, zscore).
+
+    Scale shape: ONE hash shuffle on the key; the moments are
+    whole-partition window aggregates (O(1) state per row), the z-score
+    and flag are per-row projections.  No join, no second pass.  Keys are
+    entities (users/devices) — high cardinality, bounded per-key rows, so
+    partition memory stays flat at 100 TB.
+    """
+    w = Window.partitionBy(key_col)
+    q = F.col(value_col).cast("decimal(18,6)")
+    stats = (
+        events.withColumn("__n__", F.count(F.lit(1)).over(w))
+        .withColumn("__s__", F.sum(q).over(w))
+        .withColumn("__s2__", F.sum(q * q).over(w))
+    )
+    mean = F.col("__s__").cast("double") / F.col("__n__")
+    var = (
+        F.col("__s2__").cast("double") / F.col("__n__") - mean * mean
+    )
+    z = F.round(
+        (F.col(value_col) - mean) / F.sqrt(var), 6
+    )
+    return (
+        stats.withColumn("zscore", F.when(var > 0, z))
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .drop("__n__", "__s__", "__s2__")
+    )

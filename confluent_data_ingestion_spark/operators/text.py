@@ -355,6 +355,68 @@ def quality_filter(
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 5,
+    max_words: int = 200,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.10,
+    min_alpha_word_frac: float = 0.80,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style repetition-free quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", section A1.1) as one per-row rule vector:
+    word-count bounds, mean-word-length window, symbol-to-word ratio
+    (``#``/``...`` per word), alphabetic-word fraction, and a minimum count
+    of DISTINCT stopword types (the "contains at least 2 of a stopword
+    list" rule).  Output keeps each rule's boolean (``rule_*``) plus the
+    conjunction ``gopher_pass`` — production filters on the verdict, audits
+    per-rule drop rates, and both come from the same single scan.
+
+    Differs from :func:`quality_filter` (the C4-ish length/stopword-density
+    gate) by covering the Gopher-specific rules; compose both for a full
+    pre-training gate.  Pure Catalyst expressions — no shuffle, no Python;
+    ratios round to 6 decimals so any engine reproduces the bits.
+    """
+    t = text_col
+    sw = sql_in_list(stopwords)
+    n_words = f"size(split({t}, ' '))"
+    # mean word length over the words themselves (separators excluded)
+    mean_wl = (
+        f"round(CAST(char_length({t}) - ({n_words} - 1) AS DOUBLE)"
+        f" / {n_words}, 6)"
+    )
+    sym_ratio = (
+        f"round(CAST(char_length({t}) - char_length(replace({t}, '#', ''))"
+        f" + (char_length({t}) - char_length(replace({t}, '...', ''))) / 3"
+        f" AS DOUBLE) / {n_words}, 6)"
+    )
+    alpha_frac = (
+        f"round(CAST(size(filter(split({t}, ' '), x -> x rlike '[a-zA-Z]'))"
+        f" AS DOUBLE) / {n_words}, 6)"
+    )
+    sw_hits = f"size(array_distinct(filter(split({t}, ' '), x -> x IN ({sw}))))"
+    rules = {
+        "rule_word_count": f"{n_words} BETWEEN {min_words} AND {max_words}",
+        "rule_mean_word_len":
+            f"{mean_wl} BETWEEN {min_mean_word_len!r}d AND {max_mean_word_len!r}d",
+        "rule_symbol_ratio": f"{sym_ratio} <= {max_symbol_ratio!r}d",
+        "rule_alpha_words": f"{alpha_frac} >= {min_alpha_word_frac!r}d",
+        "rule_stopword_hits": f"{sw_hits} >= {min_stopword_hits}",
+    }
+    out = df.select(
+        "*", *[F.expr(expr).alias(name) for name, expr in rules.items()]
+    )
+    verdict = None
+    for name in rules:
+        verdict = F.col(name) if verdict is None else (verdict & F.col(name))
+    return out.withColumn("gopher_pass", verdict)
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

@@ -3550,6 +3550,385 @@ def hash_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD Type 2 history from the event changelog: one row per (user, tracked-
+# attribute version) with half-open validity intervals — the reference's
+# latest-by-key snapshot (A1) extended to full history (see
+# operators/evolve.py).
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_user_history",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    v AS (SELECT * FROM s WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id, event_type, ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS effective_to,
+           (LEAD(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id)) IS NULL AS is_current
+    FROM v
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evolve import scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        ev, ["user_id"], "ts", ["event_type"], tie_breakers=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyed snapshot diff: yesterday's landed orders table vs today's, with a
+# simulated upstream update (open orders repriced) and hard-delete slice —
+# the drift audit a changelog materialization runs after every batch.
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O'
+                  THEN round(o_totalprice, 2) + 1000.00
+                  ELSE round(o_totalprice, 2) END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        AND o_orderkey % 1000 <> 7
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'changed' ELSE 'unchanged' END AS diff_status,
+           o.o_orderstatus AS o_orderstatus_old,
+           o.o_totalprice AS o_totalprice_old,
+           n.o_orderstatus AS o_orderstatus_new,
+           n.o_totalprice AS o_totalprice_new
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+               THEN 'changed' ELSE 'unchanged' END <> 'unchanged'
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evolve import table_diff
+
+    od = _t(spark, sf_dir, "orders")
+    p2 = F.round(F.col("o_totalprice"), 2)
+    old = od.filter(
+        F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_orderstatus", p2.alias("o_totalprice"))
+    new = (
+        od.filter(
+            (F.col("o_orderdate")
+             < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderkey") % 1000 != 7)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderstatus") == "O", p2 + F.lit(1000.00))
+            .otherwise(p2).alias("o_totalprice"),
+        )
+    )
+    return table_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profile of the documents table (exact distinct counts;
+# the approx=True HLL path is the 100 TB variant, pytest-covered).
+# ---------------------------------------------------------------------------
+@query(
+    "profile_documents",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM documents)
+    SELECT 'doc_id' AS column, n.n_rows,
+           (SELECT count(*) - count(doc_id) FROM documents) AS n_nulls,
+           (SELECT count(DISTINCT doc_id) FROM documents) AS n_distinct,
+           (SELECT CAST(min(doc_id) AS VARCHAR) FROM documents) AS min_value,
+           (SELECT CAST(max(doc_id) AS VARCHAR) FROM documents) AS max_value
+    FROM n
+    UNION ALL
+    SELECT 'text', n.n_rows,
+           (SELECT count(*) - count(text) FROM documents),
+           (SELECT count(DISTINCT text) FROM documents),
+           (SELECT min(text) FROM documents),
+           (SELECT max(text) FROM documents)
+    FROM n
+    UNION ALL
+    SELECT 'lang', n.n_rows,
+           (SELECT count(*) - count(lang) FROM documents),
+           (SELECT count(DISTINCT lang) FROM documents),
+           (SELECT min(lang) FROM documents),
+           (SELECT max(lang) FROM documents)
+    FROM n
+    UNION ALL
+    SELECT 'source', n.n_rows,
+           (SELECT count(*) - count(source) FROM documents),
+           (SELECT count(DISTINCT source) FROM documents),
+           (SELECT min(source) FROM documents),
+           (SELECT max(source) FROM documents)
+    FROM n
+    UNION ALL
+    SELECT 'n_chars', n.n_rows,
+           (SELECT count(*) - count(n_chars) FROM documents),
+           (SELECT count(DISTINCT n_chars) FROM documents),
+           (SELECT CAST(min(n_chars) AS VARCHAR) FROM documents),
+           (SELECT CAST(max(n_chars) AS VARCHAR) FROM documents)
+    FROM n
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evolve import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention triangle over the event stream.
+# ---------------------------------------------------------------------------
+@query(
+    "retention_cohorts_weekly",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+    g AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, a.wk) // 7 AS INT)
+               AS week_offset,
+             count(*) AS n_users
+      FROM a JOIN c ON a.user_id = c.user_id
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / max(CASE WHEN week_offset = 0 THEN n_users END)
+                   OVER (PARTITION BY cohort_week), 6) AS retention_rate
+    FROM g
+    """,
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Per-user z-score anomaly flags over event values (population sigma from
+# exact DECIMAL moments — engine-identical bits; see operators/temporal.py).
+# ---------------------------------------------------------------------------
+@query(
+    "event_anomaly_zscore",
+    """
+    WITH s AS (
+      SELECT *,
+        count(*) OVER (PARTITION BY user_id) AS n,
+        sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id) AS s1,
+        sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+          OVER (PARTITION BY user_id) AS s2
+      FROM events
+    ),
+    z AS (
+      SELECT event_id, ts, user_id, event_type, value, props,
+        CAST(s2 AS DOUBLE) / n
+          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS var,
+        round((value - CAST(s1 AS DOUBLE) / n)
+              / sqrt(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)),
+              6) AS zscore
+      FROM s
+    )
+    SELECT event_id, ts, user_id, event_type, value, props, zscore
+    FROM z WHERE var > 0 AND abs(zscore) > 2.0
+    """,
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import anomaly_zscore
+
+    return anomaly_zscore(_t(spark, sf_dir, "events"), threshold=2.0)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+# ---------------------------------------------------------------------------
+@query(
+    "returned_item_topk",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           round(c.c_acctbal, 2) AS acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, round(c.c_acctbal, 2), n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def returned_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, od, cu, na = _t(spark, sf_dir, "lineitem", "orders", "customer",
+                        "nation")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    od_f = od.filter(
+        (F.col("o_orderdate") >= ts("1996-10-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    ).select("o_orderkey", "o_custkey")
+    li_f = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = cu.join(
+        F.broadcast(na.select("n_nationkey", "n_name")),
+        cu.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"),
+             F.col("n_name").alias("nation"))
+    return (
+        li_f.join(od_f, li_f.l_orderkey == od_f.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "acctbal", "nation")
+        .agg(
+            F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+            .cast("double").alias("revenue"),
+        )
+        .select("c_custkey", "c_name", "revenue", "acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority counts for orders with >=1 returned line
+# (EXISTS -> left-semi join; the dates prune the orders scan first).
+# ---------------------------------------------------------------------------
+@query(
+    "order_priority_semijoin",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, od = _t(spark, sf_dir, "lineitem", "orders")
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    od_f = od.filter(
+        (F.col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-04-01 00:00:00"))
+    ).select("o_orderkey", "o_orderpriority")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        od_f.join(ret, od_f.o_orderkey == ret.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: ship-latency buckets x order-priority class counts
+# (the testdata lineitem has no shipmode/commitdate; latency buckets over
+# l_shipdate - o_orderdate carry the same CASE-aggregation shape).
+# ---------------------------------------------------------------------------
+@query(
+    "ship_latency_distribution",
+    """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                THEN 'normal' ELSE 'slow' END AS latency_bucket,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def ship_latency_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, od = _t(spark, sf_dir, "lineitem", "orders")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lat <= 30, "fast").when(lat <= 90, "normal").otherwise("slow")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(od.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("latency_bucket"))
+        .agg(
+            F.sum(hi.cast("bigint")).alias("high_line_count"),
+            F.sum((~hi).cast("bigint")).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule vector (Rae et al. 2021 A1.1) — per-rule booleans + verdict.
+# ---------------------------------------------------------------------------
+@query(
+    "gopher_quality_gate",
+    """
+    WITH f AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS nw,
+        round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              / len(string_split(text, ' ')), 6) AS mwl,
+        round(CAST(length(text) - length(replace(text, '#', ''))
+                   + (length(text) - length(replace(text, '...', ''))) / 3
+              AS DOUBLE) / len(string_split(text, ' ')), 6) AS symr,
+        round(CAST(len(list_filter(string_split(text, ' '),
+                                   x -> regexp_matches(x, '[a-zA-Z]')))
+              AS DOUBLE) / len(string_split(text, ' ')), 6) AS alphaf,
+        len(list_distinct(list_filter(string_split(text, ' '),
+          x -> x IN ('the','a','of','and','to','in','is','it','for','on',
+                     'with')))) AS swh
+      FROM documents
+    )
+    SELECT doc_id,
+           nw BETWEEN 5 AND 200 AS rule_word_count,
+           mwl BETWEEN 2.0 AND 12.0 AS rule_mean_word_len,
+           symr <= 0.1 AS rule_symbol_ratio,
+           alphaf >= 0.8 AS rule_alpha_words,
+           swh >= 2 AS rule_stopword_hits,
+           (nw BETWEEN 5 AND 200) AND (mwl BETWEEN 2.0 AND 12.0)
+             AND symr <= 0.1 AND alphaf >= 0.8 AND swh >= 2 AS gopher_pass
+    FROM f
+    """,
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_rules(docs).drop("text")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
 # externally-recorded oracle row.  Priority: the 9 headline pipeline stages
@@ -3578,8 +3957,12 @@ _PRIORITY_ORDER = [
     "brand_nation_revenue", "winsorize_doc_lengths", "dedup_exact_normalized",
     "packing_fill_report", "top_docs_per_source", "chunk_boilerplate_ratio",
     "hash_embed_vectors",
-    # round-6 additions (the 50th slot of the recorded window)
-    "bigram_logprob_vocab",
+    # round-6 additions (the 50th slot of the recorded window and the
+    # first candidates for the next round's rotation)
+    "bigram_logprob_vocab", "scd2_user_history", "snapshot_diff_orders",
+    "profile_documents", "retention_cohorts_weekly", "event_anomaly_zscore",
+    "returned_item_topk", "order_priority_semijoin",
+    "ship_latency_distribution", "gopher_quality_gate",
 ]
 
 
