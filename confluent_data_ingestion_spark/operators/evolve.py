@@ -193,3 +193,49 @@ def profile_columns(
         ),
         F.col("__n__").alias("n_rows"),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def scd2_apply_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tracked: list[str],
+    *,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally apply a batch of new changelog events to an existing
+    SCD2 history (produced by :func:`scd2_from_changelog`), returning the
+    updated history WITHOUT recomputing untouched keys.
+
+    Contract: per-key append-only — every batch event's ``ts_col`` must be
+    >= the key's last ``effective_from`` (the normal streaming-ingest
+    case; a global "batch starts where history ends" cut satisfies it).
+    Under that contract the result is row-identical to rebuilding from the
+    full changelog: version-start rows are a lossless compression of the
+    history's change points, so re-running change detection over
+    (version starts UNION new events) reproduces the full rebuild for the
+    touched keys.  A LATE event (before the key's last change point)
+    would need the dropped duplicate events to re-split versions — route
+    late data through a full rebuild of its keys instead.
+
+    Scale shape: the batch's distinct keys drive everything — untouched
+    history rows pass through via an anti-join (no window, no state),
+    touched keys re-version over (their handful of version starts + the
+    new events).  Cost is proportional to the BATCH, not the table; on a
+    Delta/Iceberg-backed table the same shape becomes a MERGE on the
+    touched keys (see ``streaming/upsert.py``'s backend probe).
+    """
+    touched = batch.select(*keys).distinct()
+    hist_touched = history.join(touched, keys, "left_semi")
+    hist_kept = history.join(touched, keys, "left_anti")
+    starts = hist_touched.select(
+        *keys, F.col("effective_from").alias(ts_col), *tracked
+    )
+    merged = starts.unionByName(
+        batch.select(*keys, ts_col, *tracked)
+    )
+    redone = scd2_from_changelog(
+        merged, keys, ts_col, tracked, tie_breakers=None
+    )
+    return hist_kept.select(redone.columns).unionByName(redone)

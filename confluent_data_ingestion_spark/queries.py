@@ -3929,6 +3929,87 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental SCD2: build history on the first half-month, apply the second
+# half as a batch — the oracle is the FULL-history rebuild, so a green row
+# proves incremental == rebuild (operators/evolve.py scd2_apply_batch).
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_incremental_apply",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    v AS (SELECT * FROM s WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id, event_type, ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS effective_to,
+           (LEAD(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id)) IS NULL AS is_current
+    FROM v
+    """,
+)
+def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evolve import scd2_apply_batch, scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    history = scd2_from_changelog(
+        ev.filter(F.col("ts") <= cut), ["user_id"], "ts", ["event_type"],
+        tie_breakers=["event_id"],
+    )
+    return scd2_apply_batch(
+        history, ev.filter(F.col("ts") > cut),
+        ["user_id"], "ts", ["event_type"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of enrichment: each purchase gets the user's non-purchase state
+# (SCD2 dimension) valid at purchase time — composes scd2_from_changelog
+# with the union+window as-of join; the oracle uses DuckDB's native ASOF.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_asof_enrich",
+    """
+    WITH d0 AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    dim AS (SELECT user_id, ts, event_type
+            FROM d0 WHERE prev IS NULL OR event_type <> prev),
+    f AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts, f.value, d.event_type AS asof_state
+    FROM f ASOF LEFT JOIN dim d
+      ON f.user_id = d.user_id AND f.ts >= d.ts
+    """,
+)
+def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evolve import scd2_from_changelog
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_changelog(
+        ev.filter(F.col("event_type") != "purchase"),
+        ["user_id"], "ts", ["event_type"], tie_breakers=["event_id"],
+    ).select("user_id", "effective_from", F.col("event_type").alias("state"))
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        facts, dim,
+        left_on="user_id", right_on="user_id",
+        left_time="ts", right_time="effective_from",
+        value_cols=["state"], tie_col="state", prefix="asof_",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
 # externally-recorded oracle row.  Priority: the 9 headline pipeline stages
@@ -3963,6 +4044,7 @@ _PRIORITY_ORDER = [
     "profile_documents", "retention_cohorts_weekly", "event_anomaly_zscore",
     "returned_item_topk", "order_priority_semijoin",
     "ship_latency_distribution", "gopher_quality_gate",
+    "scd2_incremental_apply", "scd2_asof_enrich",
 ]
 
 

@@ -266,3 +266,50 @@ def test_registry_queries_nonempty(spark, sf_dir, name):
     from confluent_data_ingestion_spark.queries import QUERIES
 
     assert QUERIES[name](spark, sf_dir).limit(1).count() >= 0
+
+
+class TestScd2ApplyBatch:
+    def test_incremental_equals_rebuild(self, spark):
+        from confluent_data_ingestion_spark.operators.evolve import (
+            scd2_apply_batch, scd2_from_changelog,
+        )
+
+        all_rows = [
+            (1, TS(2024, 1, 1), 1, "a"),
+            (1, TS(2024, 1, 2), 2, "b"),
+            (1, TS(2024, 1, 5), 3, "b"),   # unchanged (post-cut)
+            (1, TS(2024, 1, 6), 4, "a"),   # revert (post-cut)
+            (2, TS(2024, 1, 1), 5, "x"),   # untouched by the batch
+            (3, TS(2024, 1, 5), 6, "q"),   # new key arriving in the batch
+        ]
+        cut = TS(2024, 1, 3)
+        ev = _ev(spark, all_rows)
+        hist = scd2_from_changelog(
+            ev.filter(F.col("ts") <= cut), ["user_id"], "ts", ["attr"],
+            tie_breakers=["event_id"],
+        )
+        incr = scd2_apply_batch(
+            hist, ev.filter(F.col("ts") > cut), ["user_id"], "ts", ["attr"]
+        )
+        full = scd2_from_changelog(
+            ev, ["user_id"], "ts", ["attr"], tie_breakers=["event_id"]
+        )
+        key = lambda r: (r.user_id, r.attr, r.effective_from,  # noqa: E731
+                         r.effective_to, r.is_current)
+        assert sorted(map(key, incr.collect())) == sorted(
+            map(key, full.collect()))
+
+    def test_untouched_keys_pass_through(self, spark):
+        from confluent_data_ingestion_spark.operators.evolve import (
+            scd2_apply_batch, scd2_from_changelog,
+        )
+
+        hist = scd2_from_changelog(
+            _ev(spark, [(2, TS(2024, 1, 1), 1, "x")]),
+            ["user_id"], "ts", ["attr"],
+        )
+        batch = _ev(spark, [(1, TS(2024, 1, 9), 2, "n")])
+        out = scd2_apply_batch(hist, batch, ["user_id"], "ts", ["attr"])
+        rows = {r.user_id: r for r in out.collect()}
+        assert rows[2].attr == "x" and rows[2].is_current
+        assert rows[1].attr == "n" and rows[1].is_current
