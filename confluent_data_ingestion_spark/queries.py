@@ -4010,6 +4010,172 @@ def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN (Jegou et al. 2011): per-subspace codebooks
+# (deterministic init + one Lloyd iteration), M-code encoding, and
+# asymmetric-distance top-k via a broadcast lookup table.  The l2^2 is
+# three dot products in the SAME fold order on both engines.
+# ---------------------------------------------------------------------------
+_L2 = ("round(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+       " + list_dot_product({b}, {b}), 6)")
+
+
+@query(
+    "similarity_pq_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sub AS (
+      SELECT vec_id, s AS m_idx, e[s*16+1 : s*16+16] AS sv
+      FROM v, unnest([0, 1, 2, 3]) AS u(s)
+    ),
+    c0 AS (SELECT m_idx, vec_id AS cid, sv AS ce FROM sub WHERE vec_id % 50 = 0),
+    a1 AS (
+      SELECT vec_id, m_idx, cid FROM (
+        SELECT sub.vec_id, sub.m_idx, c0.cid,
+          ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m_idx
+            ORDER BY {_L2.format(a='sub.sv', b='c0.ce')} ASC, c0.cid ASC) AS rn
+        FROM sub JOIN c0 ON sub.m_idx = c0.m_idx
+      ) WHERE rn = 1
+    ),
+    mns AS (
+      SELECT a1.m_idx, a1.cid, i AS pos, round(avg(sub.sv[i]), 6) AS mv
+      FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.m_idx = sub.m_idx,
+           unnest(generate_series(1, 16)) AS u(i)
+      GROUP BY a1.m_idx, a1.cid, i
+    ),
+    c1 AS (SELECT m_idx, cid, list(mv ORDER BY pos) AS ce
+           FROM mns GROUP BY m_idx, cid),
+    codes AS (
+      SELECT vec_id, m_idx, cid AS code FROM (
+        SELECT sub.vec_id, sub.m_idx, c1.cid,
+          ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m_idx
+            ORDER BY {_L2.format(a='sub.sv', b='c1.ce')} ASC, c1.cid ASC) AS rn
+        FROM sub JOIN c1 ON sub.m_idx = c1.m_idx
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT sub.vec_id AS query_id, sub.m_idx, c1.cid AS code,
+             CAST({_L2.format(a='sub.sv', b='c1.ce')} AS DECIMAL(18,6)) AS d2
+      FROM sub JOIN c1 ON sub.m_idx = c1.m_idx
+      WHERE sub.vec_id % 100 = 0
+    ),
+    sc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.d2) AS dist
+      FROM codes c JOIN lut l ON c.m_idx = l.m_idx AND c.code = l.code
+      WHERE l.query_id <> c.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(dist AS DOUBLE) AS approx_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS rn
+      FROM sc
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_encode, pq_topk, pq_train_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    books = track(
+        pq_train_codebooks(emb, init, dim=64, m=4, refine_iters=1)
+    )
+    codes = pq_encode(emb, books, dim=64, m=4)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(codes, q, books, dim=64, m=4, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage PQ + exact rerank — the production billion-scale search: ADC
+# proposes 50 candidates from codes, exact L2 rescored on just those.
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_pq_rerank",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sub AS (
+      SELECT vec_id, s AS m_idx, e[s*16+1 : s*16+16] AS sv
+      FROM v, unnest([0, 1, 2, 3]) AS u(s)
+    ),
+    c0 AS (SELECT m_idx, vec_id AS cid, sv AS ce FROM sub WHERE vec_id % 50 = 0),
+    a1 AS (
+      SELECT vec_id, m_idx, cid FROM (
+        SELECT sub.vec_id, sub.m_idx, c0.cid,
+          ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m_idx
+            ORDER BY {_L2.format(a='sub.sv', b='c0.ce')} ASC, c0.cid ASC) AS rn
+        FROM sub JOIN c0 ON sub.m_idx = c0.m_idx
+      ) WHERE rn = 1
+    ),
+    mns AS (
+      SELECT a1.m_idx, a1.cid, i AS pos, round(avg(sub.sv[i]), 6) AS mv
+      FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.m_idx = sub.m_idx,
+           unnest(generate_series(1, 16)) AS u(i)
+      GROUP BY a1.m_idx, a1.cid, i
+    ),
+    c1 AS (SELECT m_idx, cid, list(mv ORDER BY pos) AS ce
+           FROM mns GROUP BY m_idx, cid),
+    codes AS (
+      SELECT vec_id, m_idx, cid AS code FROM (
+        SELECT sub.vec_id, sub.m_idx, c1.cid,
+          ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m_idx
+            ORDER BY {_L2.format(a='sub.sv', b='c1.ce')} ASC, c1.cid ASC) AS rn
+        FROM sub JOIN c1 ON sub.m_idx = c1.m_idx
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT sub.vec_id AS query_id, sub.m_idx, c1.cid AS code,
+             CAST({_L2.format(a='sub.sv', b='c1.ce')} AS DECIMAL(18,6)) AS d2
+      FROM sub JOIN c1 ON sub.m_idx = c1.m_idx
+      WHERE sub.vec_id % 100 = 0
+    ),
+    sc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.d2) AS dist
+      FROM codes c JOIN lut l ON c.m_idx = l.m_idx AND c.code = l.code
+      WHERE l.query_id <> c.vec_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY dist ASC, neighbor_id ASC) AS rn
+        FROM sc
+      ) WHERE rn <= 50
+    ),
+    rer AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_L2.format(a='q.e', b='n.e')} AS dist
+      FROM cand
+      JOIN v q ON cand.query_id = q.vec_id
+      JOIN v n ON cand.neighbor_id = n.vec_id
+    )
+    SELECT query_id, neighbor_id, dist, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rn
+      FROM rer
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        pq_encode, pq_rerank_topk, pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    books = track(
+        pq_train_codebooks(emb, init, dim=64, m=4, refine_iters=1)
+    )
+    codes = pq_encode(emb, books, dim=64, m=4)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_rerank_topk(
+        codes, q, emb, books, dim=64, m=4, k=5, rerank=50
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
 # externally-recorded oracle row.  Priority: the 9 headline pipeline stages
@@ -4044,7 +4210,8 @@ _PRIORITY_ORDER = [
     "profile_documents", "retention_cohorts_weekly", "event_anomaly_zscore",
     "returned_item_topk", "order_priority_semijoin",
     "ship_latency_distribution", "gopher_quality_gate",
-    "scd2_incremental_apply", "scd2_asof_enrich",
+    "scd2_incremental_apply", "scd2_asof_enrich", "similarity_pq_topk",
+    "similarity_pq_rerank",
 ]
 
 
