@@ -1,0 +1,161 @@
+"""Streaming SCD2 store: both backends equal the batch rebuild at
+quiescence, replays are no-ops, and the materialized pointer flip
+survives a crash between write and marker."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+TS = dt.datetime
+
+ROWS = [
+    # (user, ts, attr) spread over three microbatches, per-key append-only
+    [(1, "2026-01-01T00:00:01", "a"), (2, "2026-01-01T00:00:02", "x")],
+    [(1, "2026-01-01T00:00:03", "b"), (1, "2026-01-01T00:00:04", "b"),
+     (3, "2026-01-01T00:00:05", "q")],
+    [(2, "2026-01-01T00:00:06", "y"), (1, "2026-01-01T00:00:07", "a")],
+]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(u, TS.fromisoformat(t), a) for u, t, a in rows],
+        "user_id bigint, ts timestamp_ntz, attr string",
+    )
+
+
+def _all(spark):
+    return _batch(spark, [r for b in ROWS for r in b])
+
+
+def _hkey(r):
+    return (r.user_id, r.attr, r.effective_from, r.effective_to,
+            r.is_current)
+
+
+def _expected(spark):
+    from confluent_data_ingestion_spark.operators.evolve import (
+        scd2_from_changelog,
+    )
+
+    return sorted(
+        map(_hkey, scd2_from_changelog(
+            _all(spark), ["user_id"], "ts", ["attr"]).collect())
+    )
+
+
+@pytest.mark.parametrize("mode", ["log", "materialized"])
+def test_microbatches_equal_batch_rebuild(spark, tmp_path, mode):
+    from confluent_data_ingestion_spark.streaming.scd2 import Scd2Store
+
+    store = Scd2Store(str(tmp_path / mode), ["user_id"], "ts", ["attr"],
+                      mode=mode)
+    for i, rows in enumerate(ROWS):
+        assert store.apply(_batch(spark, rows), batch_id=i)
+    got = sorted(map(_hkey, store.history(spark).collect()))
+    assert got == _expected(spark)
+    # current() is the latest-per-key slice
+    cur = {r.user_id: r.attr for r in store.current(spark).collect()}
+    assert cur == {1: "a", 2: "y", 3: "q"}
+
+
+@pytest.mark.parametrize("mode", ["log", "materialized"])
+def test_replay_is_noop(spark, tmp_path, mode):
+    from confluent_data_ingestion_spark.streaming.scd2 import Scd2Store
+
+    store = Scd2Store(str(tmp_path / mode), ["user_id"], "ts", ["attr"],
+                      mode=mode)
+    for i, rows in enumerate(ROWS):
+        store.apply(_batch(spark, rows), batch_id=i)
+    # replay every batch (foreachBatch retry): committed -> skipped
+    for i, rows in enumerate(ROWS):
+        assert store.apply(_batch(spark, rows), batch_id=i) is False
+    assert sorted(map(_hkey, store.history(spark).collect())) == \
+        _expected(spark)
+
+
+def test_log_compact_preserves_history(spark, tmp_path):
+    from confluent_data_ingestion_spark.streaming.scd2 import Scd2Store
+
+    store = Scd2Store(str(tmp_path / "c"), ["user_id"], "ts", ["attr"],
+                      mode="log")
+    for i, rows in enumerate(ROWS):
+        store.apply(_batch(spark, rows), batch_id=i)
+    before = sorted(map(_hkey, store.history(spark).collect()))
+    store.compact(spark)
+    assert sorted(map(_hkey, store.history(spark).collect())) == before
+    # the compacted log holds version starts only (duplicates dropped)
+    log = spark.read.parquet(str(tmp_path / "c" / "log"))
+    assert log.count() == len(before)
+
+
+def test_materialized_crash_before_pointer_flip(spark, tmp_path, monkeypatch):
+    """A crash after writing the new version dir but BEFORE the pointer
+    flip must leave the previous committed state live; the retry then
+    applies cleanly."""
+    from confluent_data_ingestion_spark.streaming import scd2 as mod
+
+    store = mod.Scd2Store(str(tmp_path / "m"), ["user_id"], "ts", ["attr"],
+                          mode="materialized")
+    store.apply(_batch(spark, ROWS[0]), batch_id=0)
+    v0 = store._version_dirs()[0]
+
+    real_open = open
+
+    def crashing_open(path, *a, **kw):
+        if str(path).endswith("_current") and "w" in (a[0] if a else kw.get("mode", "r")):
+            raise RuntimeError("crash before pointer flip")
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr("builtins.open", crashing_open)
+    with pytest.raises(RuntimeError):
+        store.apply(_batch(spark, ROWS[1]), batch_id=1)
+    monkeypatch.undo()
+
+    # old version still live, batch 1 not committed
+    assert store._version_dirs() == [v0]
+    assert not store.committed(1)
+    # retry completes and converges
+    assert store.apply(_batch(spark, ROWS[1]), batch_id=1)
+    store.apply(_batch(spark, ROWS[2]), batch_id=2)
+    assert sorted(map(_hkey, store.history(spark).collect())) == \
+        _expected(spark)
+
+
+def test_foreach_batch_on_file_stream(spark, tmp_path):
+    """Drive the store from a real Structured Streaming query."""
+    from confluent_data_ingestion_spark.streaming.scd2 import Scd2Store
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i, rows in enumerate(ROWS):
+        with open(f"{src}/b{i}.ndjson", "w") as f:
+            f.writelines(
+                json.dumps({"user_id": u, "ts": t, "attr": a}) + "\n"
+                for u, t, a in rows
+            )
+    stream = (
+        spark.readStream.schema("user_id bigint, ts string, attr string")
+        .json(src)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "attr",
+        )
+    )
+    store = Scd2Store(str(tmp_path / "st"), ["user_id"], "ts", ["attr"],
+                      mode="log")
+    q = (
+        stream.writeStream.foreachBatch(store.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(map(_hkey, store.history(spark).collect())) == \
+        _expected(spark)
