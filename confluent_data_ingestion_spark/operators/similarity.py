@@ -753,3 +753,116 @@ def pq_rerank_topk(
     return exact.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    coarse_assign: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    coarse_books: DataFrame,
+    *,
+    dim: int,
+    m: int = 4,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF-PQ: coarse inverted-file pruning over the PQ code index — the
+    sub-linear composition behind billion-scale FAISS deployments.  Each
+    query probes its ``nprobe`` nearest coarse buckets and ADC-scores
+    ONLY the codes in those buckets: scan cost drops from O(N) to
+    O(N * nprobe / K_coarse) per query.
+
+    ``coarse_assign`` is (id, bucket) — the m=1 PQ encoding against
+    ``coarse_books`` (a coarse quantizer IS a product quantizer with one
+    subspace, so the whole path reuses :func:`pq_encode`).  This variant
+    quantizes raw vectors, not residuals (classic IVFPQ refines codes on
+    x - coarse_centroid; the residual step changes recall, not the plan
+    shape, and is omitted to keep every distance auditable by a plain
+    SQL engine).
+
+    Scale shape: bucket probing is a broadcast join of the (query,
+    bucket) list (Q x nprobe rows) against the bucket-keyed codes — at
+    scale, partition the codes frame BY bucket so probing prunes
+    partitions instead of filtering a scan; the ADC sum and top-k are
+    unchanged from :func:`pq_topk`.
+    """
+    d = dim // m
+    # nprobe nearest coarse buckets per query: Q x K_coarse scored rows,
+    # ranked by the same rounded-l2/tiebreak rule as every assignment here
+    qsub = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qe"),
+        )
+        .withColumn("__qn2__", F.expr(_dot("qe", "qe")))
+    )
+    cb = coarse_books.select(
+        F.col(cent_id_col).alias("bucket"), "ce",
+        F.col("__svn__").alias("__cn2__"),
+    )
+    probed = (
+        qsub.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id", "bucket",
+            F.expr(_l2sq("__qn2__", _dot("qe", "ce"), "__cn2__"))
+            .alias("__d2__"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__d2__").asc(), F.col("bucket").asc()
+    )
+    q_buckets = (
+        probed.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "bucket")
+    )
+    # candidates: codes of vectors living in a probed bucket.
+    # coarse_assign must be (id, bucket) — adapt a pq_encode(m=1) frame
+    # with .select(id_col, F.col("code").alias("bucket")) at the call site
+    cand_codes = codes.join(coarse_assign, id_col).join(
+        F.broadcast(q_buckets), "bucket"
+    )
+    # ADC over candidates only (LUT as in pq_topk)
+    lut = (
+        _subspaces(queries, id_col, vec_col, m, d)
+        .withColumnRenamed(id_col, "query_id")
+        .join(
+            F.broadcast(
+                codebooks.select(
+                    "m_idx", F.col(cent_id_col).alias("code"), "ce",
+                    F.col("__svn__").alias("__cn2__"),
+                )
+            ),
+            "m_idx",
+        )
+        .select(
+            "query_id", "m_idx", "code",
+            F.expr(
+                _l2sq("__svn__", _dot("sv", "ce"), "__cn2__")
+            ).cast("decimal(18,6)").alias("__d2__"),
+        )
+    )
+    scored = (
+        cand_codes.join(F.broadcast(lut), ["query_id", "m_idx", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("__d2__").alias("__dist__"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # vectors missing a LUT row for some subspace would sum fewer than
+        # m entries; every code exists in the codebook by construction, so
+        # the m-count guard is structural, not data-dependent
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__dist__").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("__dist__").cast("double").alias("approx_dist"),
+        )
+    )

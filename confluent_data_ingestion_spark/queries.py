@@ -4176,6 +4176,112 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: coarse bucket pruning (a 1-subspace PQ) over the fine code
+# index — each query ADC-scans only its nprobe nearest buckets.
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_ivfpq_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sub AS (
+      SELECT vec_id, s AS m_idx, e[s*16+1 : s*16+16] AS sv
+      FROM v, unnest([0, 1, 2, 3]) AS u(s)
+    ),
+    c0 AS (SELECT m_idx, vec_id AS cid, sv AS ce FROM sub WHERE vec_id % 50 = 0),
+    a1 AS (
+      SELECT vec_id, m_idx, cid FROM (
+        SELECT sub.vec_id, sub.m_idx, c0.cid,
+          ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m_idx
+            ORDER BY {_L2.format(a='sub.sv', b='c0.ce')} ASC, c0.cid ASC) AS rn
+        FROM sub JOIN c0 ON sub.m_idx = c0.m_idx
+      ) WHERE rn = 1
+    ),
+    mns AS (
+      SELECT a1.m_idx, a1.cid, i AS pos, round(avg(sub.sv[i]), 6) AS mv
+      FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.m_idx = sub.m_idx,
+           unnest(generate_series(1, 16)) AS u(i)
+      GROUP BY a1.m_idx, a1.cid, i
+    ),
+    c1 AS (SELECT m_idx, cid, list(mv ORDER BY pos) AS ce
+           FROM mns GROUP BY m_idx, cid),
+    codes AS (
+      SELECT vec_id, m_idx, cid AS code FROM (
+        SELECT sub.vec_id, sub.m_idx, c1.cid,
+          ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m_idx
+            ORDER BY {_L2.format(a='sub.sv', b='c1.ce')} ASC, c1.cid ASC) AS rn
+        FROM sub JOIN c1 ON sub.m_idx = c1.m_idx
+      ) WHERE rn = 1
+    ),
+    cb AS (SELECT vec_id AS bucket, e AS ce FROM v WHERE vec_id % 25 = 0),
+    cassign AS (
+      SELECT vec_id, bucket FROM (
+        SELECT v.vec_id, cb.bucket,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY {_L2.format(a='v.e', b='cb.ce')} ASC, cb.bucket ASC) AS rn
+        FROM v CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    qb AS (
+      SELECT query_id, bucket FROM (
+        SELECT v.vec_id AS query_id, cb.bucket,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY {_L2.format(a='v.e', b='cb.ce')} ASC, cb.bucket ASC) AS rn
+        FROM v CROSS JOIN cb WHERE v.vec_id % 100 = 0
+      ) WHERE rn <= 2
+    ),
+    lut AS (
+      SELECT sub.vec_id AS query_id, sub.m_idx, c1.cid AS code,
+             CAST({_L2.format(a='sub.sv', b='c1.ce')} AS DECIMAL(18,6)) AS d2
+      FROM sub JOIN c1 ON sub.m_idx = c1.m_idx
+      WHERE sub.vec_id % 100 = 0
+    ),
+    sc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.d2) AS dist
+      FROM codes c
+      JOIN cassign ca ON c.vec_id = ca.vec_id
+      JOIN qb ON ca.bucket = qb.bucket
+      JOIN lut l ON c.m_idx = l.m_idx AND c.code = l.code
+                AND l.query_id = qb.query_id
+      WHERE qb.query_id <> c.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(dist AS DOUBLE) AS approx_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist ASC, neighbor_id ASC) AS rn
+      FROM sc
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ivfpq_topk, pq_encode, pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    books = track(
+        pq_train_codebooks(emb, init, dim=64, m=4, refine_iters=1)
+    )
+    codes = pq_encode(emb, books, dim=64, m=4)
+    coarse_init = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    coarse_books = track(
+        pq_train_codebooks(emb, coarse_init, dim=64, m=1, refine_iters=0)
+    )
+    coarse_assign = pq_encode(emb, coarse_books, dim=64, m=1).select(
+        "vec_id", F.col("code").alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk(
+        codes, coarse_assign, q, books, coarse_books,
+        dim=64, m=4, k=5, nprobe=2,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
 # externally-recorded oracle row.  Priority: the 9 headline pipeline stages
@@ -4211,7 +4317,7 @@ _PRIORITY_ORDER = [
     "returned_item_topk", "order_priority_semijoin",
     "ship_latency_distribution", "gopher_quality_gate",
     "scd2_incremental_apply", "scd2_asof_enrich", "similarity_pq_topk",
-    "similarity_pq_rerank",
+    "similarity_pq_rerank", "similarity_ivfpq_topk",
 ]
 
 

@@ -18,6 +18,7 @@ NESTED_LOOP_ALLOWED = {
     "similarity_cosine_topk",     # declared brute-force baseline
     "similarity_ivf_topk",        # broadcast centroid scoring
     "similarity_ivf_nprobe",      # broadcast centroid scoring
+    "similarity_ivfpq_topk",      # broadcast coarse-centroid scoring
     "kmeans_refine_assign",       # broadcast centroid scoring
     "similarity_lsh_topk",        # broadcast plane scoring
     "temperature_resample_mix",   # 1-row totals broadcast

@@ -176,3 +176,83 @@ def test_adc_plan_broadcasts_lut(pq_parts):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+class TestIvfPq:
+    @pytest.fixture(scope="class")
+    def ivf_parts(self, spark, pq_parts):
+        from confluent_data_ingestion_spark.operators.similarity import (
+            pq_encode, pq_train_codebooks,
+        )
+
+        emb, books, codes, queries = pq_parts
+        coarse_init = emb.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        coarse_books = pq_train_codebooks(
+            emb, coarse_init, dim=DIM, m=1, refine_iters=0
+        ).persist()
+        coarse_assign = pq_encode(emb, coarse_books, dim=DIM, m=1).select(
+            "vec_id", F.col("code").alias("bucket")
+        ).persist()
+        yield emb, books, codes, queries, coarse_books, coarse_assign
+        coarse_books.unpersist()
+        coarse_assign.unpersist()
+
+    def test_probes_scan_fraction_of_corpus(self, ivf_parts):
+        """nprobe/K_coarse buckets -> the ADC touches a strict subset."""
+        from confluent_data_ingestion_spark.operators.similarity import (
+            ivfpq_topk,
+        )
+
+        emb, books, codes, queries, cb, ca = ivf_parts
+        n = emb.count()
+        k_coarse = cb.count()
+        # distinct neighbors scored for one query <= its two buckets' size
+        out = ivfpq_topk(codes, ca, queries, books, cb, dim=DIM, m=M,
+                         k=10**9, nprobe=2)
+        per_q = out.groupBy("query_id").count().collect()
+        sizes = {r.bucket: r["count"] for r in
+                 ca.groupBy("bucket").count().collect()}
+        assert per_q, "no queries scored"
+        for r in per_q:
+            # strictly less than the corpus: bucketing pruned the scan
+            assert r["count"] < n
+            assert r["count"] <= 2 * max(sizes.values())
+        assert k_coarse > 2  # pruning is real, not 1-bucket degenerate
+
+    def test_recall_positive_and_bounded_by_adc(self, ivf_parts):
+        from confluent_data_ingestion_spark.operators.similarity import (
+            ivfpq_topk, pq_topk, recall_at_k,
+        )
+
+        emb, books, codes, queries, cb, ca = ivf_parts
+        exact = _exact_l2_topk(emb, queries, K)
+        ivf = recall_at_k(
+            ivfpq_topk(codes, ca, queries, books, cb, dim=DIM, m=M, k=K,
+                       nprobe=2),
+            exact,
+        ).collect()[0].recall
+        full = recall_at_k(
+            pq_topk(codes, queries, books, dim=DIM, m=M, k=K), exact
+        ).collect()[0].recall
+        # pruning can only lose candidates vs the full ADC scan, but the
+        # nearest buckets hold most true neighbors: recall stays well
+        # above chance (measured 0.148 vs full-scan 0.176 at sf0.001)
+        assert 0 < ivf <= full + 1e-9
+        assert ivf >= 0.08
+
+    def test_more_probes_monotone(self, ivf_parts):
+        from confluent_data_ingestion_spark.operators.similarity import (
+            ivfpq_topk, recall_at_k,
+        )
+
+        emb, books, codes, queries, cb, ca = ivf_parts
+        exact = _exact_l2_topk(emb, queries, K)
+        r2 = recall_at_k(
+            ivfpq_topk(codes, ca, queries, books, cb, dim=DIM, m=M, k=K,
+                       nprobe=2), exact).collect()[0].recall
+        rall = recall_at_k(
+            ivfpq_topk(codes, ca, queries, books, cb, dim=DIM, m=M, k=K,
+                       nprobe=10**6), exact).collect()[0].recall
+        assert rall >= r2  # probing every bucket recovers the full ADC scan
