@@ -215,3 +215,75 @@ def stateful_funnel(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = (
+    "key bigint, event_ts timestamp, value double, zscore double"
+)
+# running moments per key: fixed-width, O(1) regardless of stream length
+ANOMALY_STATE_SCHEMA = "n bigint, s double, s2 double"
+
+
+def stateful_anomaly(
+    stream: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 2.0,
+    min_count: int = 5,
+) -> DataFrame:
+    """Online per-key z-score anomaly detection — the streaming twin of
+    ``operators.temporal.anomaly_zscore``.  Each event is judged against
+    the key's running moments over all PRIOR events (the online
+    definition: an alerting detector cannot see the future), then folded
+    into the state; ``min_count`` suppresses flags until the baseline has
+    enough history.  State is three numbers per key — O(live keys)
+    memory forever.
+
+    Emits flagged events only: (key, event_ts, value, zscore), zscore
+    rounded to 6.  Within a batch rows process in (ts, value) order so
+    replays are deterministic.  Unlike the batch operator (population
+    stats over ALL events — the retrospective audit), the online prefix
+    definition is order-dependent by nature; the differential test pins
+    it against an independent single-threaded reference.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        frames = [p[[time_col, value_col]] for p in pdf_iter]
+        rows = (
+            pd.concat(frames)
+            .dropna(subset=[time_col, value_col])
+            .sort_values([time_col, value_col], kind="mergesort")
+        )
+        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        out = []
+        for ts, v in zip(rows[time_col], rows[value_col]):
+            v = float(v)
+            if n >= min_count:
+                mean = s / n
+                var = s2 / n - mean * mean
+                if var > 0:
+                    z = round((v - mean) / math.sqrt(var), 6)
+                    if abs(z) > threshold:
+                        out.append((key[0], ts, v, z))
+            n, s, s2 = n + 1, s + v, s2 + v * v
+        state.update((n, s, s2))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "event_ts", "value", "zscore"]
+            )
+
+    return (
+        stream.groupBy(key_col).applyInPandasWithState(
+            fn,
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -159,3 +159,80 @@ def test_foreach_batch_on_file_stream(spark, tmp_path):
     q.awaitTermination()
     assert sorted(map(_hkey, store.history(spark).collect())) == \
         _expected(spark)
+
+
+# ---------------------------------------------------------------------------
+# Streaming anomaly twin: prefix z-scores across microbatches
+# ---------------------------------------------------------------------------
+def _anomaly_reference(events, threshold=2.0, min_count=5):
+    """Independent single-threaded prefix-stat reference."""
+    import math
+    from collections import defaultdict
+
+    st = defaultdict(lambda: (0, 0.0, 0.0))
+    flags = []
+    for k, ts, v in sorted(events, key=lambda e: (e[1], e[2], e[0])):
+        n, s, s2 = st[k]
+        if n >= min_count:
+            mean = s / n
+            var = s2 / n - mean * mean
+            if var > 0:
+                z = round((v - mean) / math.sqrt(var), 6)
+                if abs(z) > threshold:
+                    flags.append((k, ts, v, z))
+        st[k] = (n + 1, s + v, s2 + v * v)
+    return sorted(flags)
+
+
+def test_stateful_anomaly_across_microbatches(spark, tmp_path):
+    from confluent_data_ingestion_spark.streaming.stateful import (
+        stateful_anomaly,
+    )
+
+    base = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8]
+    events = []
+    t = 0
+    for v in base:                      # key 1 builds a tight baseline
+        events.append((1, t, v)); t += 1
+    events.append((1, t, 100.0)); t += 1   # clear outlier
+    events.append((1, t, 10.1)); t += 1    # back to normal
+    for v in (5.0, 5.0, 5.0, 5.0, 5.0, 5.0):  # key 2: zero variance
+        events.append((2, t, v)); t += 1
+    events.append((2, t, 5.0)); t += 1     # var==0 -> never flagged
+
+    # three microbatches in event order
+    batches = [events[:6], events[6:11], events[11:]]
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        with open(f"{src}/b{i}.ndjson", "w") as f:
+            f.writelines(
+                json.dumps({
+                    "key": k,
+                    "ts": f"2026-01-01T00:00:{s:02d}",
+                    "value": v,
+                }) + "\n"
+                for k, s, v in b
+            )
+    stream = (
+        spark.readStream.schema("key bigint, ts string, value double")
+        .json(src)
+        .select("key", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+    q = (
+        stateful_anomaly(stream, threshold=2.0, min_count=5)
+        .writeStream.format("memory")
+        .queryName("anom_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.key, int(r.event_ts.second) + 60 * r.event_ts.minute,
+         r.value, r.zscore)
+        for r in spark.sql("select * from anom_stream").collect()
+    )
+    want = _anomaly_reference(events)
+    assert got == want
+    assert len(got) == 1 and got[0][0] == 1 and got[0][2] == 100.0
