@@ -4282,6 +4282,34 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (Sennrich 2016).  Iterative argmax-
+# merge training is genuinely non-SQL-expressible, so these two entries
+# carry no oracle (the driver records the weaker rows-only check); the
+# merge sequence and segmentation are instead pinned end-to-end against a
+# pure-Python reference in tests/test_bpe.py.
+# ---------------------------------------------------------------------------
+@query("bpe_train_merges")
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tokenize import bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 8 == 0
+    ).select("text")
+    return bpe_train_merges(docs, n_merges=8)
+
+
+@query("bpe_segment_tokens")
+def bpe_segment_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tokenize import bpe_segment, bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    merges = bpe_train_merges(docs.select("text"), n_merges=8)
+    return bpe_segment(
+        docs.select("doc_id", "text"), merges
+    ).select("doc_id", "tokens")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
 # externally-recorded oracle row.  Priority: the 9 headline pipeline stages
@@ -4318,6 +4346,7 @@ _PRIORITY_ORDER = [
     "ship_latency_distribution", "gopher_quality_gate",
     "scd2_incremental_apply", "scd2_asof_enrich", "similarity_pq_topk",
     "similarity_pq_rerank", "similarity_ivfpq_topk",
+    "bpe_train_merges", "bpe_segment_tokens",
 ]
 
 
