@@ -474,3 +474,52 @@ def leakage_safe_split(
     ).drop("__cl__")
     return hash_split(keyed, key_col="__skey__", fractions=fractions,
                       seed=seed, out_col=out_col).drop("__skey__")
+
+
+def curriculum_plan(
+    df: DataFrame,
+    score_col: str,
+    cuts: tuple[float, ...] = (0.25, 0.5, 0.75),
+    *,
+    out_col: str = "stage",
+) -> DataFrame:
+    """Curriculum staging: assign every row a stage 1..len(cuts)+1 by its
+    ``score_col`` relative to the corpus's EXACT quantile cutpoints —
+    easy-to-hard ordering for curriculum training schedules (stage 1 =
+    lowest scores).
+
+    Scale shape: the cutpoints are ONE exact-percentile aggregation
+    collapsed to a single broadcast row (type R-7 interpolation — the
+    definition DuckDB's ``quantile_cont`` shares, so any engine derives
+    the same cutpoints bit-for-bit from the same data); the stage itself
+    is a per-row CASE against those broadcast values.  No global window,
+    no single-partition sort — the classic NTILE formulation would
+    funnel the corpus through one reducer, this does not.
+
+    Rows with NULL score get NULL stage.  Boundary rule: score <= cut
+    goes to the lower stage (quantile_cont semantics make each stage's
+    population approach len(cuts)+1-ile fractions on continuous scores;
+    heavily tied scores skew stage sizes — by design, equal scores must
+    land in the same stage).
+    """
+    if not cuts or list(cuts) != sorted(cuts):
+        raise ValueError("cuts must be non-empty ascending fractions")
+    aggs = [
+        F.expr(
+            f"round(percentile({score_col}, {c!r}d), 6)"
+        ).alias(f"__c{i}__")
+        for i, c in enumerate(cuts)
+    ]
+    cutrow = df.agg(*aggs)
+    expr = "CASE "
+    for i in range(len(cuts)):
+        expr += f"WHEN {score_col} <= __c{i}__ THEN {i + 1} "
+    expr += (
+        f"WHEN {score_col} IS NOT NULL THEN {len(cuts) + 1} "
+        "ELSE NULL END"
+    )
+    return (
+        df.crossJoin(F.broadcast(cutrow))
+        .withColumn(out_col, F.expr(expr).cast("int"))
+        .drop(*[f"__c{i}__" for i in range(len(cuts))])
+    )

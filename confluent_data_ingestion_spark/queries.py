@@ -4310,6 +4310,35 @@ def bpe_segment_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Curriculum staging by exact score quantiles (broadcast cutpoints, no
+# global window) — easy-to-hard corpus ordering for curriculum training.
+# ---------------------------------------------------------------------------
+@query(
+    "curriculum_stages",
+    """
+    WITH c AS (
+      SELECT round(quantile_cont(n_chars, 0.25), 6) AS c0,
+             round(quantile_cont(n_chars, 0.5), 6)  AS c1,
+             round(quantile_cont(n_chars, 0.75), 6) AS c2
+      FROM documents
+    )
+    SELECT d.doc_id, d.n_chars,
+           CAST(CASE WHEN d.n_chars <= c.c0 THEN 1
+                     WHEN d.n_chars <= c.c1 THEN 2
+                     WHEN d.n_chars <= c.c2 THEN 3
+                     WHEN d.n_chars IS NOT NULL THEN 4
+                     ELSE NULL END AS INT) AS stage
+    FROM documents d, c
+    """,
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import curriculum_plan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return curriculum_plan(docs, "n_chars")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
 # externally-recorded oracle row.  Priority: the 9 headline pipeline stages
@@ -4346,7 +4375,7 @@ _PRIORITY_ORDER = [
     "ship_latency_distribution", "gopher_quality_gate",
     "scd2_incremental_apply", "scd2_asof_enrich", "similarity_pq_topk",
     "similarity_pq_rerank", "similarity_ivfpq_topk",
-    "bpe_train_merges", "bpe_segment_tokens",
+    "bpe_train_merges", "bpe_segment_tokens", "curriculum_stages",
 ]
 
 

@@ -313,3 +313,62 @@ class TestScd2ApplyBatch:
         rows = {r.user_id: r for r in out.collect()}
         assert rows[2].attr == "x" and rows[2].is_current
         assert rows[1].attr == "n" and rows[1].is_current
+
+
+class TestCurriculum:
+    def test_stage_assignment_and_balance(self, spark):
+        from confluent_data_ingestion_spark.operators.sampling import (
+            curriculum_plan,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("score")
+        )
+        out = curriculum_plan(df, "score")
+        sizes = {r.stage: r["count"] for r in
+                 out.groupBy("stage").count().collect()}
+        # distinct uniform scores -> near-quartile stages
+        assert set(sizes) == {1, 2, 3, 4}
+        assert all(20 <= v <= 30 for v in sizes.values())
+        # monotone: every stage-1 score below every stage-4 score
+        s1 = out.filter("stage = 1").agg(F.max("score")).collect()[0][0]
+        s4 = out.filter("stage = 4").agg(F.min("score")).collect()[0][0]
+        assert s1 < s4
+
+    def test_null_scores_get_null_stage(self, spark):
+        from confluent_data_ingestion_spark.operators.sampling import (
+            curriculum_plan,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 20.0), (4, 30.0), (5, 40.0)],
+            "doc_id bigint, score double",
+        )
+        rows = {r.doc_id: r.stage for r in
+                curriculum_plan(df, "score").collect()}
+        assert rows[2] is None
+        assert all(v is not None for k, v in rows.items() if k != 2)
+
+    def test_no_global_window_in_plan(self, spark):
+        from confluent_data_ingestion_spark.operators.sampling import (
+            curriculum_plan,
+        )
+
+        df = spark.range(10).select(F.col("id").alias("score"))
+        plan = (
+            curriculum_plan(df, "score")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+
+    def test_cuts_validation(self, spark):
+        from confluent_data_ingestion_spark.operators.sampling import (
+            curriculum_plan,
+        )
+
+        df = spark.range(5).select(F.col("id").alias("score"))
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            curriculum_plan(df, "score", cuts=())
+        with _pt.raises(ValueError):
+            curriculum_plan(df, "score", cuts=(0.5, 0.25))
