@@ -27,6 +27,7 @@ NESTED_LOOP_ALLOWED = {
     "bigram_logprob_vocab",       # 1-row totals broadcast (vocab-floored variant)
     "collocation_pmi",            # 1-row totals broadcast
     "corpus_mix_report",          # 1-row grand-total broadcast
+    "curriculum_stages",          # 1-row quantile-cutpoint broadcast
     "dedup_embedding_cosine",     # broadcast grid-parameter row
     "semantic_dedup",             # broadcast centroid scoring
     "knn_classify_labels",        # votes over the brute-force baseline
