@@ -170,21 +170,27 @@ def profile_columns(
     """
     cols = cols or df.columns
     distinct = (
-        (lambda c: F.approx_count_distinct(c)) if approx
-        else (lambda c: F.countDistinct(c))
+        F.approx_count_distinct if approx else F.countDistinct
     )
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n__")]
-    for c in cols:
+    # helper aliases are INDEX-based, so arbitrary column names (quotes,
+    # backticks) never leak into generated identifiers; the display name
+    # appears only as an escaped string literal in the stack() below
+    # F.col() PARSES its argument (dots, backticks); quote the raw name so
+    # any column name resolves as a single identifier
+    ident = lambda c: F.col("`" + c.replace("`", "``") + "`")  # noqa: E731
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}__"),
-            distinct(F.col(c)).alias(f"__nd_{c}__"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}__"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}__"),
+            F.sum(ident(c).isNull().cast("bigint")).alias(f"__nulls_{i}__"),
+            distinct(ident(c)).alias(f"__nd_{i}__"),
+            F.min(ident(c)).cast("string").alias(f"__min_{i}__"),
+            F.max(ident(c)).cast("string").alias(f"__max_{i}__"),
         ]
     wide = df.agg(*aggs)
+    lit = lambda c: "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"  # noqa: E731
     stack_args = ", ".join(
-        f"'{c}', `__nulls_{c}__`, `__nd_{c}__`, `__min_{c}__`, `__max_{c}__`"
-        for c in cols
+        f"{lit(c)}, __nulls_{i}__, __nd_{i}__, __min_{i}__, __max_{i}__"
+        for i, c in enumerate(cols)
     )
     return wide.select(
         F.expr(

@@ -372,3 +372,16 @@ class TestCurriculum:
             curriculum_plan(df, "score", cuts=())
         with _pt.raises(ValueError):
             curriculum_plan(df, "score", cuts=(0.5, 0.25))
+
+
+def test_profile_handles_hostile_column_names(spark):
+    from confluent_data_ingestion_spark.operators.evolve import (
+        profile_columns,
+    )
+
+    df = spark.range(3).select(
+        F.col("id").alias("odd'na`me"), F.col("id").alias("b")
+    )
+    rows = {r.column: r for r in profile_columns(df).collect()}
+    assert set(rows) == {"odd'na`me", "b"}
+    assert rows["odd'na`me"].n_distinct == 3
