@@ -551,6 +551,8 @@ def pq_train_codebooks(
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
+    if refine_iters < 0:
+        raise ValueError(f"refine_iters must be >= 0, got {refine_iters}")
     d = dim // m
     cents = (
         _subspaces(init_centroids, cent_id_col, vec_col, m, d)
@@ -790,6 +792,8 @@ def ivfpq_topk(
     partitions instead of filtering a scan; the ADC sum and top-k are
     unchanged from :func:`pq_topk`.
     """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     d = dim // m
     # nprobe nearest coarse buckets per query: Q x K_coarse scored rows,
     # ranked by the same rounded-l2/tiebreak rule as every assignment here

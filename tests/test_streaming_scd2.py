@@ -236,3 +236,22 @@ def test_stateful_anomaly_across_microbatches(spark, tmp_path):
     want = _anomaly_reference(events)
     assert got == want
     assert len(got) == 1 and got[0][0] == 1 and got[0][2] == 100.0
+
+
+def test_log_mode_replay_after_crash_between_write_and_marker(spark, tmp_path):
+    """log mode appends events before the marker; a crash in between makes
+    the retry append the SAME events again — duplicates collapse in the
+    change detection, so the derived history is unchanged (effective
+    idempotency without a transactional log)."""
+    from confluent_data_ingestion_spark.streaming.scd2 import Scd2Store
+
+    store = Scd2Store(str(tmp_path / "lg"), ["user_id"], "ts", ["attr"],
+                      mode="log")
+    for i, rows in enumerate(ROWS):
+        store.apply(_batch(spark, rows), batch_id=i)
+    # simulate the crash aftermath: batch 1's events landed twice
+    _batch(spark, ROWS[1]).write.mode("append").parquet(
+        str(tmp_path / "lg" / "log")
+    )
+    assert sorted(map(_hkey, store.history(spark).collect())) == \
+        _expected(spark)
