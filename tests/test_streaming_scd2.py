@@ -255,3 +255,77 @@ def test_log_mode_replay_after_crash_between_write_and_marker(spark, tmp_path):
     )
     assert sorted(map(_hkey, store.history(spark).collect())) == \
         _expected(spark)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join: equals the batch twin at quiescence
+# ---------------------------------------------------------------------------
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from confluent_data_ingestion_spark.operators.temporal import (
+        interval_join,
+    )
+    from confluent_data_ingestion_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    views = [  # (user, ts, page)
+        (1, "2026-01-01T00:00:00", "a"), (1, "2026-01-01T00:10:00", "b"),
+        (2, "2026-01-01T00:05:00", "c"), (3, "2026-01-01T00:20:00", "d"),
+    ]
+    buys = [   # (user, ts, amount)
+        (1, "2026-01-01T00:04:00", 10.0),   # within 30min of view a
+        (1, "2026-01-01T00:35:00", 20.0),   # within 30min of view b only
+        (2, "2026-01-01T00:05:00", 30.0),   # equal ts -> excluded (>, not >=)
+        (3, "2026-01-01T01:20:00", 40.0),   # 60min after view d -> outside
+    ]
+    vsrc, bsrc = str(tmp_path / "v"), str(tmp_path / "b")
+    os.makedirs(vsrc); os.makedirs(bsrc)
+    with open(f"{vsrc}/v.ndjson", "w") as f:
+        f.writelines(json.dumps({"user_id": u, "vts": t, "page": p}) + "\n"
+                     for u, t, p in views)
+    with open(f"{bsrc}/b.ndjson", "w") as f:
+        f.writelines(json.dumps({"user_id": u, "bts": t, "amount": a}) + "\n"
+                     for u, t, a in buys)
+
+    def v_frame(reader):
+        return reader.schema("user_id bigint, vts string, page string").json(
+            vsrc
+        ).select("user_id", F.col("vts").cast("timestamp").alias("vts"),
+                 "page")
+
+    def b_frame(reader):
+        return reader.schema(
+            "user_id bigint, bts string, amount double"
+        ).json(bsrc).select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("bts").cast("timestamp").alias("bts"), "amount",
+        )
+
+    joined = stream_interval_join(
+        v_frame(spark.readStream), b_frame(spark.readStream),
+        left_on="user_id", right_on="buyer_id",
+        left_time="vts", right_time="bts",
+        lower_seconds=0, upper_seconds=1800,
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.page, r.amount_r)
+        for r in spark.sql("select * from ssj").collect()
+    )
+    want = sorted(
+        (r.user_id, r.page, r.amount_r)
+        for r in interval_join(
+            v_frame(spark.read), b_frame(spark.read),
+            left_on="user_id", right_on="buyer_id",
+            left_time="vts", right_time="bts",
+            lower_seconds=0, upper_seconds=1800,
+        ).collect()
+    )
+    assert got == want
+    assert got == [(1, "a", 10.0), (1, "b", 20.0)]
