@@ -66,3 +66,75 @@ def colocated_join(
         piece = lt[lc] == rt[rc]
         cond = piece if cond is None else (cond & piece)
     return lt.join(rt, cond, how)
+
+
+def morton_code(
+    cols: list[str],
+    mins: list[str],
+    maxs: list[str],
+    bits: int = 16,
+) -> str:
+    """SQL expression interleaving ``bits`` quantized bits of each column
+    into one Z-order (Morton) key.  ``mins``/``maxs`` name broadcast
+    min/max columns used to scale each value into [0, 2^bits).  Pure
+    integer bit ops — bit-identical in any engine with shifts."""
+    n = len(cols)
+    quant = [
+        # constant columns (hi == lo) quantize to 0, not NULL
+        f"CAST(least({(1 << bits) - 1}, floor(coalesce("
+        f"(CAST({c} AS DOUBLE) - {lo}) / nullif({hi} - {lo}, 0), 0)"
+        f" * {1 << bits})) AS BIGINT)"
+        for c, lo, hi in zip(cols, mins, maxs)
+    ]
+    parts = []
+    for b in range(bits):
+        for i, q in enumerate(quant):
+            # bit b of column i lands at interleaved position b*n + i
+            parts.append(
+                f"(shiftleft((shiftright({q}, {b}) & 1), {b * n + i}))"
+            )
+    return "(" + " + ".join(parts) + ")"
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    out_col: str = "zorder_key",
+) -> DataFrame:
+    """Attach a Z-order key over ``cols``: each column min-max-quantized
+    to ``bits`` bits (bounds from ONE broadcast aggregate row), bits
+    interleaved.  Sorting/range-partitioning files by this key makes the
+    per-file min/max statistics tight on EVERY participating column at
+    once — the multi-dimensional data-skipping layout (Delta/Iceberg's
+    OPTIMIZE ZORDER) a single-column sort cannot give: linear sort makes
+    one column's ranges tight and leaves the others spanning the domain.
+
+    Write path: ``df.repartitionByRange(n, F.col(out_col))
+    .sortWithinPartitions(out_col).write...`` — the range exchange is the
+    one shuffle, and every parquet file then covers a small hyper-rectangle
+    of the key space (quantified by tests/test_bucketing.py's range-
+    product comparison vs a linear sort).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__lo{i}__"),
+            F.max(F.col(c).cast("double")).alias(f"__hi{i}__"),
+        ]
+    bounds = df.agg(*aggs)
+    expr = morton_code(
+        cols,
+        [f"__lo{i}__" for i in range(len(cols))],
+        [f"__hi{i}__" for i in range(len(cols))],
+        bits,
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, F.expr(expr))
+        .drop(*[f"__lo{i}__" for i in range(len(cols))],
+              *[f"__hi{i}__" for i in range(len(cols))])
+    )

@@ -89,3 +89,70 @@ def test_bucket_pruning_reaches_scan(spark, bucketed_pair):
     plan = q._jdf.queryExecution().executedPlan().toString()
     # FileSourceScan advertises the selected bucket subset
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: per-file ranges tight on BOTH columns at once
+# ---------------------------------------------------------------------------
+def test_zorder_beats_linear_sort_for_multidim_skipping(spark):
+    from confluent_data_ingestion_spark.operators.bucketing import zorder_by
+
+    # a 64x64 grid: x and y are independent — a linear sort on x leaves y
+    # spanning the whole domain inside every file
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("int").alias("y")
+    )
+    n_files = 16
+
+    def avg_files_hit(df, order_col, probe_col):
+        """Avg number of files whose [min,max] stats admit a point query
+        on probe_col — what min/max data skipping actually prunes by."""
+        parts = (
+            df.repartitionByRange(n_files, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .withColumn("__f__", F.spark_partition_id())
+            .groupBy("__f__")
+            .agg(F.min(probe_col).alias("lo"), F.max(probe_col).alias("hi"))
+        )
+        probes = df.select(probe_col).distinct()
+        hits = probes.crossJoin(parts).filter(
+            (F.col(probe_col) >= F.col("lo"))
+            & (F.col(probe_col) <= F.col("hi"))
+        ).groupBy(probe_col).count()
+        return hits.agg(F.avg("count")).collect()[0][0]
+
+    z = zorder_by(grid, ["x", "y"], bits=6)
+    zx = avg_files_hit(z, "zorder_key", "x")
+    zy = avg_files_hit(z, "zorder_key", "y")
+    lin = grid.withColumn("k", F.col("x"))
+    lx = avg_files_hit(lin, "k", "x")
+    ly = avg_files_hit(lin, "k", "y")
+    # linear sort on x: perfect pruning on x (1 file) but NO pruning on y
+    # (every file spans the y domain).  Z-order prunes BOTH dimensions:
+    # the worst dimension improves ~4x (16 files -> ~4 tile columns).
+    assert ly >= n_files * 0.9           # control: linear can't skip on y
+    assert max(zx, zy) < max(lx, ly) / 2, (zx, zy, lx, ly)
+
+
+def test_zorder_key_deterministic_and_complete(spark):
+    from confluent_data_ingestion_spark.operators.bucketing import zorder_by
+
+    df = spark.range(100).select(
+        F.col("id").alias("x"), (99 - F.col("id")).alias("y")
+    )
+    out = zorder_by(df, ["x", "y"], bits=4)
+    rows = out.collect()
+    assert all(r.zorder_key is not None for r in rows)
+    # re-derivation matches (pure function of data)
+    again = {(r.x, r.y): r.zorder_key for r in
+             zorder_by(df, ["x", "y"], bits=4).collect()}
+    for r in rows:
+        assert again[(r.x, r.y)] == r.zorder_key
+
+
+def test_zorder_constant_column_is_zero_not_null(spark):
+    from confluent_data_ingestion_spark.operators.bucketing import zorder_by
+
+    df = spark.range(10).select(F.col("id").alias("x"), F.lit(7).alias("y"))
+    rows = zorder_by(df, ["x", "y"], bits=4).collect()
+    assert all(r.zorder_key is not None for r in rows)

@@ -28,6 +28,7 @@ NESTED_LOOP_ALLOWED = {
     "collocation_pmi",            # 1-row totals broadcast
     "corpus_mix_report",          # 1-row grand-total broadcast
     "curriculum_stages",          # 1-row quantile-cutpoint broadcast
+    "zorder_layout_key",          # 1-row min/max-bounds broadcast
     "dedup_embedding_cosine",     # broadcast grid-parameter row
     "semantic_dedup",             # broadcast centroid scoring
     "knn_classify_labels",        # votes over the brute-force baseline
