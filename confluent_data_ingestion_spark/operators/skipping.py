@@ -1,0 +1,107 @@
+"""File-level min/max data-skipping: a stats index over a parquet layout
+plus a scan planner that prunes files a range predicate cannot touch.
+
+This is the READ path that the Z-order layout (`bucketing.zorder_by`)
+exists to serve, and the same mechanism Delta/Iceberg ship as per-file
+column statistics: at 100 TB a table is tens of thousands of files, and
+a selective range query should open only the files whose [min, max]
+envelope intersects the predicate — everything else is skipped at
+PLANNING time, before any row is read.  Spark's parquet reader already
+skips row groups via footer stats, but it still lists, opens, and
+footer-reads every file; the file-level index removes even that, and is
+the piece that makes Z-order clustering pay off (after `zorder_by`,
+every file covers a small hyper-rectangle, so the envelopes are tight
+on all clustered columns at once).
+
+The index is one row per file (metadata-scale: thousands of rows for a
+100 TB table) built with a single aggregation over `_metadata.file_path`
+— persist it next to the table and rebuild incrementally on append.
+Pruning is ONE-SIDED, like the sketches in `operators/sketch.py`: a file
+is dropped only when its stats PROVE no row can match (NULL stats keep
+the file), and the exact predicate still runs over the survivors, so the
+result is bit-identical to the full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# predicate: col -> (lo, hi), either bound None for open-ended; both
+# bounds inclusive, mirroring SQL BETWEEN.
+Ranges = dict[str, tuple[float | None, float | None]]
+
+
+def collect_file_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """One row per parquet file under ``path``: row count plus min/max of
+    each stats column.  A single hash aggregation keyed on the hidden
+    ``_metadata.file_path`` column — output cardinality is the file
+    count, so the shuffle is metadata-sized no matter how big the table.
+    """
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file"), *cols
+    )
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy("file").agg(*aggs)
+
+
+def prune_files(stats: DataFrame, ranges: Ranges) -> tuple[list[str], int]:
+    """Files whose stats envelopes intersect every range in ``ranges``,
+    plus the total file count (for skip-ratio reporting).
+
+    A file is eliminated only when provably disjoint: ``max < lo`` or
+    ``min > hi`` with non-NULL stats.  NULL stats (all-NULL column in
+    that file, or a column the index was not built over) keep the file —
+    pruning must never manufacture a false negative.  The collect is
+    metadata-sized (one row per file).
+    """
+    keep = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
+        if lo is not None:
+            keep = keep & (mx.isNull() | (mx >= F.lit(lo)))
+        if hi is not None:
+            keep = keep & (mn.isNull() | (mn <= F.lit(hi)))
+    total = stats.count()
+    kept = [r["file"] for r in stats.filter(keep).select("file").collect()]
+    return kept, total
+
+
+def skip_scan(
+    spark: SparkSession,
+    path: str,
+    ranges: Ranges,
+    stats: DataFrame | None = None,
+    stats_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact range scan over a parquet layout, reading only files the
+    stats index cannot rule out.  ``stats`` is a previously persisted
+    :func:`collect_file_stats` frame; omit it to build one on the fly
+    (one extra metadata-sized aggregation — fine interactively, but a
+    steady-state pipeline should persist the index).  The exact
+    predicate is re-applied over the surviving files, so the result is
+    bit-identical to ``spark.read.parquet(path).filter(...)``.
+    """
+    if stats is None:
+        stats = collect_file_stats(
+            spark, path, stats_cols or list(ranges.keys())
+        )
+    kept, _total = prune_files(stats, ranges)
+
+    def exact(df: DataFrame) -> DataFrame:
+        out = df
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                out = out.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(F.col(c) <= F.lit(hi))
+        return out
+
+    if not kept:
+        schema = spark.read.parquet(path).schema
+        return spark.createDataFrame([], schema)
+    return exact(spark.read.parquet(*kept))

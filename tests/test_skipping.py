@@ -1,0 +1,92 @@
+"""File-level data skipping: exactness vs the full scan, one-sidedness
+(NULL stats / no provable exclusion keep the file), real pruning on a
+Z-ordered layout, and the empty-survivor edge."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_data_ingestion_spark.operators.bucketing import zorder_by
+from confluent_data_ingestion_spark.operators.skipping import (
+    collect_file_stats,
+    prune_files,
+    skip_scan,
+)
+
+
+@pytest.fixture(scope="module")
+def zordered_events(spark, sf_dir, tmp_path_factory):
+    """Events written Z-ordered on (user_id, value) into many small files
+    so per-file envelopes are tight on both columns."""
+    out = str(tmp_path_factory.mktemp("skip") / "events_z")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    z = zorder_by(ev, ["user_id", "value"], bits=12)
+    (
+        z.repartitionByRange(16, F.col("zorder_key"))
+        .sortWithinPartitions("zorder_key")
+        .drop("zorder_key")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_skip_scan_matches_full_scan(spark, zordered_events):
+    ranges = {"user_id": (100.0, 300.0), "value": (0.0, 50.0)}
+    got = skip_scan(spark, zordered_events, ranges)
+    full = (
+        spark.read.parquet(zordered_events)
+        .filter(F.col("user_id").between(100.0, 300.0))
+        .filter(F.col("value").between(0.0, 50.0))
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["event_id"], r["user_id"]) for r in df.select("event_id", "user_id").collect()
+    )
+    assert key(got) == key(full)
+    assert got.count() > 0  # non-degenerate fixture
+
+
+def test_skip_scan_actually_prunes_zordered_layout(spark, zordered_events):
+    """On a Z-ordered layout a small hyper-rectangle must hit a strict
+    subset of files — otherwise the index is dead weight."""
+    stats = collect_file_stats(spark, zordered_events, ["user_id", "value"])
+    kept, total = prune_files(stats, {"user_id": (100.0, 300.0), "value": (0.0, 50.0)})
+    assert total >= 8  # the fixture really produced many files
+    assert 0 < len(kept) < total
+
+
+def test_prune_keeps_file_with_null_stats(spark, tmp_path):
+    """A file whose stats column is all NULL cannot be ruled out: min/max
+    are NULL, and the one-sided contract says keep it."""
+    out = str(tmp_path / "nulls")
+    spark.createDataFrame([(None,), (None,)], "v DOUBLE").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+    stats = collect_file_stats(spark, out, ["v"])
+    kept, total = prune_files(stats, {"v": (10.0, 20.0)})
+    assert total == 1 and len(kept) == 1
+
+
+def test_skip_scan_no_surviving_files(spark, zordered_events):
+    got = skip_scan(spark, zordered_events, {"user_id": (-50.0, -10.0)})
+    assert got.count() == 0
+    assert "event_id" in got.columns  # schema preserved
+
+
+def test_open_ended_ranges(spark, zordered_events):
+    hi = skip_scan(spark, zordered_events, {"value": (None, 10.0)})
+    full = spark.read.parquet(zordered_events).filter(F.col("value") <= 10.0)
+    assert hi.count() == full.count()
+
+
+def test_stats_index_is_metadata_sized(spark, zordered_events):
+    stats = collect_file_stats(spark, zordered_events, ["user_id"])
+    n_files = len(
+        [f for f in os.listdir(zordered_events) if f.endswith(".parquet")]
+    )
+    assert stats.count() == n_files
