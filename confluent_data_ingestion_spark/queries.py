@@ -4382,6 +4382,890 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch-accelerated operators (operators/sketch.py): Bloom-pruned semi-join,
+# count-min heavy-hitter pruning, two-level exact distinct.  Each sketch is
+# one-sided (no false negatives) and followed by an exact step, so results
+# are bit-identical to the naive plan — only the 100 TB shuffle volume
+# changes.  Oracles are the plain exact formulations.
+# ---------------------------------------------------------------------------
+@query(
+    "bloom_semijoin_revenue",
+    """
+    SELECT l.l_returnflag,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey
+        AND o.o_orderpriority = '1-URGENT'
+        AND o.o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+    )
+    GROUP BY l.l_returnflag
+    """,
+)
+def bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to recent urgent orders, with the
+    fact side Bloom-pruned map-side before the exact semi-join — the rows
+    that cannot match never enter a shuffle or broadcast probe."""
+    from .operators.sketch import bloom_semijoin
+
+    li, od = _t(spark, sf_dir, "lineitem", "orders")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    build = od.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2001-06-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey")
+    kept = bloom_semijoin(
+        li.select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"),
+        build,
+        "l_orderkey",
+        "o_orderkey",
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+        .cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "heavy_hitter_parts",
+    """
+    SELECT l_partkey, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 0.0007e0 * (SELECT COUNT(*) FROM lineitem)
+    """,
+)
+def heavy_hitter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-selling parts above a relative frequency floor, found by
+    count-min candidate pruning: three map-side broadcast bucket-count
+    joins drop cold keys in place, and only candidate-heavy rows shuffle
+    into the exact count."""
+    from .operators.sketch import cms_heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cms_heavy_hitters(li, "l_partkey", threshold_frac=0.0007)
+
+
+@query(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS event_day,
+           COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily active users per event type via two-level re-aggregation
+    — the first shuffle spreads on (group, user) so a hot group cannot
+    OOM one reducer, the second carries one row per distinct pair."""
+    from .operators.sketch import distinct_exact_two_level
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("event_day", F.col("ts").cast("date"))
+    return distinct_exact_two_level(
+        ev, ["event_type", "event_day"], "user_id", out_col="n_distinct"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics pack II: the remaining TPC-H-shaped SQL surface expressible over
+# the driver tables — nation-pair volume (Q7), market share via CASE-ratio
+# aggregation (Q8), promo ratio (Q14), scalar-subquery max (Q15), correlated
+# per-key average (Q17), HAVING + semi-join (Q18), scalar-average +
+# NOT-EXISTS anti-join (Q22).  All money math accumulates in DECIMAL and
+# casts to DOUBLE at the end so both engines agree bitwise; ratios divide
+# the two already-identical doubles.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_pair_trade",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      EXTRACT(year FROM l.l_shipdate) AS ship_year,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume,
+      COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, od, cu, su, na = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    pair = na.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    # both dimension probes broadcast; the pair predicate is applied after
+    # both nations are attached, but each side is pre-filtered to the two
+    # nations so the fact rows that survive the first broadcast join are
+    # already a tiny slice of lineitem
+    supp = su.join(
+        F.broadcast(pair), su.s_nationkey == pair.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = cu.join(
+        F.broadcast(pair), cu.c_nationkey == pair.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li_f = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "supp_nation"
+    )
+    od_c = od.join(cust, od.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    return (
+        li_f.join(od_c, li_f.l_orderkey == od_c.o_orderkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+            .cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "market_share_yearly",
+    """
+    SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+      CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+               THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume,
+      CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+               THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'AMERICA'
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year
+    """,
+)
+def market_share_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a supplier nation's share of regional market volume
+    per year, as one CASE-conditional aggregation over a star join whose
+    dimension probes all broadcast."""
+    li, od, cu, su, na, re, pa = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+        "nation", "region", "part",
+    )
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    econ = pa.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp_nat = su.join(
+        F.broadcast(na.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        su.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    america_cust = cu.join(
+        F.broadcast(
+            na.join(
+                F.broadcast(re.filter(F.col("r_name") == "AMERICA")),
+                na.n_regionkey == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        cu.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    od_f = (
+        od.filter(
+            (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        )
+        .join(america_cust, od.o_custkey == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
+    vol = d2("l_extendedprice") * (F.lit(1) - d2("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    fact = (
+        li.join(F.broadcast(econ), li.l_partkey == econ.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(od_f, li.l_orderkey == od_f.o_orderkey)
+        .select("o_year", "supp_nation",
+                vol.alias("vol"))
+    )
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(zero)
+    ).cast("double")
+    total_vol = F.sum(F.col("vol")).cast("double")
+    return fact.groupBy("o_year").agg(
+        nation_vol.alias("nation_volume"),
+        total_vol.alias("total_volume"),
+        (nation_vol / total_vol).alias("mkt_share"),
+    )
+
+
+@query(
+    "promo_revenue_monthly",
+    """
+    SELECT DATE_TRUNC('month', l.l_shipdate) AS ship_month,
+      CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ship_month
+    """,
+)
+def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share by ship month; the part
+    dimension broadcasts, the date filter prunes the scan."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    vol = d2("l_extendedprice") * (F.lit(1) - d2("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    fact = (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        )
+        .join(F.broadcast(pa.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.trunc("l_shipdate", "month").alias("ship_month"),
+                "p_type", vol.alias("vol"))
+    )
+    return fact.groupBy("ship_month").agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("vol")).otherwise(zero))
+        .cast("double").alias("promo_revenue"),
+        F.sum("vol").cast("double").alias("total_revenue"),
+    )
+
+
+@query(
+    "top_supplier_by_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the quarter's maximum
+    revenue.  The scalar MAX subquery becomes a 1-row aggregate joined on
+    a constant key (BroadcastHashJoin, not a window over everything —
+    no single-partition sort of the whole revenue table)."""
+    li, su = _t(spark, sf_dir, "lineitem", "supplier")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+            .cast("double").alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("__max_rev")).withColumn(
+        "__k", F.lit(1)
+    )
+    winners = (
+        rev.withColumn("__k", F.lit(1))
+        .join(F.broadcast(mx), "__k")
+        .filter(F.col("total_rev") == F.col("__max_rev"))
+        .select("l_suppkey", "total_rev")
+    )
+    return su.join(
+        F.broadcast(winners), su.s_suppkey == winners.l_suppkey
+    ).select("s_suppkey", "s_name", "total_rev")
+
+
+@query(
+    "small_qty_revenue_share",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0e0
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+        SELECT 0.2e0 * (SUM(l2.l_quantity) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def small_qty_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity orders of one
+    brand.  The correlated per-part average decorrelates into a per-part
+    aggregate over only the brand's parts (semi-join prune FIRST, so the
+    100 TB aggregation input shrinks to the brand slice), broadcast back
+    onto the fact rows.  l_quantity is integral so its double sum is
+    order-independent."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    brand_parts = pa.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li_b = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"), "left_semi"
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = li_b.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("__avg_qty")
+    )
+    kept = li_b.join(
+        F.broadcast(per_part), li_b.l_partkey == F.col("__pk")
+    ).filter(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_qty"))
+    return kept.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+         / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "large_order_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250e0
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders.  The HAVING
+    subquery aggregates lineitem once; the qualifying (tiny) key set
+    broadcasts into semi-joins on both fact tables so neither re-shuffles
+    on a speculative join."""
+    li, od, cu = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    od_f = od.join(
+        F.broadcast(big), od.o_orderkey == big.l_orderkey
+    ).select("o_orderkey", "o_custkey", "o_orderdate",
+             F.col("o_totalprice").cast("double").alias("o_totalprice"),
+             "total_qty")
+    return od_f.join(cu, od_f.o_custkey == cu.c_custkey).select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "total_qty",
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """
+    WITH stats AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0e0
+    )
+    SELECT n.n_name AS nation, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN stats
+    WHERE c.c_acctbal > stats.s / stats.n
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY n.n_name
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, by nation.  The scalar average is a 1-row constant-key
+    BroadcastHashJoin (sum/count in DECIMAL, divided as identical
+    doubles on both engines); recency is an anti-join against the
+    date-pruned orders scan."""
+    cu, od, na = _t(spark, sf_dir, "customer", "orders", "nation")
+    stats = (
+        cu.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn("__k", F.lit(1))
+    )
+    recent = od.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_custkey")
+    rich = (
+        cu.withColumn("__k", F.lit(1))
+        .join(F.broadcast(stats), "__k")
+        .filter(F.col("c_acctbal") > F.col("__s") / F.col("__n"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.join(
+            F.broadcast(na.select("n_nationkey", F.col("n_name").alias("nation"))),
+            idle.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics pack III: the remaining classic decision-support join/subquery
+# shapes (TPC-H Q11/Q13/Q16/Q19/Q20/Q21), re-parameterized onto the driver
+# tables (no partsupp table exists, so lineitem serves as the supplier-part
+# fact where the original uses partsupp).  These exercise the Catalyst
+# patterns the earlier packs did not: group-vs-global HAVING with a scalar
+# broadcast (Q11), outer-join count distribution (Q13), NOT-IN rewritten as
+# a broadcast anti-join under a two-level exact distinct (Q16), disjunctive
+# mixed-side predicate pushdown (Q19), nested semi-joins over a HAVING
+# subquery (Q20), and the EXISTS + NOT-EXISTS self-join (Q21) collapsed
+# into one order-level aggregate instead of two extra fact shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "important_parts_value",
+    """
+    WITH nat_li AS (
+      SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_5'
+    ),
+    per_part AS (
+      SELECT l_partkey, SUM(v) AS vd FROM nat_li GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(vd) AS td FROM per_part)
+    SELECT p.l_partkey AS partkey, CAST(p.vd AS DOUBLE) AS part_value
+    FROM per_part p CROSS JOIN tot
+    WHERE CAST(p.vd AS DOUBLE) > CAST(tot.td AS DOUBLE) * 0.001e0
+    """,
+)
+def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from one nation's
+    suppliers exceeds a fraction of that nation's total shipped value.
+    The global total is a second-level aggregate of the (already tiny)
+    per-part frame, attached as a 1-row broadcast on a constant key; the
+    fraction test compares two DOUBLEs derived from exact DECIMAL sums so
+    both engines agree bitwise.  Reference shape:
+    scripts/flinksql_from_sttm_v4_5.py emits no subquery HAVING — this is
+    an extension operator."""
+    li, su, na = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat_supp = su.join(
+        F.broadcast(na.filter(F.col("n_name") == "NATION_5")),
+        su.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__vd"))
+    )
+    per_part = track(per_part.persist())
+    tot = per_part.agg(F.sum("__vd").alias("__td")).withColumn("__k", F.lit(1))
+    return (
+        per_part.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .filter(
+            F.col("__vd").cast("double") > F.col("__td").cast("double") * F.lit(0.001)
+        )
+        .select("partkey", F.col("__vd").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "cust_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, with the
+    join predicate (not a post-filter) excluding one priority class so
+    customers whose only orders are excluded still land in the zero
+    bucket.  Both aggregations are exact integer counts; the second input
+    is one row per customer, so the distribution agg is trivially
+    bounded."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    od_f = od.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cu.select("c_custkey")
+        .join(od_f, cu.c_custkey == od_f.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "part_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute group,
+    excluding a complained-about supplier list.  NOT IN becomes a
+    broadcast anti-join (s_suppkey is never NULL, so the semantics
+    coincide), the part dimension probe broadcasts, and the distinct
+    count runs as the two-level exact aggregation from
+    :mod:`operators.sketch` so no reducer ever holds a whole group's
+    supplier set."""
+    from .operators.sketch import distinct_exact_two_level
+
+    li, pa, su = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = su.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pa_f = pa.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    fact = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(pa_f), F.col("l_partkey") == pa_f.p_partkey)
+    )
+    return distinct_exact_two_level(
+        fact, ["p_brand", "p_type", "p_size"], "l_suppkey", out_col="supplier_cnt"
+    )
+
+
+@query(
+    "discounted_revenue_disjunctive",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def discounted_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction whose arms mix
+    build-side (brand, size) and probe-side (quantity) conjuncts.  The
+    part-only envelope of the disjunction is applied to the build side
+    BEFORE the broadcast join (Catalyst cannot always derive it from a
+    mixed OR), so only candidate parts ship with the broadcast; the full
+    mixed predicate then runs post-join inside codegen."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    part_env = pa.filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 40))
+    ).select("p_partkey", "p_brand", "p_size")
+    arm = lambda b, s0, s1, q0, q1: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1)
+    )
+    return (
+        li.join(F.broadcast(part_env), li.l_partkey == F.col("p_partkey"))
+        .filter(
+            arm("Brand#1", 1, 10, 1, 20)
+            | arm("Brand#2", 5, 20, 10, 30)
+            | arm("Brand#3", 10, 40, 20, 50)
+        )
+        .agg(
+            F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "excess_shipped_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_2'
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 40
+    )
+    """,
+)
+def excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of one nation who shipped a large
+    quantity of promo parts in one year — nested semi-joins over a
+    HAVING subquery.  Shape: broadcast-semi part filter prunes the
+    date-pruned lineitem scan, a (supp, part) decimal-sum agg applies the
+    HAVING, and the surviving supplier keys semi-join the supplier dim
+    with the nation probe broadcast."""
+    li, su, na, pa = _t(spark, sf_dir, "lineitem", "supplier", "nation", "part")
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    promo = pa.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        )
+        .join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 40)
+        .select("l_suppkey")
+    )
+    nat = na.filter(F.col("n_name") == "NATION_2").select("n_nationkey")
+    return (
+        su.join(F.broadcast(nat), su.s_nationkey == nat.n_nationkey, "left_semi")
+        .join(heavy, su.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "waiting_orders_blame",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_1'
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for late lines on
+    multi-supplier finished orders.  The EXISTS + NOT-EXISTS pair over
+    the fact table is collapsed into ONE order-level aggregate
+    (distinct suppliers, distinct LATE suppliers) joined back to the
+    late rows — two fact shuffles on the same key instead of the four
+    the literal subquery plan would take, with identical semantics:
+    EXISTS(other supplier) == n_supp >= 2, and NOT EXISTS(other late
+    supplier) for a row already known late == n_late_supp == 1."""
+    li, od, su, na = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    ord_f = od.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li_o = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        ord_f, F.col("l_orderkey") == ord_f.o_orderkey
+    ).withColumn(
+        "__late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    li_o = track(li_o.persist())
+    order_stats = li_o.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late_supp"
+        ),
+    )
+    blame = (
+        li_o.filter(F.col("__late"))
+        .join(order_stats, F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
+        .select("l_suppkey")
+    )
+    nat = na.filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+    supp = su.join(
+        F.broadcast(nat), su.s_nationkey == nat.n_nationkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+    return (
+        blame.join(F.broadcast(supp), blame.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping read path (operators/skipping.py): the file-level min/max
+# stats index over a Z-ordered layout.  The registry query materializes a
+# clustered copy, builds the index, and answers a 2-D range query reading
+# only intersecting files; the exact predicate re-runs over survivors, so
+# the oracle is the plain full-scan WHERE.
+# ---------------------------------------------------------------------------
+@query(
+    "skipscan_events_range",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 300
+      AND value BETWEEN 0.0e0 AND 50.0e0
+    """,
+)
+def skipscan_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D range query served through the file-level stats index over a
+    Z-order-clustered layout: files whose [min, max] envelope is disjoint
+    from the predicate on EITHER dimension are never opened (pruning is
+    planning-time and one-sided; the exact filter re-runs on survivors,
+    so the answer is bit-identical to the full scan).  The write +
+    index-build here stand in for the one-off OPTIMIZE a 100 TB table
+    pays; steady state persists both and prunes for free."""
+    import os as _os
+
+    from .operators.bucketing import zorder_by
+    from .operators.skipping import collect_file_stats, skip_scan
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    layout = f"/tmp/cdis_skipscan_{_os.path.basename(sf_dir.rstrip('/'))}"
+    (
+        zorder_by(ev, ["user_id", "value"], bits=12)
+        .repartitionByRange(16, F.col("zorder_key"))
+        .sortWithinPartitions("zorder_key")
+        .drop("zorder_key")
+        .write.mode("overwrite")
+        .parquet(layout)
+    )
+    stats = collect_file_stats(spark, layout, ["user_id", "value"])
+    return skip_scan(
+        spark,
+        layout,
+        {"user_id": (100, 300), "value": (0.0, 50.0)},
+        stats=stats,
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation shapes: CUBE (Expand-operator plan, one
+# shuffle for all 2^n grouping combinations) and PIVOT (wide conditional
+# aggregation with a pinned column set).  corpus_mix_report already covers
+# ROLLUP; these complete the grouping-analytics family.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS gross_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def revenue_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross revenue over every subset of (returnflag, linestatus): CUBE
+    compiles to ONE Expand + hash aggregate — each input row fans out to
+    the 4 grouping combinations map-side and partial aggregation
+    collapses them before the single shuffle, vs 4 separate scans for
+    the UNION-of-GROUP-BYs a naive client would emit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("gross_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "event_type_pivot_daily",
+    """
+    SELECT CAST(ts AS DATE) AS event_day,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def event_type_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type.  The
+    pivot value list is PINNED (no discovery pass over the data, no
+    schema drift when a new type appears upstream), which also keeps the
+    plan a single hash aggregate with conditional counts — the exact
+    shape of the oracle's FILTER clauses."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("event_day", F.col("ts").cast("date"))
+        .groupBy("event_day")
+        .pivot("event_type", ["click", "view", "purchase", "signup"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves absent combinations NULL; the FILTER oracle counts 0
+    return out.select(
+        "event_day",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "view", "purchase", "signup")],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
 # externally-recorded oracle row.  Priority: the 9 headline pipeline stages
@@ -4420,6 +5304,17 @@ _PRIORITY_ORDER = [
     "similarity_pq_rerank", "similarity_ivfpq_topk",
     "bpe_train_merges", "bpe_segment_tokens", "curriculum_stages",
     "zorder_layout_key",
+    # round-6 session-2 additions: sketch family + analytics pack II
+    "bloom_semijoin_revenue", "heavy_hitter_parts", "distinct_users_by_type",
+    "nation_pair_trade", "market_share_yearly", "promo_revenue_monthly",
+    "top_supplier_by_revenue", "small_qty_revenue_share",
+    "large_order_customers", "idle_rich_customers",
+    # round-6 session-2 analytics pack III (Q11/Q13/Q16/Q19/Q20/Q21 shapes)
+    "important_parts_value", "cust_order_distribution",
+    "part_supplier_counts", "discounted_revenue_disjunctive",
+    "excess_shipped_suppliers", "waiting_orders_blame",
+    "skipscan_events_range", "revenue_cube_flag_status",
+    "event_type_pivot_daily",
 ]
 
 

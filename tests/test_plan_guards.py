@@ -30,6 +30,8 @@ NESTED_LOOP_ALLOWED = {
     "curriculum_stages",          # 1-row quantile-cutpoint broadcast
     "zorder_layout_key",          # 1-row min/max-bounds broadcast
     "dedup_embedding_cosine",     # broadcast grid-parameter row
+    "idle_rich_customers",        # 1-row scalar-average broadcast (Q22 shape)
+    "important_parts_value",      # 1-row global-total broadcast (Q11 shape)
     "semantic_dedup",             # broadcast centroid scoring
     "knn_classify_labels",        # votes over the brute-force baseline
     "similarity_int8_topk",       # brute-force baseline over int8 round-trip
