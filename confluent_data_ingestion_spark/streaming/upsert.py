@@ -18,6 +18,11 @@ without the dependency):
    streaming agree at quiescence (AC-2 semantics).
  - ``compact()``      rewrites the log as its snapshot, bounding read
    amplification (changelog compaction).
+ - ``snapshot_as_of(seq)``  time travel: every append lands in its own
+   ``__seq=N`` log partition, so "the table as of append N" is a
+   partition-pruned latest-per-key read over ``__seq <= N`` — the same
+   capability Delta/Iceberg expose as version-as-of, with compaction as
+   the history horizon (as-of below it raises, like post-VACUUM reads).
 
 Scale notes: the log is append-only parquet — writes never rewrite data, so
 write cost is O(batch).  Snapshot reads shuffle once on the key (the minimum
@@ -112,14 +117,53 @@ class UpsertSnapshot:
         """
         if batch_id is not None and self.committed(batch_id):
             return False
+        seq = None
         if self._resolve_backend(batch_df.sparkSession) == "delta":
             self._upsert_delta(batch_df)
         else:
-            batch_df.write.mode("append").parquet(self.log_dir)
+            seq = self._next_seq()
+            (
+                batch_df.withColumn("__seq", F.lit(seq))
+                .write.mode("append")
+                .partitionBy("__seq")
+                .parquet(self.log_dir)
+            )
+            self._bump_seq(seq)
         if batch_id is not None:
             with open(self._marker(batch_id), "w") as f:
-                f.write("1")
+                f.write("1" if seq is None else str(seq))
         return True
+
+    # -- append sequence (the log's time axis) --------------------------------
+    #
+    # Batch ids are caller-chosen and may be strings (the statement-set
+    # runner uses "<table>-<epoch>"), so time travel orders on a
+    # store-assigned monotone append sequence instead.  Single writer per
+    # store is the foreachBatch contract, so a plain counter file suffices.
+
+    def _seq_file(self) -> str:
+        return f"{self.txn_dir}/seq"
+
+    def _next_seq(self) -> int:
+        try:
+            with open(self._seq_file()) as f:
+                return int(f.read().strip()) + 1
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _bump_seq(self, seq: int) -> None:
+        with open(self._seq_file(), "w") as f:
+            f.write(str(seq))
+
+    def current_seq(self) -> int:
+        """Sequence number of the newest committed append (-1 if empty)."""
+        return self._next_seq() - 1
+
+    def seq_of_batch(self, batch_id) -> int:
+        """Append sequence recorded when ``batch_id`` committed — pass it
+        to :meth:`snapshot_as_of` to read the table as of that batch."""
+        with open(self._marker(batch_id)) as f:
+            return int(f.read().strip())
 
     def _is_deleted_expr(self, qualifier: str = ""):
         flag = F.lower(
@@ -199,7 +243,8 @@ class UpsertSnapshot:
         )
 
     def log(self, spark: SparkSession) -> DataFrame:
-        """The raw changelog (parquet-log backend only — the delta backend
+        """The raw changelog including the ``__seq`` append-sequence
+        partition column (parquet-log backend only — the delta backend
         materializes current rows and keeps history in the Delta log)."""
         if self._resolve_backend(spark) == "delta":
             raise RuntimeError(
@@ -214,14 +259,45 @@ class UpsertSnapshot:
         (delta — the MERGE already applied ranking + deletes)."""
         if self._resolve_backend(spark) == "delta":
             return spark.read.format("delta").load(self.delta_dir)
-        return latest_by_key(
-            self.log(spark),
+        return self._rank(self.log(spark))
+
+    def snapshot_as_of(self, spark: SparkSession, seq: int) -> DataFrame:
+        """Time travel: the table as it stood after append ``seq`` — the
+        latest-per-key view over log partitions ``__seq <= seq`` only
+        (partition-pruned scan; history later than ``seq`` is never read).
+        Resolve a batch id to its sequence with :meth:`seq_of_batch`.
+
+        Compaction collapses history: appends at or below the compaction
+        horizon fold into one partition, so as-of reads BELOW the horizon
+        raise rather than silently answer from a partial log — the same
+        contract as VACUUM limiting Delta/Iceberg time travel.  The delta
+        backend keeps history in its own transaction log; use Delta's
+        native ``versionAsOf`` there.
+        """
+        if self._resolve_backend(spark) == "delta":
+            raise RuntimeError(
+                "snapshot_as_of is parquet-log-only; the delta backend "
+                "time-travels natively (read option versionAsOf)"
+            )
+        log = self.log(spark)
+        horizon = log.agg(F.min("__seq")).collect()[0][0]
+        if horizon is not None and seq < horizon:
+            raise ValueError(
+                f"history before append {horizon} was compacted away; "
+                f"as-of {seq} is unanswerable"
+            )
+        return self._rank(log.filter(F.col("__seq") <= F.lit(seq)))
+
+    def _rank(self, log_df: DataFrame) -> DataFrame:
+        ranked = latest_by_key(
+            log_df,
             self.keys,
             self.order_by,
             delete_flag_field=self.delete_flag_field,
             delete_flag_values=self.delete_flag_values,
             delete_mode=self.delete_mode,
         )
+        return ranked.drop("__seq")
 
     # -- maintenance ---------------------------------------------------------
 
@@ -234,7 +310,17 @@ class UpsertSnapshot:
         if self._resolve_backend(spark) == "delta":
             return
         tmp = f"{self.path}/log-compact-{uuid.uuid4().hex[:8]}"
-        self.snapshot(spark).write.mode("overwrite").parquet(tmp)
+        # the compacted block keeps the newest folded sequence as its
+        # partition (the compaction horizon): later as-of reads >= horizon
+        # stay answerable, earlier ones raise in snapshot_as_of
+        horizon = self.log(spark).agg(F.max("__seq")).collect()[0][0] or 0
+        (
+            self.snapshot(spark)
+            .withColumn("__seq", F.lit(int(horizon)))
+            .write.mode("overwrite")
+            .partitionBy("__seq")
+            .parquet(tmp)
+        )
         old = f"{self.path}/log-old-{uuid.uuid4().hex[:8]}"
         os.rename(self.log_dir, old)
         os.rename(tmp, self.log_dir)

@@ -895,3 +895,63 @@ def test_statement_set_mid_batch_failure_exactly_once(spark, tmp_path):
     assert got_xref_log == clean_xref_log
     assert got_xref == clean_xref
     assert got_q == clean_q
+
+
+# ---------------------------------------------------------------------------
+# Time travel over the parquet-log store
+# ---------------------------------------------------------------------------
+def test_snapshot_as_of_each_append(spark, tmp_path):
+    from confluent_data_ingestion_spark.streaming.upsert import UpsertSnapshot
+
+    store = UpsertSnapshot(str(tmp_path / "tt"), keys=["k"], order_by=["seq"])
+    store.upsert(spark.createDataFrame([Row(k=1, seq=1, v="a")]), batch_id="b0")
+    store.upsert(spark.createDataFrame([Row(k=2, seq=1, v="b")]), batch_id="b1")
+    store.upsert(spark.createDataFrame([Row(k=1, seq=2, v="a2")]), batch_id="b2")
+
+    def snap(seq):
+        return {r["k"]: r["v"] for r in store.snapshot_as_of(spark, seq).collect()}
+
+    assert snap(0) == {1: "a"}
+    assert snap(1) == {1: "a", 2: "b"}
+    assert snap(2) == {1: "a2", 2: "b"}
+    assert store.current_seq() == 2
+    # batch ids resolve to their append sequence (string ids welcome)
+    assert store.seq_of_batch("b1") == 1
+    assert snap(store.seq_of_batch("b1")) == {1: "a", 2: "b"}
+    # the current snapshot equals as-of(newest) and carries no __seq column
+    cur = store.snapshot(spark)
+    assert "__seq" not in cur.columns
+    assert {r["k"]: r["v"] for r in cur.collect()} == snap(2)
+
+
+def test_snapshot_as_of_is_partition_pruned(spark, tmp_path):
+    from confluent_data_ingestion_spark.streaming.upsert import UpsertSnapshot
+
+    store = UpsertSnapshot(str(tmp_path / "ttp"), keys=["k"], order_by=["seq"])
+    for i in range(4):
+        store.upsert(spark.createDataFrame([Row(k=i, seq=1, v=str(i))]))
+    plan = (
+        store.snapshot_as_of(spark, 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "__seq" in plan
+
+
+def test_snapshot_as_of_below_compaction_horizon_raises(spark, tmp_path):
+    from confluent_data_ingestion_spark.streaming.upsert import UpsertSnapshot
+
+    store = UpsertSnapshot(str(tmp_path / "ttc"), keys=["k"], order_by=["seq"])
+    store.upsert(spark.createDataFrame([Row(k=1, seq=1, v="a")]))
+    store.upsert(spark.createDataFrame([Row(k=1, seq=2, v="a2")]))
+    store.compact(spark)
+    # post-compaction: current state still fully answerable at/after horizon
+    assert {r["k"]: r["v"] for r in store.snapshot_as_of(spark, 1).collect()} == {
+        1: "a2"
+    }
+    with pytest.raises(ValueError, match="compacted away"):
+        store.snapshot_as_of(spark, 0)
+    # appends after compaction keep time travel working forward
+    store.upsert(spark.createDataFrame([Row(k=1, seq=3, v="a3")]))
+    assert {r["k"]: r["v"] for r in store.snapshot_as_of(spark, 2).collect()} == {
+        1: "a3"
+    }
