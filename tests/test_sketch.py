@@ -222,3 +222,61 @@ def test_hll_merge_is_duplicate_insensitive(spark):
     a = hll_merge_estimate(once, ["g"]).collect()[0]["n_distinct_approx"]
     b = hll_merge_estimate(twice, ["g"]).collect()[0]["n_distinct_approx"]
     assert abs(b - a) <= max(2, 0.02 * a), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# Property-based: the one-sided contracts must hold for ANY key set
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    build=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                   min_size=1, max_size=60, unique=True),
+    probe=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                   min_size=1, max_size=120),
+    num_bits=st.sampled_from([64, 256, 4096]),
+)
+@settings(max_examples=6, deadline=None)
+def test_bloom_semijoin_exact_for_any_keys(spark, build, probe, num_bits):
+    """For arbitrary key sets — including heavy collisions at tiny bitset
+    widths — bloom_semijoin must equal the plain semi-join exactly."""
+    from confluent_data_ingestion_spark.operators.sketch import bloom_semijoin
+
+    b = spark.createDataFrame([(k,) for k in build], "bk BIGINT")
+    p = spark.createDataFrame([(k,) for k in probe], "pk BIGINT")
+    got = sorted(
+        r["pk"] for r in bloom_semijoin(p, b, "pk", "bk", num_bits=num_bits).collect()
+    )
+    want = sorted(k for k in probe if k in set(build))
+    assert got == want
+
+
+@given(
+    counts=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=1, max_value=40),
+        min_size=1, max_size=12,
+    ),
+    frac=st.sampled_from([0.05, 0.2, 0.5]),
+    width=st.sampled_from([4, 64]),
+)
+@settings(max_examples=6, deadline=None)
+def test_cms_heavy_hitters_exact_for_any_distribution(spark, counts, frac, width):
+    """For any key distribution and even a pathologically narrow sketch,
+    the heavy-hitter set and counts must be exactly the naive GROUP BY +
+    HAVING answer (collisions may only add pruned candidates)."""
+    from confluent_data_ingestion_spark.operators.sketch import cms_heavy_hitters
+
+    rows = [(k,) for k, c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "k INT")
+    total = sum(counts.values())
+    got = sorted(
+        (r["k"], r["cnt"])
+        for r in cms_heavy_hitters(df, "k", threshold_frac=frac, width=width).collect()
+    )
+    want = sorted(
+        (k, c) for k, c in counts.items() if c >= frac * total
+    )
+    assert got == want
