@@ -105,3 +105,70 @@ def skip_scan(
         schema = spark.read.parquet(path).schema
         return spark.createDataFrame([], schema)
     return exact(spark.read.parquet(*kept))
+
+
+def list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every parquet file under ``path`` — a pure
+    filesystem-metadata listing through the Hadoop FS API (no file is
+    opened, no Spark job runs), so it works identically on local disk,
+    HDFS, or an object store."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet"):
+            out.append((f.getPath().toString(), int(f.getLen())))
+    return sorted(out)
+
+
+def compaction_plan(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    small_factor: float = 0.5,
+) -> list[list[str]]:
+    """Group undersized parquet files into ~``target_bytes`` rewrite bins
+    (first-fit-decreasing).  Small files are the silent tax of streaming
+    ingest at 100 TB: every append becomes a file, and a year later the
+    scan pays per-file open/footer costs millions of times.  The planner
+    is metadata-only; only files smaller than ``small_factor *
+    target_bytes`` are candidates (right-sized files are never
+    rewritten), and no bin exceeds the target unless it is a single
+    file.  Execute with :func:`apply_compaction`.
+    """
+    files = [
+        (p, b)
+        for p, b in list_files(spark, path)
+        if b < small_factor * target_bytes
+    ]
+    bins: list[tuple[int, list[str]]] = []
+    for p, b in sorted(files, key=lambda x: -x[1]):
+        for i, (used, members) in enumerate(bins):
+            if used + b <= target_bytes:
+                bins[i] = (used + b, members + [p])
+                break
+        else:
+            bins.append((b, [p]))
+    # singleton bins are no-ops: rewriting one small file buys nothing
+    return [members for _, members in bins if len(members) > 1]
+
+
+def apply_compaction(
+    spark: SparkSession, path: str, plan: list[list[str]], out_dir: str
+) -> None:
+    """Rewrite each planned bin as one file under ``out_dir``.  One job
+    per bin, but each job is a trivial narrow read→write of a few small
+    files; a production deployment runs the bins from a thread pool
+    (exactly Delta OPTIMIZE's shape) and swaps directories atomically —
+    the swap protocol here mirrors ``UpsertSnapshot.compact``."""
+    for i, members in enumerate(plan):
+        (
+            spark.read.parquet(*members)
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(out_dir)
+        )

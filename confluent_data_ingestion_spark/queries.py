@@ -5265,6 +5265,70 @@ def event_type_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cheapest_supplier_per_part",
+    """
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS vd,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qd
+      FROM lineitem l
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    unit AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(vd AS DOUBLE) / CAST(qd AS DOUBLE) AS unit_cost,
+             MIN(CAST(vd AS DOUBLE) / CAST(qd AS DOUBLE))
+               OVER (PARTITION BY l_partkey) AS best
+      FROM cost
+    )
+    SELECT p.p_partkey, p.p_brand, u.l_suppkey AS s_suppkey,
+           s.s_name, u.unit_cost
+    FROM unit u
+    JOIN part p ON p.p_partkey = u.l_partkey AND p.p_type = 'LARGE'
+                AND p.p_size <= 5
+    JOIN supplier s ON s.s_suppkey = u.l_suppkey
+    WHERE u.unit_cost = u.best
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a filtered family, the supplier(s)
+    with the minimum realized unit cost — the correlated
+    aggregate-subquery (cost = MIN over suppliers of the same part)
+    expressed as one (part, supp) aggregate plus a per-part MIN window
+    over the already-aggregated (dimension-sized) frame; the raw fact
+    table shuffles once.  Unit cost divides two exact DECIMAL sums as
+    identical DOUBLEs, so the MIN and the equality select the same rows
+    on both engines."""
+    li, pa, su = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    from pyspark.sql import Window
+
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__vd"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qd"),
+        )
+        .withColumn(
+            "unit_cost", F.col("__vd").cast("double") / F.col("__qd").cast("double")
+        )
+    )
+    best = cost.withColumn(
+        "__best", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("__best"))
+    pa_f = pa.filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 5)).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        best.join(F.broadcast(pa_f), best.l_partkey == pa_f.p_partkey)
+        .join(
+            F.broadcast(su.select("s_suppkey", "s_name")),
+            best.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_cost")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
@@ -5314,7 +5378,7 @@ _PRIORITY_ORDER = [
     "part_supplier_counts", "discounted_revenue_disjunctive",
     "excess_shipped_suppliers", "waiting_orders_blame",
     "skipscan_events_range", "revenue_cube_flag_status",
-    "event_type_pivot_daily",
+    "event_type_pivot_daily", "cheapest_supplier_per_part",
 ]
 
 

@@ -37,12 +37,12 @@ def zordered_events(spark, sf_dir, tmp_path_factory):
 
 
 def test_skip_scan_matches_full_scan(spark, zordered_events):
-    ranges = {"user_id": (100.0, 300.0), "value": (0.0, 50.0)}
+    ranges = {"user_id": (3.0, 6.0), "value": (0.0, 60.0)}
     got = skip_scan(spark, zordered_events, ranges)
     full = (
         spark.read.parquet(zordered_events)
-        .filter(F.col("user_id").between(100.0, 300.0))
-        .filter(F.col("value").between(0.0, 50.0))
+        .filter(F.col("user_id").between(3.0, 6.0))
+        .filter(F.col("value").between(0.0, 60.0))
     )
     key = lambda df: sorted(  # noqa: E731
         (r["event_id"], r["user_id"]) for r in df.select("event_id", "user_id").collect()
@@ -55,7 +55,7 @@ def test_skip_scan_actually_prunes_zordered_layout(spark, zordered_events):
     """On a Z-ordered layout a small hyper-rectangle must hit a strict
     subset of files — otherwise the index is dead weight."""
     stats = collect_file_stats(spark, zordered_events, ["user_id", "value"])
-    kept, total = prune_files(stats, {"user_id": (100.0, 300.0), "value": (0.0, 50.0)})
+    kept, total = prune_files(stats, {"user_id": (3.0, 6.0), "value": (0.0, 60.0)})
     assert total >= 8  # the fixture really produced many files
     assert 0 < len(kept) < total
 
@@ -90,3 +90,48 @@ def test_stats_index_is_metadata_sized(spark, zordered_events):
         [f for f in os.listdir(zordered_events) if f.endswith(".parquet")]
     )
     assert stats.count() == n_files
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner
+# ---------------------------------------------------------------------------
+def test_compaction_plan_and_apply(spark, tmp_path):
+    from confluent_data_ingestion_spark.operators.skipping import (
+        apply_compaction,
+        compaction_plan,
+        list_files,
+    )
+
+    src = str(tmp_path / "frag")
+    # 20 tiny files (streaming-ingest shape)
+    spark.range(0, 2000).repartition(20).write.mode("overwrite").parquet(src)
+    files = list_files(spark, src)
+    assert len(files) == 20 and all(b > 0 for _, b in files)
+
+    plan = compaction_plan(spark, src, target_bytes=1 << 20)
+    planned = [f for b in plan for f in b]
+    # every bin merges at least 2 files; no file planned twice
+    assert plan and all(len(b) >= 2 for b in plan)
+    assert len(planned) == len(set(planned))
+    # bins respect the target unless singleton (none here)
+    sizes = dict(files)
+    assert all(sum(sizes[f] for f in b) <= (1 << 20) for b in plan)
+
+    out = str(tmp_path / "compact")
+    apply_compaction(spark, src, plan, out)
+    got = spark.read.parquet(out)
+    want = spark.read.parquet(*planned)
+    assert got.count() == want.count()
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+    assert len(list_files(spark, out)) == len(plan)  # one file per bin
+
+
+def test_compaction_plan_leaves_right_sized_files_alone(spark, tmp_path):
+    from confluent_data_ingestion_spark.operators.skipping import compaction_plan
+
+    src = str(tmp_path / "big")
+    spark.range(0, 1000).coalesce(1).write.mode("overwrite").parquet(src)
+    # the single file is >= small_factor * tiny target -> not a candidate
+    assert compaction_plan(spark, src, target_bytes=1024, small_factor=0.5) == []
