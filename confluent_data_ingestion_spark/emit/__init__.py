@@ -6,6 +6,7 @@ from .render import (
     render_view_sql,
     render_xref_insert,
     validate_statements,
+    validate_statements_multi,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "render_xref_insert",
     "render_insert_sql",
     "validate_statements",
+    "validate_statements_multi",
 ]

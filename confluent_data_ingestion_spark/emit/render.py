@@ -236,10 +236,60 @@ def validate_statements(spark, sql_text: str) -> list[dict]:
     report = []
     for stmt in [s.strip() for s in sql_text.split(";") if s.strip()]:
         rec = {"statement": stmt.splitlines()[0][:80], "ok": True, "error": ""}
-        try:
-            spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
-        except Exception as e:  # parse failure -> report, don't raise
+        err = _parse_error(spark, "spark", stmt)
+        if err:
             rec["ok"] = False
-            rec["error"] = str(e).splitlines()[0][:200]
+            rec["error"] = err
+        report.append(rec)
+    return report
+
+
+def _parse_error(spark, dialect: str, stmt: str) -> str:
+    """Empty string when ``stmt`` parses under ``dialect``, else the first
+    error line.  Both parsers are the REAL in-process ones (Spark's
+    Catalyst parser; DuckDB's parse-only ``extract_statements``), not a
+    regex approximation."""
+    try:
+        if dialect == "spark":
+            spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
+        elif dialect == "duckdb":
+            import duckdb
+
+            duckdb.extract_statements(stmt)
+        else:
+            raise ValueError(f"unknown dialect {dialect!r}")
+        return ""
+    except ValueError:
+        raise
+    except Exception as e:  # parse failure -> report, don't raise
+        # Py4J exceptions can begin with blank lines — take the first
+        # non-empty line so a failure never reads as an empty (== ok) error
+        lines = [ln for ln in str(e).splitlines() if ln.strip()]
+        return (lines[0] if lines else "parse error")[:200]
+
+
+def validate_statements_multi(
+    spark, sql_text: str, dialects: tuple[str, ...] = ("spark", "duckdb")
+) -> list[dict]:
+    """Per-dialect parse report with fallback-chain semantics — the
+    reference validates emitted SQL under sqlglot's ansi→hive→spark→
+    presto→postgres chain (``scripts/flinksql_from_sttm_v4_5.py:57-66``)
+    and records which dialect accepted each statement; this reproduces
+    that report column with the two real parsers available in-process.
+    One record per statement: {statement, ok, dialect, <d>_ok, <d>_error
+    per dialect}; ``dialect`` is the FIRST accepting dialect in chain
+    order, '' if none."""
+    report = []
+    for stmt in [s.strip() for s in sql_text.split(";") if s.strip()]:
+        rec: dict = {"statement": stmt.splitlines()[0][:80]}
+        accepted = ""
+        for d in dialects:
+            err = _parse_error(spark, d, stmt)
+            rec[f"{d}_ok"] = not err
+            rec[f"{d}_error"] = err
+            if not err and not accepted:
+                accepted = d
+        rec["ok"] = bool(accepted)
+        rec["dialect"] = accepted
         report.append(rec)
     return report

@@ -102,3 +102,24 @@ def test_emitted_sql_matches_compiler(spark):
     df_rows = sorted(map(tuple, compiled["XREF_ACCT"].collect()))
     assert sql_rows == df_rows
     assert [r[2] for r in sql_rows] == ["active", "new"]  # latest won
+
+
+def test_validate_statements_multi_dialect_chain(spark):
+    from confluent_data_ingestion_spark.emit import validate_statements_multi
+
+    sql = """
+    SELECT a, COUNT(*) FROM t GROUP BY a;
+    SELECT a FROM t LATERAL VIEW explode(xs) e AS x;
+    SELEC broken FRM t
+    """
+    rep = validate_statements_multi(spark, sql)
+    # plain ANSI parses under the first dialect in the chain
+    assert rep[0]["ok"] and rep[0]["dialect"] == "spark"
+    assert rep[0]["spark_ok"] and rep[0]["duckdb_ok"]
+    # Spark-only syntax: accepted by spark, rejected by duckdb — the
+    # per-dialect columns record the split, like the reference's report
+    assert rep[1]["ok"] and rep[1]["spark_ok"] and not rep[1]["duckdb_ok"]
+    assert rep[1]["duckdb_error"]
+    # garbage parses nowhere
+    assert not rep[2]["ok"] and rep[2]["dialect"] == ""
+    assert not rep[2]["spark_ok"] and not rep[2]["duckdb_ok"]
