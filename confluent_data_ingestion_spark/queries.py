@@ -5330,6 +5330,36 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact fuzzy matching (operators/fuzzy.py): SymSpell deletion-neighborhood
+# equi-join + exact levenshtein verify.  The oracle is the brute-force
+# cross join — fine at sf0.01, exactly the plan the operator exists to
+# avoid at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "fuzzy_supplier_pairs",
+    """
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+    FROM supplier a
+    JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def fuzzy_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-name pairs within edit distance 1 — entity-resolution
+    candidates — via the deletion-neighborhood equi-join (one shuffle on
+    short variant keys, ~len+1 keys per row) instead of the oracle's
+    quadratic self-join; the exact levenshtein post-filter makes the
+    answers identical."""
+    from .operators.fuzzy import fuzzy_pairs_d1
+
+    su = _t(spark, sf_dir, "supplier")
+    return fuzzy_pairs_d1(su, "s_suppkey", "s_name").withColumn(
+        "dist", F.col("dist").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
 # externally-recorded oracle row.  Priority: the 9 headline pipeline stages
@@ -5379,6 +5409,7 @@ _PRIORITY_ORDER = [
     "excess_shipped_suppliers", "waiting_orders_blame",
     "skipscan_events_range", "revenue_cube_flag_status",
     "event_type_pivot_daily", "cheapest_supplier_per_part",
+    "fuzzy_supplier_pairs",
 ]
 
 
