@@ -1,0 +1,110 @@
+"""Incremental rollup store: snapshot == one-shot aggregation of all data
+seen so far (at every quiescence point), idempotent replay, crash safety
+of the pointer flip, HLL distinct within error."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from confluent_data_ingestion_spark.streaming.rollup import RollupStore
+
+
+def _batches(spark):
+    return [
+        spark.createDataFrame(
+            [Row(g="a", v=1.5, u=1), Row(g="a", v=2.0, u=2), Row(g="b", v=3.0, u=1)]
+        ),
+        spark.createDataFrame(
+            [Row(g="a", v=-1.0, u=2), Row(g="c", v=0.25, u=7)]
+        ),
+        spark.createDataFrame(
+            [Row(g="b", v=10.0, u=9), Row(g="b", v=0.5, u=1), Row(g="a", v=4.0, u=3)]
+        ),
+    ]
+
+
+def _oneshot(df):
+    return {
+        r["g"]: (r["n"], round(r["s"], 6), r["lo"], r["hi"], r["d"])
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.countDistinct("u").alias("d"),
+        )
+        .collect()
+    }
+
+
+def test_incremental_equals_oneshot_at_each_quiescence(spark, tmp_path):
+    store = RollupStore(
+        str(tmp_path / "r"), ["g"],
+        sum_cols=["v"], min_cols=["v"], max_cols=["v"], distinct_cols=["u"],
+    )
+    batches = _batches(spark)
+    seen = None
+    for i, b in enumerate(batches):
+        assert store.apply(b, batch_id=i)
+        seen = b if seen is None else seen.unionByName(b)
+        got = {
+            r["g"]: (r["n_rows"], round(r["sum_v"], 6), r["min_v"], r["max_v"],
+                     r["n_distinct_u"])
+            for r in store.snapshot(spark).collect()
+        }
+        want = _oneshot(seen)
+        # exact fields exactly; HLL distinct exact at these cardinalities
+        assert got == want
+
+
+def test_replay_is_noop(spark, tmp_path):
+    store = RollupStore(str(tmp_path / "r2"), ["g"], sum_cols=["v"])
+    b = _batches(spark)[0]
+    assert store.apply(b, batch_id="x")
+    before = sorted(map(tuple, store.snapshot(spark).collect()))
+    assert not store.apply(b, batch_id="x")  # replay skipped
+    assert sorted(map(tuple, store.snapshot(spark).collect())) == before
+
+
+def test_crash_before_pointer_flip_leaves_old_state(spark, tmp_path, monkeypatch):
+    store = RollupStore(str(tmp_path / "r3"), ["g"], sum_cols=["v"])
+    store.apply(_batches(spark)[0], batch_id=0)
+    good = sorted(map(tuple, store.snapshot(spark).collect()))
+
+    # inject a crash after the state write but before the pointer flip
+    import builtins
+
+    real_open = builtins.open
+
+    def exploding_open(path, *a, **kw):
+        if str(path).endswith("_current") and a and a[0] == "w":
+            raise RuntimeError("crash before pointer flip")
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", exploding_open)
+    with pytest.raises(RuntimeError, match="pointer flip"):
+        store.apply(_batches(spark)[1], batch_id=1)
+    monkeypatch.setattr(builtins, "open", real_open)
+
+    # old state intact, batch 1 not marked committed -> retry applies cleanly
+    assert sorted(map(tuple, store.snapshot(spark).collect())) == good
+    assert not store.committed(1)
+    assert store.apply(_batches(spark)[1], batch_id=1)
+    seen = _batches(spark)[0].unionByName(_batches(spark)[1])
+    got = {r["g"]: round(r["sum_v"], 6) for r in store.snapshot(spark).collect()}
+    want = {
+        r["g"]: round(r["s"], 6)
+        for r in seen.groupBy("g")
+        .agg(F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_snapshot_before_any_batch_raises(spark, tmp_path):
+    store = RollupStore(str(tmp_path / "r4"), ["g"])
+    with pytest.raises(FileNotFoundError):
+        store.snapshot(spark)
