@@ -108,3 +108,57 @@ def test_snapshot_before_any_batch_raises(spark, tmp_path):
     store = RollupStore(str(tmp_path / "r4"), ["g"])
     with pytest.raises(FileNotFoundError):
         store.snapshot(spark)
+
+
+def test_rollup_under_structured_streaming(spark, tmp_path):
+    """Drive the store from a real file-source stream via foreachBatch:
+    at quiescence the snapshot equals the one-shot aggregation of every
+    file the stream consumed (batch/stream parity), regardless of how
+    the source split the files into microbatches."""
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    all_rows = []
+    for part in range(3):
+        rows = [
+            {"g": ["a", "b", "c"][(part + i) % 3], "v": part + i * 0.5}
+            for i in range(4)
+        ]
+        all_rows += rows
+        with open(src / f"p{part}.ndjson", "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in rows)
+
+    store = RollupStore(
+        str(tmp_path / "state"), ["g"],
+        sum_cols=["v"], min_cols=["v"], max_cols=["v"],
+    )
+    stream = (
+        spark.readStream.schema("g STRING, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: store.apply(df, batch_id=bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["g"]: (r["n_rows"], round(r["sum_v"], 6), r["min_v"], r["max_v"])
+        for r in store.snapshot(spark).collect()
+    }
+    want = {}
+    for r in all_rows:
+        n, s, lo, hi = want.get(r["g"], (0, 0.0, None, None))
+        want[r["g"]] = (
+            n + 1, s + r["v"],
+            r["v"] if lo is None else min(lo, r["v"]),
+            r["v"] if hi is None else max(hi, r["v"]),
+        )
+    want = {g: (n, round(s, 6), lo, hi) for g, (n, s, lo, hi) in want.items()}
+    assert got == want
