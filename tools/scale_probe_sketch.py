@@ -43,6 +43,12 @@ REGISTRY_PROBES = [
     "discounted_revenue_disjunctive",
     "excess_shipped_suppliers",
     "waiting_orders_blame",
+    # session-2 continuation: layout, grouping, Q2, incremental rollup
+    "skipscan_events_range",
+    "revenue_cube_flag_status",
+    "event_type_pivot_daily",
+    "cheapest_supplier_per_part",
+    "rollup_incremental_events",
 ]
 
 
