@@ -1,0 +1,135 @@
+"""Join-strategy advisor: one cheap metadata pass over both join inputs,
+one recommendation — broadcast, plain shuffle, or salted join.
+
+At 100 TB the wrong join strategy is the difference between minutes and
+a dead cluster: broadcasting a 2 GB "dimension" OOMs every executor,
+shuffling a fact against a 10-row lookup wastes the whole exchange, and
+a hash join with one hot key strands the job at 99 % on a single
+reducer.  Spark's AQE fixes some of this at runtime, but only after the
+shuffle files exist; a pipeline author choosing between
+``F.broadcast``, a plain join, and ``skew.salted_join`` wants the
+answer BEFORE running the job.
+
+The advisor spends one aggregation per side — row count, HLL distinct
+keys (``lgk`` accuracy knob), and the hottest key's frequency via the
+count-min sketch from :mod:`operators.sketch` (collision-corrected
+count-mean-min estimate — tight for a genuinely hot key, near zero for
+balanced keys even when distinct keys far exceed the sketch width) — all sketch-sized state, never a
+key-space materialization.  Thresholds are explicit arguments, not
+magic: the defaults mirror Spark's own
+(``spark.sql.autoBroadcastJoinThreshold`` 10 MB ~ ``broadcast_rows``
+at ~100 B/row, AQE's ``skewedPartitionFactor`` 5 ~ ``skew_factor``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SideStats:
+    rows: int
+    distinct_keys: float
+    hottest_key_rows: int  # collision-corrected count-min estimate
+
+    @property
+    def avg_rows_per_key(self) -> float:
+        return self.rows / max(self.distinct_keys, 1.0)
+
+    @property
+    def skew_ratio(self) -> float:
+        """Hottest key's rows vs the average key's."""
+        return self.hottest_key_rows / max(self.avg_rows_per_key, 1.0)
+
+
+@dataclass
+class JoinAdvice:
+    strategy: str  # "broadcast_left" | "broadcast_right" | "shuffle" | "salted"
+    salt: int  # replication factor when strategy == "salted", else 1
+    left: SideStats
+    right: SideStats
+    reason: str
+
+
+def side_stats(df: DataFrame, key_col: str, lgk: int = 12) -> SideStats:
+    """One aggregation pass per statistic: rows, approximate distinct
+    keys (HLL), and the hottest key's collision-corrected count-min
+    frequency."""
+    from .sketch import cms_bucket_counts
+
+    sketch, total = cms_bucket_counts(df, key_col)
+    # raw bucket maxima upper-bound the hottest key but saturate with
+    # collision mass when distinct keys >> width; subtracting the expected
+    # colliding mass (count-mean-min correction) recovers the hot key's
+    # own weight, then the min over hash rows tightens it
+    width = 8192
+    per_seed = []
+    for r in sketch.groupBy("s").agg(F.max("cnt").alias("m")).collect():
+        m = r["m"]
+        per_seed.append(m - (total - m) / max(width - 1, 1))
+    hottest = max(0, round(min(per_seed))) if per_seed else 0
+    ndv_row = df.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(key_col), F.lit(lgk))
+        ).alias("ndv")
+    ).collect()[0]
+    return SideStats(
+        rows=int(total),
+        distinct_keys=float(ndv_row["ndv"] or 0),
+        hottest_key_rows=int(hottest),
+    )
+
+
+def join_advice(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    *,
+    broadcast_rows: int = 100_000,
+    skew_factor: float = 5.0,
+    max_salt: int = 32,
+) -> JoinAdvice:
+    """Recommend a strategy for ``left JOIN right`` on the given keys.
+
+    Order of precedence mirrors what actually wins at scale: broadcast
+    beats everything when a side fits (no shuffle at all); otherwise a
+    salted join when the bigger side's hottest key exceeds
+    ``skew_factor`` x the average key (one reducer would own that key's
+    whole partition); otherwise the plain shuffle join.  The salt factor
+    is the smallest replication that levels the hot key to ~average,
+    capped at ``max_salt`` (replication multiplies the other side).
+    """
+    ls = side_stats(left, left_key)
+    rs = side_stats(right, right_key)
+    if rs.rows <= broadcast_rows and rs.rows <= ls.rows:
+        return JoinAdvice(
+            "broadcast_right", 1, ls, rs,
+            f"right side {rs.rows} rows fits the broadcast budget",
+        )
+    if ls.rows <= broadcast_rows:
+        return JoinAdvice(
+            "broadcast_left", 1, ls, rs,
+            f"left side {ls.rows} rows fits the broadcast budget",
+        )
+    big, label = (ls, "left") if ls.rows >= rs.rows else (rs, "right")
+    # extreme-value noise floor: across W Poisson buckets the max bucket
+    # overshoots the mean by ~sigma*sqrt(2 ln W) even with perfectly
+    # balanced keys; a "hot key" below ~2x that scale is sketch noise,
+    # not skew (pinned by the balanced-keys advisor test)
+    noise_floor = 8.0 * (big.rows / 8192) ** 0.5
+    if big.skew_ratio > skew_factor and big.hottest_key_rows > noise_floor:
+        salt = min(max_salt, max(2, round(big.skew_ratio)))
+        return JoinAdvice(
+            "salted", salt, ls, rs,
+            f"{label} side hottest key ~{big.hottest_key_rows} rows vs "
+            f"~{big.avg_rows_per_key:.0f} average (x{big.skew_ratio:.1f}) — "
+            f"salt {salt} ways (operators.skew.salted_join)",
+        )
+    return JoinAdvice(
+        "shuffle", 1, ls, rs,
+        "both sides exceed the broadcast budget and keys are balanced",
+    )
