@@ -1,12 +1,13 @@
-"""Exact fuzzy matching (edit distance 1) without a cross join: the
+"""Exact fuzzy matching (edit distance <= 2) without a cross join: the
 SymSpell deletion-neighborhood join, distributed.
 
 Entity resolution over ingested reference data ("is this supplier name a
 typo of that one?") is a self-join under an edit-distance predicate.  The
 naive plan is a cartesian product — dead at any scale.  The SymSpell
 observation (public method, Garbe 2012) makes it an EQUI-join: two strings
-within Levenshtein distance 1 always share a member of their deletion
-neighborhoods (the string itself plus every single-character deletion):
+within Levenshtein distance d always share a member of their <= d-
+deletion neighborhoods (the string itself plus every variant reachable
+by up to d character deletions); for d = 1:
 
  - substitution at position i  -> both delete position i, same variant
  - insertion/deletion          -> the shorter string IS a deletion of the
@@ -35,35 +36,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def deletion_neighborhood(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
-    """One row per (key, text, variant): the string itself plus every
-    single-character deletion, deduplicated.  Pure JVM expressions."""
-    variants = (
-        f"array_union(array({text_col}), "
-        f"transform(sequence(1, greatest(length({text_col}), 1)), "
-        f"i -> concat(substr({text_col}, 1, i - 1), "
-        f"substr({text_col}, i + 1, length({text_col})))))"
+def _deletions_of(expr: str) -> str:
+    """SQL array of every single-character deletion of string ``expr``."""
+    return (
+        f"transform(sequence(1, greatest(length({expr}), 1)), "
+        f"i -> concat(substr({expr}, 1, i - 1), "
+        f"substr({expr}, i + 1, length({expr}))))"
     )
+
+
+def deletion_neighborhood(
+    df: DataFrame, key_col: str, text_col: str, d: int = 1
+) -> DataFrame:
+    """One row per (key, text, variant): the string itself plus every
+    distinct variant reachable by up to ``d`` character deletions
+    (SymSpell's candidate key set — ~len+1 variants at d=1, ~len²/2 at
+    d=2).  Pure JVM expressions, no UDF."""
+    if d not in (1, 2):
+        raise ValueError(f"d must be 1 or 2, got {d}")
+    d1 = _deletions_of(text_col)
+    variants = f"array_union(array({text_col}), {d1})"
+    if d == 2:
+        d2 = f"flatten(transform({d1}, v -> {_deletions_of('v')}))"
+        variants = f"array_union({variants}, array_distinct({d2}))"
     return df.select(
         F.col(key_col), F.col(text_col), F.explode(F.expr(variants)).alias("__variant")
     )
 
 
-def fuzzy_pairs_d1(
+def fuzzy_pairs(
     df: DataFrame,
     key_col: str,
     text_col: str,
+    d: int = 1,
     max_group: int | None = None,
     out_dist_col: str = "dist",
 ) -> DataFrame:
     """All unordered pairs of rows whose ``text_col`` values are within
-    Levenshtein distance 1 — EXACTLY the cross-join-with-levenshtein
-    answer, via the deletion-neighborhood equi-join.  ``max_group``
-    (optional) drops neighborhood keys shared by more than that many
-    rows before pairing — bounded reducers under pathological key
-    collisions, at the cost of possibly missing pairs that only share
-    the dropped variant; leave None for the exact default."""
-    nb = deletion_neighborhood(df, key_col, text_col)
+    Levenshtein distance ``d`` (1 or 2) — EXACTLY the
+    cross-join-with-levenshtein answer, via the deletion-neighborhood
+    equi-join: if lev(a, b) <= d then some member of a's <= d-deletion
+    neighborhood equals one of b's (the SymSpell completeness property),
+    and the exact ``levenshtein() <= d`` post-filter removes every false
+    candidate.  ``max_group`` (optional) drops neighborhood keys shared
+    by more than that many rows before pairing — bounded reducers under
+    pathological key collisions, at the cost of possibly missing pairs
+    that only share the dropped variant; leave None for the exact
+    default."""
+    nb = deletion_neighborhood(df, key_col, text_col, d=d)
     if max_group is not None:
         hot = (
             nb.groupBy("__variant")
@@ -88,6 +108,20 @@ def fuzzy_pairs_d1(
         .select("id_a", "id_b", "__ta", "__tb")
         .dropDuplicates(["id_a", "id_b"])
         .withColumn(out_dist_col, F.levenshtein("__ta", "__tb"))
-        .filter(F.col(out_dist_col) <= 1)
+        .filter(F.col(out_dist_col) <= d)
         .drop("__ta", "__tb")
+    )
+
+
+def fuzzy_pairs_d1(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    max_group: int | None = None,
+    out_dist_col: str = "dist",
+) -> DataFrame:
+    """Distance-1 convenience wrapper over :func:`fuzzy_pairs`."""
+    return fuzzy_pairs(
+        df, key_col, text_col, d=1, max_group=max_group,
+        out_dist_col=out_dist_col,
     )

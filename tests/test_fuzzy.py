@@ -76,3 +76,52 @@ def test_hot_variant_cap_bounds_groups(spark):
     # cap drops pairs, never fabricates them; every surviving pair is real
     assert capped.count() <= uncapped.count()
     assert capped.filter(F.col("dist") > 1).count() == 0
+
+
+def test_fuzzy_pairs_d2_match_brute_force(spark):
+    from confluent_data_ingestion_spark.operators.fuzzy import fuzzy_pairs
+
+    rows = [
+        (1, "supplier"), (2, "suplier"), (3, "spplier"), (4, "splier"),
+        (5, "ab"), (6, "ba"), (7, "abcd"), (8, "badc"), (9, "xx"),
+        (10, "supplier!!"), (11, "totally-different"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, name STRING")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, "id", "name", d=2).collect()
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (i, j, lev(ta, tb))
+        for ii, (i, ta) in enumerate(rows)
+        for (j, tb) in rows[ii + 1:]
+        if lev(ta, tb) <= 2
+    )
+    assert got == want
+    # transposition pairs (distance 2 under plain Levenshtein) now appear
+    assert (5, 6, 2) in got
+    # and the double-insertion pair
+    assert (1, 10, 2) in got
+
+
+def test_fuzzy_pairs_rejects_unsupported_distance(spark):
+    import pytest as _pytest
+
+    from confluent_data_ingestion_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "a")], "id INT, name STRING")
+    with _pytest.raises(ValueError, match="d must be"):
+        fuzzy_pairs(df, "id", "name", d=3).collect()
