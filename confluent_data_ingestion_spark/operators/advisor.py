@@ -28,6 +28,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# count-min width used for both the hottest-key pass and the noise floor
+CMS_WIDTH = 8192
+
 
 @dataclass
 class SideStats:
@@ -60,12 +63,12 @@ def side_stats(df: DataFrame, key_col: str, lgk: int = 12) -> SideStats:
     frequency."""
     from .sketch import cms_bucket_counts
 
-    sketch, total = cms_bucket_counts(df, key_col)
+    width = CMS_WIDTH
+    sketch, total = cms_bucket_counts(df, key_col, width=width)
     # raw bucket maxima upper-bound the hottest key but saturate with
     # collision mass when distinct keys >> width; subtracting the expected
     # colliding mass (count-mean-min correction) recovers the hot key's
     # own weight, then the min over hash rows tightens it
-    width = 8192
     per_seed = []
     for r in sketch.groupBy("s").agg(F.max("cnt").alias("m")).collect():
         m = r["m"]
@@ -120,7 +123,7 @@ def join_advice(
     # overshoots the mean by ~sigma*sqrt(2 ln W) even with perfectly
     # balanced keys; a "hot key" below ~2x that scale is sketch noise,
     # not skew (pinned by the balanced-keys advisor test)
-    noise_floor = 8.0 * (big.rows / 8192) ** 0.5
+    noise_floor = 8.0 * (big.rows / CMS_WIDTH) ** 0.5
     if big.skew_ratio > skew_factor and big.hottest_key_rows > noise_floor:
         salt = min(max_salt, max(2, round(big.skew_ratio)))
         return JoinAdvice(
