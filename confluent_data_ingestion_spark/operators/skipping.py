@@ -49,6 +49,29 @@ def collect_file_stats(
     return df.groupBy("file").agg(*aggs)
 
 
+def refresh_file_stats(
+    spark: SparkSession, path: str, old_stats: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Incrementally maintain a persisted stats index after appends: only
+    files NOT already present in ``old_stats`` are scanned (steady-state
+    cost proportional to the new data, the same contract as the rollup
+    store), removed files' rows are dropped, and the result is the same
+    frame :func:`collect_file_stats` would build from scratch."""
+    current = {p for p, _ in list_files(spark, path)}
+    known = {r["file"] for r in old_stats.select("file").collect()}
+    fresh = sorted(current - known)
+    kept = old_stats.filter(F.col("file").isin(*current) if current else F.lit(False))
+    if not fresh:
+        return kept
+    df = spark.read.parquet(*fresh).select(
+        F.col("_metadata.file_path").alias("file"), *cols
+    )
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return kept.unionByName(df.groupBy("file").agg(*aggs))
+
+
 def prune_files(stats: DataFrame, ranges: Ranges) -> tuple[list[str], int]:
     """Files whose stats envelopes intersect every range in ``ranges``,
     plus the total file count (for skip-ratio reporting).

@@ -161,7 +161,14 @@ class UpsertSnapshot:
 
     def seq_of_batch(self, batch_id) -> int:
         """Append sequence recorded when ``batch_id`` committed — pass it
-        to :meth:`snapshot_as_of` to read the table as of that batch."""
+        to :meth:`snapshot_as_of` to read the table as of that batch.
+        Parquet-log only: delta markers carry no sequence (that backend
+        time-travels natively via the Delta version log)."""
+        if self.backend == "delta":
+            raise RuntimeError(
+                "seq_of_batch is parquet-log-only; the delta backend "
+                "maps batches to versions in its own transaction log"
+            )
         with open(self._marker(batch_id)) as f:
             return int(f.read().strip())
 

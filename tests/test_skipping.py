@@ -135,3 +135,31 @@ def test_compaction_plan_leaves_right_sized_files_alone(spark, tmp_path):
     spark.range(0, 1000).coalesce(1).write.mode("overwrite").parquet(src)
     # the single file is >= small_factor * tiny target -> not a candidate
     assert compaction_plan(spark, src, target_bytes=1024, small_factor=0.5) == []
+
+
+def test_refresh_file_stats_scans_only_new_files(spark, tmp_path):
+    from confluent_data_ingestion_spark.operators.skipping import (
+        collect_file_stats,
+        refresh_file_stats,
+    )
+
+    path = str(tmp_path / "inc")
+    spark.range(0, 100).coalesce(2).write.mode("overwrite").parquet(path)
+    base = collect_file_stats(spark, path, ["id"])
+    base_rows = sorted(map(tuple, base.collect()))
+
+    # append new data -> refresh must equal a from-scratch rebuild
+    spark.range(100, 200).coalesce(1).write.mode("append").parquet(path)
+    refreshed = refresh_file_stats(spark, path, base, ["id"])
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, collect_file_stats(spark, path, ["id"]).collect())
+    )
+    # the pre-existing files' rows came through unchanged (not rescanned)
+    kept = [t for t in sorted(map(tuple, refreshed.collect())) if t in base_rows]
+    assert len(kept) == 2
+
+    # no new files -> pure metadata no-op, result unchanged
+    again = refresh_file_stats(spark, path, refreshed, ["id"])
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, refreshed.collect())
+    )
