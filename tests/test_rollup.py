@@ -162,3 +162,39 @@ def test_rollup_under_structured_streaming(spark, tmp_path):
         )
     want = {g: (n, round(s, 6), lo, hi) for g, (n, s, lo, hi) in want.items()}
     assert got == want
+
+
+def test_windowed_rollup_composes_with_event_time(spark, tmp_path):
+    """group_cols are arbitrary — feeding tumbling-window starts as a
+    group column turns the store into an incrementally-maintained
+    windowed aggregate (the materialized twin of a streaming windowed
+    agg), with late rows folding into their window's partials on
+    whatever batch they arrive in."""
+    store = RollupStore(str(tmp_path / "w"), ["win", "g"], sum_cols=["v"])
+
+    def windowed(rows):
+        df = spark.createDataFrame(rows, "ts STRING, g STRING, v DOUBLE")
+        return df.select(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").start.alias("win"),
+            "g", "v",
+        )
+
+    store.apply(windowed([
+        ("2026-01-01 10:05:00", "a", 1.0),
+        ("2026-01-01 10:55:00", "a", 2.0),
+        ("2026-01-01 11:05:00", "b", 4.0),
+    ]), batch_id=0)
+    # batch 1 carries a LATE row for the 10:00 window
+    store.apply(windowed([
+        ("2026-01-01 11:30:00", "b", 8.0),
+        ("2026-01-01 10:59:59", "a", 16.0),
+    ]), batch_id=1)
+
+    got = {
+        (str(r["win"]), r["g"]): (r["n_rows"], r["sum_v"])
+        for r in store.snapshot(spark).collect()
+    }
+    assert got == {
+        ("2026-01-01 10:00:00", "a"): (3, 19.0),
+        ("2026-01-01 11:00:00", "b"): (2, 12.0),
+    }
