@@ -68,3 +68,42 @@ def corpus_mix_report(
         )
         .drop("__total__")
     )
+
+
+def robust_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    approx: bool = False,
+) -> DataFrame:
+    """Outlier-robust location/scale per group: median and MAD (median
+    absolute deviation from the median) — the statistics quality gates
+    should threshold on when a corpus has heavy-tailed junk, because a
+    handful of pathological documents drag mean/stddev arbitrarily far
+    while leaving median/MAD untouched.
+
+    Two aggregation passes (the MAD's inner median forces it: deviations
+    need the group median first); the group-median frame that joins back
+    is group-count-sized.  Medians round to 6 dp BEFORE the deviation
+    pass so any engine (R-7 interpolation, DuckDB ``quantile_cont``)
+    reproduces the exact same devs and MAD bit-for-bit.  ``approx=True``
+    swaps exact percentiles for ``approx_percentile`` sketches — the
+    100 TB variant (exact per-group percentile sorts each group's
+    values; the sketch is one bounded pass), same shape as
+    ``profile_columns(approx=True)``.
+    """
+    pfn = "approx_percentile" if approx else "percentile"
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"round({pfn}({value_col}, 0.5d), 6)").alias("med_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dev = df.join(med, group_cols).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("med_value"))
+    )
+    return (
+        dev.groupBy(*group_cols)
+        .agg(F.expr(f"round({pfn}(__dev, 0.5d), 6)").alias("mad_value"))
+        .join(med, group_cols)
+        .select(*group_cols, "n_rows", "med_value", "mad_value")
+    )

@@ -5401,6 +5401,42 @@ def rollup_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Robust statistics (operators/stats.py): per-group median + MAD — the
+# outlier-proof location/scale pair for corpus quality thresholds.
+# Medians round to 6 dp before the deviation pass so both engines (R-7
+# interpolation on both sides) derive identical deviations and MADs.
+# ---------------------------------------------------------------------------
+@query(
+    "value_mad_by_type",
+    """
+    WITH m AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS med_value,
+             COUNT(*) AS n_rows
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type, m.med_value, m.n_rows,
+             abs(e.value - m.med_value) AS dev
+      FROM events e JOIN m USING (event_type)
+    )
+    SELECT event_type, any_value(n_rows) AS n_rows,
+           any_value(med_value) AS med_value,
+           round(quantile_cont(dev, 0.5), 6) AS mad_value
+    FROM d GROUP BY event_type
+    """,
+)
+def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and MAD of the value column per event type — robust
+    location/scale for outlier gating (compose with anomaly_zscore's
+    shape, replacing mean/stddev when tails are heavy)."""
+    from .operators.stats import robust_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_stats(ev, ["event_type"], "value")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
 # externally-recorded oracle row.  Priority: the 9 headline pipeline stages
@@ -5451,6 +5487,7 @@ _PRIORITY_ORDER = [
     "skipscan_events_range", "revenue_cube_flag_status",
     "event_type_pivot_daily", "cheapest_supplier_per_part",
     "fuzzy_supplier_pairs", "rollup_incremental_events",
+    "value_mad_by_type",
 ]
 
 

@@ -158,3 +158,23 @@ def test_mask_columns(spark):
     assert out["ssn"] == "*****6789"
     assert len(out["name"]) == 64
     assert out["note"] is None
+
+
+def test_robust_stats_ignore_planted_outliers(spark):
+    from pyspark.sql import Row
+
+    from confluent_data_ingestion_spark.operators.stats import robust_stats
+
+    base = [Row(g="a", v=float(x)) for x in [10, 11, 12, 13, 14]]
+    poisoned = base + [Row(g="a", v=1e12)]
+    clean = robust_stats(spark.createDataFrame(base), ["g"], "v").collect()[0]
+    dirty = robust_stats(spark.createDataFrame(poisoned), ["g"], "v").collect()[0]
+    # one absurd value barely moves median/MAD (mean/stddev would explode)
+    assert clean["med_value"] == 12.0
+    assert abs(dirty["med_value"] - 12.5) < 1e-9
+    assert clean["mad_value"] == 1.0 and dirty["mad_value"] == 1.5
+    # approx variant stays in the same ballpark on well-behaved data
+    approx = robust_stats(
+        spark.createDataFrame(base), ["g"], "v", approx=True
+    ).collect()[0]
+    assert abs(approx["med_value"] - 12.0) <= 1.0
