@@ -60,7 +60,9 @@ def refresh_file_stats(
     current = {p for p, _ in list_files(spark, path)}
     known = {r["file"] for r in old_stats.select("file").collect()}
     fresh = sorted(current - known)
-    kept = old_stats.filter(F.col("file").isin(*current) if current else F.lit(False))
+    # semi-join against a tiny file-list frame, not a 100k-literal IN list
+    cur_df = spark.createDataFrame([(p,) for p in sorted(current)] or [("",)], "file STRING")
+    kept = old_stats.join(F.broadcast(cur_df), "file", "left_semi")
     if not fresh:
         return kept
     df = spark.read.parquet(*fresh).select(
