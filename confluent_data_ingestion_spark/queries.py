@@ -2637,12 +2637,14 @@ _MIX_BUDGET = 10000
     "mixture_plan",
     f"""
     WITH a AS (
-      SELECT source, sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+      SELECT source,
+             CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS n_tokens
       FROM documents GROUP BY source
     ),
     w(source, wt) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())})
     SELECT a.source, a.n_tokens,
-           round({_MIX_BUDGET} * w.wt, 2) AS target_tokens,
+           CAST(round({_MIX_BUDGET} * w.wt, 2) AS DOUBLE) AS target_tokens,
            round(least(1.0, {_MIX_BUDGET} * w.wt / CAST(a.n_tokens AS DOUBLE)), 6) AS rate,
            CAST(ceil({_MIX_BUDGET} * w.wt / CAST(a.n_tokens AS DOUBLE)) AS INT) AS epochs
     FROM a JOIN w ON a.source = w.source
@@ -3538,15 +3540,21 @@ def chunk_boilerplate_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN dims
       LEFT JOIN agg ON agg.doc_id = dd.doc_id AND agg.d = dims.d
     )
-    SELECT doc_id, array_agg(v ORDER BY d) AS embedding
-    FROM full_grid GROUP BY doc_id
+    SELECT doc_id, CAST(d AS INT) AS dim, v AS value
+    FROM full_grid
     """,
 )
 def hash_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The hash_embed operator API returns array<double> vectors; the registry
+    # query explodes to (doc_id, dim, value) rows so the driver's row-hash
+    # (which cannot digest Python lists) has a hashable, order-free shape.
     from .operators.text import hash_embed
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return hash_embed(docs, dim=16).select("doc_id", "embedding")
+    vecs = hash_embed(docs, dim=16).select("doc_id", "embedding")
+    return vecs.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3861,10 +3869,10 @@ def order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'fast'
                 WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
                 THEN 'normal' ELSE 'slow' END AS latency_bucket,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
     """,
@@ -4453,20 +4461,30 @@ def heavy_hitter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "distinct_users_by_type",
     """
-    SELECT event_type, CAST(ts AS DATE) AS event_day,
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_day,
            COUNT(DISTINCT user_id) AS n_distinct
     FROM events
-    GROUP BY event_type, CAST(ts AS DATE)
+    WHERE user_id IS NOT NULL
+    GROUP BY 1, 2
     """,
 )
 def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact daily active users per event type via two-level re-aggregation
     — the first shuffle spreads on (group, user) so a hot group cannot
-    OOM one reducer, the second carries one row per distinct pair."""
+    OOM one reducer, the second carries one row per distinct pair.
+    event_day surfaces as a STRING: DuckDB's pandas export widens DATE to
+    datetime64 while Spark keeps date objects, so a raw date column
+    hash-mismatches in the driver even when values agree.  user_id NULLs
+    are pre-filtered: the operator counts NULL as a distinct value
+    (pinned in test_distinct_two_level_counts_null_as_a_value) where
+    COUNT(DISTINCT) ignores it."""
     from .operators.sketch import distinct_exact_two_level
 
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("event_day", F.col("ts").cast("date"))
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ev = ev.withColumn(
+        "event_day", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+    )
     return distinct_exact_two_level(
         ev, ["event_type", "event_day"], "user_id", out_col="n_distinct"
     )
@@ -4624,7 +4642,7 @@ def market_share_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "promo_revenue_monthly",
     """
-    SELECT DATE_TRUNC('month', l.l_shipdate) AS ship_month,
+    SELECT strftime(DATE_TRUNC('month', l.l_shipdate), '%Y-%m-%d') AS ship_month,
       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
@@ -4653,8 +4671,11 @@ def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(pa.select("p_partkey", "p_type")),
               F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.trunc("l_shipdate", "month").alias("ship_month"),
-                "p_type", vol.alias("vol"))
+        .select(
+            F.date_format(F.trunc("l_shipdate", "month"), "yyyy-MM-dd")
+            .alias("ship_month"),
+            "p_type", vol.alias("vol"),
+        )
     )
     return fact.groupBy("ship_month").agg(
         F.sum(F.when(F.col("p_type") == "PROMO", F.col("vol")).otherwise(zero))
@@ -4979,7 +5000,12 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     fact = (
+        # NULL keys pre-filtered: the two-level operator counts NULL as a
+        # distinct value per group where COUNT(DISTINCT) ignores it (the
+        # generated l_suppkey is never NULL, but the oracle pairing must
+        # hold for any input)
         li.select("l_partkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
         .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(F.broadcast(pa_f), F.col("l_partkey") == pa_f.p_partkey)
     )
@@ -5235,13 +5261,13 @@ def revenue_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "event_type_pivot_daily",
     """
-    SELECT CAST(ts AS DATE) AS event_day,
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_day,
            COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
            COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
            COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup
     FROM events
-    GROUP BY CAST(ts AS DATE)
+    GROUP BY 1
     """,
 )
 def event_type_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5252,7 +5278,11 @@ def event_type_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape of the oracle's FILTER clauses."""
     ev = _t(spark, sf_dir, "events")
     out = (
-        ev.withColumn("event_day", F.col("ts").cast("date"))
+        # STRING day key (see distinct_users_by_type: raw date columns
+        # hash-mismatch the DuckDB oracle's datetime64 export)
+        ev.withColumn(
+            "event_day", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+        )
         .groupBy("event_day")
         .pivot("event_type", ["click", "view", "purchase", "signup"])
         .agg(F.count(F.lit(1)))
@@ -5439,55 +5469,42 @@ def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
-# externally-recorded oracle row.  Priority: the 9 headline pipeline stages
-# first (they anchor the benchmark baseline), then the 40 operators added in
-# rounds 4-5 that have not yet appeared in a recorded correctness artifact
-# (all pass the same oracle check locally), then the remaining already-
-# recorded round<=4 queries in their original registration order.
+# externally-recorded oracle row.  Round-7 window: the 9 headline pipeline
+# stages first (they anchor the benchmark baseline), then the two rows that
+# failed on harness shape in round 6 (mixture_plan's DECIMAL-vs-DOUBLE oracle
+# and hash_embed_vectors' list-valued output, both fixed this round — they
+# must re-appear to flip green), then 39 of the 41 queries that have never
+# appeared in any recorded correctness artifact.  The two rows-only BPE
+# queries are deferred to the round-8 window (they carry the weakest driver
+# signal — no oracle — so deferring them loses the least; both stay pinned
+# against a pure-Python reference in pytest).  Everything else follows in
+# registration order.
 # ---------------------------------------------------------------------------
 _PRIORITY_ORDER = [
     # headline stages
     "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
     "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
     "union_arms_null_fill", "ordered_multi_join", "pricing_summary",
-    # round-4/5 operators without a recorded oracle row yet
-    "kmeans_refine_assign", "normalize_text_stage", "corpus_length_quantiles",
-    "training_prep_e2e", "repeated_spans_cdc", "multimodal_embed_topk",
-    "unigram_logprob_score", "char_entropy_scores", "span_decontaminate",
-    "domain_cap_exact", "domain_cap_rate", "epoch_shuffle_assign",
-    "dedup_incremental", "dedup_lsh_verified", "corpus_sample_exact_n",
-    "dedup_keep_best_quality", "concat_chunks_plan", "leakage_safe_split",
-    "weighted_sample_priority", "mixture_plan", "semantic_dedup",
-    "event_funnel", "rolling_event_stats", "quality_cutoff_per_lang",
-    "regional_revenue", "shipping_priority_topk", "knn_classify_labels",
-    "bigram_logprob_score", "collocation_pmi", "dedup_cluster_sizes",
-    "contamination_report", "similarity_int8_topk", "streaming_event_funnel",
-    "brand_nation_revenue", "winsorize_doc_lengths", "dedup_exact_normalized",
-    "packing_fill_report", "top_docs_per_source", "chunk_boilerplate_ratio",
-    "hash_embed_vectors",
-    # round-6 additions (the 50th slot of the recorded window and the
-    # first candidates for the next round's rotation)
-    "bigram_logprob_vocab", "scd2_user_history", "snapshot_diff_orders",
-    "profile_documents", "retention_cohorts_weekly", "event_anomaly_zscore",
-    "returned_item_topk", "order_priority_semijoin",
-    "ship_latency_distribution", "gopher_quality_gate",
-    "scd2_incremental_apply", "scd2_asof_enrich", "similarity_pq_topk",
-    "similarity_pq_rerank", "similarity_ivfpq_topk",
-    "bpe_train_merges", "bpe_segment_tokens", "curriculum_stages",
-    "zorder_layout_key",
-    # round-6 session-2 additions: sketch family + analytics pack II
-    "bloom_semijoin_revenue", "heavy_hitter_parts", "distinct_users_by_type",
-    "nation_pair_trade", "market_share_yearly", "promo_revenue_monthly",
-    "top_supplier_by_revenue", "small_qty_revenue_share",
-    "large_order_customers", "idle_rich_customers",
-    # round-6 session-2 analytics pack III (Q11/Q13/Q16/Q19/Q20/Q21 shapes)
-    "important_parts_value", "cust_order_distribution",
-    "part_supplier_counts", "discounted_revenue_disjunctive",
-    "excess_shipped_suppliers", "waiting_orders_blame",
-    "skipscan_events_range", "revenue_cube_flag_status",
-    "event_type_pivot_daily", "cheapest_supplier_per_part",
-    "fuzzy_supplier_pairs", "rollup_incremental_events",
-    "value_mad_by_type",
+    # round-6 harness-shape fixes: must re-record green
+    "mixture_plan", "hash_embed_vectors",
+    # the 39 never-driver-recorded queries (of 41; BPE pair deferred)
+    "scd2_user_history", "snapshot_diff_orders", "profile_documents",
+    "retention_cohorts_weekly", "event_anomaly_zscore", "returned_item_topk",
+    "order_priority_semijoin", "ship_latency_distribution",
+    "gopher_quality_gate", "scd2_incremental_apply", "scd2_asof_enrich",
+    "similarity_pq_topk", "similarity_pq_rerank", "similarity_ivfpq_topk",
+    "curriculum_stages", "zorder_layout_key", "bloom_semijoin_revenue",
+    "heavy_hitter_parts", "distinct_users_by_type", "nation_pair_trade",
+    "market_share_yearly", "promo_revenue_monthly", "top_supplier_by_revenue",
+    "small_qty_revenue_share", "large_order_customers", "idle_rich_customers",
+    "important_parts_value", "cust_order_distribution", "part_supplier_counts",
+    "discounted_revenue_disjunctive", "excess_shipped_suppliers",
+    "waiting_orders_blame", "skipscan_events_range",
+    "revenue_cube_flag_status", "event_type_pivot_daily",
+    "cheapest_supplier_per_part", "fuzzy_supplier_pairs",
+    "rollup_incremental_events", "value_mad_by_type",
+    # positions 51+: first candidates for the round-8 window
+    "bpe_train_merges", "bpe_segment_tokens",
 ]
 
 

@@ -14,10 +14,23 @@ store supports decomposes into MERGEABLE per-group partials —
 so ``apply(batch)`` aggregates ONLY the new batch (cost O(batch)), merges
 the batch partials with the stored per-group state (cost O(state groups +
 batch groups), no raw-history rescan ever), writes the merged state to a
-new versioned directory and flips a pointer — the same
-marker/pointer-flip crash protocol as ``Scd2Store``: replays of a
-committed batch are no-ops, and a crash mid-write leaves the previous
-state live.
+new versioned directory and commits with ONE atomic pointer write.
+
+Crash protocol — stricter than ``UpsertSnapshot``/``Scd2Store``'s
+marker-after-write, because additive count/sum partials are NOT
+replay-idempotent (a latest-by-key store tolerates double-apply; a sum
+does not).  The committing batch_id is recorded INSIDE the pointer file,
+in the same single ``os.replace`` that flips the state pointer, so "new
+state live" and "batch committed" become one indivisible fact:
+
+ - crash before the flip  -> old pointer live, batch not committed,
+   replay redoes the fold against the OLD state (new dir is an orphan,
+   swept on the next apply);
+ - crash after the flip   -> new state live AND ``committed(batch_id)``
+   is already True via the pointer record, so the foreachBatch replay is
+   a no-op — the batch can never be double-counted;
+ - the old state directory is only removed after the commit record is
+   durable (fsync + rename).
 
 ``snapshot()`` finalizes: counts/sums/mins/maxs read straight from
 state, HLL sketches collapse through ``hll_sketch_estimate``.
@@ -56,12 +69,19 @@ class RollupStore:
         self.lgk = lgk
         os.makedirs(os.path.join(path, "_markers"), exist_ok=True)
 
-    # -- transaction markers (identical protocol to UpsertSnapshot) --------
+    # -- transaction markers ------------------------------------------------
+    # The marker dir keeps the full history of committed batch ids; the
+    # LATEST commit is additionally recorded inside the pointer file itself,
+    # atomically with the state flip (see module docstring for why the
+    # UpsertSnapshot marker-after-write protocol is not sound here).
     def _marker(self, batch_id) -> str:
         return os.path.join(self.path, "_markers", f"batch-{batch_id}")
 
     def committed(self, batch_id) -> bool:
-        return os.path.exists(self._marker(batch_id))
+        if os.path.exists(self._marker(batch_id)):
+            return True
+        _, last = self._read_pointer()
+        return last is not None and last == str(batch_id)
 
     # -- partial-aggregate schema -------------------------------------------
     def _partials(self, df: DataFrame) -> DataFrame:
@@ -101,30 +121,60 @@ class RollupStore:
         already committed (replay -> no-op)."""
         if batch_id is not None and self.committed(batch_id):
             return False
-        partials = self._partials(batch_df)
         cur = self._current_dir()
+        self._sweep_orphans(keep=cur)
+        partials = self._partials(batch_df)
         if cur:
             state = batch_df.sparkSession.read.parquet(cur)
             partials = self._merge(state, partials)
         new_dir = os.path.join(self.path, f"v-{uuid.uuid4().hex[:12]}")
         partials.write.mode("overwrite").parquet(new_dir)
-        # pointer flips last: crash before this line leaves the previous
-        # state live and the marker unwritten -> clean redo on retry
-        with open(os.path.join(self.path, "_current"), "w") as f:
-            f.write(new_dir)
-        if cur:
-            shutil.rmtree(cur, ignore_errors=True)
+        # ATOMIC COMMIT: the new-state pointer and the committing batch_id
+        # land in one os.replace.  A crash before this rename leaves the old
+        # state live and the batch uncommitted (clean redo); a crash after it
+        # leaves the new state live and the batch already committed (replay
+        # no-op).  There is no window where the new partials are live but the
+        # batch looks uncommitted — that window double-counts additive sums.
+        ptr = os.path.join(self.path, "_current")
+        tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(new_dir + "\n" + ("" if batch_id is None else str(batch_id)))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, ptr)
+        # past the commit point: the marker (commit history) and old-state
+        # cleanup may crash without harm — committed() already answers True
+        # via the pointer record, and orphan dirs are swept next apply.
         if batch_id is not None:
             with open(self._marker(batch_id), "w") as f:
-                f.write("1")
+                f.write(str(batch_id))
+        if cur:
+            shutil.rmtree(cur, ignore_errors=True)
         return True
 
-    def _current_dir(self) -> str | None:
+    def _sweep_orphans(self, keep: str | None) -> None:
+        """Remove v-* state dirs that lost the pointer race: a crash between
+        state write and pointer flip leaves the new dir orphaned, and a
+        crash after the flip may leave the OLD dir undeleted."""
+        keep_name = os.path.basename(keep) if keep else None
+        for name in os.listdir(self.path):
+            if name.startswith("v-") and name != keep_name:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+    def _read_pointer(self) -> tuple[str | None, str | None]:
+        """(current state dir, batch_id recorded at the commit) — the second
+        slot is None for pre-upgrade single-line pointer files."""
         ptr = os.path.join(self.path, "_current")
         if not os.path.exists(ptr):
-            return None
+            return None, None
         with open(ptr) as f:
-            return f.read().strip()
+            lines = f.read().splitlines()
+        cur = lines[0].strip() if lines else ""
+        last = lines[1].strip() if len(lines) > 1 else ""
+        return (cur or None, last or None)
+
+    def _current_dir(self) -> str | None:
+        return self._read_pointer()[0]
 
     # -- read path ------------------------------------------------------------
     def snapshot(self, spark: SparkSession) -> DataFrame:

@@ -121,6 +121,7 @@ class UpsertSnapshot:
         if self._resolve_backend(batch_df.sparkSession) == "delta":
             self._upsert_delta(batch_df)
         else:
+            self._ensure_log_format(batch_df.sparkSession)
             seq = self._next_seq()
             (
                 batch_df.withColumn("__seq", F.lit(seq))
@@ -131,8 +132,81 @@ class UpsertSnapshot:
             self._bump_seq(seq)
         if batch_id is not None:
             with open(self._marker(batch_id), "w") as f:
-                f.write("1" if seq is None else str(seq))
+                # delta markers carry no sequence — write a sentinel, never
+                # a digit that seq_of_batch could misread as a real seq
+                f.write("delta" if seq is None else str(seq))
         return True
+
+    # -- on-disk format migration ---------------------------------------------
+    #
+    # Format v1 (pre-__seq) appended bare parquet files at the log root;
+    # v2 partitions every append under __seq=N.  Spark's partition discovery
+    # rejects a directory mixing both ("Conflicting directory structures"),
+    # so the first v2 access of a v1 store folds the root files into the
+    # oldest sequence — they predate every partitioned append, and snapshot
+    # ranking orders on ``order_by`` columns (never on ``__seq``), so the
+    # fold is exact for snapshots and only coarsens time travel across the
+    # migrated history (same contract as compaction's horizon).
+
+    def _legacy_root_files(self) -> list[str]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return [
+            os.path.join(self.log_dir, n)
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".parquet")
+            and os.path.isfile(os.path.join(self.log_dir, n))
+        ]
+
+    def _ensure_log_format(self, spark: SparkSession) -> None:
+        roots = self._legacy_root_files()
+        if not roots:
+            return
+        seqs = [
+            int(n.split("=", 1)[1])
+            for n in os.listdir(self.log_dir)
+            if n.startswith("__seq=")
+        ]
+        target = min(seqs) if seqs else 0
+        tmp = f"{self.path}/log-migrate-{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(*roots)
+            .withColumn("__seq", F.lit(target))
+            .write.mode("overwrite")
+            .partitionBy("__seq")
+            .parquet(tmp)
+        )
+        for p in roots:
+            os.remove(p)
+        success = os.path.join(self.log_dir, "_SUCCESS")
+        if os.path.isfile(success):
+            os.remove(success)
+        part_src = os.path.join(tmp, f"__seq={target}")
+        part_dst = os.path.join(self.log_dir, f"__seq={target}")
+        os.makedirs(part_dst, exist_ok=True)
+        for n in os.listdir(part_src):
+            if not n.startswith("_"):
+                os.rename(
+                    os.path.join(part_src, n), os.path.join(part_dst, n)
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not seqs:
+            # pure-v1 store: its markers hold the literal "1" placeholder,
+            # not an append sequence — stamp them so seq lookups fail
+            # loudly instead of silently time-traveling to seq 1.  (With
+            # __seq dirs present a "1" marker IS a real v2 sequence; those
+            # are left untouched.)
+            for n in os.listdir(self.txn_dir):
+                if not n.startswith("committed-"):
+                    continue
+                mp = os.path.join(self.txn_dir, n)
+                with open(mp) as f:
+                    content = f.read().strip()
+                if content == "1":
+                    with open(mp, "w") as f:
+                        f.write("legacy")
+            if self._next_seq() == 0:
+                self._bump_seq(target)
 
     # -- append sequence (the log's time axis) --------------------------------
     #
@@ -170,7 +244,16 @@ class UpsertSnapshot:
                 "maps batches to versions in its own transaction log"
             )
         with open(self._marker(batch_id)) as f:
-            return int(f.read().strip())
+            content = f.read().strip()
+        try:
+            return int(content)
+        except ValueError:
+            raise RuntimeError(
+                f"marker for batch {batch_id!r} records no append sequence "
+                f"({content!r}): it predates the __seq log format or was "
+                "written by the delta backend — time travel is unavailable "
+                "for batches committed before the format migration"
+            ) from None
 
     def _is_deleted_expr(self, qualifier: str = ""):
         flag = F.lower(
@@ -258,6 +341,7 @@ class UpsertSnapshot:
                 "log() is parquet-log-only; the delta backend's history "
                 "lives in the Delta transaction log (DESCRIBE HISTORY)"
             )
+        self._ensure_log_format(spark)
         return spark.read.parquet(self.log_dir)
 
     def snapshot(self, spark: SparkSession) -> DataFrame:

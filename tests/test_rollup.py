@@ -74,20 +74,21 @@ def test_crash_before_pointer_flip_leaves_old_state(spark, tmp_path, monkeypatch
     store.apply(_batches(spark)[0], batch_id=0)
     good = sorted(map(tuple, store.snapshot(spark).collect()))
 
-    # inject a crash after the state write but before the pointer flip
-    import builtins
+    # inject a crash after the state write but before the atomic pointer
+    # flip (the flip is now os.replace of a fsynced tmp file)
+    import os as _os
 
-    real_open = builtins.open
+    real_replace = _os.replace
 
-    def exploding_open(path, *a, **kw):
-        if str(path).endswith("_current") and a and a[0] == "w":
+    def exploding_replace(src, dst, *a, **kw):
+        if str(dst).endswith("_current"):
             raise RuntimeError("crash before pointer flip")
-        return real_open(path, *a, **kw)
+        return real_replace(src, dst, *a, **kw)
 
-    monkeypatch.setattr(builtins, "open", exploding_open)
+    monkeypatch.setattr(_os, "replace", exploding_replace)
     with pytest.raises(RuntimeError, match="pointer flip"):
         store.apply(_batches(spark)[1], batch_id=1)
-    monkeypatch.setattr(builtins, "open", real_open)
+    monkeypatch.setattr(_os, "replace", real_replace)
 
     # old state intact, batch 1 not marked committed -> retry applies cleanly
     assert sorted(map(tuple, store.snapshot(spark).collect())) == good
@@ -198,3 +199,68 @@ def test_windowed_rollup_composes_with_event_time(spark, tmp_path):
         ("2026-01-01 10:00:00", "a"): (3, 19.0),
         ("2026-01-01 11:00:00", "b"): (2, 12.0),
     }
+
+def test_crash_after_flip_before_marker_never_double_counts(
+    spark, tmp_path, monkeypatch
+):
+    """The window the old marker-after-write protocol got wrong: a crash
+    after the new (batch-included) state goes live but before the marker is
+    written.  Additive sum partials are not replay-idempotent, so the batch
+    must already read as committed via the pointer record — the foreachBatch
+    replay has to be a no-op, not a second fold."""
+    store = RollupStore(str(tmp_path / "r4"), ["g"], sum_cols=["v"])
+    store.apply(_batches(spark)[0], batch_id=0)
+
+    import builtins
+
+    real_open = builtins.open
+
+    def exploding_open(path, *a, **kw):
+        if "_markers" in str(path) and a and a[0] == "w":
+            raise RuntimeError("crash before marker write")
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", exploding_open)
+    with pytest.raises(RuntimeError, match="marker write"):
+        store.apply(_batches(spark)[1], batch_id=1)
+    monkeypatch.setattr(builtins, "open", real_open)
+
+    # the new state (including batch 1) is live AND batch 1 reads committed
+    assert store.committed(1)
+    # replay of batch 1 must be a no-op: the sums already contain it
+    assert not store.apply(_batches(spark)[1], batch_id=1)
+    seen = _batches(spark)[0].unionByName(_batches(spark)[1])
+    got = {r["g"]: round(r["sum_v"], 6) for r in store.snapshot(spark).collect()}
+    want = {
+        r["g"]: round(r["s"], 6)
+        for r in seen.groupBy("g")
+        .agg(F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # a LATER batch still commits normally and the totals stay exact
+    assert store.apply(_batches(spark)[2], batch_id=2)
+    seen = seen.unionByName(_batches(spark)[2])
+    got = {r["g"]: round(r["sum_v"], 6) for r in store.snapshot(spark).collect()}
+    want = {
+        r["g"]: round(r["s"], 6)
+        for r in seen.groupBy("g")
+        .agg(F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_orphaned_state_dirs_are_swept(spark, tmp_path):
+    """A crash between state write and pointer flip leaves an orphan v-* dir;
+    the next apply removes it and the store stays correct."""
+    import os
+
+    store = RollupStore(str(tmp_path / "r5"), ["g"], sum_cols=["v"])
+    store.apply(_batches(spark)[0], batch_id=0)
+    orphan = str(tmp_path / "r5" / "v-deadbeef0000")
+    os.makedirs(orphan)
+    store.apply(_batches(spark)[1], batch_id=1)
+    assert not os.path.exists(orphan)
+    dirs = [n for n in os.listdir(tmp_path / "r5") if n.startswith("v-")]
+    assert len(dirs) == 1  # exactly the live state

@@ -955,3 +955,62 @@ def test_snapshot_as_of_below_compaction_horizon_raises(spark, tmp_path):
     assert {r["k"]: r["v"] for r in store.snapshot_as_of(spark, 2).collect()} == {
         1: "a3"
     }
+
+
+def test_legacy_v1_log_migrates_on_first_access(spark, tmp_path):
+    """A store written by the pre-__seq format (bare parquet files at the
+    log root) must keep working after the upgrade: the first v2 access
+    folds the root files into __seq=0 instead of producing Spark's
+    'Conflicting directory structures' error, snapshots are unchanged,
+    and legacy markers still dedup replays but refuse seq lookups."""
+    import os
+
+    path = tmp_path / "legacy"
+    store = UpsertSnapshot(str(path), ["k"], ["seq"])
+    # simulate the v1 on-disk layout: appends at the log root, marker "1"
+    spark.createDataFrame(
+        [Row(k=1, seq=1, v="a"), Row(k=2, seq=1, v="b")]
+    ).write.mode("append").parquet(store.log_dir)
+    spark.createDataFrame([Row(k=1, seq=2, v="a2")]).write.mode(
+        "append"
+    ).parquet(store.log_dir)
+    with open(store._marker("legacy-batch"), "w") as f:
+        f.write("1")
+    assert any(n.endswith(".parquet") for n in os.listdir(store.log_dir))
+
+    # v2 append on top of the legacy layout: must migrate, not corrupt
+    assert store.upsert(
+        spark.createDataFrame([Row(k=3, seq=1, v="c")]), batch_id="b-new"
+    )
+    snap = {r["k"]: r["v"] for r in store.snapshot(spark).collect()}
+    assert snap == {1: "a2", 2: "b", 3: "c"}
+    # no bare files remain; everything lives under __seq=N partitions
+    assert not any(
+        n.endswith(".parquet") for n in os.listdir(store.log_dir)
+    )
+    assert store.log(spark).count() == 4
+    # legacy marker still dedups its batch id but has no sequence
+    assert store.committed("legacy-batch")
+    with pytest.raises(RuntimeError, match="no append sequence"):
+        store.seq_of_batch("legacy-batch")
+    # the new batch's marker resolves and time travel works from it
+    seq = store.seq_of_batch("b-new")
+    as_of = {r["k"]: r["v"] for r in store.snapshot_as_of(spark, seq).collect()}
+    assert as_of == snap
+    # pre-migration history folded into one sequence: as-of it sees v1 rows
+    first = {
+        r["k"]: r["v"] for r in store.snapshot_as_of(spark, seq - 1).collect()
+    }
+    assert first == {1: "a2", 2: "b"}
+
+
+def test_v1_migration_is_read_triggered_too(spark, tmp_path):
+    """log()/snapshot() on a legacy store must not raise even when no new
+    batch has been written yet."""
+    path = tmp_path / "legacy_ro"
+    store = UpsertSnapshot(str(path), ["k"], ["seq"])
+    spark.createDataFrame(
+        [Row(k=1, seq=1, v="a"), Row(k=1, seq=2, v="b")]
+    ).write.mode("append").parquet(store.log_dir)
+    snap = store.snapshot(spark).collect()
+    assert len(snap) == 1 and snap[0]["v"] == "b"
