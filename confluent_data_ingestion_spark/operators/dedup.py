@@ -306,49 +306,69 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity over shingle-sharing pairs.
 
-    Inverted-index join: explode distinct shingles, self-join on shingle,
-    count intersections, compute |A ∩ B| / (|A| + |B| - |A ∩ B|).  Quadratic
-    in collision-group size — at 100 TB, run AFTER an LSH prefilter.
+    Posting-list formulation: explode distinct shingles, ONE skew-safe
+    shuffle collapses them to per-shingle posting lists, then candidate
+    pairs explode WITHIN each list (a narrow double-explode — no
+    self-join), intersections count per (doc_a, doc_b), and Jaccard is
+    |A ∩ B| / (|A| + |B| - |A ∩ B|).  Quadratic in collision-group size —
+    at 100 TB, run AFTER an LSH prefilter.
 
-    ``max_group_size`` document-frequency-caps shingles before the join
-    (see ``_cap_hot_groups``): a boilerplate shingle shared by k docs emits
-    k^2/2 join rows into one reducer, so shingles matching more than
-    ``max_group_size`` docs are dropped from BOTH the inverted index and
-    the per-doc size counts — Jaccard is then computed over the capped
-    (discriminative) feature space, the standard stopword-feature
-    treatment.  Inspect dropped keys with ``hot_shingle_stats``.  ``None``
-    disables capping.
+    ``max_group_size`` document-frequency-caps shingles before pairing: a
+    boilerplate shingle shared by k docs emits k^2/2 candidate pairs, so
+    shingles matching more than ``max_group_size`` docs are dropped from
+    BOTH the posting lists and the per-doc size counts — Jaccard is then
+    computed over the capped (discriminative) feature space, the standard
+    stopword-feature treatment.  Inspect dropped keys with
+    ``hot_shingle_stats``.  ``None`` disables capping.
 
-    The shingle explode feeds three plan subtrees (both join sides + the
-    per-doc size agg); ``persist_shingles=True`` computes it once at corpus
-    scale (registered with ``caching.track``, released by the runtime's
-    next ``release_caches()``).
+    Scale shape of the cap (this is where the round-4/5 extra corpus-wide
+    count aggregation went): doc frequency and the posting list come out
+    of ONE aggregation pass — ``groupBy(s).agg(count, collect_list)`` —
+    and the cap is a post-filter on that row, so there is no second
+    corpus-scale count pass and no anti-join.  The pair blowup the cap
+    exists to prevent (k²/2 candidates from one boilerplate shingle)
+    cannot happen: pairs explode only from lists that survived the
+    filter.  The residual skew exposure is the aggregation buffer of a
+    hot key before its row is filtered — 8 bytes × group size, linear
+    not quadratic, and Spark's object-hash aggregate falls back to
+    sort-based spilling under pressure.
+
+    ``persist_shingles=True`` caches twice (``caching.track``, released
+    by the runtime's next ``release_caches()``): the exploded shingles
+    pre-partitioned on the digest, so the posting aggregation needs NO
+    further exchange, and the posting frame itself, shared by the pair
+    explode and the per-doc size counts.
 
     Shingles travel as md5 digests (``exploded_shingles(hashed=True)``):
-    the dedupe shuffle, the inverted-index self-join, and the persisted
-    block all carry 32-byte keys, never n-gram text.
+    every shuffle and persisted block carries 32-byte keys, never n-gram
+    text.
     """
     sh = exploded_shingles(
         ensure_min_parallelism(df), id_col, text_col, n, hashed=True
     )
-    # persist BEFORE capping so the hot-key count and the capped main path
-    # share one cached explode instead of shingling the corpus twice — and
-    # persist ALREADY PARTITIONED on the join key: a cache clustered by s
-    # satisfies the distribution required by the hot-key count agg AND both
-    # self-join sides, so none of the three downstream consumers re-shuffles
-    # the shingle set (one exchange in the cache build vs three on top of an
-    # unpartitioned cache)
+    # persist ALREADY PARTITIONED on the digest: the posting aggregation's
+    # required distribution is then satisfied by the cache, so the corpus
+    # crosses exactly one exchange
     if persist_shingles:
         sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
-    sh = _cap_hot_groups(sh, ["s"], max_group_size)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, F.expr(f"a.s = b.s AND a.{id_col} < b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
+    post = sh.groupBy("s").agg(
+        F.count(F.lit(1)).alias("__df__"),
+        F.collect_list(id_col).alias("__ids__"),
+    )
+    if max_group_size is not None:
+        post = post.filter(F.col("__df__") <= max_group_size)
+    if persist_shingles:
+        post = track(post)
+    pairs = (
+        post.select(F.explode("__ids__").alias("doc_a"), "__ids__")
+        .select("doc_a", F.explode("__ids__").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("c"))
+    sizes = (
+        post.select(F.explode("__ids__").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")

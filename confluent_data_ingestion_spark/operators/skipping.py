@@ -185,15 +185,50 @@ def compaction_plan(
 def apply_compaction(
     spark: SparkSession, path: str, plan: list[list[str]], out_dir: str
 ) -> None:
-    """Rewrite each planned bin as one file under ``out_dir``.  One job
-    per bin, but each job is a trivial narrow read→write of a few small
-    files; a production deployment runs the bins from a thread pool
-    (exactly Delta OPTIMIZE's shape) and swaps directories atomically —
-    the swap protocol here mirrors ``UpsertSnapshot.compact``."""
-    for i, members in enumerate(plan):
-        (
-            spark.read.parquet(*members)
-            .coalesce(1)
-            .write.mode("append" if i else "overwrite")
-            .parquet(out_dir)
+    """Materialize the compacted layout of ``path`` under ``out_dir``:
+    each planned bin rewritten as one file, PLUS a copy of every
+    right-sized file the plan left alone — ``out_dir`` is a complete,
+    substitutable replacement for the source directory, never a partial
+    one.  One job per planned bin, but each job is a trivial narrow
+    read→write of a few small files; a production deployment runs the
+    bins from a thread pool (exactly Delta OPTIMIZE's shape).
+
+    Crash safety: everything stages into a temp sibling of ``out_dir``
+    and lands with ONE ``os.replace``-style rename at the end — a crash
+    mid-plan leaves only a ``<out_dir>.staging-*`` directory to sweep,
+    never a half-written ``out_dir``.  Refuses to clobber an existing
+    ``out_dir`` (the caller decides when to swap the live table, as in
+    ``UpsertSnapshot.compact``)."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(out_dir):
+        raise FileExistsError(
+            f"{out_dir} already exists; apply_compaction writes a complete "
+            "new layout and will not merge into or overwrite a live one"
         )
+    staging = f"{out_dir.rstrip('/')}.staging-{uuid.uuid4().hex[:8]}"
+    try:
+        planned = {p for members in plan for p in members}
+        for i, members in enumerate(plan):
+            (
+                spark.read.parquet(*members)
+                .coalesce(1)
+                .write.mode("append" if i else "overwrite")
+                .parquet(staging)
+            )
+        os.makedirs(staging, exist_ok=True)  # plan may be empty
+        # right-sized files carry over verbatim — cheap byte copies, no
+        # decode/encode, so out_dir holds the WHOLE table
+        for src, _ in list_files(spark, path):
+            if src in planned:
+                continue
+            local = src[len("file://"):] if src.startswith("file://") else src
+            shutil.copy2(
+                local, os.path.join(staging, os.path.basename(local))
+            )
+        os.rename(staging, out_dir)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise

@@ -5136,12 +5136,17 @@ def excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers solely responsible for late lines on
     multi-supplier finished orders.  The EXISTS + NOT-EXISTS pair over
-    the fact table is collapsed into ONE order-level aggregate
-    (distinct suppliers, distinct LATE suppliers) joined back to the
-    late rows — two fact shuffles on the same key instead of the four
-    the literal subquery plan would take, with identical semantics:
-    EXISTS(other supplier) == n_supp >= 2, and NOT EXISTS(other late
-    supplier) for a row already known late == n_late_supp == 1."""
+    the fact table is collapsed into ONE order-level aggregate: per
+    order, distinct suppliers, distinct LATE suppliers, the late LINE
+    count, and (well-defined exactly when one late supplier exists) the
+    late supplier's key.  Semantics parity with the literal subquery
+    plan: EXISTS(other supplier) == n_supp >= 2; NOT EXISTS(other late
+    supplier) for an already-late row == n_late_supp == 1, in which
+    case EVERY late line in the order belongs to that one supplier, so
+    joining late ROWS back (a second fact-scale shuffle that grew
+    linearly in the round-6 scale probe) is unnecessary — the blame
+    frame is order-level, and only the lineitem⨝orders join plus a
+    partitioning-reusing groupBy ever shuffle fact rows."""
     li, od, su, na = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
     ord_f = od.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
@@ -5152,18 +5157,17 @@ def waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    li_o = track(li_o.persist())
-    order_stats = li_o.groupBy(F.col("l_orderkey").alias("__ok")).agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
-            "__n_late_supp"
-        ),
-    )
+    late_supp = F.when(F.col("__late"), F.col("l_suppkey"))
     blame = (
-        li_o.filter(F.col("__late"))
-        .join(order_stats, F.col("l_orderkey") == F.col("__ok"))
+        li_o.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__n_supp"),
+            F.countDistinct(late_supp).alias("__n_late_supp"),
+            F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("__n_late"),
+            F.max(late_supp).alias("__late_supp"),
+        )
         .filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
-        .select("l_suppkey")
+        .select(F.col("__late_supp").alias("l_suppkey"), "__n_late")
     )
     nat = na.filter(F.col("n_name") == "NATION_1").select("n_nationkey")
     supp = su.join(
@@ -5172,7 +5176,7 @@ def waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         blame.join(F.broadcast(supp), blame.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__n_late").cast("long").alias("numwait"))
     )
 
 
@@ -5208,7 +5212,13 @@ def skipscan_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    layout = f"/tmp/cdis_skipscan_{_os.path.basename(sf_dir.rstrip('/'))}"
+    # scratch path scoped by the session's application id: two concurrent
+    # harness runs over the same scale factor must not race on one layout
+    layout = _os.path.join(
+        "/tmp",
+        f"cdis_{spark.sparkContext.applicationId}",
+        f"skipscan_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
     (
         zorder_by(ev, ["user_id", "value"], bits=12)
         .repartitionByRange(16, F.col("zorder_key"))
@@ -5417,7 +5427,13 @@ def rollup_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.rollup import RollupStore
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    path = f"/tmp/cdis_rollup_{_os.path.basename(sf_dir.rstrip('/'))}"
+    # per-run scratch (see skipscan_events_range): the rmtree below would
+    # corrupt a concurrent run sharing a fixed path
+    path = _os.path.join(
+        "/tmp",
+        f"cdis_{spark.sparkContext.applicationId}",
+        f"rollup_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
     _shutil.rmtree(path, ignore_errors=True)
     store = RollupStore(
         path, ["event_type"],

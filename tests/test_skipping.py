@@ -119,13 +119,33 @@ def test_compaction_plan_and_apply(spark, tmp_path):
 
     out = str(tmp_path / "compact")
     apply_compaction(spark, src, plan, out)
+    # out_dir is a COMPLETE replacement layout: planned bins rewritten as
+    # one file each, right-sized/unplanned files copied over verbatim
     got = spark.read.parquet(out)
-    want = spark.read.parquet(*planned)
-    assert got.count() == want.count()
+    full = spark.read.parquet(src)
     assert sorted(r["id"] for r in got.collect()) == sorted(
-        r["id"] for r in want.collect()
+        r["id"] for r in full.collect()
     )
-    assert len(list_files(spark, out)) == len(plan)  # one file per bin
+    n_unplanned = len(files) - len(planned)
+    assert len(list_files(spark, out)) == len(plan) + n_unplanned
+
+    # refuses to clobber an existing output layout
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        apply_compaction(spark, src, plan, out)
+
+    # a crash mid-plan leaves NO partial out_dir (staging is swept)
+    import os
+
+    bad = str(tmp_path / "never")
+    broken_plan = [[files[0][0], str(tmp_path / "missing.parquet")]]
+    with pytest.raises(Exception):
+        apply_compaction(spark, src, broken_plan, bad)
+    assert not os.path.exists(bad)
+    assert not [
+        d for d in os.listdir(tmp_path) if d.startswith("never.staging-")
+    ]
 
 
 def test_compaction_plan_leaves_right_sized_files_alone(spark, tmp_path):
