@@ -30,6 +30,26 @@ def main() -> None:
     # warm the JVM + parquet footer caches once so per-query numbers measure
     # the plan, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm Structured Streaming (file source, checkpoint, foreachBatch
+    # machinery) so the registry's FIRST streaming query measures its plan,
+    # not one-time class loading
+    import shutil
+    import tempfile
+
+    wdir = tempfile.mkdtemp(prefix="cdis-bench-warm-")
+    try:
+        with open(os.path.join(wdir, "in.txt"), "w") as f:
+            f.write("warm\n")
+        q = (
+            spark.readStream.format("text").load(wdir)
+            .writeStream.foreachBatch(lambda df, _bid: df.count())
+            .option("checkpointLocation", os.path.join(wdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -42,11 +62,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    # The driver's capture window truncates very long lines (BENCH_r05/r06
-    # both recorded parsed:null with 132 per-query timings on one line), so
-    # the FIRST line is a bounded compact record — headline stages plus the
-    # ten slowest queries — and the full per-query map follows on its own
-    # line for human diffing.
+    # The driver keeps the TAIL of captured output (BENCH_r05/r06/r07 all
+    # recorded parsed:null because the parseable line scrolled out), so the
+    # full 132-entry per-query map prints FIRST (for human diffing) and the
+    # bounded compact record — headline stages plus the ten slowest queries —
+    # prints LAST so it survives the tail capture.
     headline = [
         "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
         "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
@@ -56,6 +76,7 @@ def main() -> None:
     compact = {n: timings[n] for n in headline if n in timings}
     for n in slowest:
         compact.setdefault(n, timings[n])
+    print(json.dumps({"metric": "per_query_wallclock_full", "queries": timings}))
     print(json.dumps({
         "metric": "total_query_wallclock",
         "value": round(total, 3),
@@ -65,7 +86,6 @@ def main() -> None:
         "n_queries": len(timings),
         "headline_sec": round(sum(timings.get(n, 0.0) for n in headline), 3),
     }))
-    print(json.dumps({"metric": "per_query_wallclock_full", "queries": timings}))
 
 
 if __name__ == "__main__":

@@ -329,9 +329,16 @@ def ngram_jaccard_pairs(
     exists to prevent (k²/2 candidates from one boilerplate shingle)
     cannot happen: pairs explode only from lists that survived the
     filter.  The residual skew exposure is the aggregation buffer of a
-    hot key before its row is filtered — 8 bytes × group size, linear
-    not quadratic, and Spark's object-hash aggregate falls back to
-    sort-based spilling under pressure.
+    hot key before its row is filtered: ``collect_list`` state is held
+    per-group in executor memory (string ids cost their full length,
+    not 8 bytes, and the buffer is not spillable per-element — the
+    sort-based fallback spills whole groups between keys, never inside
+    one).  With the cap ON this buffer is bounded at ``max_group_size``
+    ids; passing ``max_group_size=None`` REINSTATES the memory hazard —
+    a boilerplate shingle shared by millions of docs accumulates its
+    entire id list on one executor before the (now absent) filter could
+    prune it.  If the cap must be disabled on a skewed corpus, pre-drop
+    hot digests with a cheap count pass (``hot_shingle_stats``) first.
 
     ``persist_shingles=True`` caches twice (``caching.track``, released
     by the runtime's next ``release_caches()``): the exploded shingles

@@ -163,23 +163,29 @@ def compaction_plan(
     is metadata-only; only files smaller than ``small_factor *
     target_bytes`` are candidates (right-sized files are never
     rewritten), and no bin exceeds the target unless it is a single
-    file.  Execute with :func:`apply_compaction`.
+    file.  Bins never span directories: files in different partition
+    directories (e.g. Hive-style ``__seq=N/``) compact separately, so a
+    rewritten file stays inside its partition and keeps the
+    directory-derived partition value — the same per-partition shape as
+    Delta OPTIMIZE.  Execute with :func:`apply_compaction`.
     """
-    files = [
-        (p, b)
-        for p, b in list_files(spark, path)
-        if b < small_factor * target_bytes
-    ]
-    bins: list[tuple[int, list[str]]] = []
-    for p, b in sorted(files, key=lambda x: -x[1]):
-        for i, (used, members) in enumerate(bins):
-            if used + b <= target_bytes:
-                bins[i] = (used + b, members + [p])
-                break
-        else:
-            bins.append((b, [p]))
-    # singleton bins are no-ops: rewriting one small file buys nothing
-    return [members for _, members in bins if len(members) > 1]
+    by_dir: dict[str, list[tuple[str, int]]] = {}
+    for p, b in list_files(spark, path):
+        if b < small_factor * target_bytes:
+            by_dir.setdefault(p.rsplit("/", 1)[0], []).append((p, b))
+    out: list[list[str]] = []
+    for _, files in sorted(by_dir.items()):
+        bins: list[tuple[int, list[str]]] = []
+        for p, b in sorted(files, key=lambda x: -x[1]):
+            for i, (used, members) in enumerate(bins):
+                if used + b <= target_bytes:
+                    bins[i] = (used + b, members + [p])
+                    break
+            else:
+                bins.append((b, [p]))
+        # singleton bins are no-ops: rewriting one small file buys nothing
+        out.extend(members for _, members in bins if len(members) > 1)
+    return out
 
 
 def apply_compaction(
@@ -193,6 +199,14 @@ def apply_compaction(
     read→write of a few small files; a production deployment runs the
     bins from a thread pool (exactly Delta OPTIMIZE's shape).
 
+    The relative subpath of every file under ``path`` is preserved, so a
+    Hive-partitioned source (``__seq=N/part.parquet``) keeps its layout
+    and directory-derived partition values (:func:`compaction_plan`
+    guarantees each bin stays within one directory).  The SOURCE may be
+    any Hadoop filesystem scheme (carry-over copies go through the
+    Hadoop FS API); ``out_dir`` must be on the LOCAL filesystem — the
+    final commit is one atomic ``os.rename``.
+
     Crash safety: everything stages into a temp sibling of ``out_dir``
     and lands with ONE ``os.replace``-style rename at the end — a crash
     mid-plan leaves only a ``<out_dir>.staging-*`` directory to sweep,
@@ -202,31 +216,54 @@ def apply_compaction(
     import os
     import shutil
     import uuid
+    from urllib.parse import urlparse
 
     if os.path.exists(out_dir):
         raise FileExistsError(
             f"{out_dir} already exists; apply_compaction writes a complete "
             "new layout and will not merge into or overwrite a live one"
         )
+
+    root = urlparse(path).path or path
+
+    def _rel_dir(file_uri: str) -> str:
+        p = urlparse(file_uri).path or file_uri
+        rel = os.path.relpath(os.path.dirname(p), root)
+        if rel.startswith(".."):
+            raise ValueError(f"{file_uri} is not under {path}")
+        return "" if rel == "." else rel
+
     staging = f"{out_dir.rstrip('/')}.staging-{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging, exist_ok=True)  # plan may be empty
     try:
         planned = {p for members in plan for p in members}
-        for i, members in enumerate(plan):
-            (
-                spark.read.parquet(*members)
-                .coalesce(1)
-                .write.mode("append" if i else "overwrite")
-                .parquet(staging)
-            )
-        os.makedirs(staging, exist_ok=True)  # plan may be empty
-        # right-sized files carry over verbatim — cheap byte copies, no
-        # decode/encode, so out_dir holds the WHOLE table
+        for members in plan:
+            rels = {_rel_dir(m) for m in members}
+            if len(rels) > 1:  # bins must not cross partition directories
+                raise ValueError(
+                    f"compaction bin spans directories {sorted(rels)}; "
+                    "plan bins within one directory (compaction_plan does)"
+                )
+            dst = os.path.join(staging, rels.pop())
+            spark.read.parquet(*members).coalesce(1).write.mode(
+                "append"
+            ).parquet(dst)
+        # right-sized files carry over verbatim — byte copies through the
+        # Hadoop FS API (any source scheme), no decode/encode, relative
+        # subpath preserved, so out_dir holds the WHOLE table
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path
         for src, _ in list_files(spark, path):
             if src in planned:
                 continue
-            local = src[len("file://"):] if src.startswith("file://") else src
-            shutil.copy2(
-                local, os.path.join(staging, os.path.basename(local))
+            dst_dir = os.path.join(staging, _rel_dir(src))
+            os.makedirs(dst_dir, exist_ok=True)
+            sp = hpath(src)
+            dp = hpath(os.path.join(dst_dir, sp.getName()))
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp,
+                False, conf,
             )
         os.rename(staging, out_dir)
     except BaseException:

@@ -5143,31 +5143,57 @@ def waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan: EXISTS(other supplier) == n_supp >= 2; NOT EXISTS(other late
     supplier) for an already-late row == n_late_supp == 1, in which
     case EVERY late line in the order belongs to that one supplier, so
-    joining late ROWS back (a second fact-scale shuffle that grew
-    linearly in the round-6 scale probe) is unnecessary — the blame
-    frame is order-level, and only the lineitem⨝orders join plus a
-    partitioning-reusing groupBy ever shuffle fact rows."""
+    joining late ROWS back is unnecessary — the blame frame is
+    order-level.
+
+    Scale shape (round-8 rework of the round-6 probe's 0.55x row): the
+    per-order line multiset is TINY (<= 7 lines in the TPC-H shape), so
+    lineitem folds to one row per orderkey BEFORE the orders join —
+    ``collect_list(struct(suppkey, shipdate))`` in the single fact
+    shuffle, multi-supplier filter applied pre-join — and the join then
+    carries order-level rows on BOTH sides.  Lateness against the
+    order's threshold is evaluated JVM-side with higher-order array
+    functions (filter/transform/array_distinct), no second fact-row
+    shuffle and no UDF."""
     li, od, su, na = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
     ord_f = od.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
-    li_o = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
-        ord_f, F.col("l_orderkey") == ord_f.o_orderkey
-    ).withColumn(
-        "__late",
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
-    )
-    late_supp = F.when(F.col("__late"), F.col("l_suppkey"))
-    blame = (
-        li_o.groupBy("l_orderkey")
+    per_order = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("__n_supp"),
-            F.countDistinct(late_supp).alias("__n_late_supp"),
-            F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("__n_late"),
-            F.max(late_supp).alias("__late_supp"),
+            F.collect_list(
+                F.struct(
+                    F.col("l_suppkey").alias("s"),
+                    F.col("l_shipdate").alias("d"),
+                )
+            ).alias("__lines")
         )
-        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
-        .select(F.col("__late_supp").alias("l_suppkey"), "__n_late")
+        # EXISTS(other supplier): >= 2 distinct suppliers, decided from
+        # the collected list (no mixed-distinct agg -> no Expand)
+        .filter(
+            F.size(F.array_distinct(F.transform("__lines", lambda x: x["s"])))
+            >= 2
+        )
+    )
+    late = F.filter(
+        F.col("__lines"),
+        lambda x: x["d"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    blame = (
+        per_order.join(ord_f, per_order.l_orderkey == ord_f.o_orderkey)
+        .withColumn(
+            "__late_supps",
+            F.array_distinct(F.transform(late, lambda x: x["s"])),
+        )
+        .filter(F.size("__late_supps") == 1)
+        .select(
+            # F.get, not [0]: ANSI mode throws on out-of-bounds and codegen
+            # may evaluate the projection before the size filter
+            F.get("__late_supps", 0).alias("l_suppkey"),
+            F.size(late).alias("__n_late"),
+        )
     )
     nat = na.filter(F.col("n_name") == "NATION_1").select("n_nationkey")
     supp = su.join(
@@ -5485,42 +5511,41 @@ def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
-# externally-recorded oracle row.  Round-7 window: the 9 headline pipeline
-# stages first (they anchor the benchmark baseline), then the two rows that
-# failed on harness shape in round 6 (mixture_plan's DECIMAL-vs-DOUBLE oracle
-# and hash_embed_vectors' list-valued output, both fixed this round — they
-# must re-appear to flip green), then 39 of the 41 queries that have never
-# appeared in any recorded correctness artifact.  The two rows-only BPE
-# queries are deferred to the round-8 window (they carry the weakest driver
-# signal — no oracle — so deferring them loses the least; both stay pinned
-# against a pure-Python reference in pytest).  Everything else follows in
-# registration order.
+# externally-recorded oracle row.  Round-8 window: the 9 headline pipeline
+# stages first (they anchor the benchmark baseline), then the two rows-only
+# BPE queries (the last 2 of 132 never in any driver record — the driver
+# runs a rows-only check for no-oracle entries), then 39 of the 41 queries
+# whose latest driver record is round 5 (the stalest cohort), prioritising
+# the rows touched this round (streaming_xref_upsert's latched legacy check,
+# dedup_ngram_jaccard's r7 plan rebuild).  The 2 leftover stale rows
+# (tumbling/hopping window aggs, both trivially window-pinned in pytest)
+# lead the round-9 window.  Everything else follows in registration order.
 # ---------------------------------------------------------------------------
 _PRIORITY_ORDER = [
     # headline stages
     "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
     "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
     "union_arms_null_fill", "ordered_multi_join", "pricing_summary",
-    # round-6 harness-shape fixes: must re-record green
-    "mixture_plan", "hash_embed_vectors",
-    # the 39 never-driver-recorded queries (of 41; BPE pair deferred)
-    "scd2_user_history", "snapshot_diff_orders", "profile_documents",
-    "retention_cohorts_weekly", "event_anomaly_zscore", "returned_item_topk",
-    "order_priority_semijoin", "ship_latency_distribution",
-    "gopher_quality_gate", "scd2_incremental_apply", "scd2_asof_enrich",
-    "similarity_pq_topk", "similarity_pq_rerank", "similarity_ivfpq_topk",
-    "curriculum_stages", "zorder_layout_key", "bloom_semijoin_revenue",
-    "heavy_hitter_parts", "distinct_users_by_type", "nation_pair_trade",
-    "market_share_yearly", "promo_revenue_monthly", "top_supplier_by_revenue",
-    "small_qty_revenue_share", "large_order_customers", "idle_rich_customers",
-    "important_parts_value", "cust_order_distribution", "part_supplier_counts",
-    "discounted_revenue_disjunctive", "excess_shipped_suppliers",
-    "waiting_orders_blame", "skipscan_events_range",
-    "revenue_cube_flag_status", "event_type_pivot_daily",
-    "cheapest_supplier_per_part", "fuzzy_supplier_pairs",
-    "rollup_incremental_events", "value_mad_by_type",
-    # positions 51+: first candidates for the round-8 window
+    # the final 2 never-driver-recorded queries (rows-only: no oracle)
     "bpe_train_merges", "bpe_segment_tokens",
+    # rows touched or flagged this round — re-record first
+    "streaming_xref_upsert", "dedup_ngram_jaccard", "dedup_apply_pipeline",
+    # remainder of the stalest (latest record = r5) cohort
+    "text_quality_features", "token_count_bpe", "language_id_heuristic",
+    "doc_fingerprint", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "similarity_cosine_topk", "similarity_ivf_topk", "sttm_pipeline_e2e",
+    "dedup_embedding_cosine", "multimodal_frame_sample",
+    "flatten_nested_json", "dlq_corrupt_split", "colspec_quarantine_arms",
+    "train_test_split", "stratified_sample_lang", "pack_sequences",
+    "corpus_mix_report", "text_repetition_stats", "pii_scrub",
+    "dedup_simhash_pairs", "dedup_clusters", "decontaminate_ngrams",
+    "similarity_lsh_topk", "similarity_ivf_nprobe", "asof_join_latest_order",
+    "range_join_event_pairs", "sessionize_events", "doc_chunk_overlap",
+    "keyword_topk", "quality_filter_gate", "temperature_resample_mix",
+    "embedding_quantize_int8", "shard_assignment_balanced",
+    "session_window_agg",
+    # positions 51+: first candidates for the round-9 window
+    "tumbling_window_agg", "hopping_window_agg",
 ]
 
 

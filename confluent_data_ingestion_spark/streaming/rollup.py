@@ -120,6 +120,14 @@ class RollupStore:
         """Fold one microbatch into the state; False if ``batch_id`` was
         already committed (replay -> no-op)."""
         if batch_id is not None and self.committed(batch_id):
+            # Backfill the durable marker if the commit is only recorded in
+            # the pointer (crash landed between the flip and the marker
+            # write): the next commit overwrites the pointer's batch_id
+            # slot, and without a marker the earlier batch would lose its
+            # only commit record — a later replay could double-count it.
+            if not os.path.exists(self._marker(batch_id)):
+                with open(self._marker(batch_id), "w") as f:
+                    f.write(str(batch_id))
             return False
         cur = self._current_dir()
         self._sweep_orphans(keep=cur)

@@ -50,6 +50,10 @@ class StatementSetRunner:
         self.static_sources = dict(static_sources)
         self.out_dir = out_dir.rstrip("/")
         self.checkpoint_dir = checkpoint_dir or f"{self.out_dir}/_checkpoints"
+        # one store instance per target for the runner's lifetime, so
+        # per-instance state (the latched v1->v2 log-format check) holds
+        # across microbatches instead of re-running every batch
+        self._stores: dict[tuple[str, str], UpsertSnapshot | None] = {}
         os.makedirs(self.out_dir, exist_ok=True)
 
     def table_path(self, table: str) -> str:
@@ -80,22 +84,30 @@ class StatementSetRunner:
     # -- streaming mode ------------------------------------------------------
 
     def _xref_store(self, table: str, rows) -> UpsertSnapshot:
-        pks, order_fields, del_field, del_values = xref_dedup_spec(rows)
-        return UpsertSnapshot(
-            f"{self.out_dir}/_xref/{table}",
-            pks,
-            order_fields or pks,
-            delete_flag_field=del_field,
-            delete_flag_values=del_values,
-        )
+        key = ("xref", table)
+        if key not in self._stores:
+            pks, order_fields, del_field, del_values = xref_dedup_spec(rows)
+            self._stores[key] = UpsertSnapshot(
+                f"{self.out_dir}/_xref/{table}",
+                pks,
+                order_fields or pks,
+                delete_flag_field=del_field,
+                delete_flag_values=del_values,
+            )
+        return self._stores[key]
 
     def _keyed_store(self, table: str, rows) -> UpsertSnapshot | None:
         """Changelog store for a keyed FGAC target: versions ordered by the
         microbatch sequence (the changelog position)."""
-        pks = [r.target_column for r in rows if r.is_target_pk]
-        if not pks:
-            return None
-        return UpsertSnapshot(f"{self.out_dir}/_fgac/{table}", pks, ["__seq__"])
+        key = ("fgac", table)
+        if key not in self._stores:
+            pks = [r.target_column for r in rows if r.is_target_pk]
+            self._stores[key] = (
+                UpsertSnapshot(f"{self.out_dir}/_fgac/{table}", pks, ["__seq__"])
+                if pks
+                else None
+            )
+        return self._stores[key]
 
     def _append_once(self, df: DataFrame, table: str, batch_id: int) -> None:
         path = self.table_path(table)

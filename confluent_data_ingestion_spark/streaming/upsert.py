@@ -81,6 +81,9 @@ class UpsertSnapshot:
         self.log_dir = f"{self.path}/log"
         self.delta_dir = f"{self.path}/delta"
         self.txn_dir = f"{self.path}/_txn"
+        # single-writer contract (foreachBatch): the v1->v2 format check
+        # runs once per store instance, not once per append
+        self._log_format_checked = False
         os.makedirs(self.txn_dir, exist_ok=True)
 
     def _resolve_backend(self, spark: SparkSession) -> str:
@@ -159,8 +162,11 @@ class UpsertSnapshot:
         ]
 
     def _ensure_log_format(self, spark: SparkSession) -> None:
+        if self._log_format_checked:
+            return
         roots = self._legacy_root_files()
         if not roots:
+            self._log_format_checked = True
             return
         seqs = [
             int(n.split("=", 1)[1])
@@ -168,28 +174,20 @@ class UpsertSnapshot:
             if n.startswith("__seq=")
         ]
         target = min(seqs) if seqs else 0
-        tmp = f"{self.path}/log-migrate-{uuid.uuid4().hex[:8]}"
-        (
-            spark.read.parquet(*roots)
-            .withColumn("__seq", F.lit(target))
-            .write.mode("overwrite")
-            .partitionBy("__seq")
-            .parquet(tmp)
-        )
+        # Partitioned parquet derives __seq from the DIRECTORY name — files
+        # inside __seq=N never store the column — so the fold is a pure
+        # same-filesystem rename of each v1 file into __seq=<target>/, with
+        # no Spark rewrite and no copy.  Every rename is atomic and the
+        # source is deleted only by succeeding, so no crash point loses
+        # data: a crash mid-loop leaves the remaining roots in place and
+        # the next access (read- or write-triggered) resumes the fold.
+        part_dst = os.path.join(self.log_dir, f"__seq={target}")
+        os.makedirs(part_dst, exist_ok=True)
         for p in roots:
-            os.remove(p)
+            os.rename(p, os.path.join(part_dst, os.path.basename(p)))
         success = os.path.join(self.log_dir, "_SUCCESS")
         if os.path.isfile(success):
             os.remove(success)
-        part_src = os.path.join(tmp, f"__seq={target}")
-        part_dst = os.path.join(self.log_dir, f"__seq={target}")
-        os.makedirs(part_dst, exist_ok=True)
-        for n in os.listdir(part_src):
-            if not n.startswith("_"):
-                os.rename(
-                    os.path.join(part_src, n), os.path.join(part_dst, n)
-                )
-        shutil.rmtree(tmp, ignore_errors=True)
         if not seqs:
             # pure-v1 store: its markers hold the literal "1" placeholder,
             # not an append sequence — stamp them so seq lookups fail
@@ -207,6 +205,7 @@ class UpsertSnapshot:
                         f.write("legacy")
             if self._next_seq() == 0:
                 self._bump_seq(target)
+        self._log_format_checked = True
 
     # -- append sequence (the log's time axis) --------------------------------
     #
@@ -262,6 +261,18 @@ class UpsertSnapshot:
         vals = [v.lower() for v in self.delete_flag_values]
         return F.coalesce(flag.isNotNull() & flag.isin(*vals), F.lit(False))
 
+    # Test seam: the Delta surface resolves through these two hooks so the
+    # exactly-once MERGE contract can be executed in environments without
+    # delta-spark (tests/fake_delta.py substitutes a DataFrame-backed
+    # MERGE emulator and parquet storage; the real backend is unchanged).
+    def _delta_table_api(self):
+        from delta.tables import DeltaTable
+
+        return DeltaTable
+
+    def _delta_io_format(self) -> str:
+        return "delta"
+
     def _upsert_delta(self, batch_df: DataFrame) -> None:
         """MERGE one microbatch into the Delta table.
 
@@ -283,7 +294,7 @@ class UpsertSnapshot:
         columns should be non-null here — a NULL order field makes the
         newer-than comparison NULL and the target row wins.
         """
-        from delta.tables import DeltaTable
+        DeltaTable = self._delta_table_api()
 
         spark = batch_df.sparkSession
         batch = batch_df
@@ -296,7 +307,9 @@ class UpsertSnapshot:
             seed = batch
             if self.delete_flag_field and self.delete_mode == "tombstone":
                 seed = seed.filter(~self._is_deleted_expr())
-            seed.write.format("delta").mode("overwrite").save(self.delta_dir)
+            seed.write.format(self._delta_io_format()).mode(
+                "overwrite"
+            ).save(self.delta_dir)
             return
         tgt = DeltaTable.forPath(spark, self.delta_dir)
         newer = (
@@ -349,7 +362,9 @@ class UpsertSnapshot:
         changelog (parquet-log), or a plain read of the materialized table
         (delta — the MERGE already applied ranking + deletes)."""
         if self._resolve_backend(spark) == "delta":
-            return spark.read.format("delta").load(self.delta_dir)
+            return spark.read.format(self._delta_io_format()).load(
+                self.delta_dir
+            )
         return self._rank(self.log(spark))
 
     def snapshot_as_of(self, spark: SparkSession, seq: int) -> DataFrame:

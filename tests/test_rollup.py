@@ -227,8 +227,14 @@ def test_crash_after_flip_before_marker_never_double_counts(
 
     # the new state (including batch 1) is live AND batch 1 reads committed
     assert store.committed(1)
-    # replay of batch 1 must be a no-op: the sums already contain it
+    # replay of batch 1 must be a no-op: the sums already contain it — and
+    # the no-op path must BACKFILL the durable marker, because the next
+    # commit overwrites the pointer's batch_id slot (the only other record)
+    import os as _os
+
+    assert not _os.path.exists(store._marker(1))
     assert not store.apply(_batches(spark)[1], batch_id=1)
+    assert _os.path.exists(store._marker(1))
     seen = _batches(spark)[0].unionByName(_batches(spark)[1])
     got = {r["g"]: round(r["sum_v"], 6) for r in store.snapshot(spark).collect()}
     want = {
@@ -238,8 +244,12 @@ def test_crash_after_flip_before_marker_never_double_counts(
         .collect()
     }
     assert got == want
-    # a LATER batch still commits normally and the totals stay exact
+    # a LATER batch still commits normally (overwriting the pointer's
+    # batch_id slot) and batch 1's commit history survives via the
+    # backfilled marker — a replay of batch 1 NOW is still a no-op
     assert store.apply(_batches(spark)[2], batch_id=2)
+    assert store.committed(1)
+    assert not store.apply(_batches(spark)[1], batch_id=1)
     seen = seen.unionByName(_batches(spark)[2])
     got = {r["g"]: round(r["sum_v"], 6) for r in store.snapshot(spark).collect()}
     want = {

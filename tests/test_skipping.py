@@ -148,6 +148,46 @@ def test_compaction_plan_and_apply(spark, tmp_path):
     ]
 
 
+def test_compaction_preserves_partitioned_layout(spark, tmp_path):
+    """A Hive-partitioned source must compact per partition directory:
+    bins never span partitions, rewritten files land inside their
+    partition dir, carried-over files keep their relative subpath — so
+    the directory-derived partition column survives the rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.skipping import (
+        apply_compaction,
+        compaction_plan,
+    )
+
+    src = str(tmp_path / "part_src")
+    (
+        spark.range(0, 3000)
+        .withColumn("pt", F.col("id") % 3)
+        .repartition(8)
+        .write.partitionBy("pt")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    plan = compaction_plan(spark, src, target_bytes=1 << 20)
+    assert plan  # tiny files exist in every partition
+    # every bin stays inside ONE partition directory
+    for members in plan:
+        assert len({m.rsplit("/", 2)[-2] for m in members}) == 1
+
+    out = str(tmp_path / "part_out")
+    apply_compaction(spark, src, plan, out)
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("pt=")
+    ) == ["pt=0", "pt=1", "pt=2"]
+    got = spark.read.parquet(out)
+    assert "pt" in got.columns  # partition column survived
+    want = {(r["id"], r["pt"]) for r in spark.read.parquet(src).collect()}
+    assert {(r["id"], r["pt"]) for r in got.collect()} == want
+
+
 def test_compaction_plan_leaves_right_sized_files_alone(spark, tmp_path):
     from confluent_data_ingestion_spark.operators.skipping import compaction_plan
 

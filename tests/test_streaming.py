@@ -805,6 +805,81 @@ def test_upsert_delta_merge_replay_idempotent(spark, tmp_path):
     assert snap == {1: (5, "new"), 2: (1, "b")}
 
 
+def test_upsert_delta_contract_replay_idempotent_on_stub(spark, tmp_path):
+    """Exactly-once contract for the delta backend WITHOUT delta-spark:
+    the real ``_upsert_delta`` body (MERGE clause construction,
+    strictly-newer update condition, marker replay skip) executes against
+    the DataFrame-backed MERGE emulator.  Double replay is idempotent both
+    via the marker (same batch_id) and via the strictly-newer MERGE
+    condition (same data, new batch_id)."""
+    from fake_delta import FakeDeltaStore
+
+    store = FakeDeltaStore(str(tmp_path / "fd"), ["k"], ["seq"],
+                           backend="delta")
+    b1 = spark.createDataFrame([Row(k=1, seq=5, v="new"), Row(k=2, seq=1, v="b")])
+    b2 = spark.createDataFrame([Row(k=1, seq=3, v="stale")])
+    assert store.upsert(b1, batch_id=1)
+    assert store.upsert(b2, batch_id=2)      # late arrival: older seq loses
+    assert not store.upsert(b1, batch_id=1)  # replay: marker skips the MERGE
+    assert store.upsert(b1, batch_id=3)      # re-MERGE: strictly-newer no-ops
+    snap = {r["k"]: (r["seq"], r["v"]) for r in store.snapshot(spark).collect()}
+    assert snap == {1: (5, "new"), 2: (1, "b")}
+
+
+def test_upsert_delta_contract_matches_parquet_log_on_stub(spark, tmp_path):
+    """Differential on the emulator: the same batch sequence through the
+    parquet-log backend and the stubbed delta backend yields the same
+    snapshot in both delete modes — the MERGE clauses _upsert_delta emits
+    reproduce the log's ranking + tombstone semantics."""
+    from fake_delta import FakeDeltaStore
+
+    batches = [
+        [Row(k=1, seq=1, v="a", deleted="false"),
+         Row(k=2, seq=1, v="b", deleted="false")],
+        [Row(k=1, seq=3, v="a3", deleted="false"),
+         Row(k=1, seq=2, v="a2", deleted="false"),
+         Row(k=3, seq=1, v="c", deleted="true")],
+        [Row(k=2, seq=2, v="gone", deleted="true")],
+    ]
+    for mode in ("exclude", "tombstone"):
+        log_store = UpsertSnapshot(
+            str(tmp_path / f"stub-{mode}-log"), ["k"], ["seq"],
+            delete_flag_field="deleted", delete_mode=mode,
+        )
+        fake_store = FakeDeltaStore(
+            str(tmp_path / f"stub-{mode}-delta"), ["k"], ["seq"],
+            delete_flag_field="deleted", delete_mode=mode, backend="delta",
+        )
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows)
+            log_store.upsert(df, batch_id=i)
+            fake_store.upsert(df, batch_id=i)
+        got_log = {(r["k"], r["seq"], r["v"])
+                   for r in log_store.snapshot(spark).collect()}
+        got_fake = {(r["k"], r["seq"], r["v"])
+                    for r in fake_store.snapshot(spark).collect()}
+        assert got_fake == got_log, f"mode={mode}: {got_fake} != {got_log}"
+
+
+def test_upsert_delta_auto_selection_probes_availability(spark, tmp_path, monkeypatch):
+    """backend='auto' resolves via session.delta_available: patched True it
+    picks delta (and the stubbed surface executes); unpatched in this
+    sandbox it falls back to the parquet log (covered by
+    test_upsert_backend_validation_and_auto_fallback)."""
+    from fake_delta import FakeDeltaTable
+
+    from confluent_data_ingestion_spark import session as sess
+
+    monkeypatch.setattr(sess, "delta_available", lambda s: True)
+    store = UpsertSnapshot(str(tmp_path / "auto-d"), ["k"], ["seq"],
+                           backend="auto")
+    monkeypatch.setattr(store, "_delta_table_api", lambda: FakeDeltaTable)
+    monkeypatch.setattr(store, "_delta_io_format", lambda: "parquet")
+    store.upsert(spark.createDataFrame([Row(k=1, seq=1, v="a")]), batch_id=0)
+    assert store.backend == "delta"
+    assert store.snapshot(spark).collect()[0]["v"] == "a"
+
+
 def test_upsert_delta_matches_parquet_log_backend(spark, tmp_path):
     """Differential: the same batch sequence through both backends yields
     the same snapshot (skipped where delta-spark is unavailable)."""
