@@ -29,19 +29,11 @@ def _write(out_dir: Path, name: str, content: str) -> None:
 
 def _zip_bundle(out_dir: Path, files: dict[str, str], issues_csv: str) -> None:
     """Grouped three-file bundle + validation assets, omitting empty groups
-    (reference ``bundle_outputs_zip``, ``utils.py:28-87``)."""
-    groups = {
-        "bundle/create.sql": files.get("tables.sql", ""),
-        "bundle/views.sql": files.get("views.sql", ""),
-        "bundle/inserts_statement_set.sql": files.get("inserts.sql", ""),
-    }
-    with zipfile.ZipFile(out_dir / "bundle.zip", "w",
-                         compression=zipfile.ZIP_DEFLATED) as zf:
-        for name, content in groups.items():
-            if content.strip():
-                zf.writestr(name, content.strip() + "\n")
-        if issues_csv:
-            zf.writestr("validation/issues.csv", issues_csv)
+    (reference ``bundle_outputs_zip``, ``utils.py:28-87``) — same bytes the
+    web UI serves (``ui.bundle_zip_bytes``)."""
+    from .ui import bundle_zip_bytes
+
+    (out_dir / "bundle.zip").write_bytes(bundle_zip_bytes(files, issues_csv))
 
 
 def generate(sttm: str, out_dir: str, make_zip: bool = True) -> dict:
@@ -104,7 +96,20 @@ def main(argv: list[str] | None = None) -> int:
                      help="exit 2 if validation errors are found")
     gen.add_argument("--no-zip", action="store_true",
                      help="skip writing bundle.zip")
+    srv = sub.add_parser(
+        "serve",
+        help="web UI: upload workbook -> generate -> download bundle "
+             "(the reference Streamlit app's flow, stdlib-only)",
+    )
+    srv.add_argument("--port", type=int, default=8501)
+    srv.add_argument("--host", default="127.0.0.1")
     args = ap.parse_args(argv)
+
+    if args.cmd == "serve":
+        from .ui import serve as run_serve
+
+        run_serve(args.port, args.host)
+        return 0
 
     summary = generate(args.sttm, args.out_dir, make_zip=not args.no_zip)
     if summary["errors"]:

@@ -5473,6 +5473,90 @@ def rollup_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental quantiles (streaming/rollup.py hist_cols): per-type p50/p90
+# maintained as mergeable fixed-boundary histograms across three folds.
+# The oracle reproduces the IDENTICAL bin + interpolation arithmetic over
+# the full table (bounds 0..512, 64 bins, width exactly 8.0), so equality
+# proves the merge path, not an approximation tolerance.
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_quantile_events",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN v < 0.0 THEN 0
+                  WHEN v >= 512.0 THEN 65
+                  ELSE LEAST(1 + CAST(floor((v - 0.0) / 8.0) AS INT), 64)
+             END AS bin
+      FROM ev WHERE v IS NOT NULL
+    ),
+    c AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(SUM(cnt) AS DOUBLE) AS tot
+          FROM c GROUP BY 1),
+    cum AS (
+      SELECT c.event_type, bin, CAST(cnt AS DOUBLE) AS cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY c.event_type
+                                 ORDER BY bin) AS DOUBLE) AS cum,
+             tot
+      FROM c JOIN t ON c.event_type = t.event_type
+    ),
+    n AS (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1),
+    p50 AS (
+      SELECT event_type,
+             CASE WHEN bin = 0 THEN 0.0 WHEN bin = 65 THEN 512.0
+                  ELSE 0.0 + 8.0 * (CAST(bin AS DOUBLE) - 1.0
+                       + (0.5 * tot - (cum - cnt)) / cnt) END AS p50_value
+      FROM cum WHERE cum >= 0.5 * tot AND (cum - cnt) < 0.5 * tot
+    ),
+    p90 AS (
+      SELECT event_type,
+             CASE WHEN bin = 0 THEN 0.0 WHEN bin = 65 THEN 512.0
+                  ELSE 0.0 + 8.0 * (CAST(bin AS DOUBLE) - 1.0
+                       + (0.9 * tot - (cum - cnt)) / cnt) END AS p90_value
+      FROM cum WHERE cum >= 0.9 * tot AND (cum - cnt) < 0.9 * tot
+    )
+    SELECT n.event_type, n.n_rows, p50.p50_value, p90.p90_value
+    FROM n
+    JOIN p50 ON n.event_type = p50.event_type
+    JOIN p90 ON n.event_type = p90.event_type
+    """,
+)
+def rollup_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p50/p90 maintained INCREMENTALLY: three microbatches fold
+    into per-group bin-count arrays (64 interior bins over [0, 512), width
+    exactly 8.0 so the double arithmetic is engine-reproducible), merged
+    by elementwise sum; the snapshot interpolates inside the rank bin.
+    State per group is 66 longs — O(groups), never O(history) — which is
+    how a 100 TB stream answers latency/length percentiles without a raw
+    rescan."""
+    import os as _os
+    import shutil as _shutil
+
+    from .streaming.rollup import RollupStore
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = _os.path.join(
+        "/tmp",
+        f"cdis_{spark.sparkContext.applicationId}",
+        f"rollup_q_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    store = RollupStore(
+        path, ["event_type"],
+        hist_cols={"value": (0.0, 512.0, 64)},
+        quantiles=[0.5, 0.9],
+    )
+    for i in range(3):
+        store.apply(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
+    return store.snapshot(spark).select(
+        "event_type", "n_rows", "p50_value", "p90_value"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Robust statistics (operators/stats.py): per-group median + MAD — the
 # outlier-proof location/scale pair for corpus quality thresholds.
 # Medians round to 6 dp before the deviation pass so both engines (R-7

@@ -10,6 +10,11 @@ store supports decomposes into MERGEABLE per-group partials —
  - min / max        -> idempotent re-min / re-max
  - distinct         -> DataSketches HLL sketch, unioned
                        (``operators/sketch.hll_merge_estimate`` contract)
+ - quantiles        -> fixed-boundary histogram (bin-count array),
+                       merged by elementwise sum; finalized by linear
+                       interpolation inside the target bin — the
+                       equi-width cousin of a t-digest/KLL rollup, with
+                       DETERMINISTIC bin math any SQL engine reproduces
 
 so ``apply(batch)`` aggregates ONLY the new batch (cost O(batch)), merges
 the batch partials with the stored per-group state (cost O(state groups +
@@ -58,14 +63,36 @@ class RollupStore:
         min_cols: list[str] | None = None,
         max_cols: list[str] | None = None,
         distinct_cols: list[str] | None = None,
+        hist_cols: dict[str, tuple[float, float, int]] | None = None,
+        quantiles: list[float] | None = None,
         lgk: int = 12,
     ) -> None:
+        """``hist_cols`` maps a numeric column to its fixed histogram
+        bounds ``(lo, hi, nbins)``; state per group is an
+        ``nbins + 2``-slot count array (slot 0 = underflow ``v < lo``,
+        slot ``nbins+1`` = overflow ``v >= hi``), merged by elementwise
+        sum.  ``quantiles`` lists the fractions ``snapshot()`` finalizes
+        for every hist col (default ``[0.5]``): rank ``q*n`` located by
+        a cumulative fold, value interpolated linearly inside the bin
+        (underflow answers ``lo``, overflow ``hi`` — the bounds are the
+        histogram's representable range).  Keep ``nbins`` modest
+        (<= 128): state per group is ``nbins + 2`` longs and the partial
+        aggregation plans one conditional-sum per slot."""
         self.path = path
         self.group_cols = group_cols
         self.sum_cols = sum_cols or []
         self.min_cols = min_cols or []
         self.max_cols = max_cols or []
         self.distinct_cols = distinct_cols or []
+        self.hist_cols = dict(hist_cols or {})
+        self.quantiles = list(quantiles or [0.5])
+        for c, (lo, hi, nb) in self.hist_cols.items():
+            if not (hi > lo and 1 <= nb <= 1024):
+                raise ValueError(
+                    f"hist_cols[{c!r}]: need hi > lo and 1 <= nbins <= 1024"
+                )
+        if not all(0.0 < q <= 1.0 for q in self.quantiles):
+            raise ValueError("quantiles must be in (0, 1]")
         self.lgk = lgk
         os.makedirs(os.path.join(path, "_markers"), exist_ok=True)
 
@@ -84,6 +111,21 @@ class RollupStore:
         return last is not None and last == str(batch_id)
 
     # -- partial-aggregate schema -------------------------------------------
+    def _bin_expr(self, c: str) -> str:
+        """Slot index of one row's value: 0 = underflow, nbins+1 = overflow,
+        1..nbins = equi-width interior (clamped so float round-off at the
+        upper boundary can't spill past the last interior slot).  Pure
+        double arithmetic — any engine reproduces the slots bit-for-bit."""
+        lo, hi, nb = self.hist_cols[c]
+        w = (hi - lo) / nb
+        return (
+            f"CASE WHEN {c} IS NULL THEN NULL "
+            f"WHEN CAST({c} AS DOUBLE) < {lo!r} THEN 0 "
+            f"WHEN CAST({c} AS DOUBLE) >= {hi!r} THEN {nb + 1} "
+            f"ELSE LEAST(1 + CAST(floor((CAST({c} AS DOUBLE) - {lo!r}) "
+            f"/ {w!r}) AS INT), {nb}) END"
+        )
+
     def _partials(self, df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias("__cnt")]
         for c in self.sum_cols:
@@ -97,6 +139,21 @@ class RollupStore:
         for c in self.distinct_cols:
             aggs.append(
                 F.hll_sketch_agg(F.col(c), F.lit(self.lgk)).alias(f"hll_{c}")
+            )
+        # slot index materialized ONCE per row/column — the conditional sums
+        # below compare against the precomputed int, not 66 re-evaluations
+        # of the binning CASE expression
+        for c in self.hist_cols:
+            df = df.withColumn(f"__bin_{c}", F.expr(self._bin_expr(c)))
+        for c, (_lo, _hi, nb) in self.hist_cols.items():
+            aggs.append(
+                F.array(*[
+                    F.sum(
+                        F.when(F.col(f"__bin_{c}") == i, F.lit(1))
+                        .otherwise(F.lit(0))
+                    ).cast("long")
+                    for i in range(nb + 2)
+                ]).alias(f"hist_{c}")
             )
         return df.groupBy(*self.group_cols).agg(*aggs)
 
@@ -112,6 +169,13 @@ class RollupStore:
         for c in self.distinct_cols:
             aggs.append(
                 F.hll_union_agg(F.col(f"hll_{c}"), F.lit(True)).alias(f"hll_{c}")
+            )
+        for c, (_lo, _hi, nb) in self.hist_cols.items():
+            aggs.append(
+                F.array(*[
+                    F.sum(F.element_at(F.col(f"hist_{c}"), i + 1))
+                    for i in range(nb + 2)
+                ]).alias(f"hist_{c}")
             )
         return both.groupBy(*self.group_cols).agg(*aggs)
 
@@ -206,4 +270,41 @@ class RollupStore:
                     f"n_distinct_{c}"
                 )
             )
+        for c in self.hist_cols:
+            for q in self.quantiles:
+                cols.append(
+                    F.expr(self._quantile_expr(c, q)).alias(
+                        f"p{int(round(q * 100))}_{c}"
+                    )
+                )
         return state.select(*cols)
+
+    def _quantile_expr(self, c: str, q: float) -> str:
+        """Finalize one quantile from the stored bin counts: a cumulative
+        fold locates the bin containing rank ``q * n`` and interpolates
+        linearly inside it; the underflow/overflow slots answer the
+        histogram bounds.  NULL when the group saw no non-NULL values.
+        The identical arithmetic (same double ops, same order) is
+        SQL-expressible, which is what pins it against an oracle."""
+        lo, hi, nb = self.hist_cols[c]
+        w = (hi - lo) / nb
+        h = f"hist_{c}"
+        tot = f"CAST(aggregate({h}, 0L, (a, x) -> a + x) AS DOUBLE)"
+        t = f"({q!r} * {tot})"
+        return f"""
+        CASE WHEN {tot} = 0 THEN CAST(NULL AS DOUBLE) ELSE
+        aggregate(
+          transform({h}, (x, i) -> struct(x AS cnt, i AS idx)),
+          struct(CAST(0 AS DOUBLE) AS cum, CAST(NULL AS DOUBLE) AS ans),
+          (acc, e) -> CASE
+            WHEN acc.ans IS NOT NULL OR e.cnt = 0
+              THEN struct(acc.cum + e.cnt AS cum, acc.ans AS ans)
+            WHEN acc.cum + e.cnt >= {t} THEN struct(
+              acc.cum + e.cnt AS cum,
+              CASE WHEN e.idx = 0 THEN CAST({lo!r} AS DOUBLE)
+                   WHEN e.idx = {nb + 1} THEN CAST({hi!r} AS DOUBLE)
+                   ELSE {lo!r} + {w!r} * (CAST(e.idx AS DOUBLE) - 1.0
+                        + ({t} - acc.cum) / CAST(e.cnt AS DOUBLE)) END AS ans)
+            ELSE struct(acc.cum + e.cnt AS cum, acc.ans AS ans) END,
+          acc -> acc.ans) END
+        """

@@ -261,6 +261,81 @@ def test_crash_after_flip_before_marker_never_double_counts(
     assert got == want
 
 
+def test_hist_quantiles_incremental_equals_oneshot(spark, tmp_path):
+    """Histogram-quantile partials merge exactly: folding batches one at a
+    time yields bin-identical state to one-shot aggregation, so the
+    interpolated p50/p90 match a direct computation of the same histogram
+    estimate over all data; estimates sit within one bin width of the
+    true quantiles."""
+    import numpy as np
+
+    rows = [
+        Row(g="a", v=float(x))
+        for x in [1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+    ] + [Row(g="b", v=float(x)) for x in [2, 4, 6, 100, -5]] + [
+        Row(g="b", v=None)  # NULLs counted in n_rows, never binned
+    ]
+    store = RollupStore(
+        str(tmp_path / "q1"), ["g"],
+        hist_cols={"v": (0.0, 16.0, 8)},  # width exactly 2.0
+        quantiles=[0.5, 0.9],
+    )
+    # three uneven folds
+    chunks = [rows[:4], rows[4:11], rows[11:]]
+    for i, ch in enumerate(chunks):
+        store.apply(spark.createDataFrame(ch, "g string, v double"), batch_id=i)
+    snap = {r["g"]: r.asDict() for r in store.snapshot(spark).collect()}
+
+    one = RollupStore(
+        str(tmp_path / "q2"), ["g"],
+        hist_cols={"v": (0.0, 16.0, 8)}, quantiles=[0.5, 0.9],
+    )
+    one.apply(spark.createDataFrame(rows, "g string, v double"), batch_id=0)
+    assert snap == {r["g"]: r.asDict() for r in one.snapshot(spark).collect()}
+
+    assert snap["a"]["n_rows"] == 10 and snap["b"]["n_rows"] == 6
+    # within one bin width (2.0) of numpy's exact quantiles for interior data
+    a_vals = [1, 3, 5, 7, 9, 11, 13, 15]  # 17, 19 overflow the bounds
+    assert abs(snap["a"]["p50_v"] - np.quantile(range(1, 20, 2), 0.5)) <= 2.0
+    # overflow/underflow answer the bounds
+    big = RollupStore(
+        str(tmp_path / "q3"), ["g"], hist_cols={"v": (0.0, 16.0, 8)},
+        quantiles=[0.9],
+    )
+    big.apply(
+        spark.createDataFrame([Row(g="x", v=999.0)] * 5, "g string, v double"),
+        batch_id=0,
+    )
+    assert big.snapshot(spark).collect()[0]["p90_v"] == 16.0
+    del a_vals
+
+
+def test_hist_quantiles_all_null_group_is_null(spark, tmp_path):
+    store = RollupStore(
+        str(tmp_path / "qn"), ["g"], hist_cols={"v": (0.0, 8.0, 4)},
+    )
+    store.apply(
+        spark.createDataFrame(
+            [Row(g="z", v=None), Row(g="z", v=None)], "g string, v double"
+        ),
+        batch_id=0,
+    )
+    row = store.snapshot(spark).collect()[0]
+    assert row["n_rows"] == 2 and row["p50_v"] is None
+
+
+def test_hist_bounds_validation(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hi > lo"):
+        RollupStore(str(tmp_path / "bad"), ["g"], hist_cols={"v": (5.0, 5.0, 4)})
+    with _pytest.raises(ValueError, match="quantiles"):
+        RollupStore(
+            str(tmp_path / "bad2"), ["g"],
+            hist_cols={"v": (0.0, 1.0, 4)}, quantiles=[0.0],
+        )
+
+
 def test_orphaned_state_dirs_are_swept(spark, tmp_path):
     """A crash between state write and pointer flip leaves an orphan v-* dir;
     the next apply removes it and the store stays correct."""
