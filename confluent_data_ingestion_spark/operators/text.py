@@ -872,10 +872,16 @@ def hash_embed(
     Scale shape: per-row expressions only (token hashes computed ONCE
     into a struct array, then one fold per dimension) — zero shuffle,
     scan speed, like ``simhash``.  Keep ``dim`` modest (<= 64): work is
-    O(tokens + dim·tokens) per row.
+    O(tokens + dim·tokens) per row.  Small inputs round-robin to the
+    cluster's task slots first (``ensure_min_parallelism``): a single
+    small parquet file otherwise compiles to ONE scan partition and the
+    CPU-heavy folds run on one core.
     """
+    from ..session import ensure_min_parallelism
+
     if not 1 <= dim <= 256:
         raise ValueError(f"dim must be in [1, 256], got {dim}")
+    df = ensure_min_parallelism(df)
     # md5 once per token (nested transform — lambda bodies get no common-
     # subexpression elimination); NULL text coalesces to '' so the output
     # is always a well-formed vector, mirrored in any oracle SQL

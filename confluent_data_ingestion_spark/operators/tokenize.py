@@ -109,6 +109,11 @@ def bpe_train_merges(
             F.concat(F.col("m.a"), F.col("m.b")).alias("merged"),
             F.col("m.pc").alias("pair_count"),
         ).filter(F.col("left").isNotNull())
+        # materialize the 1-row argmax NOW: the merges union and the
+        # re-segmentation broadcast both reuse it, and without this the
+        # final evaluation of `merges` re-runs every rank's vocabulary
+        # aggregation a second time
+        best = best.localCheckpoint()
         merges = best if merges is None else merges.unionByName(best)
         fold = _MERGE_FOLD.format(a="left", b="right", m="merged")
         words = (

@@ -3548,12 +3548,21 @@ def hash_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The hash_embed operator API returns array<double> vectors; the registry
     # query explodes to (doc_id, dim, value) rows so the driver's row-hash
     # (which cannot digest Python lists) has a hashable, order-free shape.
+    # The explode's child is a LITERAL index sequence, not the embedding
+    # array: posexplode(embedding) lets InferFiltersFromGenerate clone the
+    # whole O(dim*tokens) fold into a pre-explode filter below the
+    # parallelism repartition (the exploded_shingles pathology) — observed
+    # 2.6 s of the query's 4 s re-running the fold single-core.
     from .operators.text import hash_embed
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     vecs = hash_embed(docs, dim=16).select("doc_id", "embedding")
     return vecs.select(
-        "doc_id", F.posexplode("embedding").alias("dim", "value")
+        "doc_id", "embedding",
+        F.explode(F.expr("sequence(0, 15)")).alias("dim"),
+    ).select(
+        "doc_id", "dim",
+        F.expr("element_at(embedding, dim + 1)").alias("value"),
     )
 
 

@@ -211,3 +211,45 @@ def test_operators_tolerate_empty_input(spark):
            for r in funnel_stages(ev, ["view", "click"]).collect()}
     assert fun == {1: 0, 2: 0}          # stage rows exist, all zero
     assert rolling_stats(ev).count() == 0
+
+
+# -- RollupStore histogram quantiles ----------------------------------------
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-4.0, max_value=20.0, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1, max_size=60,
+    ),
+    split=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=6, deadline=None)
+def test_hist_quantile_merge_invariance_and_bound(spark, tmp_path_factory,
+                                                  vals, split):
+    """For ANY data and ANY batch split: (a) the incrementally-merged
+    histogram state equals the one-shot state (merge associativity), and
+    (b) the interpolated p50 sits within one bin width of numpy's exact
+    quantile whenever all values are inside the histogram bounds."""
+    import numpy as np
+
+    from confluent_data_ingestion_spark.streaming.rollup import RollupStore
+
+    lo, hi, nb = 0.0, 16.0, 8
+    w = (hi - lo) / nb
+    base = tmp_path_factory.mktemp("histprop")
+    rows = [Row(g="x", v=float(v)) for v in vals]
+
+    inc = RollupStore(str(base / "inc"), ["g"], hist_cols={"v": (lo, hi, nb)})
+    chunks = [rows[i::split] for i in range(split)]
+    for i, ch in enumerate(c for c in chunks if c):
+        inc.apply(spark.createDataFrame(ch, "g string, v double"), batch_id=i)
+    one = RollupStore(str(base / "one"), ["g"], hist_cols={"v": (lo, hi, nb)})
+    one.apply(spark.createDataFrame(rows, "g string, v double"), batch_id=0)
+
+    got_inc = inc.snapshot(spark).collect()[0].asDict()
+    got_one = one.snapshot(spark).collect()[0].asDict()
+    assert got_inc == got_one  # merge order is invisible
+
+    if all(lo <= v < hi for v in vals):
+        exact = float(np.quantile(np.array(vals), 0.5))
+        assert abs(got_inc["p50_v"] - exact) <= w + 1e-9
