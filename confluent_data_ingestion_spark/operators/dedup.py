@@ -1145,3 +1145,73 @@ def chunk_boilerplate_ratio(
             ).alias("boiler_ratio"),
         )
     )
+
+
+def scrub_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+    min_docs: int = 2,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """The APPLY side of :func:`chunk_boilerplate_ratio`: REMOVE every
+    cross-document boilerplate chunk and reassemble each document's
+    remaining chunks in original order — the C4/CCNet "drop repeated
+    lines" cleanup step, on fixed token windows.
+
+    A chunk is boilerplate when its hash appears in >= ``min_docs``
+    DISTINCT documents; every occurrence is dropped (including the
+    first — boilerplate is navigation/footer/license noise, not content
+    with a canonical owner).  A fully-boilerplate document comes back
+    with an empty ``out_col`` (and can then be length-filtered), so the
+    output has exactly one row per input document.
+
+    Output: (``id_col``, ``out_col``, n_chunks, n_dropped).
+
+    Scale shape: chunking is a per-row explode; the multiplicity
+    aggregation and the membership join both key on the 32-byte chunk
+    digest (map-side combined / shuffle-pruned); reassembly is ONE
+    doc-key shuffle collecting the surviving (idx, text) structs —
+    ``collect_list`` skips the NULLed boilerplate entries, and the
+    per-group buffer is bounded by the document's own chunk count, the
+    same O(doc length) any reassembly must hold.
+    """
+    from .text import chunk_documents as _chunks  # local import: no cycle
+
+    ch = _chunks(
+        ensure_min_parallelism(df.select(id_col, text_col)),
+        text_col=text_col, id_cols=(id_col,),
+        chunk_tokens=chunk_tokens, stride_tokens=chunk_tokens,
+    ).select(
+        F.col(id_col), "chunk_idx", "chunk_text",
+        F.md5(F.col("chunk_text")).alias("h"),
+    )
+    ch = track(ch)  # feeds the multiplicity agg AND the membership join
+    boiler = (
+        ch.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("h")
+        .withColumn("__b__", F.lit(1))
+    )
+    return (
+        ch.join(boiler, "h", "left")
+        # NULL for boilerplate rows -> collect_list drops them; struct
+        # ordering sorts on chunk_idx (its first field)
+        .withColumn(
+            "__ks__",
+            F.when(F.col("__b__").isNull(),
+                   F.struct("chunk_idx", "chunk_text")),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("__b__").cast("long").alias("n_dropped"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(__ks__)), "
+                "x -> x.chunk_text), ' ')"
+            ).alias(out_col),
+        )
+        .select(id_col, out_col, "n_chunks", "n_dropped")
+    )

@@ -523,3 +523,105 @@ def curriculum_plan(
         .withColumn(out_col, F.expr(expr).cast("int"))
         .drop(*[f"__c{i}__" for i in range(len(cuts))])
     )
+
+
+def _dsir_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, bucket) per feature OCCURRENCE: whitespace unigrams plus
+    adjacent-pair bigrams (bag semantics, not set), each hashed to one of
+    256 buckets by its first two md5 hex digits — reproducible in any
+    engine with md5."""
+    t = f"split(coalesce({text_col}, ''), ' ')"
+    feats = (
+        f"concat({t}, CASE WHEN size({t}) >= 2 THEN "
+        f"transform(sequence(1, size({t}) - 1), i -> "
+        f"concat(element_at({t}, i), '_', element_at({t}, i + 1))) "
+        f"ELSE CAST(array() AS array<string>) END)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.expr(feats)).alias("__f__"),
+    ).select(
+        id_col,
+        F.expr(
+            "CAST(conv(substr(md5(__f__), 1, 2), 16, 10) AS INT)"
+        ).alias("__bkt__"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public paper): score
+    every raw document by how target-like its hashed bag-of-ngrams is,
+
+        weight(doc) = sum over feature occurrences f of
+                      [ln p_target(bucket(f)) - ln p_raw(bucket(f))]
+
+    where both distributions are add-``alpha``-smoothed bucket unigram
+    models over the 256-bucket hashed feature space (unigrams +
+    bigrams).  High weight = looks like the target corpus; resample the
+    raw corpus by these weights (``weighted_sample_priority`` /
+    ``sample_exact_n``) to select pretraining data matched to a small
+    high-quality target set.
+
+    Output: (``id_col``, n_feats, dsir_weight[round 6]) — one row per
+    RAW document (docs with no features get weight 0).
+
+    Scale shape: the two bucket models are 256-row aggregates (map-side
+    combined); the scoring join BROADCASTS the 256-row log-ratio table
+    onto the raw corpus's exploded features and sums per doc with one
+    doc-key shuffle.  Nothing is ever per-pair; the model size is fixed
+    regardless of corpus size.
+    """
+    from ..session import ensure_min_parallelism
+
+    def model(df: DataFrame, name: str) -> DataFrame:
+        feats = _dsir_features(df, id_col, text_col)
+        cnt = feats.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("c"))
+        # dense 256-bucket frame so unseen buckets get the smoothed floor
+        grid = df.sparkSession.range(256).select(
+            F.col("id").cast("int").alias("__bkt__")
+        )
+        return (
+            grid.join(cnt, "__bkt__", "left")
+            .select(
+                "__bkt__",
+                F.coalesce(F.col("c"), F.lit(0)).alias(f"c_{name}"),
+            )
+        )
+
+    tm = model(target, "t")
+    rm = model(raw, "r")
+    llr = (
+        tm.join(rm, "__bkt__")
+        .select(
+            "__bkt__",
+            F.expr(
+                f"ln((c_t + {alpha!r}) / (SUM(c_t) OVER () + {alpha!r} * 256)) - "
+                f"ln((c_r + {alpha!r}) / (SUM(c_r) OVER () + {alpha!r} * 256))"
+            ).alias("__llr__"),
+        )
+    )
+    feats = _dsir_features(ensure_min_parallelism(raw), id_col, text_col)
+    scored = (
+        feats.join(F.broadcast(llr), "__bkt__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("__llr__"), 6).alias("dsir_weight"),
+        )
+    )
+    ids = raw.select(id_col).distinct()
+    return (
+        ids.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.coalesce(F.col("dsir_weight"), F.lit(0.0)).alias("dsir_weight"),
+        )
+    )

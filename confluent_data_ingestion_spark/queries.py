@@ -3515,6 +3515,54 @@ def chunk_boilerplate_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Boilerplate REMOVAL (the apply side): drop every cross-document chunk
+# and reassemble each document in original order — C4/CCNet "repeated
+# lines" cleanup.  Same planted-duplicate corpus as the ratio query, so
+# planted docs lose their shared leading chunks but keep the unique tail.
+# ---------------------------------------------------------------------------
+@query(
+    "scrub_boilerplate_docs",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' uniq' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+    c AS (
+      SELECT doc_id, i,
+             array_to_string(ts[i*20+1 : i*20+20], ' ') AS txt,
+             md5(array_to_string(ts[i*20+1 : i*20+20], ' ')) AS h
+      FROM t, unnest(generate_series(0,
+             CAST(ceil(greatest(0, len(ts) - 20) / 20.0) AS INT))) AS u(i)
+    ),
+    m AS (
+      SELECT h FROM c GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT c.doc_id,
+           coalesce(string_agg(CASE WHEN m.h IS NULL THEN c.txt END, ' '
+                               ORDER BY c.i), '') AS text_clean,
+           count(*) AS n_chunks,
+           count(m.h) AS n_dropped
+    FROM c LEFT JOIN m ON c.h = m.h
+    GROUP BY c.doc_id
+    """,
+)
+def scrub_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import scrub_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("text || ' uniq' || CAST(doc_id AS STRING)").alias("text"),
+    )
+    return scrub_boilerplate(
+        docs.unionByName(planted), chunk_tokens=20, min_docs=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # Feature-hashing embeddings: model-free text vectors (per-row folds, zero
 # shuffle) that feed the embedding operator family directly.
 # ---------------------------------------------------------------------------
@@ -5479,6 +5527,61 @@ def rollup_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.snapshot(spark).select(
         "event_type", "n_rows", "sum_value", "min_value", "max_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (operators/sampling.dsir_weights): hashed
+# bag-of-ngrams likelihood ratio between a target subset (every 17th doc)
+# and the raw corpus — the Xie et al. 2023 data-selection scorer.  The
+# oracle rebuilds both 256-bucket smoothed models and the per-doc log
+# ratio sum with the same md5-bucket and ln arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "dsir_weights_docs",
+    f"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+    uni AS (SELECT doc_id, unnest(ts) AS f FROM tok),
+    bi AS (
+      SELECT doc_id, ts[i] || '_' || ts[i + 1] AS f
+      FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) >= 2
+    ),
+    hx AS (SELECT doc_id, md5(f) AS hx
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    feats AS (SELECT doc_id, {_duck_hex_num('hx', 1, 2)} AS bkt FROM hx),
+    tc AS (SELECT bkt, COUNT(*) AS c FROM feats
+           WHERE doc_id % 17 = 0 GROUP BY bkt),
+    rc AS (SELECT bkt, COUNT(*) AS c FROM feats GROUP BY bkt),
+    tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats
+           WHERE doc_id % 17 = 0),
+    rt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+    grid AS (SELECT unnest(generate_series(0, 255)) AS bkt),
+    m AS (
+      SELECT g.bkt,
+             ln((COALESCE(tc.c, 0) + 1.0) / ((SELECT n FROM tt) + 256.0))
+           - ln((COALESCE(rc.c, 0) + 1.0) / ((SELECT n FROM rt) + 256.0))
+             AS llr
+      FROM grid g LEFT JOIN tc ON g.bkt = tc.bkt
+                  LEFT JOIN rc ON g.bkt = rc.bkt
+    )
+    SELECT f.doc_id, COUNT(*) AS n_feats,
+           round(SUM(m.llr), 6) AS dsir_weight
+    FROM feats f JOIN m ON f.bkt = m.bkt
+    GROUP BY f.doc_id
+    """,
+)
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document's target-likeness: target model = every 17th
+    doc, raw model = the whole corpus, weight = summed bucket log ratio.
+    The downstream move is resampling by these weights
+    (weighted_sample_priority / sample_exact_n) to select pretraining
+    data matched to a small high-quality target set."""
+    from .operators.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 17 == 0)
+    return dsir_weights(docs, target)
 
 
 # ---------------------------------------------------------------------------

@@ -253,3 +253,36 @@ def test_hist_quantile_merge_invariance_and_bound(spark, tmp_path_factory,
     if all(lo <= v < hi for v in vals):
         exact = float(np.quantile(np.array(vals), 0.5))
         assert abs(got_inc["p50_v"] - exact) <= w + 1e-9
+
+
+# -- DSIR importance weights -------------------------------------------------
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Docs sharing the target subset's vocabulary must outscore docs
+    from a disjoint vocabulary, scores are deterministic across runs,
+    and every raw doc gets exactly one row."""
+    from pyspark.sql import Row
+
+    from confluent_data_ingestion_spark.operators.sampling import dsir_weights
+
+    med = [Row(doc_id=i, text="dose patient trial clinical dose result")
+           for i in range(1, 5)]
+    web = [Row(doc_id=i, text="click here buy now free offer click")
+           for i in range(10, 16)]
+    mixed = [Row(doc_id=20, text="patient trial click here")]
+    raw = spark.createDataFrame(med + web + mixed)
+    target = spark.createDataFrame(med[:2])  # target = medical-ish
+
+    out = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+    assert set(out) == {r["doc_id"] for r in med + web + mixed}
+    med_scores = [out[i]["dsir_weight"] for i in range(1, 5)]
+    web_scores = [out[i]["dsir_weight"] for i in range(10, 16)]
+    assert min(med_scores) > max(web_scores)
+    # the mixed doc lands strictly between the two blocks
+    assert max(web_scores) < out[20]["dsir_weight"] < min(med_scores)
+    # deterministic: a second run reproduces every score exactly
+    again = {r["doc_id"]: r["dsir_weight"]
+             for r in dsir_weights(raw, target).collect()}
+    assert again == {k: v["dsir_weight"] for k, v in out.items()}
+    # n_feats = unigrams + bigrams per occurrence
+    assert out[20]["n_feats"] == 4 + 3

@@ -1155,6 +1155,39 @@ def test_chunk_boilerplate_ratio(spark):
     assert out[9]["n_boiler"] == 0 and out[9]["boiler_ratio"] == 0.0
 
 
+def test_scrub_boilerplate_removes_and_reassembles(spark):
+    """The apply side: shared chunks vanish from EVERY doc (no canonical
+    owner), survivors reassemble in original order, fully-boilerplate
+    docs come back empty rather than disappearing."""
+    from pyspark.sql import Row as _Row
+
+    from confluent_data_ingestion_spark.operators.dedup import (
+        scrub_boilerplate,
+    )
+
+    header = " ".join(f"h{k}" for k in range(20))
+    body = {i: " ".join(f"b{i}x{k}" for k in range(20)) for i in (1, 2, 3)}
+    rows = [
+        # header chunk shared by docs 1-3; unique body; doc 1 has the
+        # header in the MIDDLE to prove order-preserving reassembly
+        _Row(doc_id=1, text=body[1] + " " + header + " " + "tail1 " * 19 + "tailx"),
+        _Row(doc_id=2, text=header + " " + body[2]),
+        _Row(doc_id=3, text=header + " " + body[3]),
+        _Row(doc_id=9, text=header),                     # ONLY boilerplate
+        _Row(doc_id=5, text=" ".join(f"z{k}" for k in range(40))),  # clean
+    ]
+    out = {r["doc_id"]: r for r in scrub_boilerplate(
+        spark.createDataFrame(rows), chunk_tokens=20).collect()}
+
+    assert out[1]["n_chunks"] == 3 and out[1]["n_dropped"] == 1
+    assert out[1]["text_clean"] == body[1] + " " + "tail1 " * 19 + "tailx"
+    assert out[2]["text_clean"] == body[2]
+    assert out[3]["text_clean"] == body[3]
+    assert out[9]["text_clean"] == "" and out[9]["n_dropped"] == 1
+    assert out[5]["text_clean"] == rows[4]["text"]  # untouched
+    assert out[5]["n_dropped"] == 0
+
+
 def test_hash_embed_set_semantics(spark):
     from pyspark.sql import Row as _Row
 
