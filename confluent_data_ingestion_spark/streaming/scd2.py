@@ -118,7 +118,12 @@ class Scd2Store:
     # -- read path ----------------------------------------------------------
     def history(self, spark: SparkSession) -> DataFrame:
         if self.mode == "log":
-            log = spark.read.parquet(os.path.join(self.path, "log"))
+            # mergeSchema: columns added by later appends survive (rows
+            # predating a column read NULL) — same additive-evolution
+            # contract as UpsertSnapshot.log()
+            log = spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(self.path, "log")
+            )
             return scd2_from_changelog(
                 log, self.keys, self.ts_col, self.tracked
             )

@@ -348,14 +348,22 @@ class UpsertSnapshot:
     def log(self, spark: SparkSession) -> DataFrame:
         """The raw changelog including the ``__seq`` append-sequence
         partition column (parquet-log backend only — the delta backend
-        materializes current rows and keeps history in the Delta log)."""
+        materializes current rows and keeps history in the Delta log).
+
+        Reads with ``mergeSchema`` so columns ADDED by later appends
+        survive (rows that predate a column read it as NULL — additive
+        schema evolution, the same contract Delta's mergeSchema write
+        option gives).  Without it Spark samples one footer and silently
+        DROPS the new columns from every snapshot.  The footer-merge cost
+        is per-file at planning time; ``compact()`` collapses old files,
+        which also re-homogenizes the schema."""
         if self._resolve_backend(spark) == "delta":
             raise RuntimeError(
                 "log() is parquet-log-only; the delta backend's history "
                 "lives in the Delta transaction log (DESCRIBE HISTORY)"
             )
         self._ensure_log_format(spark)
-        return spark.read.parquet(self.log_dir)
+        return spark.read.option("mergeSchema", "true").parquet(self.log_dir)
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
         """The upsert table's current contents: latest-per-key view of the

@@ -1079,6 +1079,26 @@ def test_legacy_v1_log_migrates_on_first_access(spark, tmp_path):
     assert first == {1: "a2", 2: "b"}
 
 
+def test_upsert_log_additive_schema_evolution(spark, tmp_path):
+    """Columns added by later appends must survive into the snapshot
+    (rows predating the column read NULL) — without mergeSchema Spark
+    samples one footer and silently drops them."""
+    store = UpsertSnapshot(str(tmp_path / "evo"), ["k"], ["seq"])
+    store.upsert(spark.createDataFrame([Row(k=1, seq=1, v="a")]), batch_id=0)
+    store.upsert(
+        spark.createDataFrame([Row(k=2, seq=1, v="b", extra="X"),
+                               Row(k=1, seq=2, v="a2", extra="Y")]),
+        batch_id=1,
+    )
+    snap = {r["k"]: (r["v"], r["extra"])
+            for r in store.snapshot(spark).collect()}
+    assert snap == {1: ("a2", "Y"), 2: ("b", "X")}
+    # time travel BEFORE the column existed: the merged schema still
+    # carries it, pre-evolution rows answer NULL
+    as_of0 = store.snapshot_as_of(spark, 0).collect()
+    assert [(r["k"], r["v"], r["extra"]) for r in as_of0] == [(1, "a", None)]
+
+
 def test_v1_migration_is_read_triggered_too(spark, tmp_path):
     """log()/snapshot() on a legacy store must not raise even when no new
     batch has been written yet."""
