@@ -5669,6 +5669,64 @@ def rollup_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental KMV value sample (streaming/rollup.py sample_cols): per-type
+# bottom-8 distinct user_ids by salted md5, maintained across three folds.
+# Deterministic — the oracle ranks the same distinct values by the same
+# salted hash over the full table.
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_sample_events",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY md5('s|' || v), v) AS rk
+      FROM d
+    )
+    SELECT event_type, CAST(rk AS INT) AS rank, v AS sampled_value
+    FROM r WHERE rk <= 8
+    """,
+)
+def rollup_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type uniform sample of 8 distinct user ids maintained
+    INCREMENTALLY (KMV bottom-k by salted md5, merged by
+    union+sort+trim): the store's answer after three folds must equal
+    ranking the full table's distinct values by the same hash — the
+    'show example values per group' panel at O(groups * k) state."""
+    import os as _os
+    import shutil as _shutil
+
+    from .streaming.rollup import RollupStore
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    path = _os.path.join(
+        "/tmp",
+        f"cdis_{spark.sparkContext.applicationId}",
+        f"rollup_s_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    store = RollupStore(path, ["event_type"], sample_cols={"user_id": 8})
+    for i in range(3):
+        store.apply(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
+    return (
+        store.snapshot(spark)
+        .select(
+            "event_type",
+            F.posexplode("sample_user_id").alias("pos", "sampled_value"),
+        )
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            "sampled_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Robust statistics (operators/stats.py): per-group median + MAD — the
 # outlier-proof location/scale pair for corpus quality thresholds.
 # Medians round to 6 dp before the deviation pass so both engines (R-7

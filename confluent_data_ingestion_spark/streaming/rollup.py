@@ -15,6 +15,11 @@ store supports decomposes into MERGEABLE per-group partials —
                        interpolation inside the target bin — the
                        equi-width cousin of a t-digest/KLL rollup, with
                        DETERMINISTIC bin math any SQL engine reproduces
+ - value sample     -> KMV bottom-k: the k distinct values with the
+                       smallest salted md5, merged by union+sort+trim —
+                       a deterministic uniform sample of each group's
+                       distinct values (the "show me examples" panel),
+                       reproducible by any engine with md5
 
 so ``apply(batch)`` aggregates ONLY the new batch (cost O(batch)), merges
 the batch partials with the stored per-group state (cost O(state groups +
@@ -65,6 +70,7 @@ class RollupStore:
         distinct_cols: list[str] | None = None,
         hist_cols: dict[str, tuple[float, float, int]] | None = None,
         quantiles: list[float] | None = None,
+        sample_cols: dict[str, int] | None = None,
         lgk: int = 12,
     ) -> None:
         """``hist_cols`` maps a numeric column to its fixed histogram
@@ -77,7 +83,17 @@ class RollupStore:
         (underflow answers ``lo``, overflow ``hi`` — the bounds are the
         histogram's representable range).  Keep ``nbins`` modest
         (<= 128): state per group is ``nbins + 2`` longs and the partial
-        aggregation plans one conditional-sum per slot."""
+        aggregation plans one conditional-sum per slot.
+
+        ``sample_cols`` maps a column to ``k``: the store maintains the
+        group's k DISTINCT values with the smallest salted md5 (a KMV
+        bottom-k sketch — a deterministic uniform sample of distinct
+        values), merged by union+sort+trim.  The per-batch partial
+        buffers a batch-group's values in one ``collect_list`` before
+        trimming; with microbatch-sized inputs that is bounded by the
+        batch, but feeding a huge batch with a hot group has the same
+        memory hazard ``dedup``'s posting lists document — keep batches
+        microbatch-sized or pre-dedup the column."""
         self.path = path
         self.group_cols = group_cols
         self.sum_cols = sum_cols or []
@@ -86,6 +102,7 @@ class RollupStore:
         self.distinct_cols = distinct_cols or []
         self.hist_cols = dict(hist_cols or {})
         self.quantiles = list(quantiles or [0.5])
+        self.sample_cols = dict(sample_cols or {})
         for c, (lo, hi, nb) in self.hist_cols.items():
             if not (hi > lo and 1 <= nb <= 1024):
                 raise ValueError(
@@ -93,6 +110,9 @@ class RollupStore:
                 )
         if not all(0.0 < q <= 1.0 for q in self.quantiles):
             raise ValueError("quantiles must be in (0, 1]")
+        for c, k in self.sample_cols.items():
+            if not 1 <= int(k) <= 4096:
+                raise ValueError(f"sample_cols[{c!r}]: k must be in [1, 4096]")
         self.lgk = lgk
         os.makedirs(os.path.join(path, "_markers"), exist_ok=True)
 
@@ -155,6 +175,15 @@ class RollupStore:
                     for i in range(nb + 2)
                 ]).alias(f"hist_{c}")
             )
+        for c, k in self.sample_cols.items():
+            aggs.append(
+                F.expr(
+                    f"slice(array_distinct(array_sort(collect_list("
+                    f"CASE WHEN {c} IS NULL THEN NULL ELSE named_struct("
+                    f"'h', md5(concat('s|', CAST({c} AS STRING))), "
+                    f"'v', CAST({c} AS STRING)) END))), 1, {int(k)})"
+                ).alias(f"sample_{c}")
+            )
         return df.groupBy(*self.group_cols).agg(*aggs)
 
     def _merge(self, state: DataFrame, batch: DataFrame) -> DataFrame:
@@ -176,6 +205,15 @@ class RollupStore:
                     F.sum(F.element_at(F.col(f"hist_{c}"), i + 1))
                     for i in range(nb + 2)
                 ]).alias(f"hist_{c}")
+            )
+        for c, k in self.sample_cols.items():
+            # union the (<= 2 per group) trimmed state arrays, re-sort,
+            # re-trim: bottom-k is mergeable with bounded state
+            aggs.append(
+                F.expr(
+                    f"slice(array_distinct(array_sort(flatten("
+                    f"collect_list(sample_{c})))), 1, {int(k)})"
+                ).alias(f"sample_{c}")
             )
         return both.groupBy(*self.group_cols).agg(*aggs)
 
@@ -277,6 +315,12 @@ class RollupStore:
                         f"p{int(round(q * 100))}_{c}"
                     )
                 )
+        for c in self.sample_cols:
+            cols.append(
+                F.expr(f"transform(sample_{c}, x -> x.v)").alias(
+                    f"sample_{c}"
+                )
+            )
         return state.select(*cols)
 
     def _quantile_expr(self, c: str, q: float) -> str:

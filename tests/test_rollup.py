@@ -324,6 +324,34 @@ def test_hist_quantiles_all_null_group_is_null(spark, tmp_path):
     assert row["n_rows"] == 2 and row["p50_v"] is None
 
 
+def test_kmv_sample_incremental_equals_oneshot(spark, tmp_path):
+    """Bottom-k sample state is merge-invariant, NULLs never enter,
+    values come back in salted-hash order, and k caps the state."""
+    rows = (
+        [Row(g="a", v=f"u{i}") for i in range(30)]
+        + [Row(g="a", v=None), Row(g="b", v="only")]
+        + [Row(g="a", v="u5")]  # duplicate value: distinct-sample semantics
+    )
+    mk = lambda p: RollupStore(str(tmp_path / p), ["g"],
+                               sample_cols={"v": 4})
+    inc, one = mk("s1"), mk("s2")
+    for i, ch in enumerate([rows[:9], rows[9:20], rows[20:]]):
+        inc.apply(spark.createDataFrame(ch, "g string, v string"), batch_id=i)
+    one.apply(spark.createDataFrame(rows, "g string, v string"), batch_id=0)
+    gi = {r["g"]: r["sample_v"] for r in inc.snapshot(spark).collect()}
+    go = {r["g"]: r["sample_v"] for r in one.snapshot(spark).collect()}
+    assert gi == go
+    assert len(gi["a"]) == 4 and gi["b"] == ["only"]
+    # matches driver-side ranking of distinct values by the same hash
+    import hashlib
+
+    def h(v):
+        return hashlib.md5(f"s|{v}".encode()).hexdigest()
+
+    want = sorted({f"u{i}" for i in range(30)}, key=lambda v: (h(v), v))[:4]
+    assert gi["a"] == want
+
+
 def test_hist_bounds_validation(tmp_path):
     import pytest as _pytest
 
