@@ -576,15 +576,18 @@ def dsir_weights(
     combined); the scoring join BROADCASTS the 256-row log-ratio table
     onto the raw corpus's exploded features and sums per doc with one
     doc-key shuffle.  Nothing is ever per-pair; the model size is fixed
-    regardless of corpus size.
+    regardless of corpus size.  The raw corpus's exploded features feed
+    BOTH its bucket model and the scoring pass, so they are persisted
+    once (``caching.track`` — released by the runtime's next
+    ``release_caches()``) instead of re-tokenizing the corpus twice.
     """
+    from ..caching import track
     from ..session import ensure_min_parallelism
 
-    def model(df: DataFrame, name: str) -> DataFrame:
-        feats = _dsir_features(df, id_col, text_col)
+    def model(feats: DataFrame, spark, name: str) -> DataFrame:
         cnt = feats.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("c"))
         # dense 256-bucket frame so unseen buckets get the smoothed floor
-        grid = df.sparkSession.range(256).select(
+        grid = spark.range(256).select(
             F.col("id").cast("int").alias("__bkt__")
         )
         return (
@@ -595,8 +598,11 @@ def dsir_weights(
             )
         )
 
-    tm = model(target, "t")
-    rm = model(raw, "r")
+    raw_feats = track(
+        _dsir_features(ensure_min_parallelism(raw), id_col, text_col)
+    )
+    tm = model(_dsir_features(target, id_col, text_col), raw.sparkSession, "t")
+    rm = model(raw_feats, raw.sparkSession, "r")
     llr = (
         tm.join(rm, "__bkt__")
         .select(
@@ -607,9 +613,8 @@ def dsir_weights(
             ).alias("__llr__"),
         )
     )
-    feats = _dsir_features(ensure_min_parallelism(raw), id_col, text_col)
     scored = (
-        feats.join(F.broadcast(llr), "__bkt__")
+        raw_feats.join(F.broadcast(llr), "__bkt__")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

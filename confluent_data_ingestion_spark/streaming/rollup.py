@@ -89,11 +89,9 @@ class RollupStore:
         group's k DISTINCT values with the smallest salted md5 (a KMV
         bottom-k sketch — a deterministic uniform sample of distinct
         values), merged by union+sort+trim.  The per-batch partial
-        buffers a batch-group's values in one ``collect_list`` before
-        trimming; with microbatch-sized inputs that is bounded by the
-        batch, but feeding a huge batch with a hot group has the same
-        memory hazard ``dedup``'s posting lists document — keep batches
-        microbatch-sized or pre-dedup the column."""
+        window-ranks the group's distinct values and keeps only the k
+        survivors before any aggregation buffer is built, so a hot group
+        costs a spill-safe sort, never an unbounded in-memory list."""
         self.path = path
         self.group_cols = group_cols
         self.sum_cols = sum_cols or []
@@ -175,16 +173,48 @@ class RollupStore:
                     for i in range(nb + 2)
                 ]).alias(f"hist_{c}")
             )
+        main = df.groupBy(*self.group_cols).agg(*aggs)
+        # Sample partials come from a window-pre-trimmed side frame, NOT a
+        # collect_list over the raw group: ranking is a spill-safe sort and
+        # only the k surviving rows per group ever enter an aggregation
+        # buffer (a raw collect_list buffers the whole batch-group's values
+        # before trimming — measured pathological at 10x batch sizes).  The
+        # side frame shuffles on the same group key as the main partials,
+        # and the join is group-count-sized.
         for c, k in self.sample_cols.items():
-            aggs.append(
-                F.expr(
-                    f"slice(array_distinct(array_sort(collect_list("
-                    f"CASE WHEN {c} IS NULL THEN NULL ELSE named_struct("
-                    f"'h', md5(concat('s|', CAST({c} AS STRING))), "
-                    f"'v', CAST({c} AS STRING)) END))), 1, {int(k)})"
-                ).alias(f"sample_{c}")
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*self.group_cols).orderBy("__h__", "__v__")
+            s = (
+                df.filter(F.col(c).isNotNull())
+                .select(
+                    *self.group_cols,
+                    F.md5(
+                        F.concat(F.lit("s|"), F.col(c).cast("string"))
+                    ).alias("__h__"),
+                    F.col(c).cast("string").alias("__v__"),
+                )
+                .distinct()
+                .withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") <= int(k))
+                .groupBy(*self.group_cols)
+                .agg(
+                    F.expr(
+                        "array_sort(collect_list("
+                        "named_struct('h', __h__, 'v', __v__)))"
+                    ).alias(f"sample_{c}")
+                )
             )
-        return df.groupBy(*self.group_cols).agg(*aggs)
+            main = main.join(s, self.group_cols, "left").withColumn(
+                f"sample_{c}",
+                F.coalesce(
+                    F.col(f"sample_{c}"),
+                    F.expr(
+                        "CAST(array() AS array<struct<h:string,v:string>>)"
+                    ),
+                ),
+            )
+        return main
 
     def _merge(self, state: DataFrame, batch: DataFrame) -> DataFrame:
         both = state.unionByName(batch)
