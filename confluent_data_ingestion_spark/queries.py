@@ -310,6 +310,46 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape (forecast revenue change): the pushdown showcase — a
+# single-table aggregate whose date/discount/quantity predicates must ALL
+# reach the parquet scan (no join, no window; the plan is scan→filter→
+# partial agg→1-row exchange→final agg, whole-stage-codegen end to end).
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(d2("l_extendedprice") * d2("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def run_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
 
