@@ -345,11 +345,26 @@ class RollupStore:
                         f"p{int(round(q * 100))}_{c}"
                     )
                 )
-        for c in self.sample_cols:
+        for c, k in self.sample_cols.items():
             cols.append(
                 F.expr(f"transform(sample_{c}, x -> x.v)").alias(
                     f"sample_{c}"
                 )
+            )
+            # classic KMV estimator: with the sketch full, the k-th
+            # smallest hash (as a [0,1) fraction of its first 8 hex
+            # digits) estimates distinct count as (k-1)/h_k; below k the
+            # sketch IS the distinct set, so the count is exact
+            frac = (
+                f"(CAST(conv(substr(element_at(sample_{c}, {int(k)}).h, "
+                f"1, 8), 16, 10) AS DOUBLE) / 4294967296.0)"
+            )
+            cols.append(
+                F.expr(
+                    f"CASE WHEN size(sample_{c}) < {int(k)} "
+                    f"THEN CAST(size(sample_{c}) AS DOUBLE) "
+                    f"ELSE round(({int(k)} - 1) / {frac}, 2) END"
+                ).alias(f"kmv_distinct_est_{c}")
             )
         return state.select(*cols)
 

@@ -165,6 +165,47 @@ def test_rollup_under_structured_streaming(spark, tmp_path):
     assert got == want
 
 
+def test_hist_and_sample_under_structured_streaming(spark, tmp_path):
+    """The round-8 summaries (histogram quantiles + KMV sample) maintained
+    from a real file-source stream: at quiescence the snapshot equals the
+    one-shot store over all consumed rows."""
+    import json
+
+    src = tmp_path / "hs_in"
+    src.mkdir()
+    all_rows = []
+    for part in range(3):
+        rows = [{"g": ["a", "b"][i % 2], "v": float(part * 4 + i)}
+                for i in range(4)]
+        all_rows += rows
+        with open(src / f"p{part}.ndjson", "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in rows)
+
+    spec = dict(hist_cols={"v": (0.0, 16.0, 8)}, quantiles=[0.5],
+                sample_cols={"v": 3})
+    store = RollupStore(str(tmp_path / "hs_state"), ["g"], **spec)
+    q = (
+        spark.readStream.schema("g STRING, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(lambda df, bid: store.apply(df, batch_id=bid))
+        .option("checkpointLocation", str(tmp_path / "hs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    one = RollupStore(str(tmp_path / "hs_one"), ["g"], **spec)
+    one.apply(
+        spark.createDataFrame([(r["g"], r["v"]) for r in all_rows],
+                              "g string, v double"),
+        batch_id=0,
+    )
+    got = {r["g"]: r.asDict() for r in store.snapshot(spark).collect()}
+    want = {r["g"]: r.asDict() for r in one.snapshot(spark).collect()}
+    assert got == want
+
+
 def test_windowed_rollup_composes_with_event_time(spark, tmp_path):
     """group_cols are arbitrary — feeding tumbling-window starts as a
     group column turns the store into an incrementally-maintained
@@ -350,6 +391,17 @@ def test_kmv_sample_incremental_equals_oneshot(spark, tmp_path):
 
     want = sorted({f"u{i}" for i in range(30)}, key=lambda v: (h(v), v))[:4]
     assert gi["a"] == want
+
+    # KMV distinct estimator: below k the count is exact; with the sketch
+    # full it's (k-1)/h_k computed from the k-th smallest hash
+    est = {r["g"]: r["kmv_distinct_est_v"]
+           for r in inc.snapshot(spark).collect()}
+    assert est["b"] == 1.0  # 1 distinct value < k=4 -> exact
+    kth = h(want[3])
+    expect = round(3 / (int(kth[:8], 16) / 2**32), 2)
+    assert est["a"] == expect
+    # a 30-distinct truth should be within a loose KMV error band
+    assert 5 <= est["a"] <= 200
 
 
 def test_hist_bounds_validation(tmp_path):
