@@ -120,3 +120,43 @@ def test_shipping_priority_topk_take_ordered(spark, sf_dir):
     plan = e.queries()["shipping_priority_topk"](spark, sf_dir) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_forecast_revenue_pushes_all_predicates(spark, sf_dir):
+    """Q6's date/discount/quantity predicates must ALL reach the parquet
+    scan as pushed filters, and the scan must read only the 4 referenced
+    columns — a full-schema scan here is the column-pruning regression."""
+    import __spark_entry__ as e
+
+    df = e.queries()["forecast_revenue_change"](spark, sf_dir)
+    df.collect()  # AQE finalizes the scan node
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split(
+            "PushedFilters", 1
+        )[-1], f"{col} not pushed"
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = {part.split(":")[0] for part in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }, f"scan reads {cols}"
+
+
+def test_hash_embed_explode_does_not_refilter_the_fold(spark, sf_dir):
+    """InferFiltersFromGenerate must NOT clone the O(dim*tokens) embedding
+    fold into a pre-explode filter (the regression fixed in round 8: the
+    whole fold re-ran single-core below the repartition)."""
+    import __spark_entry__ as e
+
+    plan = e.queries()["hash_embed_vectors"](spark, sf_dir) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    # the plan's only size() filter may guard the literal index sequence,
+    # never the computed embedding array
+    for line in plan.splitlines():
+        if "Filter" in line and "size(transform" in line.replace(" ", ""):
+            raise AssertionError(
+                "embedding fold cloned into a pre-explode filter:\n" + line
+            )
