@@ -286,3 +286,60 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert again == {k: v["dsir_weight"] for k, v in out.items()}
     # n_feats = unigrams + bigrams per occurrence
     assert out[20]["n_feats"] == 4 + 3
+
+
+# -- scrub_boilerplate -------------------------------------------------------
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            min_size=1, max_size=50,
+        ).map(" ".join),
+        min_size=1, max_size=8, unique=True,
+    ),
+)
+@settings(max_examples=6, deadline=None)
+def test_scrub_boilerplate_reassembly_invariants(spark, texts):
+    """For ANY corpus: (a) with min_docs above the corpus size nothing is
+    boilerplate and reassembly reproduces every document verbatim (token
+    join is lossless); (b) with min_docs=2, surviving text is each doc's
+    chunk subsequence in order and dropped+kept counts sum to n_chunks."""
+    from pyspark.sql import Row
+
+    from confluent_data_ingestion_spark.operators.dedup import (
+        scrub_boilerplate,
+    )
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows)
+
+    untouched = scrub_boilerplate(df, chunk_tokens=5,
+                                  min_docs=len(texts) + 1).collect()
+    assert {r["doc_id"]: r["text_clean"] for r in untouched} == {
+        i: t for i, t in enumerate(texts)
+    }
+    assert all(r["n_dropped"] == 0 for r in untouched)
+
+    # exact driver-side truth: a chunk is boilerplate iff it appears in
+    # >= 2 DISTINCT docs; clean text is the in-order join of survivors
+    from collections import defaultdict
+
+    occ = defaultdict(set)
+    chunks_by_doc = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        cs = [" ".join(toks[j:j + 5]) for j in range(0, len(toks), 5)]
+        chunks_by_doc[i] = cs
+        for c in cs:
+            occ[c].add(i)
+
+    scrubbed = scrub_boilerplate(df, chunk_tokens=5, min_docs=2).collect()
+    assert len(scrubbed) == len(texts)
+    for r in scrubbed:
+        cs = chunks_by_doc[r["doc_id"]]
+        assert r["n_chunks"] == len(cs)
+        assert r["n_dropped"] == sum(1 for c in cs if len(occ[c]) >= 2)
+        assert r["text_clean"] == " ".join(
+            c for c in cs if len(occ[c]) < 2
+        )
