@@ -1098,6 +1098,22 @@ def test_upsert_log_additive_schema_evolution(spark, tmp_path):
     as_of0 = store.snapshot_as_of(spark, 0).collect()
     assert [(r["k"], r["v"], r["extra"]) for r in as_of0] == [(1, "a", None)]
 
+    # compact() re-homogenizes: the rewritten log holds ONE schema (every
+    # file carries the evolved column) and the snapshot is unchanged
+    store.compact(spark)
+    snap2 = {r["k"]: (r["v"], r["extra"])
+             for r in store.snapshot(spark).collect()}
+    assert snap2 == snap
+    import os as _os
+
+    part_files = [
+        _os.path.join(dp, f)
+        for dp, _, fs in _os.walk(store.log_dir)
+        for f in fs if f.endswith(".parquet")
+    ]
+    for pf in part_files:
+        assert "extra" in spark.read.parquet(pf).columns
+
 
 def test_v1_migration_is_read_triggered_too(spark, tmp_path):
     """log()/snapshot() on a legacy store must not raise even when no new
