@@ -500,7 +500,11 @@ def _l2sq(aa: str, ab: str, bb: str) -> str:
 
 def _subspaces(df: DataFrame, id_col: str, vec_col: str, m: int, d: int):
     """(id, m_idx, sv): one narrow row per (vector, subspace) from ONE scan
-    (explode of an M-struct array, not M unioned projections)."""
+    (explode of an M-struct array, not M unioned projections).  Small
+    inputs round-robin to the task slots first — a single small parquet
+    file otherwise pins every downstream subspace scoring/fold of the PQ
+    family to one core."""
+    df = ensure_min_parallelism(df)
     parts = F.array(*[
         F.struct(
             F.lit(s).cast("int").alias("m_idx"),
