@@ -56,6 +56,9 @@ def text_quality(
     each a deterministic double rounded to 6 so any SQL engine reproduces the
     exact values.
     """
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     t = text_col
     sw = sql_in_list(stopwords)
     return df.select(
@@ -88,6 +91,9 @@ def token_count_bpe(
     The pattern uses only character classes so Java (Spark) and RE2-style
     engines agree.
     """
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return df.withColumn(
         out_col, F.expr(f"size(regexp_extract_all({text_col}, '{pattern}', 0))")
     )
@@ -104,6 +110,9 @@ def language_id(
     Deterministic tiebreak: languages compared in insertion order, first max
     wins (>= on earlier languages).
     """
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     profiles = profiles or LANG_PROFILES
     langs = list(profiles)
     score_cols = {}
@@ -138,6 +147,9 @@ def fingerprint(
 ) -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token list — robust to token reordering, the classic "bag fingerprint"."""
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return df.withColumn(
         out_col,
         F.expr(
@@ -160,6 +172,9 @@ def repetition_stats(
     over the gram arrays — bounded by document length, zero shuffle).
     Documents shorter than ``n`` tokens get total = 0 and NULL fractions.
     """
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     t = text_col
     joins = " , ' ', ".join(f"element_at(__ts__, i + {k})" for k in range(n))
     grams = (
@@ -292,6 +307,9 @@ def top_terms(
     branch as a SECOND scan + explode of the whole corpus — at 100 TB
     that doubles the dominant cost for no reason.
     """
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     from ..caching import track
 
     toks = df.select(
@@ -485,6 +503,9 @@ def unigram_logprob_score(
     back), one (doc, term-count) shuffle of compact triples; corpus text
     never shuffles.
     """
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).filter(F.length("term") >= 1)
@@ -526,6 +547,9 @@ def char_entropy(
     is independent of iteration/accumulation order — any engine summing
     the same per-character terms reproduces it bit-for-bit.
     """
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     t = text_col
     # O(len log len) per row: sort the chars and fold run lengths with a
     # struct accumulator (prev char, run count, running DECIMAL total).
@@ -647,6 +671,9 @@ def bigram_logprob_score(
     (TakeOrderedAndProject) and broadcasts onto the pair stream — no
     corpus shuffle is added.
     """
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     if not 0.0 < lam < 1.0:
         raise ValueError(f"lam must be in (0, 1), got {lam}")
     if vocab_size is not None and vocab_size < 1:
@@ -755,6 +782,9 @@ def collocation_pmi(
     bounded, far smaller) joined back on single-token keys.  The N total
     is a 1-row broadcast.
     """
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     toks = df.select(F.split(F.col(text_col), " ").alias("__ts__"))
