@@ -5838,8 +5838,12 @@ _PRIORITY_ORDER = [
     "keyword_topk", "quality_filter_gate", "temperature_resample_mix",
     "embedding_quantize_int8", "shard_assignment_balanced",
     "session_window_agg",
-    # positions 51+: first candidates for the round-9 window
+    # positions 51+: first candidates for the round-9 window — the two
+    # remaining stale rows, then the round-8 additions (never yet in a
+    # driver record), then registration order
     "tumbling_window_agg", "hopping_window_agg",
+    "rollup_quantile_events", "rollup_sample_events", "dsir_weights_docs",
+    "scrub_boilerplate_docs", "forecast_revenue_change",
 ]
 
 
