@@ -5624,6 +5624,49 @@ def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, target)
 
 
+# reuse the weights oracle's model CTEs verbatim: cut at its final
+# SELECT and graft a per-doc weight CTE in its place
+_DSIR_WEIGHTS_CTE = ORACLES["dsir_weights_docs"].strip().rsplit(
+    "SELECT f.doc_id", 1
+)[0].rstrip().rstrip(")").rstrip() + """
+    ),
+    w AS (
+      SELECT f.doc_id, round(SUM(m.llr), 6) AS dsir_weight
+      FROM feats f JOIN m ON f.bkt = m.bkt
+      GROUP BY f.doc_id
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR selection: the end of the pipeline — the 50 most target-like docs
+# (total order: weight desc, doc_id asc).  Same model CTEs as the weights
+# query; the Spark side must compile to TakeOrderedAndProject, never a
+# global sort (guarded in tests/test_plan_guards.py's Take* pattern).
+# ---------------------------------------------------------------------------
+@query(
+    "dsir_select_topk",
+    _DSIR_WEIGHTS_CTE + """
+    SELECT doc_id, dsir_weight FROM w
+    ORDER BY dsir_weight DESC, doc_id ASC LIMIT 50
+    """,
+)
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the 50 docs most like the target subset — the actual data
+    -selection act DSIR exists for.  orderBy+limit compiles to
+    per-partition top-k heaps (TakeOrderedAndProject); nothing global
+    sorts."""
+    from .operators.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 17 == 0)
+    return (
+        dsir_weights(docs, target)
+        .select("doc_id", "dsir_weight")
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental quantiles (streaming/rollup.py hist_cols): per-type p50/p90
 # maintained as mergeable fixed-boundary histograms across three folds.
@@ -5843,7 +5886,7 @@ _PRIORITY_ORDER = [
     # driver record), then registration order
     "tumbling_window_agg", "hopping_window_agg",
     "rollup_quantile_events", "rollup_sample_events", "dsir_weights_docs",
-    "scrub_boilerplate_docs", "forecast_revenue_change",
+    "dsir_select_topk", "scrub_boilerplate_docs", "forecast_revenue_change",
 ]
 
 
