@@ -51,6 +51,27 @@ def main() -> None:
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 
+    # warm the dedup-family codegen (simhash signature folds + banding +
+    # connected components) on an 8-row corpus: these are the largest
+    # generated classes in the suite, and whichever query compiles them
+    # first otherwise absorbs multiple seconds of one-time JIT into its
+    # recorded number (the r8 record charged it all to
+    # dedup_apply_pipeline)
+    from confluent_data_ingestion_spark.operators.cluster import (
+        connected_components,
+    )
+    from confluent_data_ingestion_spark.operators.dedup import simhash_pairs
+
+    tiny = spark.createDataFrame(
+        [(i, "warm text sample row " * 3 + str(i % 2)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    connected_components(
+        simhash_pairs(tiny, bits=32, max_hamming=3, bands=4, ngram=3),
+        pairs_distinct=True,
+    ).write.format("noop").mode("overwrite").save()
+    release_caches()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():

@@ -205,14 +205,33 @@ class RollupStore:
                     ).alias(f"sample_{c}")
                 )
             )
-            main = main.join(s, self.group_cols, "left").withColumn(
+            # null-safe equality on every group column: a name-based join
+            # would drop NULL-keyed groups' samples (NULL = NULL never
+            # matches) while their count/sum/histogram partials survive
+            # the groupBy — the aggregates must not diverge by key shape
+            s = s.select(
+                *[
+                    F.col(g).alias(f"__sg_{g}__")
+                    for g in self.group_cols
+                ],
                 f"sample_{c}",
-                F.coalesce(
-                    F.col(f"sample_{c}"),
-                    F.expr(
-                        "CAST(array() AS array<struct<h:string,v:string>>)"
+            )
+            cond = None
+            for g in self.group_cols:
+                eq = main[g].eqNullSafe(s[f"__sg_{g}__"])
+                cond = eq if cond is None else cond & eq
+            main = (
+                main.join(s, cond, "left")
+                .drop(*[f"__sg_{g}__" for g in self.group_cols])
+                .withColumn(
+                    f"sample_{c}",
+                    F.coalesce(
+                        F.col(f"sample_{c}"),
+                        F.expr(
+                            "CAST(array() AS array<struct<h:string,v:string>>)"
+                        ),
                     ),
-                ),
+                )
             )
         return main
 

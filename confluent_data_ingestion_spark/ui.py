@@ -195,7 +195,7 @@ def render_connector_result(cfg: dict[str, str]) -> str:
     return _PAGE.format(body=body)
 
 
-def render_result(res: UploadResult) -> str:
+def render_result(res: UploadResult, token: str) -> str:
     parts = [f"<p>Generated {len(res.files)} artifacts from "
              f"<b>{html.escape(res.filename)}</b>.</p>"]
     if res.errors:
@@ -206,7 +206,8 @@ def render_result(res: UploadResult) -> str:
         parts.append("<h2 class='warn'>Warnings</h2><ul>" + "".join(
             f"<li class='warn'>{html.escape(w)}</li>" for w in res.warnings
         ) + "</ul>")
-    parts.append('<p><a href="/bundle.zip">Download bundle.zip</a></p>')
+    parts.append(f'<p><a href="/bundle/{html.escape(token)}.zip">'
+                 'Download bundle.zip</a></p>')
     for name, content in res.files.items():
         parts.append(f"<h2>{html.escape(name)}</h2>"
                      f"<pre>{html.escape(content)}</pre>")
@@ -234,13 +235,23 @@ def _parse_multipart(content_type: str, body: bytes) -> tuple[str, bytes]:
     raise ValueError("no file part in upload")
 
 
+_MAX_UPLOAD_BYTES = 32 << 20  # refuse runaway multipart bodies
+_MAX_LIVE_RESULTS = 8  # per-token results kept for download, oldest evicted
+
+
 def make_server(port: int = 8501, host: str = "127.0.0.1"):
-    """The HTTP app.  One live result is held in memory (mirrors the
-    Streamlit session state holding the last generation) so the bundle
-    download serves whatever the preview shows."""
+    """The HTTP app.  Each generation is held in memory under a
+    per-upload token and downloaded via ``/bundle/<token>.zip`` — the
+    server is threaded, so a single shared "last result" slot would race
+    under concurrent clients and could serve one user's artifacts to
+    another.  The token table is capped at the newest
+    ``_MAX_LIVE_RESULTS`` entries (insertion-ordered eviction)."""
     import http.server
+    import re as _re
 
     state: dict[str, UploadResult] = {}
+    lock = __import__("threading").Lock()
+    bundle_re = _re.compile(r"^/bundle/([0-9a-f]{32})\.zip$")
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def _send(self, code: int, body: bytes, ctype: str) -> None:
@@ -251,8 +262,15 @@ def make_server(port: int = 8501, host: str = "127.0.0.1"):
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 (stdlib handler contract)
-            if self.path == "/bundle.zip" and "last" in state:
-                self._send(200, state["last"].zip_bytes, "application/zip")
+            m = bundle_re.match(self.path)
+            if m:
+                with lock:
+                    res = state.get(m.group(1))
+                if res is None:
+                    self._send(404, b"unknown or expired bundle token",
+                               "text/plain")
+                else:
+                    self._send(200, res.zip_bytes, "application/zip")
             elif self.path == "/":
                 self._send(200, render_index().encode(), "text/html")
             elif self.path == "/connector":
@@ -262,6 +280,9 @@ def make_server(port: int = 8501, host: str = "127.0.0.1"):
 
         def do_POST(self):  # noqa: N802
             length = int(self.headers.get("Content-Length", "0"))
+            if length > _MAX_UPLOAD_BYTES:
+                self._send(413, b"upload too large", "text/plain")
+                return
             if self.path == "/generate":
                 try:
                     fname, data = _parse_multipart(
@@ -276,8 +297,13 @@ def make_server(port: int = 8501, host: str = "127.0.0.1"):
                     )
                     self._send(400, body.encode(), "text/html")
                     return
-                state["last"] = res
-                self._send(200, render_result(res).encode(), "text/html")
+                token = __import__("uuid").uuid4().hex
+                with lock:
+                    state[token] = res
+                    while len(state) > _MAX_LIVE_RESULTS:
+                        state.pop(next(iter(state)))
+                self._send(200, render_result(res, token).encode(),
+                           "text/html")
             elif self.path == "/connector":
                 from urllib.parse import parse_qs
 

@@ -38,7 +38,11 @@ NESTED_LOOP_ALLOWED = {
 }
 
 # streaming / side-effecting queries that can't be compiled lazily
-SKIP = {"streaming_xref_upsert", "streaming_event_funnel"}
+SKIP = {
+    "streaming_xref_upsert",
+    "streaming_event_funnel",
+    "streaming_interval_join",
+}
 
 
 def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):

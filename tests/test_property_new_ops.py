@@ -228,8 +228,14 @@ def test_hist_quantile_merge_invariance_and_bound(spark, tmp_path_factory,
                                                   vals, split):
     """For ANY data and ANY batch split: (a) the incrementally-merged
     histogram state equals the one-shot state (merge associativity), and
-    (b) the interpolated p50 sits within one bin width of numpy's exact
-    quantile whenever all values are inside the histogram bounds."""
+    (b) the interpolated p50 sits within one bin width of the band of
+    rank-consistent empirical medians whenever all values are inside the
+    histogram bounds.  The band is [lower-method, higher-method]: a
+    histogram only knows counts per bin, so it can pin down the bin of a
+    rank-r order statistic (one-bin-width accuracy) but can never
+    reproduce cross-value interpolation — numpy's default linear p50 of
+    [0.0, 9.0] is 4.5, farther than one bin width from EVERY
+    count-consistent estimate."""
     import numpy as np
 
     from confluent_data_ingestion_spark.streaming.rollup import RollupStore
@@ -251,8 +257,10 @@ def test_hist_quantile_merge_invariance_and_bound(spark, tmp_path_factory,
     assert got_inc == got_one  # merge order is invisible
 
     if all(lo <= v < hi for v in vals):
-        exact = float(np.quantile(np.array(vals), 0.5))
-        assert abs(got_inc["p50_v"] - exact) <= w + 1e-9
+        arr = np.array(vals)
+        q_lo = float(np.quantile(arr, 0.5, method="lower"))
+        q_hi = float(np.quantile(arr, 0.5, method="higher"))
+        assert q_lo - w - 1e-9 <= got_inc["p50_v"] <= q_hi + w + 1e-9
 
 
 # -- DSIR importance weights -------------------------------------------------

@@ -404,6 +404,27 @@ def test_kmv_sample_incremental_equals_oneshot(spark, tmp_path):
     assert 5 <= est["a"] <= 200
 
 
+def test_kmv_sample_null_group_key(spark, tmp_path):
+    """A NULL-keyed group keeps its sample like every other aggregate:
+    the sample side-frame joins back onto the main partials null-safely
+    (a plain equality join silently returns an empty sample for the
+    NULL group while its count/sum partials survive the groupBy)."""
+    store = RollupStore(str(tmp_path / "nullg"), ["g"],
+                        sum_cols=["x"], sample_cols={"v": 4})
+    store.apply(
+        spark.createDataFrame(
+            [Row(g=None, v="a", x=1.0), Row(g=None, v="b", x=2.0),
+             Row(g="k", v="c", x=3.0)],
+            "g string, v string, x double",
+        ),
+        batch_id=0,
+    )
+    rows = {r["g"]: r for r in store.snapshot(spark).collect()}
+    assert rows[None]["n_rows"] == 2 and rows[None]["sum_x"] == 3.0
+    assert sorted(rows[None]["sample_v"]) == ["a", "b"]
+    assert rows["k"]["sample_v"] == ["c"]
+
+
 def test_hist_bounds_validation(tmp_path):
     import pytest as _pytest
 

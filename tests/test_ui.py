@@ -69,8 +69,8 @@ def test_render_pages_are_selfcontained_html():
     assert "<form" in render_index()
     with open(WB, "rb") as f:
         res = handle_upload("STTM_v22.xlsx", f.read())
-    page = render_result(res)
-    assert "bundle.zip" in page and "STTM_v22.xlsx" in page
+    page = render_result(res, token="0" * 32)
+    assert f"/bundle/{'0' * 32}.zip" in page and "STTM_v22.xlsx" in page
     # statements preview includes the emitted SQL
     assert any(name.endswith(".sql") for name in res.files)
 
@@ -107,9 +107,23 @@ def test_http_roundtrip_upload_and_download():
         page = urllib.request.urlopen(req).read().decode()
         assert "Generated" in page
 
-        got_zip = urllib.request.urlopen(f"{base}/bundle.zip").read()
+        # bundle downloads are keyed by a per-upload token so concurrent
+        # clients can never fetch each other's artifacts
+        import re
+
+        m = re.search(r"/bundle/([0-9a-f]{32})\.zip", page)
+        assert m, "result page must link a tokened bundle"
+        got_zip = urllib.request.urlopen(
+            f"{base}/bundle/{m.group(1)}.zip"
+        ).read()
         want = handle_upload("STTM_v22.xlsx", payload).zip_bytes
         assert got_zip == want
+        # an unknown token is a 404, not someone else's bundle
+        try:
+            urllib.request.urlopen(f"{base}/bundle/{'f' * 32}.zip")
+            assert False, "unknown token must 404"
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 404
     finally:
         srv.shutdown()
         srv.server_close()

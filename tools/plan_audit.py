@@ -16,7 +16,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # streaming / side-effecting queries cannot be compiled lazily
-SKIP = {"streaming_xref_upsert", "streaming_event_funnel"}
+SKIP = {
+    "streaming_xref_upsert",
+    "streaming_event_funnel",
+    "streaming_interval_join",
+}
 
 
 def main() -> None:

@@ -44,6 +44,7 @@ REGISTRY_PROBES = [
     "excess_shipped_suppliers",
     "waiting_orders_blame",
     # session-2 continuation: layout, grouping, Q2, incremental rollup
+    "zorder_rewrite",
     "skipscan_events_range",
     "revenue_cube_flag_status",
     "event_type_pivot_daily",
@@ -96,21 +97,36 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_probe_tables(spark)
 
-    def run(fn) -> float:
+    def run(fn, pre=None) -> float:
         best = None
         for _ in range(2):  # warm second run
+            if pre is not None:
+                pre()
             t0 = time.perf_counter()
             fn()
             release_caches()
             best = time.perf_counter() - t0
         return round(best, 3)
 
+    # zorder_rewrite is a one-off write: clear its layout cache before
+    # each run so BOTH runs pay the rewrite (the warm run would otherwise
+    # just re-read the cached layout).  skipscan_events_range then probes
+    # with the cache left POPULATED — it is the steady-state read path.
+    def _clear_layout_cache():
+        from confluent_data_ingestion_spark import queries as _q
+
+        _q._SKIPSCAN_CACHE.clear()
+
+    pre_hooks = {"zorder_rewrite": _clear_layout_cache}
+
     out = {}
     for name in REGISTRY_PROBES:
         base_s = run(lambda: REGISTRY[name](spark, BASE)
-                     .write.format("noop").mode("overwrite").save())
+                     .write.format("noop").mode("overwrite").save(),
+                     pre=pre_hooks.get(name))
         big_s = run(lambda: REGISTRY[name](spark, PROBE_DIR)
-                    .write.format("noop").mode("overwrite").save())
+                    .write.format("noop").mode("overwrite").save(),
+                    pre=pre_hooks.get(name))
         out[name] = {
             "sf0.1": base_s,
             "x10": big_s,
