@@ -60,7 +60,11 @@ def main() -> None:
     from confluent_data_ingestion_spark.operators.cluster import (
         connected_components,
     )
-    from confluent_data_ingestion_spark.operators.dedup import simhash_pairs
+    from confluent_data_ingestion_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
 
     tiny = spark.createDataFrame(
         [(i, "warm text sample row " * 3 + str(i % 2)) for i in range(8)],
@@ -70,6 +74,10 @@ def main() -> None:
         simhash_pairs(tiny, bits=32, max_hamming=3, bands=4, ngram=3),
         pairs_distinct=True,
     ).write.format("noop").mode("overwrite").save()
+    ngram_jaccard_pairs(tiny, n=5).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    minhash_lsh_pairs(tiny).write.format("noop").mode("overwrite").save()
     release_caches()
 
     timings: dict[str, float] = {}

@@ -138,3 +138,65 @@ def contamination_report(
             ).alias("verdict"),
         )
     )
+
+
+def semantic_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    eval_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-space decontamination: flag training vectors whose cosine
+    to ANY eval-set vector reaches ``threshold`` — the semantic companion
+    to the n-gram/span detectors above (paraphrased benchmark leaks share
+    no 8-gram and no verbatim span, but their embeddings stay close; this
+    is the eval-overlap variant of SemDeDup-style embedding screening).
+
+    Output: one row per flagged training vector — (``id_col``, eval_id,
+    cosine) with ``eval_id`` the closest eval vector (ties broken by the
+    smaller id); clean vectors are absent.  Cosines round to 6 decimals
+    (sequential-fold dot products — any engine reproduces them).
+
+    Scale shape: same contract as ``ngram_contamination`` — eval sets are
+    small by nature, so the eval matrix BROADCASTS (with per-row norms
+    precomputed once) and the 100 TB training side never shuffles: the
+    whole operator is a map-side broadcast scoring pass plus a
+    flagged-subset-sized aggregation.  The nested-loop is the declared
+    design (plan-guard allowlisted), exactly like the IVF centroid
+    scorers; if the eval set ever outgrows broadcast range, bucket it
+    with the LSH/IVF machinery in ``operators/similarity.py`` first.
+    """
+    from .similarity import _dot
+
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"cosine threshold must be in [-1, 1], got {threshold}")
+    t = ensure_min_parallelism(train).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__te__"),
+    ).withColumn("__tn__", F.expr(f"sqrt({_dot('__te__', '__te__')})"))
+    e = eval_df.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.col(vec_col).cast("array<double>").alias("__ee__"),
+    ).withColumn("__en__", F.expr(f"sqrt({_dot('__ee__', '__ee__')})"))
+    scored = (
+        t.crossJoin(F.broadcast(e))
+        .select(
+            id_col,
+            "eval_id",
+            F.expr(
+                f"round({_dot('__te__', '__ee__')} / (__tn__ * __en__), 6)"
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return scored.groupBy(id_col).agg(
+        F.expr(
+            "min_by(struct(eval_id, cosine), struct(-cosine, eval_id))"
+        ).alias("__m__")
+    ).select(
+        id_col,
+        F.col("__m__.eval_id").alias("eval_id"),
+        F.col("__m__.cosine").alias("cosine"),
+    )

@@ -109,19 +109,28 @@ def bpe_train_merges(
             F.concat(F.col("m.a"), F.col("m.b")).alias("merged"),
             F.col("m.pc").alias("pair_count"),
         ).filter(F.col("left").isNotNull())
-        # materialize the 1-row argmax NOW: the merges union and the
-        # re-segmentation broadcast both reuse it, and without this the
-        # final evaluation of `merges` re-runs every rank's vocabulary
-        # aggregation a second time
-        best = best.localCheckpoint()
-        merges = best if merges is None else merges.unionByName(best)
+        # ONE materialization per iteration: the argmax row broadcasts
+        # onto the word table and RIDES ALONG as constant columns, so the
+        # single localCheckpoint pins the re-segmented vocabulary AND the
+        # chosen merge together (two checkpoints per rank — best, then
+        # words — doubled the job count for a loop whose cost is pure
+        # scheduling at small vocab; the merges union then reads the
+        # constants back from the checkpointed frame, never re-running a
+        # rank's vocabulary aggregation)
         fold = _MERGE_FOLD.format(a="left", b="right", m="merged")
         words = (
-            words.crossJoin(F.broadcast(best.select("left", "right",
-                                                    "merged")))
-            .select("w", "cnt", F.expr(fold).alias("syms"))
+            words.crossJoin(F.broadcast(best))
+            .select(
+                "w", "cnt", F.expr(fold).alias("syms"),
+                "rank", "left", "right", "merged", "pair_count",
+            )
             .localCheckpoint()
         )
+        best = words.select(
+            "rank", "left", "right", "merged", "pair_count"
+        ).limit(1)
+        merges = best if merges is None else merges.unionByName(best)
+        words = words.select("w", "cnt", "syms")
     return merges
 
 

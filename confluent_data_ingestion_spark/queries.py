@@ -3228,6 +3228,42 @@ def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-space decontamination (operators/decontam.py): flag training
+# vectors whose cosine to any eval vector reaches the threshold — the
+# semantic companion to the n-gram/span detectors (catches paraphrased
+# benchmark leaks that share no verbatim n-gram).  Eval set broadcasts;
+# the training side never shuffles.  The 0.3 threshold is the ~p99 of
+# the synthetic embeddings' cosine mass — realistic corpora use ~0.8+.
+# ---------------------------------------------------------------------------
+@query(
+    "decontaminate_semantic",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    ev AS (SELECT vec_id AS eval_id, e AS ee FROM v WHERE vec_id % 10 = 0),
+    tr AS (SELECT vec_id, e FROM v WHERE vec_id % 10 <> 0),
+    sc AS (
+      SELECT tr.vec_id, ev.eval_id,
+             {cos} AS cosine
+      FROM tr CROSS JOIN ev
+    )
+    SELECT vec_id, eval_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY cosine DESC, eval_id ASC) AS rn
+      FROM sc WHERE cosine >= 0.3
+    ) WHERE rn = 1
+    """.format(cos=_COS.format(a="tr.e", b="ev.ee")),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decontam import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    return semantic_contamination(train, ev, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
 # Quantized-index search end-to-end: int8 round-trip reconstruction feeding
 # cosine top-k — the recall-vs-storage trade measured in-plan (the pytest
 # suite pins recall vs the float baseline).
@@ -6162,9 +6198,10 @@ _PRIORITY_ORDER = [
     "zorder_rewrite", "skipscan_events_range", "revenue_cube_flag_status",
     "hash_embed_vectors", "bigram_logprob_score", "bigram_logprob_vocab",
     "streaming_xref_upsert",
-    # new this round: stream-stream event-time interval join
-    "streaming_interval_join",
-    # stale r6-green cohort, registration order (window holds 19 of 39;
+    # new this round: stream-stream interval join registry row + the
+    # embedding-space decontamination detector
+    "streaming_interval_join", "decontaminate_semantic",
+    # stale r6-green cohort, registration order (window holds 18 of 39;
     # the rest lead the r10 rotation below)
     "kmeans_refine_assign", "normalize_text_stage",
     "corpus_length_quantiles", "training_prep_e2e", "repeated_spans_cdc",
@@ -6172,10 +6209,10 @@ _PRIORITY_ORDER = [
     "span_decontaminate", "domain_cap_exact", "domain_cap_rate",
     "epoch_shuffle_assign", "dedup_incremental", "dedup_lsh_verified",
     "corpus_sample_exact_n", "dedup_keep_best_quality", "concat_chunks_plan",
-    "leakage_safe_split", "weighted_sample_priority",
+    "leakage_safe_split",
     # positions 51+: first candidates for the round-10 window — the rest
     # of the r6-green cohort, then registration order
-    "semantic_dedup",
+    "weighted_sample_priority", "semantic_dedup",
     "event_funnel", "rolling_event_stats", "quality_cutoff_per_lang",
     "regional_revenue", "shipping_priority_topk", "knn_classify_labels",
     "collocation_pmi", "dedup_cluster_sizes", "contamination_report",

@@ -33,6 +33,7 @@ NESTED_LOOP_ALLOWED = {
     "idle_rich_customers",        # 1-row scalar-average broadcast (Q22 shape)
     "important_parts_value",      # 1-row global-total broadcast (Q11 shape)
     "semantic_dedup",             # broadcast centroid scoring
+    "decontaminate_semantic",     # broadcast eval-matrix scoring
     "knn_classify_labels",        # votes over the brute-force baseline
     "similarity_int8_topk",       # brute-force baseline over int8 round-trip
 }

@@ -1398,3 +1398,32 @@ def test_connected_components_star_chain_rounds_logarithmic(spark):
     assert lab_stats["rounds"] >= n // 2
     assert star_stats["rounds"] <= 14
     assert {r.cluster_id for r in lab.collect()} == {0}
+
+
+def test_semantic_contamination_planted_near_dup(spark):
+    """A training vector colinear with an eval vector is flagged with the
+    CLOSEST eval id (ties -> smaller id); orthogonal vectors are absent;
+    cosines are the 6-decimal deterministic round."""
+    from confluent_data_ingestion_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [2.0, 0.02, 0.0]),   # ~colinear with eval 100
+            (2, [0.0, 0.0, 5.0]),    # orthogonal to both -> clean
+            (3, [1.0, 1.0, 0.0]),    # cos ~0.7071 to BOTH -> tie, id 100
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["eval_id"], r["cosine"])
+        for r in semantic_contamination(train, ev, threshold=0.7).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1][0] == 100 and got[1][1] > 0.99
+    assert got[3] == (100, 0.707107)  # tie broken to the smaller eval id

@@ -109,6 +109,27 @@ def pq_probe(spark, sf_dir: str, corpus_mod: int) -> None:
     ).save()
 
 
+def semantic_decontam_probe(spark, sf_dir: str, eval_mod: int) -> None:
+    """FIXED ~50-vector eval set regardless of corpus size (eval_mod
+    scales with the table's id blowup); only the broadcast-scored corpus
+    scan grows — the honest decontamination scaling question.  The
+    registry row's %10 eval filter would grow the eval side 10x in the
+    blown-up table (quadratic work), which probes the data synthesis,
+    not the operator."""
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = emb.filter(F.col("vec_id") % eval_mod == 0)
+    train = emb.filter(F.col("vec_id") % eval_mod != 0)
+    semantic_contamination(train, ev, threshold=0.3).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 def main() -> None:
     from confluent_data_ingestion_spark.caching import release_caches
     from confluent_data_ingestion_spark.queries import QUERIES as REGISTRY
@@ -150,6 +171,14 @@ def main() -> None:
     }
     print(f"# pq_topk_fixed_queries: {base_s}s -> {big_s}s "
           f"({out['pq_topk_fixed_queries']['ratio']}x)", file=sys.stderr)
+    base_s = run(lambda: semantic_decontam_probe(spark, BASE, 100))
+    big_s = run(lambda: semantic_decontam_probe(spark, PROBE_DIR, 1000))
+    out["semantic_decontam_fixed_eval"] = {
+        "sf0.1": base_s, "x10": big_s, "ratio": round(big_s / base_s, 2)
+    }
+    print(f"# semantic_decontam_fixed_eval: {base_s}s -> {big_s}s "
+          f"({out['semantic_decontam_fixed_eval']['ratio']}x)",
+          file=sys.stderr)
     print(json.dumps(out))
 
 
