@@ -329,3 +329,91 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert got == [(1, "a", 10.0), (1, "b", 20.0)]
+
+
+def test_stream_stream_join_matches_across_microbatches(spark, tmp_path):
+    """A left-side row retained in join STATE matches a right-side row
+    that only arrives in a LATER microbatch — the property single-batch
+    quiescence tests cannot see.  maxFilesPerTrigger=1 forces the
+    purchase files into separate triggers (mtimes pinned so file order
+    is deterministic); every event stays ahead of the watermark, so
+    nothing is late-dropped and the result equals the batch twin."""
+    import time as _time
+
+    from confluent_data_ingestion_spark.operators.temporal import (
+        interval_join,
+    )
+    from confluent_data_ingestion_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    vsrc, bsrc = str(tmp_path / "v"), str(tmp_path / "b")
+    os.makedirs(vsrc); os.makedirs(bsrc)
+    with open(f"{vsrc}/v.ndjson", "w") as f:
+        f.write(json.dumps(
+            {"user_id": 1, "vts": "2026-01-01T00:00:00", "page": "a"}) + "\n")
+        f.write(json.dumps(
+            {"user_id": 2, "vts": "2026-01-01T00:02:00", "page": "b"}) + "\n")
+    # batch 1 for the buy side: a non-matching warm-up purchase
+    with open(f"{bsrc}/b1.ndjson", "w") as f:
+        f.write(json.dumps(
+            {"user_id": 9, "bts": "2026-01-01T00:01:00", "amount": 1.0})
+            + "\n")
+    # batch 2: the purchases that match batch-1 views FROM STATE
+    with open(f"{bsrc}/b2.ndjson", "w") as f:
+        f.write(json.dumps(
+            {"user_id": 1, "bts": "2026-01-01T00:10:00", "amount": 25.0})
+            + "\n")
+        f.write(json.dumps(
+            {"user_id": 2, "bts": "2026-01-01T00:20:00", "amount": 35.0})
+            + "\n")
+    now = _time.time()
+    os.utime(f"{bsrc}/b1.ndjson", (now - 10, now - 10))
+    os.utime(f"{bsrc}/b2.ndjson", (now, now))
+
+    def v_frame(reader):
+        return reader.schema("user_id bigint, vts string, page string").json(
+            vsrc
+        ).select("user_id", F.col("vts").cast("timestamp").alias("vts"),
+                 "page")
+
+    def b_frame(reader, streaming=False):
+        if streaming:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        return reader.schema(
+            "user_id bigint, bts string, amount double"
+        ).json(bsrc).select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("bts").cast("timestamp").alias("bts"), "amount",
+        )
+
+    joined = stream_interval_join(
+        v_frame(spark.readStream),
+        b_frame(spark.readStream, streaming=True),
+        left_on="user_id", right_on="buyer_id",
+        left_time="vts", right_time="bts",
+        lower_seconds=0, upper_seconds=1800,
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_mb")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = [p for p in q.recentProgress if p is not None]
+    assert len(prog) >= 2  # the buy side really spanned >= 2 triggers
+    got = sorted(
+        (r.user_id, r.page, r.amount_r)
+        for r in spark.sql("select * from ssj_mb").collect()
+    )
+    want = sorted(
+        (r.user_id, r.page, r.amount_r)
+        for r in interval_join(
+            v_frame(spark.read), b_frame(spark.read),
+            left_on="user_id", right_on="buyer_id",
+            left_time="vts", right_time="bts",
+            lower_seconds=0, upper_seconds=1800,
+        ).collect()
+    )
+    assert got == want == [(1, "a", 25.0), (2, "b", 35.0)]
