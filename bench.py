@@ -78,6 +78,12 @@ def main() -> None:
         "overwrite"
     ).save()
     minhash_lsh_pairs(tiny).write.format("noop").mode("overwrite").save()
+    # warm the Arrow / Python-worker path once (worker spawn + Arrow batch
+    # serialization cost ~5-7 s the first time any mapInPandas runs; the
+    # multimodal/PII/chunking family should measure its plan, not that)
+    spark.createDataFrame([(1,)], "x long").mapInPandas(
+        lambda it: it, "x long"
+    ).write.format("noop").mode("overwrite").save()
     release_caches()
 
     timings: dict[str, float] = {}
