@@ -103,12 +103,50 @@ def main(argv: list[str] | None = None) -> int:
     )
     srv.add_argument("--port", type=int, default=8501)
     srv.add_argument("--host", default="127.0.0.1")
+    qp = sub.add_parser(
+        "query",
+        help="run a registry operator against a directory of the engine's "
+             "parquet tables (region/nation/.../documents/embeddings)",
+    )
+    qp.add_argument("name", nargs="?", help="registry query name "
+                    "(omit with --list)")
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="directory holding the parquet tables")
+    qp.add_argument("--limit", type=int, default=20,
+                    help="rows to print (full result still computes)")
+    qp.add_argument("--out", help="also write the FULL result as parquet "
+                    "to this path")
+    qp.add_argument("--list", action="store_true", dest="list_queries",
+                    help="list registry query names and exit (no Spark)")
     args = ap.parse_args(argv)
 
     if args.cmd == "serve":
         from .ui import serve as run_serve
 
         run_serve(args.port, args.host)
+        return 0
+
+    if args.cmd == "query":
+        from .queries import QUERIES
+
+        if args.list_queries:
+            for n in QUERIES:
+                print(n)
+            return 0
+        if not args.name:
+            ap.error("query: give a name or --list")
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; see --list", file=sys.stderr)
+            return 2
+        from .session import get_spark
+
+        spark = get_spark(f"cdis-query-{args.name}")
+        spark.sparkContext.setLogLevel("ERROR")
+        df = QUERIES[args.name](spark, args.sf_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print("wrote:", args.out)
+        df.show(args.limit, truncate=False)
         return 0
 
     summary = generate(args.sttm, args.out_dir, make_zip=not args.no_zip)

@@ -68,3 +68,29 @@ def test_cli_generate_colspec_script(tmp_path):
     zf = zipfile.ZipFile(out / "bundle.zip")
     assert zf.namelist() == ["bundle/00_all.sql"]
     assert zf.read("bundle/00_all.sql").decode() == script
+
+
+def test_cli_query_list_and_run(tmp_path, capsys):
+    """`query --list` prints every registry name without a Spark session;
+    `query <name>` runs the operator against --sf-dir, prints rows, and
+    --out writes the full result as parquet."""
+    rc = main(["query", "--list"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    assert "view_csv_positional" in names and len(names) >= 140
+
+    rc = main(["query", "nope_not_a_query"])
+    assert rc == 2
+
+    out = tmp_path / "res"
+    rc = main([
+        "query", "view_csv_positional",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--limit", "3", "--out", str(out),
+    ])
+    assert rc == 0
+    assert "view_csv_positional" not in capsys.readouterr().err
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    assert spark is not None and spark.read.parquet(str(out)).count() > 0
