@@ -107,3 +107,106 @@ def robust_stats(
         .join(med, group_cols)
         .select(*group_cols, "n_rows", "med_value", "mad_value")
     )
+
+
+def exact_quantiles_twopass(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: list[float],
+    nbins: int = 256,
+) -> DataFrame:
+    """EXACT per-group quantiles as order statistics, computed WITHOUT
+    sorting or buffering whole groups — the scale path the
+    ``percentile``-based reports (``length_quantiles``,
+    ``robust_stats``) lack: Spark's exact ``percentile`` aggregate holds
+    every group value in one executor buffer, which is the same
+    unbounded-state hazard the rollup store's KMV rework removed.
+
+    Two passes, both bounded (three corpus SCANS in total — bounds,
+    histogram, target-bin filter — deliberately traded against caching a
+    100 TB corpus):
+
+     1. Histogram pass — per-group (count, min, max), then bin counts on
+        a per-group [min, max] grid (ONE map-combined corpus shuffle,
+        output = groups x nbins rows).  A cumulative fold locates, for
+        each quantile rank k = max(1, ceil(q * n)), the bin holding the
+        k-th smallest value and how many values precede that bin.
+     2. Order-statistic pass — only rows in a TARGET bin re-shuffle
+        (expected n / nbins of the group per quantile); a row_number
+        within (group, q) picks the (k - preceding)-th smallest.  Equal
+        values make the rank tie arbitrary but the VALUE at any rank
+        unambiguous, so the result is deterministic.
+
+    The answer is an exact data value (the lower order statistic — SQL
+    ``quantile_disc`` semantics), not an interpolation: binning-float
+    details cannot change it, only which pass-2 subset it is found in.
+    Output: (``group_cols...``, q, rank, value) — long form, one row per
+    group per quantile.  NULL values are excluded; empty groups emit
+    nothing.  State per task: O(nbins) in pass 1, one spillable
+    bin-subset sort in pass 2 — never O(group).
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2")
+    g = [F.col(c) for c in group_cols]
+    rows = df.select(*g, F.col(value_col).cast("double").alias("__v__")) \
+        .filter(F.col("__v__").isNotNull())
+    bounds = rows.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.min("__v__").alias("__lo__"),
+        F.max("__v__").alias("__hi__"),
+    )
+    binned = rows.join(F.broadcast(bounds), group_cols).withColumn(
+        "__bin__",
+        F.expr(
+            f"CASE WHEN __hi__ = __lo__ THEN 0 ELSE "
+            f"least(CAST(floor((__v__ - __lo__) / (__hi__ - __lo__) "
+            f"* {nbins}) AS INT), {nbins - 1}) END"
+        ),
+    )
+    hist = binned.groupBy(*g, F.col("__bin__")).agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("__bin__")
+    cum = hist.withColumn("__cum__", F.sum("__c__").over(w)).join(
+        F.broadcast(bounds.select(*g, "__n__")), group_cols
+    )
+    qdf = rows.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # target bin per (group, q): first bin whose cumulative count reaches
+    # the rank; rows before it = cum - c
+    targets = (
+        cum.crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "__k__",
+            F.expr("greatest(1L, CAST(ceil(q * __n__) AS BIGINT))"),
+        )
+        .filter(
+            (F.col("__cum__") >= F.col("__k__"))
+            & (F.col("__cum__") - F.col("__c__") < F.col("__k__"))
+        )
+        .select(
+            *g, "q", "__bin__", "__k__",
+            (F.col("__k__") - (F.col("__cum__") - F.col("__c__")))
+            .alias("__need__"),
+        )
+    )
+    wv = Window.partitionBy(*group_cols, "q").orderBy("__v__")
+    return (
+        binned.join(
+            F.broadcast(targets), [*group_cols, "__bin__"]
+        )
+        .withColumn("__rn__", F.row_number().over(wv))
+        .filter(F.col("__rn__") == F.col("__need__"))
+        .select(
+            *g, "q", F.col("__k__").alias("rank"),
+            F.col("__v__").alias("value"),
+        )
+    )

@@ -1962,6 +1962,44 @@ def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact per-group quantiles as order statistics WITHOUT whole-group
+# buffering (operators/stats.py): a histogram pass locates each rank's
+# bin, a second pass sorts only that bin — the 100 TB-safe twin of the
+# percentile-aggregate reports (Spark's exact `percentile` holds every
+# group value in one executor buffer).  The oracle states the same lower
+# order statistic via row_number; both engines derive rank = ceil(q*n)
+# with the identical double multiply, so the rank agrees bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "exact_quantiles_events",
+    """
+    WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+               FROM events WHERE value IS NOT NULL),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1),
+    r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v)
+                   AS rn
+          FROM e),
+    q AS (SELECT CAST(q AS DOUBLE) AS q
+          FROM (VALUES (0.25), (0.5), (0.9)) t(q))
+    SELECT r.event_type, q.q,
+           greatest(1, CAST(ceil(q.q * n.n) AS BIGINT)) AS rank,
+           r.v AS value
+    FROM r JOIN n ON r.event_type = n.event_type
+    JOIN q ON r.rn = greatest(1, CAST(ceil(q.q * n.n) AS BIGINT))
+    """,
+)
+def exact_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import exact_quantiles_twopass
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_quantiles_twopass(
+        ev, "value", ["event_type"], [0.25, 0.5, 0.9]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship composite: the full training-data preparation pipeline in one
 # query — normalize -> quality gate -> exact dedup (canonical id wins) ->
 # deterministic train/test split.  Every stage is the registered operator,
@@ -6198,10 +6236,12 @@ _PRIORITY_ORDER = [
     "zorder_rewrite", "skipscan_events_range", "revenue_cube_flag_status",
     "hash_embed_vectors", "bigram_logprob_score", "bigram_logprob_vocab",
     "streaming_xref_upsert",
-    # new this round: stream-stream interval join registry row + the
-    # embedding-space decontamination detector
+    # new this round: stream-stream interval join registry row, the
+    # embedding-space decontamination detector, and two-pass exact
+    # order-statistic quantiles
     "streaming_interval_join", "decontaminate_semantic",
-    # stale r6-green cohort, registration order (window holds 18 of 39;
+    "exact_quantiles_events",
+    # stale r6-green cohort, registration order (window holds 17 of 39;
     # the rest lead the r10 rotation below)
     "kmeans_refine_assign", "normalize_text_stage",
     "corpus_length_quantiles", "training_prep_e2e", "repeated_spans_cdc",
@@ -6209,10 +6249,9 @@ _PRIORITY_ORDER = [
     "span_decontaminate", "domain_cap_exact", "domain_cap_rate",
     "epoch_shuffle_assign", "dedup_incremental", "dedup_lsh_verified",
     "corpus_sample_exact_n", "dedup_keep_best_quality", "concat_chunks_plan",
-    "leakage_safe_split",
     # positions 51+: first candidates for the round-10 window — the rest
     # of the r6-green cohort, then registration order
-    "weighted_sample_priority", "semantic_dedup",
+    "leakage_safe_split", "weighted_sample_priority", "semantic_dedup",
     "event_funnel", "rolling_event_stats", "quality_cutoff_per_lang",
     "regional_revenue", "shipping_priority_topk", "knn_classify_labels",
     "collocation_pmi", "dedup_cluster_sizes", "contamination_report",

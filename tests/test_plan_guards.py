@@ -34,6 +34,8 @@ NESTED_LOOP_ALLOWED = {
     "important_parts_value",      # 1-row global-total broadcast (Q11 shape)
     "semantic_dedup",             # broadcast centroid scoring
     "decontaminate_semantic",     # broadcast eval-matrix scoring
+    "exact_quantiles_events",     # 3-row quantile-list broadcast onto
+                                  # the groups x bins histogram
     "knn_classify_labels",        # votes over the brute-force baseline
     "similarity_int8_topk",       # brute-force baseline over int8 round-trip
 }

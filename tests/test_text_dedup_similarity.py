@@ -1427,3 +1427,44 @@ def test_semantic_contamination_planted_near_dup(spark):
     assert set(got) == {1, 3}
     assert got[1][0] == 100 and got[1][1] > 0.99
     assert got[3] == (100, 0.707107)  # tie broken to the smaller eval id
+
+
+def test_exact_quantiles_twopass_matches_order_statistics(spark):
+    """Two-pass histogram+subset-sort quantiles equal numpy's 'lower'
+    order statistic per group for awkward shapes: duplicates, a
+    constant-valued group, NULLs excluded, n=1 groups."""
+    import numpy as np
+
+    from confluent_data_ingestion_spark.operators.stats import (
+        exact_quantiles_twopass,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = (
+        [("a", float(v)) for v in rng.randint(0, 50, 137)]   # duplicates
+        + [("b", 3.25)] * 9                                  # hi == lo
+        + [("c", 42.0)]                                      # n == 1
+        + [("a", None), ("c", None)]                         # excluded
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r["g"], r["q"]): (r["rank"], r["value"])
+        for r in exact_quantiles_twopass(df, "v", ["g"], qs, nbins=8)
+        .collect()
+    }
+    by_g = {"a": sorted(v for g, v in rows if g == "a" and v is not None),
+            "b": [3.25] * 9, "c": [42.0]}
+    for g, vals in by_g.items():
+        n = len(vals)
+        for q in qs:
+            k = max(1, int(np.ceil(q * n)))
+            assert got[(g, q)] == (k, vals[k - 1]), (g, q)
+    assert len(got) == len(by_g) * len(qs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        exact_quantiles_twopass(df, "v", ["g"], [])
+    with _pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        exact_quantiles_twopass(df, "v", ["g"], [0.0])
