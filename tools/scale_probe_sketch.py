@@ -47,6 +47,8 @@ REGISTRY_PROBES = [
     "zorder_rewrite",
     "skipscan_events_range",
     "revenue_cube_flag_status",
+    # round 9: bounded-state exact order-statistic quantiles
+    "exact_quantiles_events",
     "event_type_pivot_daily",
     "cheapest_supplier_per_part",
     "rollup_incremental_events",
