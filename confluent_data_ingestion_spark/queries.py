@@ -3419,6 +3419,69 @@ def streaming_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle states (inner stream-stream matches emit as they arrive;
 # the end-of-stream watermark advance evicts state, never emitted rows).
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Streaming watermark dedup (reference T4, streaming/sources.py
+# watermark_dedup — pytest-only until round 9): duplicate records within
+# the watermark horizon collapse by key with BOUNDED state.  The source
+# plants 3 copies of every 7th event; copies are byte-identical, so the
+# quiescence result is exactly DISTINCT-by-key and the oracle is the
+# plain deduplicated projection.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_dedup_events",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events WHERE user_id % 5 = 0
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .streaming import file_envelope_stream
+    from .streaming.sources import watermark_dedup
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    dup = ev.filter(F.col("event_id") % 7 == 0)
+    feed = ev.unionByName(dup).unionByName(dup)  # 3 copies of every 7th
+    src_dir = tempfile.mkdtemp(prefix="cdis-sdd-src-")
+    out_dir = tempfile.mkdtemp(prefix="cdis-sdd-out-")
+    ckpt = tempfile.mkdtemp(prefix="cdis-sdd-ckpt-")
+    feed.select(
+        F.to_json(F.struct(
+            "event_id", "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            "event_type", "value",
+        )).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(src_dir)
+
+    stream = file_envelope_stream(spark, src_dir).select(
+        F.get_json_object("val", "$.event_id").cast("bigint")
+        .alias("event_id"),
+        F.get_json_object("val", "$.user_id").cast("bigint")
+        .alias("user_id"),
+        F.get_json_object("val", "$.ts").cast("timestamp").alias("ts"),
+        F.get_json_object("val", "$.event_type").alias("event_type"),
+        F.get_json_object("val", "$.value").cast("double").alias("value"),
+    )
+    shp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # see interval join
+    try:
+        q = (
+            watermark_dedup(stream, ["event_id"], "ts", "10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shp)
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 @query(
     "streaming_interval_join",
     """
@@ -6240,18 +6303,19 @@ _PRIORITY_ORDER = [
     # embedding-space decontamination detector, and two-pass exact
     # order-statistic quantiles
     "streaming_interval_join", "decontaminate_semantic",
-    "exact_quantiles_events",
-    # stale r6-green cohort, registration order (window holds 17 of 39;
+    "exact_quantiles_events", "streaming_dedup_events",
+    # stale r6-green cohort, registration order (window holds 16 of 39;
     # the rest lead the r10 rotation below)
     "kmeans_refine_assign", "normalize_text_stage",
     "corpus_length_quantiles", "training_prep_e2e", "repeated_spans_cdc",
     "multimodal_embed_topk", "unigram_logprob_score", "char_entropy_scores",
     "span_decontaminate", "domain_cap_exact", "domain_cap_rate",
     "epoch_shuffle_assign", "dedup_incremental", "dedup_lsh_verified",
-    "corpus_sample_exact_n", "dedup_keep_best_quality", "concat_chunks_plan",
+    "corpus_sample_exact_n", "dedup_keep_best_quality",
     # positions 51+: first candidates for the round-10 window — the rest
     # of the r6-green cohort, then registration order
-    "leakage_safe_split", "weighted_sample_priority", "semantic_dedup",
+    "concat_chunks_plan", "leakage_safe_split", "weighted_sample_priority",
+    "semantic_dedup",
     "event_funnel", "rolling_event_stats", "quality_cutoff_per_lang",
     "regional_revenue", "shipping_priority_topk", "knn_classify_labels",
     "collocation_pmi", "dedup_cluster_sizes", "contamination_report",

@@ -45,6 +45,7 @@ SKIP = {
     "streaming_xref_upsert",
     "streaming_event_funnel",
     "streaming_interval_join",
+    "streaming_dedup_events",
 }
 
 

@@ -20,6 +20,7 @@ SKIP = {
     "streaming_xref_upsert",
     "streaming_event_funnel",
     "streaming_interval_join",
+    "streaming_dedup_events",
 }
 
 
