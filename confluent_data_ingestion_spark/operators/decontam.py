@@ -167,6 +167,12 @@ def semantic_contamination(
     design (plan-guard allowlisted), exactly like the IVF centroid
     scorers; if the eval set ever outgrows broadcast range, bucket it
     with the LSH/IVF machinery in ``operators/similarity.py`` first.
+
+    Zero-norm vectors (all-zero embeddings — a real artifact of failed
+    encoder batches) have no defined cosine and are excluded on BOTH
+    sides before scoring: without the guard, 0/0 yields NaN, and Spark
+    orders NaN above every number, so ``cosine >= threshold`` would flag
+    a zero training vector against every eval vector.
     """
     from .similarity import _dot
 
@@ -175,11 +181,13 @@ def semantic_contamination(
     t = ensure_min_parallelism(train).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__te__"),
-    ).withColumn("__tn__", F.expr(f"sqrt({_dot('__te__', '__te__')})"))
+    ).withColumn("__tn__", F.expr(f"sqrt({_dot('__te__', '__te__')})")) \
+        .filter(F.col("__tn__") > 0)
     e = eval_df.select(
         F.col(eval_id_col).alias("eval_id"),
         F.col(vec_col).cast("array<double>").alias("__ee__"),
-    ).withColumn("__en__", F.expr(f"sqrt({_dot('__ee__', '__ee__')})"))
+    ).withColumn("__en__", F.expr(f"sqrt({_dot('__ee__', '__ee__')})")) \
+        .filter(F.col("__en__") > 0)
     scored = (
         t.crossJoin(F.broadcast(e))
         .select(

@@ -132,6 +132,51 @@ def skip_scan(
     return exact(spark.read.parquet(*kept))
 
 
+def zorder_append(
+    spark: SparkSession,
+    batch: DataFrame,
+    cols: list[str],
+    out_dir: str,
+    old_stats: DataFrame,
+    *,
+    bits: int = 12,
+    n_files: int = 4,
+) -> DataFrame:
+    """Partition-incremental Z-order maintenance: cluster ONLY the new
+    batch and extend the stats index — the steady-state companion to the
+    full-table clustering rewrite.  At 100 TB nobody re-runs OPTIMIZE
+    over the whole table per append; they Z-order the arriving slice,
+    land it as new files, and merge its file stats into the index (the
+    Delta/Iceberg shape: the log references files wherever they live, so
+    base files are NEVER copied or rewritten).
+
+    The batch is quantized against ITS OWN min/max bounds — per-file
+    envelopes only need to be tight within the new files, and skipping
+    stays exactly as correct because pruning consults each file's real
+    [min, max], not the quantization grid.  Batch files cluster slightly
+    wider than a global re-sort would make them; a periodic full
+    ``zorder_by`` rewrite (the OPTIMIZE row) re-tightens.
+
+    Cost: one range shuffle of the BATCH plus a metadata-sized stats
+    aggregation over the new files — independent of base-table size.
+
+    Returns the merged stats index (old rows verbatim + one row per new
+    file), usable directly by :func:`prune_files` / :func:`skip_scan`
+    across both generations' files.
+    """
+    from .bucketing import zorder_by
+
+    (
+        zorder_by(batch, cols, bits=bits)
+        .repartitionByRange(n_files, F.col("zorder_key"))
+        .sortWithinPartitions("zorder_key")
+        .drop("zorder_key")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return old_stats.unionByName(collect_file_stats(spark, out_dir, cols))
+
+
 def list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(path, bytes) for every parquet file under ``path`` — a pure
     filesystem-metadata listing through the Hadoop FS API (no file is

@@ -143,8 +143,11 @@ def exact_quantiles_twopass(
     details cannot change it, only which pass-2 subset it is found in.
     Output: (``group_cols...``, q, rank, value) — long form, one row per
     group per quantile.  NULL values are excluded; empty groups emit
-    nothing.  State per task: O(nbins) in pass 1, one spillable
-    bin-subset sort in pass 2 — never O(group).
+    nothing.  A NULL group KEY is a real group (GROUP BY semantics), so
+    every internal re-join uses null-safe equality — a name-based
+    equi-join would silently drop the NULL-keyed group between passes.
+    State per task: O(nbins) in pass 1, one spillable bin-subset sort in
+    pass 2 — never O(group).
     """
     if not qs:
         raise ValueError("qs must be non-empty")
@@ -153,6 +156,21 @@ def exact_quantiles_twopass(
     if nbins < 2:
         raise ValueError("nbins must be >= 2")
     g = [F.col(c) for c in group_cols]
+
+    def nsjoin(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+        # null-safe broadcast equi-join on `keys`, keeping the LEFT
+        # side's key columns (eqNullSafe stays a plain broadcast hash
+        # join physically — NULL just becomes a joinable key value)
+        r = right
+        for k in keys:
+            r = r.withColumnRenamed(k, f"__r_{k}__")
+        r = F.broadcast(r)
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(r[f"__r_{k}__"])
+            cond = c if cond is None else cond & c
+        return left.join(r, cond).drop(*[f"__r_{k}__" for k in keys])
+
     rows = df.select(*g, F.col(value_col).cast("double").alias("__v__")) \
         .filter(F.col("__v__").isNotNull())
     bounds = rows.groupBy(*g).agg(
@@ -160,7 +178,7 @@ def exact_quantiles_twopass(
         F.min("__v__").alias("__lo__"),
         F.max("__v__").alias("__hi__"),
     )
-    binned = rows.join(F.broadcast(bounds), group_cols).withColumn(
+    binned = nsjoin(rows, bounds, group_cols).withColumn(
         "__bin__",
         F.expr(
             f"CASE WHEN __hi__ = __lo__ THEN 0 ELSE "
@@ -174,8 +192,10 @@ def exact_quantiles_twopass(
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy("__bin__")
-    cum = hist.withColumn("__cum__", F.sum("__c__").over(w)).join(
-        F.broadcast(bounds.select(*g, "__n__")), group_cols
+    cum = nsjoin(
+        hist.withColumn("__cum__", F.sum("__c__").over(w)),
+        bounds.select(*g, "__n__"),
+        group_cols,
     )
     qdf = rows.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"
@@ -200,9 +220,7 @@ def exact_quantiles_twopass(
     )
     wv = Window.partitionBy(*group_cols, "q").orderBy("__v__")
     return (
-        binned.join(
-            F.broadcast(targets), [*group_cols, "__bin__"]
-        )
+        nsjoin(binned, targets, [*group_cols, "__bin__"])
         .withColumn("__rn__", F.row_number().over(wv))
         .filter(F.col("__rn__") == F.col("__need__"))
         .select(

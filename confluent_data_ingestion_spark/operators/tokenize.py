@@ -144,7 +144,11 @@ def bpe_segment(
     words into BPE tokens.  The merges table is collected ONCE into the
     plan as expression literals (it is the trained model — a few hundred
     rows, driver-side by design, exactly like broadcasting a centroid
-    set); segmentation itself is a per-row fold chain, zero shuffle."""
+    set); segmentation itself is a per-row fold chain, zero shuffle.
+
+    Empty words (consecutive/leading/trailing spaces) are dropped before
+    segmenting — the same rule ``_word_table`` applies during training,
+    so engine and oracle agree on irregular whitespace."""
     rules = [
         (r["left"], r["right"], r["merged"])
         for r in merges.orderBy("rank").collect()
@@ -156,7 +160,7 @@ def bpe_segment(
     out = df.withColumn(
         "__t0__",
         F.expr(
-            f"transform(split({text_col}, ' '), "
+            f"transform(filter(split({text_col}, ' '), w -> w <> ''), "
             "w -> CAST(split(w, '') AS array<string>))"
         ),
     )

@@ -3278,8 +3278,10 @@ def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),
-    ev AS (SELECT vec_id AS eval_id, e AS ee FROM v WHERE vec_id % 10 = 0),
-    tr AS (SELECT vec_id, e FROM v WHERE vec_id % 10 <> 0),
+    ev AS (SELECT vec_id AS eval_id, e AS ee FROM v
+           WHERE vec_id % 10 = 0 AND list_dot_product(e, e) > 0),
+    tr AS (SELECT vec_id, e FROM v
+           WHERE vec_id % 10 <> 0 AND list_dot_product(e, e) > 0),
     sc AS (
       SELECT tr.vec_id, ev.eval_id,
              {cos} AS cosine
@@ -5768,6 +5770,56 @@ def skipscan_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         layout,
         {"user_id": (100, 300), "value": (0.0, 50.0)},
         stats=stats,
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "zorder_incremental",
+    """
+    WITH combined AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events
+      UNION ALL
+      SELECT event_id + 100000000, user_id, event_type,
+             CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT event_id, user_id, event_type, value
+    FROM combined
+    WHERE user_id BETWEEN 100 AND 300
+      AND value BETWEEN 0.0e0 AND 50.0e0
+    """,
+)
+def zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-incremental OPTIMIZE: an append batch (1/7 of events,
+    ids offset so the rows are genuinely new) is Z-order-clustered WITHIN
+    ITSELF and landed as new files; its file stats merge into the
+    existing index; the same 2-D range query then prunes across BOTH
+    generations' files.  Base files are untouched — referenced in place,
+    the Delta/Iceberg log shape — so the maintenance cost scales with the
+    batch, never the table (tools/scale_probe_dedup.py pins the ratio vs
+    the full rewrite).  The oracle is the range query over base ∪ batch:
+    incremental clustering must change WHERE rows live, never the
+    answer."""
+    import os as _os
+
+    from .operators.skipping import skip_scan, zorder_append
+
+    layout, stats = _ensure_skipscan_layout(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    batch = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(100000000)
+    )
+    gen1 = _os.path.join(_os.path.dirname(layout.rstrip("/")),
+                         _os.path.basename(layout.rstrip("/")) + "_gen1")
+    merged = zorder_append(spark, batch, ["user_id", "value"], gen1, stats)
+    return skip_scan(
+        spark,
+        layout,
+        {"user_id": (100, 300), "value": (0.0, 50.0)},
+        stats=merged,
     ).select("event_id", "user_id", "event_type", "value")
 
 

@@ -84,9 +84,34 @@ def test_segment_matches_python_reference(spark, sf_dir):
         assert got == want, r.text
 
     # segmentation is lossless: concatenating tokens restores each word
+    # (empty words are dropped before segmenting, mirroring training)
     for r in out:
-        for w, toks in zip(r.text.split(" "), r.tokens):
+        words = [w for w in r.text.split(" ") if w]
+        assert len(words) == len(r.tokens)
+        for w, toks in zip(words, r.tokens):
             assert "".join(toks) == w
+
+
+def test_segment_irregular_whitespace_drops_empty_words(spark):
+    """Consecutive/leading/trailing spaces yield empty words; training's
+    word table drops them, so segmentation must too — otherwise the
+    engine emits an empty token the SQL oracle (which inner-joins on
+    non-empty words) never sees, shifting every later position."""
+    from confluent_data_ingestion_spark.operators.tokenize import (
+        bpe_segment, bpe_train_merges,
+    )
+
+    texts = ["ab  ab ab", " ab ab", "ab ab ", "cd  cd", "   "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train_merges(df, n_merges=2)
+    _, segs = _py_bpe(texts, 2)
+    got = {r.doc_id: [list(t) for t in r.tokens]
+           for r in bpe_segment(df, merges).collect()}
+    for i, t in enumerate(texts):
+        want = [segs[w] for w in t.split(" ") if w]
+        assert got[i] == want, t
 
 
 def test_segment_plan_is_zero_shuffle(spark, sf_dir):

@@ -92,6 +92,55 @@ def test_stats_index_is_metadata_sized(spark, zordered_events):
     assert stats.count() == n_files
 
 
+def test_zorder_append_incremental_maintenance(spark, zordered_events, tmp_path):
+    """Appending a Z-ordered batch: base files byte-untouched, stats index
+    gains exactly the new files' rows, the merged index serves an exact
+    range query across BOTH generations, and pruning still skips files."""
+    from confluent_data_ingestion_spark.operators.skipping import zorder_append
+
+    cols = ["user_id", "value"]
+    base_stats = collect_file_stats(spark, zordered_events, cols)
+    before = {
+        f: os.path.getmtime(os.path.join(zordered_events, f))
+        for f in os.listdir(zordered_events) if f.endswith(".parquet")
+    }
+
+    batch = (
+        spark.read.parquet(zordered_events)
+        .filter(F.col("event_id") % 5 == 0)
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    )
+    gen1 = str(tmp_path / "gen1")
+    merged = zorder_append(spark, batch, cols, gen1, base_stats, n_files=4)
+
+    # base generation untouched: same files, same mtimes
+    after = {
+        f: os.path.getmtime(os.path.join(zordered_events, f))
+        for f in os.listdir(zordered_events) if f.endswith(".parquet")
+    }
+    assert after == before
+    new_files = [f for f in os.listdir(gen1) if f.endswith(".parquet")]
+    assert merged.count() == base_stats.count() + len(new_files)
+
+    # exact across generations: skip-scan == full filtered union
+    ranges = {"user_id": (3.0, 6.0), "value": (0.0, 60.0)}
+    got = skip_scan(spark, zordered_events, ranges, stats=merged)
+    full = (
+        spark.read.parquet(zordered_events)
+        .unionByName(spark.read.parquet(gen1))
+        .filter(F.col("user_id").between(3.0, 6.0))
+        .filter(F.col("value").between(0.0, 60.0))
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["event_id"], r["user_id"])
+        for r in df.select("event_id", "user_id").collect()
+    )
+    assert key(got) == key(full)
+    # and the merged index still prunes (batch files are clustered too)
+    kept, total = prune_files(merged, ranges)
+    assert 0 < len(kept) < total
+
+
 # ---------------------------------------------------------------------------
 # Compaction planner
 # ---------------------------------------------------------------------------

@@ -1417,6 +1417,7 @@ def test_semantic_contamination_planted_near_dup(spark):
             (1, [2.0, 0.02, 0.0]),   # ~colinear with eval 100
             (2, [0.0, 0.0, 5.0]),    # orthogonal to both -> clean
             (3, [1.0, 1.0, 0.0]),    # cos ~0.7071 to BOTH -> tie, id 100
+            (4, [0.0, 0.0, 0.0]),    # zero norm: cosine undefined -> clean
         ],
         "vec_id long, embedding array<double>",
     )
@@ -1424,9 +1425,16 @@ def test_semantic_contamination_planted_near_dup(spark):
         r["vec_id"]: (r["eval_id"], r["cosine"])
         for r in semantic_contamination(train, ev, threshold=0.7).collect()
     }
-    assert set(got) == {1, 3}
+    assert set(got) == {1, 3}  # 4 absent: NaN cosine must NOT flag
     assert got[1][0] == 100 and got[1][1] > 0.99
     assert got[3] == (100, 0.707107)  # tie broken to the smaller eval id
+
+    # a zero-norm EVAL vector likewise scores nothing (would otherwise
+    # NaN-flag every training vector, NaN sorting above all numbers)
+    zero_ev = spark.createDataFrame(
+        [(200, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert semantic_contamination(train, zero_ev, threshold=0.7).count() == 0
 
 
 def test_exact_quantiles_twopass_matches_order_statistics(spark):
@@ -1445,6 +1453,7 @@ def test_exact_quantiles_twopass_matches_order_statistics(spark):
         + [("b", 3.25)] * 9                                  # hi == lo
         + [("c", 42.0)]                                      # n == 1
         + [("a", None), ("c", None)]                         # excluded
+        + [(None, float(v)) for v in rng.randint(0, 30, 17)]  # NULL KEY
     )
     df = spark.createDataFrame(rows, "g string, v double")
     qs = [0.25, 0.5, 0.9, 1.0]
@@ -1453,8 +1462,11 @@ def test_exact_quantiles_twopass_matches_order_statistics(spark):
         for r in exact_quantiles_twopass(df, "v", ["g"], qs, nbins=8)
         .collect()
     }
+    # a NULL group KEY is a real group (GROUP BY semantics): the internal
+    # re-joins must be null-safe or this group silently vanishes
     by_g = {"a": sorted(v for g, v in rows if g == "a" and v is not None),
-            "b": [3.25] * 9, "c": [42.0]}
+            "b": [3.25] * 9, "c": [42.0],
+            None: sorted(v for g, v in rows if g is None)}
     for g, vals in by_g.items():
         n = len(vals)
         for q in qs:
