@@ -1,0 +1,215 @@
+"""100x-equivalent scale probe: two decades of blowup for the heaviest
+operator families (n-gram/LSH dedup, IVF-PQ search, incremental rollup).
+
+The per-round probes stop at 10x (sf1-equivalent), where the extrapolation
+to cluster scale is still an argument.  This tool adds the second decade:
+each probe runs at sf0.1, x10, and x100, so the wall-vs-data slope is a
+MEASUREMENT per decade, not a one-point fit.  A plan that is secretly
+quadratic (all-pairs, unbounded state, driver loop) is sublinear-looking
+at 10x and explodes at 100x — this is the probe that catches it.
+
+Blowup shapes reuse the established honest-synthesis designs:
+ - documents: perturbed replicas (per-replica token suffixes keep the
+   near-dup RATE constant — clusters multiply in count, not size), 5 pct
+   verbatim replicas for bounded cross-replica exact dups, and a shared
+   boilerplate tail on a hash-chosen 10 pct so the shingle frequency caps
+   are genuinely exercised at scale (scale_probe_dedup.py's method).
+ - events: KEYS multiply (user_id*R+r) while per-key depth stays constant
+   — how a stream actually grows (scale_probe_sketch.py's method).
+ - embeddings: corpus replicas with deterministic jitter; the IVF-PQ
+   probe holds CODEBOOK SIZE and QUERY COUNT fixed while only the corpus
+   grows — the honest ANN scaling question (scale_probe_round6.py's
+   method).
+
+Ratios are normalized per decade: d1 = x10 / sf0.1 / 10,
+d2 = x100 / x10 / 10 — 0.1x means perfectly scale-free, 1.0x means
+perfectly linear wall growth.  Timings are warm second runs; caches
+released between runs.
+
+Usage: python tools/scale_probe_100x.py [--families dedup,pq,rollup]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+ROOT = "/tmp/cdis_100x_probe"
+
+BOILERPLATE = (
+    "all rights reserved terms of service privacy policy cookie "
+    "settings subscribe newsletter contact"
+)
+
+
+def blow_documents(spark, reps: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    blown = (
+        docs.withColumn("r", F.explode(F.expr(f"sequence(0, {reps - 1})")))
+        .select(
+            (F.col("doc_id") * reps + F.col("r")).alias("doc_id"),
+            F.expr(
+                "CASE WHEN r > 0 AND pmod(hash(doc_id, r), 100) < 5 THEN text "
+                "ELSE array_join(transform(split(text, ' '), "
+                "t -> concat(t, '_', CAST(r AS STRING))), ' ') END"
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        .withColumn(
+            "text",
+            F.expr(
+                f"CASE WHEN pmod(hash(doc_id, 7), 10) = 0 "
+                f"THEN concat(text, ' ', '{BOILERPLATE}') ELSE text END"
+            ),
+        )
+    )
+    blown.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+
+def blow_events(spark, reps: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    blown = ev.withColumn(
+        "r", F.explode(F.expr(f"sequence(0, {reps - 1})"))
+    ).select(
+        (F.col("event_id") * reps + F.col("r")).alias("event_id"),
+        "ts",
+        (F.col("user_id") * reps + F.col("r")).alias("user_id"),
+        "event_type", "value", "props",
+    )
+    blown.write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+
+def blow_embeddings(spark, reps: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    blown = emb.withColumn(
+        "r", F.explode(F.expr(f"sequence(0, {reps - 1})"))
+    ).select(
+        (F.col("vec_id") * reps + F.col("r")).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> x + CAST(r AS DOUBLE) * 0.0001)"
+        ).alias("embedding"),
+        "label",
+    )
+    blown.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
+def ivfpq_probe(spark, sf_dir: str, corpus_mod: int):
+    """IVF-PQ with FIXED index size (~40 fine centroids, ~80 coarse
+    buckets via the id filters scaled by corpus_mod) and a fixed ~20-query
+    set; only the encoded corpus and its bucket scan grow."""
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.similarity import (
+        ivfpq_topk, pq_encode, pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    init = emb.filter(F.col("vec_id") % (50 * corpus_mod) == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    books = pq_train_codebooks(emb, init, dim=64, m=4, refine_iters=1)
+    codes = pq_encode(emb, books, dim=64, m=4)
+    coarse_init = emb.filter(F.col("vec_id") % (25 * corpus_mod) == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    coarse_books = pq_train_codebooks(
+        emb, coarse_init, dim=64, m=1, refine_iters=0
+    )
+    coarse_assign = pq_encode(emb, coarse_books, dim=64, m=1).select(
+        "vec_id", F.col("code").alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") % (100 * corpus_mod) == 0)
+    return ivfpq_topk(
+        codes, coarse_assign, q, books, coarse_books,
+        dim=64, m=4, k=5, nprobe=2,
+    )
+
+
+def main() -> None:
+    from confluent_data_ingestion_spark.caching import release_caches
+    from confluent_data_ingestion_spark.queries import QUERIES as REGISTRY
+    from confluent_data_ingestion_spark.session import get_spark
+
+    fams = {"dedup", "pq", "rollup"}
+    for i, a in enumerate(sys.argv):
+        if a == "--families":
+            fams = set(sys.argv[i + 1].split(","))
+
+    spark = get_spark("cdis-100x-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {1: BASE, 10: f"{ROOT}/x10", 100: f"{ROOT}/x100"}
+    for reps, out in dirs.items():
+        if reps == 1:
+            continue
+        os.makedirs(out, exist_ok=True)
+        if "dedup" in fams and not os.path.exists(
+            f"{out}/documents.parquet/_SUCCESS"
+        ):
+            blow_documents(spark, reps, out)
+        if "rollup" in fams and not os.path.exists(
+            f"{out}/events.parquet/_SUCCESS"
+        ):
+            blow_events(spark, reps, out)
+        if "pq" in fams and not os.path.exists(
+            f"{out}/embeddings.parquet/_SUCCESS"
+        ):
+            blow_embeddings(spark, reps, out)
+
+    def run(fn) -> float:
+        best = None
+        for _ in range(2):  # warm second run
+            t0 = time.perf_counter()
+            fn()
+            release_caches()
+            best = time.perf_counter() - t0
+        return round(best, 3)
+
+    probes: list[tuple[str, object]] = []
+    if "dedup" in fams:
+        for name in ("dedup_ngram_jaccard", "dedup_lsh_verified",
+                     "dedup_minhash_lsh"):
+            probes.append((name, name))
+    if "pq" in fams:
+        probes.append(("ivfpq_fixed_index", ivfpq_probe))
+    if "rollup" in fams:
+        for name in ("rollup_quantile_events", "rollup_incremental_events"):
+            probes.append((name, name))
+
+    out: dict[str, dict[str, float]] = {}
+    for label, spec in probes:
+        row: dict[str, float] = {}
+        for reps, sf_dir in dirs.items():
+            key = {1: "sf0.1", 10: "x10", 100: "x100"}[reps]
+            if isinstance(spec, str):
+                fn = lambda: REGISTRY[spec](spark, sf_dir).write.format(  # noqa: E731,B023
+                    "noop"
+                ).mode("overwrite").save()
+            else:
+                fn = lambda: spec(spark, sf_dir, reps).write.format(  # noqa: E731,B023
+                    "noop"
+                ).mode("overwrite").save()
+            row[key] = run(fn)
+        row["d1"] = round(row["x10"] / row["sf0.1"] / 10, 3)
+        row["d2"] = round(row["x100"] / row["x10"] / 10, 3)
+        out[label] = row
+        print(f"# {label}: {row}", file=sys.stderr)
+    print(json.dumps(out))
+    shutil.rmtree(ROOT, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
