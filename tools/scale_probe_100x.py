@@ -208,7 +208,8 @@ def main() -> None:
         out[label] = row
         print(f"# {label}: {row}", file=sys.stderr)
     print(json.dumps(out))
-    shutil.rmtree(ROOT, ignore_errors=True)
+    if "--keep" not in sys.argv:
+        shutil.rmtree(ROOT, ignore_errors=True)
 
 
 if __name__ == "__main__":
