@@ -1,0 +1,177 @@
+"""Distributed multinomial Naive Bayes text classifier.
+
+The quality/language-filter stage of a training-data pipeline (the
+fastText-classifier role in CCNet-style pipelines) expressed as pure
+DataFrame operations:
+
+  nb_train   token counts per class — two map-combined shuffles on short
+             (class, token) keys; the fitted model is a bounded
+             (vocab x classes) log-likelihood table plus one row per class
+             (prior, unseen-token likelihood).  Vocabulary is top-V capped
+             (count desc, token asc — a total order), so model size is
+             O(V x C) at ANY corpus size: train on 100 TB, broadcast the
+             result.
+  nb_score   explode test docs to (doc, token, tf), broadcast-join the
+             dense model on the token, accumulate tf x log-likelihood as
+             exact DECIMALs (engine-reproducible bits), add the class
+             prior, argmax with a deterministic (score desc, class asc)
+             tiebreak.
+
+Numerics: every per-type log value is rounded to 6 decimals and cast to
+DECIMAL(18,6) BEFORE accumulation, so the per-document posterior is an
+exact decimal sum — identical in any engine regardless of add order (the
+``bigram_logprob_score`` convention).
+
+Out-of-vocabulary test tokens are ignored (the standard multinomial-NB
+choice); tokens in-vocabulary but unseen for a class score the class's
+Laplace-smoothed unseen likelihood ln(1 / (class_tokens + V)).
+
+Scale posture: training is two hash aggregations (map-side combined) on
+token-sized keys; no joins touch the corpus except the final broadcast
+hash join of (doc, token, tf) against the O(V x C) model — scan speed,
+one shuffle for the per-(doc, class) sum, one window for the argmax.
+The only collects are the bounded class table (one row per class) and
+two scalar counts (vocab size, training-doc count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """Explode ``text_col`` into non-empty whitespace tokens ``w``."""
+    return df.select(
+        *keep,
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("w"),
+    )
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    max_vocab: int = 500,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit multinomial NB; returns ``(dense_model, classes)``.
+
+    dense_model: one row per (vocab token, class) — ``w``, ``label``,
+    ``loglik`` DECIMAL(18,6).  classes: one row per class — ``label``,
+    ``log_prior``, ``unk_loglik`` (both DECIMAL(18,6)).
+    """
+    tw = _tokens(docs, text_col, F.col(label_col).alias("label"))
+
+    # top-V vocabulary, deterministic tiebreak (count desc, token asc)
+    vocab = (
+        tw.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(max_vocab)
+        .select("w")
+    )
+    vocab_n = vocab.count()  # bounded scalar (<= max_vocab)
+
+    # per-(class, token) counts restricted to the vocabulary
+    cw = (
+        tw.join(F.broadcast(vocab), "w")
+        .groupBy("label", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    ct = cw.groupBy("label").agg(F.sum("c").alias("class_tokens"))
+
+    n_train = docs.count()  # scalar
+    nd = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_docs")
+    )
+    classes = ct.join(nd, "label").select(
+        "label",
+        F.expr(
+            f"cast(round(ln(cast(n_docs as double) / {n_train}), 6)"
+            " as decimal(18,6))"
+        ).alias("log_prior"),
+        F.expr(
+            f"cast(round(ln(1.0 / (class_tokens + {vocab_n})), 6)"
+            " as decimal(18,6))"
+        ).alias("unk_loglik"),
+        "class_tokens",
+    )
+
+    # densify vocab x classes WITHOUT a cross join: the class table is one
+    # row per class, so it collects (bounded) and explodes per vocab row
+    cls_rows = classes.select("label", "class_tokens", "unk_loglik").collect()
+    cls_array = F.array(
+        *[
+            F.struct(
+                F.lit(r["label"]).alias("label"),
+                F.lit(r["class_tokens"]).cast("long").alias("class_tokens"),
+                F.lit(str(r["unk_loglik"]))
+                .cast("decimal(18,6)")
+                .alias("unk_loglik"),
+            )
+            for r in cls_rows
+        ]
+    )
+    dense = (
+        vocab.select("w", F.explode(cls_array).alias("k"))
+        .select("w", "k.label", "k.class_tokens", "k.unk_loglik")
+        .join(cw, ["label", "w"], "left")
+        .select(
+            "w",
+            "label",
+            F.coalesce(
+                F.expr(
+                    f"cast(round(ln((c + 1.0) / (class_tokens + {vocab_n})),"
+                    " 6) as decimal(18,6))"
+                ),
+                F.col("unk_loglik"),
+            ).alias("loglik"),
+        )
+    )
+    return dense, classes.select("label", "log_prior", "unk_loglik")
+
+
+def nb_score(
+    test: DataFrame,
+    dense_model: DataFrame,
+    classes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score ``test`` docs; returns (id, *keep_cols, pred_label,
+    log_posterior) — one row per document that has at least one
+    in-vocabulary token (OOV-only docs drop on every engine identically).
+    """
+    tt = (
+        _tokens(test, text_col, id_col, *keep_cols)
+        .groupBy(id_col, *keep_cols, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tt.join(F.broadcast(dense_model), "w")
+        .groupBy(id_col, *keep_cols, "label")
+        .agg(F.sum(F.col("tf") * F.col("loglik")).alias("tok_sum"))
+        .join(F.broadcast(classes.select("label", "log_prior")), "label")
+        .select(
+            id_col,
+            *keep_cols,
+            "label",
+            (F.col("tok_sum") + F.col("log_prior")).alias("post"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("post").desc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            *keep_cols,
+            F.col("label").alias("pred_label"),
+            F.round(F.col("post").cast("double"), 6).alias("log_posterior"),
+        )
+    )

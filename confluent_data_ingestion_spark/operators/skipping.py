@@ -162,7 +162,9 @@ def zorder_append(
 
     Returns the merged stats index (old rows verbatim + one row per new
     file), usable directly by :func:`prune_files` / :func:`skip_scan`
-    across both generations' files.
+    across both generations' files.  The merged frame is checkpointed —
+    it is file-count-sized, and a lazy union would re-aggregate the new
+    files' stats on every planning action that consults the index.
     """
     from .bucketing import zorder_by
 
@@ -174,7 +176,9 @@ def zorder_append(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
-    return old_stats.unionByName(collect_file_stats(spark, out_dir, cols))
+    return old_stats.unionByName(
+        collect_file_stats(spark, out_dir, cols)
+    ).localCheckpoint()
 
 
 def list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:

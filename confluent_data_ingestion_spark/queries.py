@@ -3141,6 +3141,98 @@ def knn_classify_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier: the trained-model counterpart
+# of the heuristic language_id — the fastText-classifier role in CCNet-style
+# quality/language filtering.  Train on the 80% split (doc_id % 5 <> 0) with
+# a top-500 capped vocabulary, broadcast-score the held-out 20%.  All
+# per-type log values round to 6 decimals and accumulate as DECIMAL, so the
+# posterior is an exact decimal sum; argmax tiebreak (post desc, lang asc)
+# is a total order both engines reproduce.
+# ---------------------------------------------------------------------------
+@query(
+    "nb_language_classify",
+    """
+    WITH tr AS (
+      SELECT lang, string_split(text, ' ') AS ts
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    tw AS (SELECT lang, w FROM tr, unnest(ts) AS u(w) WHERE w <> ''),
+    vc AS (SELECT w, count(*) AS c FROM tw GROUP BY w),
+    vocab AS (SELECT w FROM vc ORDER BY c DESC, w ASC LIMIT 500),
+    vn AS (SELECT count(*) AS v FROM vocab),
+    cw AS (
+      SELECT lang, tw.w, count(*) AS c
+      FROM tw JOIN vocab ON tw.w = vocab.w GROUP BY lang, tw.w
+    ),
+    ct AS (SELECT lang, sum(c) AS class_tokens FROM cw GROUP BY lang),
+    nd AS (SELECT lang, count(*) AS n_docs FROM tr GROUP BY lang),
+    td AS (SELECT count(*) AS n FROM tr),
+    cls AS (
+      SELECT ct.lang, class_tokens,
+             CAST(round(ln(CAST(n_docs AS DOUBLE) / n), 6)
+                  AS DECIMAL(18,6)) AS log_prior,
+             CAST(round(ln(1.0 / (class_tokens + v)), 6)
+                  AS DECIMAL(18,6)) AS unk_loglik
+      FROM ct JOIN nd ON ct.lang = nd.lang, td, vn
+    ),
+    dense AS (
+      SELECT cls.lang, vocab.w,
+             COALESCE(CAST(round(ln((cw.c + 1.0) / (cls.class_tokens + v)),
+                                 6) AS DECIMAL(18,6)),
+                      cls.unk_loglik) AS loglik
+      FROM vocab CROSS JOIN cls CROSS JOIN vn
+      LEFT JOIN cw ON cw.lang = cls.lang AND cw.w = vocab.w
+    ),
+    te AS (
+      SELECT doc_id, lang AS true_lang, string_split(text, ' ') AS ts
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    tt AS (
+      SELECT doc_id, true_lang, w, count(*) AS tf
+      FROM te, unnest(ts) AS u(w) WHERE w <> ''
+      GROUP BY doc_id, true_lang, w
+    ),
+    sc AS (
+      SELECT tt.doc_id, any_value(tt.true_lang) AS true_lang, d.lang,
+             MIN(cls.log_prior) + SUM(tt.tf * d.loglik) AS post
+      FROM tt JOIN dense d ON tt.w = d.w JOIN cls ON d.lang = cls.lang
+      GROUP BY tt.doc_id, d.lang
+    ),
+    best AS (
+      SELECT doc_id, true_lang, lang, post,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY post DESC, lang ASC) AS rn
+      FROM sc
+    )
+    SELECT doc_id, true_lang, lang AS pred_lang,
+           round(CAST(post AS DOUBLE), 6) AS log_posterior
+    FROM best WHERE rn = 1
+    """,
+)
+def nb_language_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed NB train + broadcast score (operators/classify.py).
+
+    Training is two map-combined hash aggregations on (class, token) keys;
+    the fitted model is O(vocab x classes) and broadcasts — train on
+    100 TB, score at scan speed.  The held-out 20% is classified with a
+    deterministic argmax; output is per-document (pred vs true label)."""
+    from .operators.classify import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    )
+    dense, classes = nb_train(train, label_col="lang", max_vocab=500)
+    return nb_score(test, dense, classes, keep_cols=("true_lang",)).select(
+        "doc_id",
+        "true_lang",
+        F.col("pred_label").alias("pred_lang"),
+        "log_posterior",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Interpolated-bigram LM scoring: the perplexity-filter signal that catches
 # word-order scrambles unigram scoring cannot.  Per-type log-probs round to
 # 6 decimals then accumulate as DECIMAL — engine-identical bits.
@@ -6471,8 +6563,10 @@ _PRIORITY_ORDER = [
     "contamination_report", "similarity_int8_topk", "streaming_event_funnel",
     "brand_nation_revenue", "winsorize_doc_lengths", "dedup_exact_normalized",
     "packing_fill_report", "top_docs_per_source", "chunk_boilerplate_ratio",
-    # new this round
-    "zorder_incremental", "streaming_statement_set",
+    # new this round — the zorder pair stays in lifecycle order (rewrite
+    # builds the shared layout, incremental then pays only its own batch)
+    "zorder_rewrite", "zorder_incremental", "streaming_statement_set",
+    "nb_language_classify",
     # implementation touched this round — fresh records
     "exact_quantiles_events", "bpe_train_merges", "bpe_segment_tokens",
     "decontaminate_semantic", "rollup_quantile_events",

@@ -160,7 +160,7 @@ def main() -> None:
             f"{out}/documents.parquet/_SUCCESS"
         ):
             blow_documents(spark, reps, out)
-        if "rollup" in fams and not os.path.exists(
+        if ("rollup" in fams or "stats" in fams) and not os.path.exists(
             f"{out}/events.parquet/_SUCCESS"
         ):
             blow_events(spark, reps, out)
@@ -187,6 +187,13 @@ def main() -> None:
         probes.append(("ivfpq_fixed_index", ivfpq_probe))
     if "rollup" in fams:
         for name in ("rollup_quantile_events", "rollup_incremental_events"):
+            probes.append((name, name))
+    if "stats" in fams:
+        # exact order-statistic quantiles (O(nbins) state) and the
+        # steady-state pruned skip-scan read: run 1 at each scale builds
+        # the Z-order layout (disk-cached per (session, sf_dir)), the
+        # warm run 2 is the measured read-only path.
+        for name in ("exact_quantiles_events", "skipscan_events_range"):
             probes.append((name, name))
 
     out: dict[str, dict[str, float]] = {}

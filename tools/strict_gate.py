@@ -98,11 +98,22 @@ def main() -> int:
     for name in names:
         try:
             sdf = QUERIES[name](spark, sf)
-            s_rows = canon(sdf.toPandas())
+            s_pdf = sdf.toPandas()
+            s_rows = canon(s_pdf)
             if name not in ORACLES:
                 print(f"{name:40s} ROWS-ONLY ({len(s_rows)} rows)")
                 continue
-            o_rows = canon(con.execute(ORACLES[name]).df())
+            o_pdf = con.execute(ORACLES[name]).df()
+            o_rows = canon(o_pdf)
+            # the driver also compares schemas: identical values under
+            # misaligned column NAMES must fail here, not at the driver
+            if sorted(s_pdf.columns) != sorted(o_pdf.columns):
+                n_fail += 1
+                print(
+                    f"{name:40s} FAIL cols {sorted(s_pdf.columns)}"
+                    f" vs {sorted(o_pdf.columns)}"
+                )
+                continue
             if s_rows == o_rows:
                 print(f"{name:40s} OK ({len(s_rows)} rows)")
             else:
