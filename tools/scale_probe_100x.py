@@ -138,6 +138,43 @@ def ivfpq_probe(spark, sf_dir: str, corpus_mod: int):
     )
 
 
+def zorder_incr_probe(spark, sf_dir: str, reps: int):
+    """Partition-incremental Z-order maintenance with a FIXED batch (1/7
+    of the sf0.1 events) against a base layout that grows x10 / x100:
+    the claim under test is 'maintenance cost scales with the batch,
+    never the table', so the honest probe holds the batch constant and
+    grows only the base.  Run 1 at each scale pays the one-off layout
+    build (the zorder_rewrite job); the warm run 2 is the measured
+    append + stats merge + pruned read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.skipping import (
+        skip_scan, zorder_append,
+    )
+    from confluent_data_ingestion_spark.queries import (
+        _ensure_skipscan_layout, _t,
+    )
+
+    layout, stats = _ensure_skipscan_layout(spark, sf_dir)
+    ev = _t(spark, BASE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    batch = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000_000)
+    )
+    gen1 = os.path.join(
+        os.path.dirname(layout.rstrip("/")),
+        os.path.basename(layout.rstrip("/")) + "_gen1probe",
+    )
+    merged = zorder_append(spark, batch, ["user_id", "value"], gen1, stats)
+    return skip_scan(
+        spark, layout, {"user_id": (100, 300), "value": (0.0, 50.0)},
+        stats=merged,
+    ).select("event_id", "user_id", "event_type", "value")
+
+
 def main() -> None:
     from confluent_data_ingestion_spark.caching import release_caches
     from confluent_data_ingestion_spark.queries import QUERIES as REGISTRY
@@ -160,7 +197,9 @@ def main() -> None:
             f"{out}/documents.parquet/_SUCCESS"
         ):
             blow_documents(spark, reps, out)
-        if ("rollup" in fams or "stats" in fams) and not os.path.exists(
+        if (
+            "rollup" in fams or "stats" in fams or "zorder" in fams
+        ) and not os.path.exists(
             f"{out}/events.parquet/_SUCCESS"
         ):
             blow_events(spark, reps, out)
@@ -195,6 +234,8 @@ def main() -> None:
         # warm run 2 is the measured read-only path.
         for name in ("exact_quantiles_events", "skipscan_events_range"):
             probes.append((name, name))
+    if "zorder" in fams:
+        probes.append(("zorder_incremental_fixed_batch", zorder_incr_probe))
 
     out: dict[str, dict[str, float]] = {}
     for label, spec in probes:
