@@ -64,22 +64,26 @@ def nb_train(
     """
     tw = _tokens(docs, text_col, F.col(label_col).alias("label"))
 
-    # top-V vocabulary, deterministic tiebreak (count desc, token asc)
+    # the ONE corpus-sized pass: per-(class, token) counts — the NB
+    # sufficient statistic.  Everything below runs over this type-level
+    # table (checkpointed: it is vocab x classes sized, and a lazy frame
+    # would re-explode the corpus for every downstream action).
+    cw_all = (
+        tw.groupBy("label", "w").agg(F.count("*").alias("c")).localCheckpoint()
+    )
+
+    # top-V vocabulary from the summed per-class counts (identical to
+    # counting globally), deterministic tiebreak (count desc, token asc)
     vocab = (
-        tw.groupBy("w")
-        .agg(F.count("*").alias("c"))
+        cw_all.groupBy("w")
+        .agg(F.sum("c").alias("c"))
         .orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(max_vocab)
         .select("w")
     )
     vocab_n = vocab.count()  # bounded scalar (<= max_vocab)
 
-    # per-(class, token) counts restricted to the vocabulary
-    cw = (
-        tw.join(F.broadcast(vocab), "w")
-        .groupBy("label", "w")
-        .agg(F.count("*").alias("c"))
-    )
+    cw = cw_all.join(F.broadcast(vocab), "w")
     ct = cw.groupBy("label").agg(F.sum("c").alias("class_tokens"))
 
     n_train = docs.count()  # scalar
@@ -129,8 +133,13 @@ def nb_train(
                 F.col("unk_loglik"),
             ).alias("loglik"),
         )
+        # the fitted model: O(V x C) rows, checkpointed so every scoring
+        # action reads the artifact instead of re-deriving it
+        .localCheckpoint()
     )
-    return dense, classes.select("label", "log_prior", "unk_loglik")
+    return dense, classes.select(
+        "label", "log_prior", "unk_loglik"
+    ).localCheckpoint()
 
 
 def nb_score(

