@@ -3243,6 +3243,85 @@ def nb_language_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 lexical retrieval: the sparse counterpart of the embedding ANN
+# family.  Index = one corpus explode -> postings + doc lengths; queries =
+# five 3-term bags drawn deterministically from the top-15 corpus terms
+# (count desc, term asc — a total order); per-(term, doc) contributions
+# round to 6 decimals and accumulate as DECIMAL; top-10 per query with the
+# (score desc, doc_id asc) tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "bm25_topk_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, w AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    postings AS (SELECT term, id, count(*) AS tf FROM toks GROUP BY term, id),
+    doclen AS (SELECT id, sum(tf) AS dl FROM postings GROUP BY id),
+    nd AS (SELECT count(*) AS n FROM documents),
+    avg AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM doclen),
+    tt AS (SELECT term, sum(tf) AS c FROM postings GROUP BY term),
+    top AS (
+      SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS rn
+      FROM tt ORDER BY c DESC, term ASC LIMIT 15
+    ),
+    q AS (SELECT CAST((rn - 1) // 3 AS BIGINT) AS query_id, term FROM top),
+    dfq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    hits AS (
+      SELECT q.query_id, p.id,
+        CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                   6) AS DECIMAL(18,6)) AS c
+      FROM postings p JOIN q ON p.term = q.term
+      JOIN dfq ON dfq.term = p.term
+      JOIN doclen d2 ON d2.id = p.id, nd, avg
+    ),
+    sc AS (SELECT query_id, id AS doc_id, sum(c) AS s
+           FROM hits GROUP BY query_id, id),
+    best AS (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM sc
+    )
+    SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+           round(CAST(s AS DOUBLE), 6) AS score
+    FROM best WHERE rank <= 10
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical search next to vector search (operators/retrieval.py):
+    near-dup triage and contamination spot-checks ask "which documents
+    contain these terms" with a relevance order.  The postings/doclen
+    index is built in ONE corpus pass and checkpointed (at 100 TB it
+    persists to storage — these frames ARE the index); scoring touches
+    only the query terms' postings via a broadcast join."""
+    from pyspark.sql import Window
+
+    from .operators.retrieval import bm25_index, bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    postings, doclen, n = bm25_index(docs)
+    postings = postings.localCheckpoint()
+    doclen = doclen.localCheckpoint()
+    tt = postings.groupBy("term").agg(F.sum("tf").alias("c"))
+    top = tt.orderBy(F.col("c").desc(), F.col("term").asc()).limit(15)
+    wq = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    q = (
+        top.withColumn("rn", F.row_number().over(wq))
+        .select(
+            F.expr("cast((rn - 1) div 3 as bigint)").alias("query_id"),
+            "term",
+        )
+    )
+    return bm25_topk(postings, doclen, n, q, k=10)
+
+
+# ---------------------------------------------------------------------------
 # Interpolated-bigram LM scoring: the perplexity-filter signal that catches
 # word-order scrambles unigram scoring cannot.  Per-type log-probs round to
 # 6 decimals then accumulate as DECIMAL — engine-identical bits.
@@ -6572,7 +6651,7 @@ _PRIORITY_ORDER = [
     # new this round — the zorder pair stays in lifecycle order (rewrite
     # builds the shared layout, incremental then pays only its own batch)
     "zorder_rewrite", "zorder_incremental", "streaming_statement_set",
-    "nb_language_classify",
+    "nb_language_classify", "bm25_topk_docs",
     # implementation touched this round — fresh records
     "exact_quantiles_events", "bpe_train_merges", "bpe_segment_tokens",
     "decontaminate_semantic", "rollup_quantile_events",

@@ -1,0 +1,71 @@
+"""BM25 retrieval (operators/retrieval.py): hand-computed scores on a
+planted corpus, rank determinism, and empty-token hygiene."""
+
+import math
+
+import pytest
+
+from confluent_data_ingestion_spark.operators.retrieval import (
+    bm25_index,
+    bm25_topk,
+)
+
+K1, B = 1.2, 0.75
+
+
+def _bm25(tf, df, n, dl, avgdl):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return round(idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl)), 6)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "x x y"),       # dl 3
+            (2, "x z"),         # dl 2
+            (3, "y y y z"),     # dl 4
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_hand_computed(spark, corpus):
+    postings, doclen, n = bm25_index(corpus)
+    q = spark.createDataFrame([(0, "x"), (0, "y")], "query_id long, term string")
+    out = {r["doc_id"]: r for r in bm25_topk(postings, doclen, n, q, k=10).collect()}
+    avgdl = 3.0  # (3 + 2 + 4) / 3
+    # doc 1: x tf=2 df=2, y tf=1 df=2, dl=3
+    exp1 = round(_bm25(2, 2, 3, 3, avgdl) + _bm25(1, 2, 3, 3, avgdl), 6)
+    assert out[1]["score"] == pytest.approx(exp1, abs=1e-9)
+    # doc 3: y tf=3 df=2, dl=4
+    exp3 = _bm25(3, 2, 3, 4, avgdl)
+    assert out[3]["score"] == pytest.approx(exp3, abs=1e-9)
+    assert {r for r in out} == {1, 2, 3}
+
+
+def test_bm25_rank_and_tiebreak(spark, corpus):
+    postings, doclen, n = bm25_index(corpus)
+    # docs 1 and 2 both contain "x" once... doc1 has tf=2; use "z" where
+    # docs 2 and 3 differ only in dl -> deterministic rank check
+    q = spark.createDataFrame([(7, "z")], "query_id long, term string")
+    rows = bm25_topk(postings, doclen, n, q, k=10).collect()
+    ranks = [(r["rank"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    # doc 2 (dl=2, shorter) outranks doc 3 (dl=4) at equal tf
+    assert ranks == [(1, 2), (2, 3)]
+
+
+def test_bm25_k_truncates(spark, corpus):
+    postings, doclen, n = bm25_index(corpus)
+    q = spark.createDataFrame([(0, "x"), (0, "y"), (0, "z")],
+                              "query_id long, term string")
+    rows = bm25_topk(postings, doclen, n, q, k=1).collect()
+    assert len(rows) == 1 and rows[0]["rank"] == 1
+
+
+def test_bm25_empty_tokens_ignored(spark):
+    docs = spark.createDataFrame([(1, "a  b "), (2, "b")],
+                                 "doc_id long, text string")
+    postings, doclen, n = bm25_index(docs)
+    assert {r["term"] for r in postings.collect()} == {"a", "b"}
+    assert {r["id"]: r["dl"] for r in doclen.collect()} == {1: 2, 2: 1}
