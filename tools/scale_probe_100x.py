@@ -193,7 +193,9 @@ def main() -> None:
         if reps == 1:
             continue
         os.makedirs(out, exist_ok=True)
-        if ("dedup" in fams or "lm" in fams) and not os.path.exists(
+        if (
+            "dedup" in fams or "lm" in fams or "bm25" in fams
+        ) and not os.path.exists(
             f"{out}/documents.parquet/_SUCCESS"
         ):
             blow_documents(spark, reps, out)
@@ -243,6 +245,10 @@ def main() -> None:
         # whether the training scans stay linear and nothing else grows.
         for name in ("bigram_logprob_vocab", "nb_language_classify"):
             probes.append((name, name))
+    if "bm25" in fams:
+        # index build is the linear floor (one corpus explode); the df /
+        # term tables are vocab-bounded and scoring is query-term-pruned
+        probes.append(("bm25_topk_docs", "bm25_topk_docs"))
 
     out: dict[str, dict[str, float]] = {}
     for label, spec in probes:
