@@ -23,6 +23,7 @@ at ~100 B/row, AQE's ``skewedPartitionFactor`` 5 ~ ``skew_factor``).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -37,6 +38,14 @@ class SideStats:
     rows: int
     distinct_keys: float
     hottest_key_rows: int  # collision-corrected count-min estimate
+    # expected corrected-max under PERFECTLY BALANCED keys: the extreme-
+    # value bound sigma_bucket * sqrt(2 ln W) with sigma measured from the
+    # sketch's own bucket counts (zeros included).  A "hottest key" below
+    # ~2x this is sketch collision noise, not skew — the old closed-form
+    # floor 8*sqrt(rows/W) assumed unit key weights and under-estimated
+    # whenever keys carry multiple rows (lineitem's ~4 rows/orderkey made
+    # a perfectly balanced join look salted at every scale).
+    null_max_rows: float = 0.0
 
     @property
     def avg_rows_per_key(self) -> float:
@@ -68,12 +77,26 @@ def side_stats(df: DataFrame, key_col: str, lgk: int = 12) -> SideStats:
     # raw bucket maxima upper-bound the hottest key but saturate with
     # collision mass when distinct keys >> width; subtracting the expected
     # colliding mass (count-mean-min correction) recovers the hot key's
-    # own weight, then the min over hash rows tightens it
+    # own weight, then the min over hash rows tightens it.  The same
+    # bounded collect also yields each seed's bucket-count variance
+    # (zeros for the unoccupied buckets folded in via sum/sum-of-squares),
+    # from which the balanced-keys extreme-value scale falls out.
     per_seed = []
-    for r in sketch.groupBy("s").agg(F.max("cnt").alias("m")).collect():
+    sigmas = []
+    seed_rows = sketch.groupBy("s").agg(
+        F.max("cnt").alias("m"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+    ).collect()
+    for r in seed_rows:
         m = r["m"]
         per_seed.append(m - (total - m) / max(width - 1, 1))
+        mean = total / width
+        var = max(float(r["sq"]) / width - mean * mean, 0.0)
+        sigmas.append(var**0.5)
     hottest = max(0, round(min(per_seed))) if per_seed else 0
+    null_max = (
+        max(sigmas) * (2.0 * math.log(width)) ** 0.5 if sigmas else 0.0
+    )
     ndv_row = df.agg(
         F.hll_sketch_estimate(
             F.hll_sketch_agg(F.col(key_col), F.lit(lgk))
@@ -83,6 +106,7 @@ def side_stats(df: DataFrame, key_col: str, lgk: int = 12) -> SideStats:
         rows=int(total),
         distinct_keys=float(ndv_row["ndv"] or 0),
         hottest_key_rows=int(hottest),
+        null_max_rows=null_max,
     )
 
 
@@ -118,18 +142,32 @@ def join_advice(
             "broadcast_left", 1, ls, rs,
             f"left side {ls.rows} rows fits the broadcast budget",
         )
-    big, label = (ls, "left") if ls.rows >= rs.rows else (rs, "right")
-    # extreme-value noise floor: across W Poisson buckets the max bucket
-    # overshoots the mean by ~sigma*sqrt(2 ln W) even with perfectly
-    # balanced keys; a "hot key" below ~2x that scale is sketch noise,
-    # not skew (pinned by the balanced-keys advisor test)
-    noise_floor = 8.0 * (big.rows / CMS_WIDTH) ** 0.5
-    if big.skew_ratio > skew_factor and big.hottest_key_rows > noise_floor:
-        salt = min(max_salt, max(2, round(big.skew_ratio)))
+    # skew check runs on BOTH sides — a hot key strands its reducer no
+    # matter which input carries it, since both shuffle on the join key
+    # (the round-11 rework: the old bigger-side-only check missed a hot
+    # key on the smaller fact and, worse, could fire on the balanced side
+    # via sketch collision noise).  Extreme-value noise floor: across W
+    # buckets the max overshoots the mean by ~sigma*sqrt(2 ln W) even
+    # with perfectly balanced keys, so a corrected "hot key" below ~2x
+    # that scale is collision noise, not skew.  sigma is MEASURED from
+    # the sketch's bucket counts (SideStats.null_max_rows); the
+    # closed-form 8*sqrt(rows/W) unit-weight bound stays as a lower
+    # fallback (pinned by the balanced-keys / multi-row-per-key tests).
+    skew_side = None
+    for side, label in ((ls, "left"), (rs, "right")):
+        noise_floor = max(
+            2.0 * side.null_max_rows, 8.0 * (side.rows / CMS_WIDTH) ** 0.5
+        )
+        if side.skew_ratio > skew_factor and side.hottest_key_rows > noise_floor:
+            if skew_side is None or side.hottest_key_rows > skew_side[0].hottest_key_rows:
+                skew_side = (side, label)
+    if skew_side is not None:
+        side, label = skew_side
+        salt = min(max_salt, max(2, round(side.skew_ratio)))
         return JoinAdvice(
             "salted", salt, ls, rs,
-            f"{label} side hottest key ~{big.hottest_key_rows} rows vs "
-            f"~{big.avg_rows_per_key:.0f} average (x{big.skew_ratio:.1f}) — "
+            f"{label} side hottest key ~{side.hottest_key_rows} rows vs "
+            f"~{side.avg_rows_per_key:.0f} average (x{side.skew_ratio:.1f}) — "
             f"salt {salt} ways (operators.skew.salted_join)",
         )
     return JoinAdvice(

@@ -90,7 +90,14 @@ def nb_train(
     nd = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").alias("n_docs")
     )
-    classes = ct.join(nd, "label").select(
+    # classes derive from nd (every training label), NOT from ct: a class
+    # whose tokens all fell outside the capped vocabulary has class_tokens
+    # 0 and gets the pure-Laplace model (every vocab token at ln(1/V)) —
+    # an inner join here would silently drop its prior and make the class
+    # unpredictable (round-10 review finding)
+    classes = nd.join(ct, "label", "left").withColumn(
+        "class_tokens", F.coalesce(F.col("class_tokens"), F.lit(0))
+    ).select(
         "label",
         F.expr(
             f"cast(round(ln(cast(n_docs as double) / {n_train}), 6)"

@@ -165,19 +165,33 @@ def zorder_append(
     across both generations' files.  The merged frame is checkpointed —
     it is file-count-sized, and a lazy union would re-aggregate the new
     files' stats on every planning action that consults the index.
+
+    Each call lands its files in a UNIQUE ``batch-*`` subdirectory of
+    ``out_dir`` — never an overwrite of ``out_dir`` itself.  An overwrite
+    would delete files a previously merged index still references (the
+    natural misuse of an append API: reusing one out_dir per table), and
+    a later :func:`skip_scan` through that index would fail on missing
+    paths.  The index addresses files by absolute path wherever they
+    live (the Delta/Iceberg log shape), so the subdirectory is invisible
+    to readers; superseded batch directories are the caller's to sweep,
+    exactly like unreferenced files under a table log.
     """
+    import os
+    import uuid
+
     from .bucketing import zorder_by
 
+    batch_dir = os.path.join(out_dir, f"batch-{uuid.uuid4().hex[:8]}")
     (
         zorder_by(batch, cols, bits=bits)
         .repartitionByRange(n_files, F.col("zorder_key"))
         .sortWithinPartitions("zorder_key")
         .drop("zorder_key")
-        .write.mode("overwrite")
-        .parquet(out_dir)
+        .write.mode("error")
+        .parquet(batch_dir)
     )
     return old_stats.unionByName(
-        collect_file_stats(spark, out_dir, cols)
+        collect_file_stats(spark, batch_dir, cols)
     ).localCheckpoint()
 
 

@@ -3178,12 +3178,15 @@ def knn_classify_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd AS (SELECT lang, count(*) AS n_docs FROM tr GROUP BY lang),
     td AS (SELECT count(*) AS n FROM tr),
     cls AS (
-      SELECT ct.lang, class_tokens,
+      -- from nd LEFT JOIN ct: a vocab-empty class keeps its prior and
+      -- gets the pure-Laplace model (engine parity, classify.nb_train)
+      SELECT nd.lang, COALESCE(class_tokens, 0) AS class_tokens,
              CAST(round(ln(CAST(n_docs AS DOUBLE) / n), 6)
                   AS DECIMAL(18,6)) AS log_prior,
-             CAST(round(ln(1.0 / (class_tokens + v)), 6)
+             CAST(round(ln(1.0 / (COALESCE(class_tokens, 0) + v)), 6)
                   AS DECIMAL(18,6)) AS unk_loglik
-      FROM ct JOIN nd ON ct.lang = nd.lang, td, vn
+      FROM nd LEFT JOIN ct ON ct.lang = nd.lang
+      CROSS JOIN td CROSS JOIN vn
     ),
     dense AS (
       SELECT cls.lang, vocab.w,
@@ -3296,19 +3299,27 @@ def nb_language_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical search next to vector search (operators/retrieval.py):
     near-dup triage and contamination spot-checks ask "which documents
-    contain these terms" with a relevance order.  The postings/doclen
+    contain these terms" with a relevance order.  The postings/doclen/df
     index is built in ONE corpus pass and checkpointed (at 100 TB it
-    persists to storage — these frames ARE the index); scoring touches
-    only the query terms' postings via a broadcast join."""
+    persists to storage — these frames ARE the index; df and avgdl are
+    corpus statistics so they live here, amortized to zero per query);
+    scoring touches only the query terms' postings via a broadcast join
+    and never re-aggregates the corpus."""
+    from dataclasses import replace
+
     from pyspark.sql import Window
 
     from .operators.retrieval import bm25_index, bm25_topk
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    postings, doclen, n = bm25_index(docs)
-    postings = postings.localCheckpoint()
-    doclen = doclen.localCheckpoint()
-    tt = postings.groupBy("term").agg(F.sum("tf").alias("c"))
+    idx = bm25_index(docs)
+    idx = replace(
+        idx,
+        postings=idx.postings.localCheckpoint(),
+        doclen=idx.doclen.localCheckpoint(),
+        df=idx.df.localCheckpoint(),
+    )
+    tt = idx.postings.groupBy("term").agg(F.sum("tf").alias("c"))
     top = tt.orderBy(F.col("c").desc(), F.col("term").asc()).limit(15)
     wq = Window.orderBy(F.col("c").desc(), F.col("term").asc())
     q = (
@@ -3318,7 +3329,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
         )
     )
-    return bm25_topk(postings, doclen, n, q, k=10)
+    return bm25_topk(idx, q, k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -6128,6 +6139,130 @@ def zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "value")
 
 
+@query(
+    "compaction_lifecycle",
+    """
+    WITH combined AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events
+      UNION ALL
+      SELECT event_id + 200000000, user_id, event_type,
+             CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT event_id, user_id, event_type, value
+    FROM combined
+    WHERE user_id BETWEEN 100 AND 300
+      AND value BETWEEN 0.0e0 AND 50.0e0
+    """,
+)
+def compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full small-file layout lifecycle, end to end: an append batch
+    (1/5 of events, ids offset) lands Z-order-clustered as 16 deliberately
+    undersized files (streaming ingest's shape); the FFD compaction
+    planner bins them (metadata-only — file sizes via the Hadoop FS API,
+    no data read); ``apply_compaction`` rewrites each bin as one file and
+    stages the whole generation behind one atomic rename; the file-stats
+    index is rebuilt over the compacted generation and merged with the
+    base index; the standard 2-D range query then skip-scans across BOTH
+    generations.  The oracle is the range query over base ∪ batch:
+    every layout maintenance step must move bytes, never change answers.
+    At 100 TB this is the OPTIMIZE loop that keeps per-file open/footer
+    costs from eating the scan — cost scales with the small-file
+    backlog, never the table."""
+    import os as _os
+    from urllib.parse import urlparse as _urlparse
+
+    from .operators.skipping import (
+        apply_compaction,
+        collect_file_stats,
+        compaction_plan,
+        skip_scan,
+        zorder_append,
+    )
+
+    layout, stats = _ensure_skipscan_layout(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    batch = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(200000000)
+    )
+    genc = layout + "_genc"
+    merged = zorder_append(
+        spark, batch, ["user_id", "value"], genc, stats, n_files=16
+    )
+    # recover the arriving generation's directory from the index itself
+    # (metadata-sized anti-join: the index is the source of truth for
+    # where files live, the Delta/Iceberg log shape)
+    new_files = [
+        r["file"]
+        for r in merged.join(stats, "file", "left_anti")
+        .select("file")
+        .collect()
+    ]
+    batch_dir = new_files[0].rsplit("/", 1)[0]
+    plan = compaction_plan(spark, batch_dir, target_bytes=8 << 20)
+    comp = (_urlparse(batch_dir).path or batch_dir) + "_compact"
+    apply_compaction(spark, batch_dir, plan, comp)
+    final = stats.unionByName(
+        collect_file_stats(spark, comp, ["user_id", "value"])
+    ).localCheckpoint()
+    return skip_scan(
+        spark,
+        layout,
+        {"user_id": (100, 300), "value": (0.0, 50.0)},
+        stats=final,
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "join_advisor_strategy",
+    """
+    SELECT scenario, strategy, CAST(salt AS INT) AS salt
+    FROM (VALUES
+      ('dim_lookup',  'broadcast_right', 1),
+      ('fact_fact',   'shuffle',         1),
+      ('hot_key',     'salted',          32)
+    ) AS t(scenario, strategy, salt)
+    """,
+)
+def join_advisor_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-statistics join advisor (operators/advisor.py) over
+    three planted scenarios, asserted against a deterministic oracle
+    table: a dimension lookup (supplier fits the broadcast budget →
+    broadcast_right), a balanced fact-fact join (lineitem ⨝ orders on
+    orderkey, ≤7 rows per key → plain shuffle; the count-mean-min noise
+    floor keeps sketch collisions from masquerading as skew), and a
+    planted hot key (70% of lineitem on one key → salted at the max_salt
+    cap).  The broadcast budget scales with the data (orders/3) so the
+    classification is scale-invariant — the advisor's inputs are two
+    sketch-sized aggregations per side, never a key-space
+    materialization.  Non-SQL by nature (the DECISION is the output);
+    the oracle pins the expected strategy table literally."""
+    from .operators.advisor import join_advice
+
+    li, od, su = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    thresh = od.count() // 3  # scale-relative broadcast budget
+    skewed = li.withColumn(
+        "skew_key",
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(-1).cast("long"))
+        .otherwise(F.col("l_orderkey").cast("long")),
+    )
+    scenarios = [
+        ("dim_lookup", li, "l_suppkey", su, "s_suppkey"),
+        ("fact_fact", li, "l_orderkey", od, "o_orderkey"),
+        ("hot_key", skewed, "skew_key", od, "o_orderkey"),
+    ]
+    rows = []
+    for name, left, lk, right, rk in scenarios:
+        adv = join_advice(left, right, lk, rk, broadcast_rows=thresh)
+        rows.append((name, adv.strategy, adv.salt))
+    return spark.createDataFrame(
+        rows, "scenario string, strategy string, salt int"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-dimensional aggregation shapes: CUBE (Expand-operator plan, one
 # shuffle for all 2^n grouping combinations) and PIVOT (wide conditional
@@ -6640,42 +6775,44 @@ _PRIORITY_ORDER = [
     "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
     "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
     "union_arms_null_fill", "ordered_multi_join", "pricing_summary",
-    # stalest cohort: newest record = r6
-    "concat_chunks_plan", "leakage_safe_split", "weighted_sample_priority",
-    "semantic_dedup", "event_funnel", "rolling_event_stats",
-    "quality_cutoff_per_lang", "regional_revenue", "shipping_priority_topk",
-    "knn_classify_labels", "collocation_pmi", "dedup_cluster_sizes",
-    "contamination_report", "similarity_int8_topk", "streaming_event_funnel",
-    "brand_nation_revenue", "winsorize_doc_lengths", "dedup_exact_normalized",
-    "packing_fill_report", "top_docs_per_source", "chunk_boilerplate_ratio",
-    # new this round — the zorder pair stays in lifecycle order (rewrite
-    # builds the shared layout, incremental then pays only its own batch)
-    "zorder_rewrite", "zorder_incremental", "streaming_statement_set",
-    "nb_language_classify", "bm25_topk_docs",
-    # implementation touched this round — fresh records
-    "exact_quantiles_events", "bpe_train_merges", "bpe_segment_tokens",
-    "decontaminate_semantic", "rollup_quantile_events",
-    "similarity_pq_topk", "similarity_pq_rerank", "similarity_ivfpq_topk",
-    # r7-record cohort, filling the window to 50
-    "bloom_semijoin_revenue", "cheapest_supplier_per_part",
-    "curriculum_stages", "cust_order_distribution",
-    "discounted_revenue_disjunctive", "distinct_users_by_type",
-    "event_anomaly_zscore", "event_type_pivot_daily",
-    "excess_shipped_suppliers", "fuzzy_supplier_pairs",
-    # positions 51+: first candidates for the round-11 window — the rest
-    # of the r7-record cohort, then the r8 cohort, then everything else in
+    # new this round: the layout-lifecycle row (append -> compact ->
+    # skip-scan, builds the shared Z-order layout for the family) and the
+    # join-strategy advisor
+    "compaction_lifecycle", "join_advisor_strategy",
+    # implementation touched this round — fresh records (BM25 df moved
+    # into the index artifact; NB vocab-empty-class left join)
+    "bm25_topk_docs", "nb_language_classify",
+    # r11 rotation target: the entire r7-record cohort (28 queries — the
+    # stalest anywhere in the registry after r10)
+    "event_type_pivot_daily", "excess_shipped_suppliers",
+    "fuzzy_supplier_pairs", "gopher_quality_gate", "heavy_hitter_parts",
+    "idle_rich_customers", "important_parts_value", "large_order_customers",
+    "market_share_yearly", "mixture_plan", "nation_pair_trade",
+    "order_priority_semijoin", "part_supplier_counts", "profile_documents",
+    "promo_revenue_monthly", "retention_cohorts_weekly",
+    "returned_item_topk", "rollup_incremental_events", "scd2_asof_enrich",
+    "scd2_incremental_apply", "scd2_user_history",
+    "ship_latency_distribution", "small_qty_revenue_share",
+    "snapshot_diff_orders", "top_supplier_by_revenue", "value_mad_by_type",
+    "waiting_orders_blame", "zorder_layout_key",
+    # r8-record cohort, filling the window to 50 (the remaining 25 r8
+    # queries are the first candidates for the r12 window)
+    "asof_join_latest_order", "colspec_quarantine_arms",
+    "corpus_mix_report", "decontaminate_ngrams", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dlq_corrupt_split",
+    # positions 51+: the rest of the r8 cohort, then everything else in
     # registration order.  The simhash family stays in lifecycle order
     # (pairs -> clusters -> apply) so apply never absorbs the family JIT.
-    "gopher_quality_gate", "heavy_hitter_parts", "idle_rich_customers",
-    "important_parts_value", "large_order_customers", "market_share_yearly",
-    "mixture_plan", "nation_pair_trade", "order_priority_semijoin",
-    "part_supplier_counts", "profile_documents", "promo_revenue_monthly",
-    "retention_cohorts_weekly", "returned_item_topk",
-    "rollup_incremental_events", "scd2_asof_enrich", "scd2_incremental_apply",
-    "scd2_user_history", "ship_latency_distribution",
-    "small_qty_revenue_share", "snapshot_diff_orders",
-    "top_supplier_by_revenue", "value_mad_by_type", "waiting_orders_blame",
-    "zorder_layout_key",
+    "doc_chunk_overlap", "doc_fingerprint", "embedding_quantize_int8",
+    "flatten_nested_json", "keyword_topk", "language_id_heuristic",
+    "multimodal_frame_sample", "pack_sequences", "pii_scrub",
+    "quality_filter_gate", "range_join_event_pairs", "session_window_agg",
+    "sessionize_events", "shard_assignment_balanced",
+    "similarity_cosine_topk", "similarity_ivf_nprobe", "similarity_ivf_topk",
+    "similarity_lsh_topk", "stratified_sample_lang", "sttm_pipeline_e2e",
+    "temperature_resample_mix", "text_quality_features",
+    "text_repetition_stats", "token_count_bpe", "train_test_split",
     "dedup_simhash_pairs", "dedup_clusters", "dedup_apply_pipeline",
     "dedup_ngram_jaccard",
 ]

@@ -50,3 +50,28 @@ def test_side_stats_never_under_report_the_hot_key(spark):
     # a genuinely hot key survives the collision correction ~intact
     assert st.hottest_key_rows >= 9_500
     assert st.skew_ratio > 5
+
+
+def test_multirow_balanced_keys_not_salted(spark):
+    """~4 rows per key on every key (lineitem's orderkey shape): balanced,
+    but the pre-r11 unit-weight noise floor under-estimated the sketch's
+    collision variance and called it skew.  The measured-sigma floor must
+    say shuffle."""
+    a = spark.range(0, 240_000).select((F.col("id") % 60_000).alias("k"))
+    b = spark.range(0, 150_000).select(F.col("id").alias("k"))
+    adv = join_advice(a, b, "k", "k")
+    assert adv.strategy == "shuffle"
+
+
+def test_hot_key_on_smaller_side_detected(spark):
+    """A hot key strands its reducer regardless of which input carries it;
+    the pre-r11 advisor only examined the bigger side."""
+    hot = spark.range(0, 150_000).select(F.lit(3).alias("k"))
+    cold = spark.range(0, 50_000).select((F.col("id") % 25_000).alias("k"))
+    small_skewed = hot.unionAll(cold)          # 200k rows, hot key
+    big_balanced = spark.range(0, 500_000).select(
+        (F.col("id") % 100_000).alias("k")
+    )
+    adv = join_advice(big_balanced, small_skewed, "k", "k")
+    assert adv.strategy == "salted"
+    assert "right side" in adv.reason

@@ -93,3 +93,35 @@ def test_nb_empty_words_ignored(spark):
     test = spark.createDataFrame([(9, "  x  ")], "doc_id long, text string")
     out = nb_score(test, dense, classes).collect()
     assert len(out) == 1 and out[0]["pred_label"] == "a"
+
+
+def test_nb_vocab_empty_class_keeps_prior(spark):
+    """A class whose every token falls outside the capped vocabulary must
+    survive training with its prior and the pure-Laplace model (loglik =
+    unk = ln(1/V)) — the round-10 review found the inner ct join dropping
+    such classes silently."""
+    # cap 2 -> vocab {"t","u"} (class a's tokens); class b's tokens are
+    # all rarer and fall outside the vocabulary entirely
+    train = spark.createDataFrame(
+        [
+            (1, "a", "t t t u u u"),
+            (2, "b", "p q r"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    dense, classes = nb_train(train, label_col="lang", max_vocab=2)
+    cls = {r["label"]: r for r in classes.collect()}
+    assert set(cls) == {"a", "b"}  # b not dropped
+    assert float(cls["b"]["log_prior"]) == round(math.log(1 / 2), 6)
+    # class_tokens = 0 -> every vocab token scores ln(1/(0+V)) = ln(1/2)
+    assert float(cls["b"]["unk_loglik"]) == round(math.log(1 / 2), 6)
+    rows = {(r["label"], r["w"]): float(r["loglik"]) for r in dense.collect()}
+    assert rows[("b", "t")] == round(math.log(1 / 2), 6)
+    assert rows[("b", "u")] == round(math.log(1 / 2), 6)
+    # and b is predictable: equal likelihoods + equal priors tie -> "a"
+    # by label asc, but a b-leaning prior flips it
+    out = nb_score(
+        spark.createDataFrame([(9, "t u")], "doc_id long, text string"),
+        dense, classes,
+    ).collect()
+    assert len(out) == 1

@@ -1,5 +1,6 @@
 """BM25 retrieval (operators/retrieval.py): hand-computed scores on a
-planted corpus, rank determinism, and empty-token hygiene."""
+planted corpus, rank determinism, empty-token hygiene, and the index-
+artifact contract (df/avgdl/n_docs live in the index, not the scorer)."""
 
 import math
 
@@ -31,9 +32,9 @@ def corpus(spark):
 
 
 def test_bm25_hand_computed(spark, corpus):
-    postings, doclen, n = bm25_index(corpus)
+    idx = bm25_index(corpus)
     q = spark.createDataFrame([(0, "x"), (0, "y")], "query_id long, term string")
-    out = {r["doc_id"]: r for r in bm25_topk(postings, doclen, n, q, k=10).collect()}
+    out = {r["doc_id"]: r for r in bm25_topk(idx, q, k=10).collect()}
     avgdl = 3.0  # (3 + 2 + 4) / 3
     # doc 1: x tf=2 df=2, y tf=1 df=2, dl=3
     exp1 = round(_bm25(2, 2, 3, 3, avgdl) + _bm25(1, 2, 3, 3, avgdl), 6)
@@ -44,28 +45,55 @@ def test_bm25_hand_computed(spark, corpus):
     assert {r for r in out} == {1, 2, 3}
 
 
+def test_bm25_index_carries_corpus_stats(spark, corpus):
+    """df/n_docs/avgdl are index outputs (corpus statistics computed once
+    at build time — the round-10 review found scoring re-aggregating the
+    full postings table for df; this pins the artifact contract)."""
+    idx = bm25_index(corpus)
+    assert idx.n_docs == 3
+    assert idx.avgdl == pytest.approx(3.0)
+    assert {r["term"]: r["df"] for r in idx.df.collect()} == {
+        "x": 2, "y": 2, "z": 2,
+    }
+
+
+def test_bm25_scoring_plan_has_no_corpus_aggregation(spark, corpus):
+    """The scoring plan aggregates only (query_id, doc_id) groups — a
+    groupBy on the bare term key would mean df is being recomputed from
+    the full postings per call."""
+    idx = bm25_index(corpus)
+    q = spark.createDataFrame([(0, "x")], "query_id long, term string")
+    plan = bm25_topk(idx, q, k=5)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if line.strip().startswith("Aggregate"):
+            keys = line.split("]", 1)[0]
+            assert not (
+                "term" in keys and "id" not in keys and "query_id" not in keys
+            ), f"corpus-wide per-term aggregation in scoring plan: {line}"
+
+
 def test_bm25_rank_and_tiebreak(spark, corpus):
-    postings, doclen, n = bm25_index(corpus)
+    idx = bm25_index(corpus)
     # docs 1 and 2 both contain "x" once... doc1 has tf=2; use "z" where
     # docs 2 and 3 differ only in dl -> deterministic rank check
     q = spark.createDataFrame([(7, "z")], "query_id long, term string")
-    rows = bm25_topk(postings, doclen, n, q, k=10).collect()
+    rows = bm25_topk(idx, q, k=10).collect()
     ranks = [(r["rank"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
     # doc 2 (dl=2, shorter) outranks doc 3 (dl=4) at equal tf
     assert ranks == [(1, 2), (2, 3)]
 
 
 def test_bm25_k_truncates(spark, corpus):
-    postings, doclen, n = bm25_index(corpus)
+    idx = bm25_index(corpus)
     q = spark.createDataFrame([(0, "x"), (0, "y"), (0, "z")],
                               "query_id long, term string")
-    rows = bm25_topk(postings, doclen, n, q, k=1).collect()
+    rows = bm25_topk(idx, q, k=1).collect()
     assert len(rows) == 1 and rows[0]["rank"] == 1
 
 
 def test_bm25_empty_tokens_ignored(spark):
     docs = spark.createDataFrame([(1, "a  b "), (2, "b")],
                                  "doc_id long, text string")
-    postings, doclen, n = bm25_index(docs)
-    assert {r["term"] for r in postings.collect()} == {"a", "b"}
-    assert {r["id"]: r["dl"] for r in doclen.collect()} == {1: 2, 2: 1}
+    idx = bm25_index(docs)
+    assert {r["term"] for r in idx.postings.collect()} == {"a", "b"}
+    assert {r["id"]: r["dl"] for r in idx.doclen.collect()} == {1: 2, 2: 1}

@@ -119,7 +119,16 @@ def test_zorder_append_incremental_maintenance(spark, zordered_events, tmp_path)
         for f in os.listdir(zordered_events) if f.endswith(".parquet")
     }
     assert after == before
-    new_files = [f for f in os.listdir(gen1) if f.endswith(".parquet")]
+    # batch lands in a unique batch-* subdirectory (never an overwrite of
+    # out_dir — an overwrite could delete files an older index references)
+    new_files = [
+        os.path.join(d, f)
+        for d, _, fs in os.walk(gen1) for f in fs if f.endswith(".parquet")
+    ]
+    assert new_files and all(
+        os.path.basename(os.path.dirname(p)).startswith("batch-")
+        for p in new_files
+    )
     assert merged.count() == base_stats.count() + len(new_files)
 
     # exact across generations: skip-scan == full filtered union
@@ -127,7 +136,9 @@ def test_zorder_append_incremental_maintenance(spark, zordered_events, tmp_path)
     got = skip_scan(spark, zordered_events, ranges, stats=merged)
     full = (
         spark.read.parquet(zordered_events)
-        .unionByName(spark.read.parquet(gen1))
+        .unionByName(
+            spark.read.option("recursiveFileLookup", "true").parquet(gen1)
+        )
         .filter(F.col("user_id").between(3.0, 6.0))
         .filter(F.col("value").between(0.0, 60.0))
     )
@@ -139,6 +150,40 @@ def test_zorder_append_incremental_maintenance(spark, zordered_events, tmp_path)
     # and the merged index still prunes (batch files are clustered too)
     kept, total = prune_files(merged, ranges)
     assert 0 < len(kept) < total
+
+
+def test_zorder_append_same_dir_twice_keeps_first_batch(
+    spark, zordered_events, tmp_path
+):
+    """Reusing one out_dir across appends (the natural misuse of an
+    append API) must never delete files an earlier merged index still
+    references — before the unique-subdirectory fix the second call's
+    overwrite broke every skip_scan through the first index."""
+    from confluent_data_ingestion_spark.operators.skipping import zorder_append
+
+    cols = ["user_id", "value"]
+    base_stats = collect_file_stats(spark, zordered_events, cols)
+    base = spark.read.parquet(zordered_events)
+    gen = str(tmp_path / "gen")
+    b1 = base.filter(F.col("event_id") % 5 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    merged1 = zorder_append(spark, b1, cols, gen, base_stats, n_files=2)
+    b2 = base.filter(F.col("event_id") % 7 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(20_000_000)
+    )
+    merged2 = zorder_append(spark, b2, cols, gen, base_stats, n_files=2)
+    ranges = {"user_id": (3.0, 6.0), "value": (0.0, 60.0)}
+    # the FIRST index still resolves every file it references
+    n1 = skip_scan(spark, zordered_events, ranges, stats=merged1).count()
+    n2 = skip_scan(spark, zordered_events, ranges, stats=merged2).count()
+    expect1 = (
+        base.unionByName(b1)
+        .filter(F.col("user_id").between(3.0, 6.0))
+        .filter(F.col("value").between(0.0, 60.0))
+        .count()
+    )
+    assert n1 == expect1 and n2 > 0
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,29 @@ def blow_documents(spark, reps: int, out: str) -> None:
     blown.write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
 
+def blow_documents_fixed_vocab(spark, reps: int, out: str) -> None:
+    """Corpus blowup that holds VOCABULARY (nearly) fixed: replicas keep
+    the original tokens verbatim and only append one replica-marker token
+    per doc, so types grow by +reps while tokens grow x reps.  Real
+    corpora grow tokens, not types, at anywhere near this rate — the
+    suffix-perturbed dedup blowup multiplies vocabulary by reps, which
+    conflates the BM25 posting build's slope with an unrealistic
+    type-table blowup (round-10 verdict item 7).  Written to a ``fv/``
+    subtree so the dedup-shaped documents in ``out`` are untouched."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    blown = (
+        docs.withColumn("r", F.explode(F.expr(f"sequence(0, {reps - 1})")))
+        .select(
+            (F.col("doc_id") * reps + F.col("r")).alias("doc_id"),
+            F.expr("concat(text, ' rep_', CAST(r AS STRING))").alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    blown.write.mode("overwrite").parquet(f"{out}/fv/documents.parquet")
+
+
 def blow_events(spark, reps: int, out: str) -> None:
     from pyspark.sql import functions as F
 
@@ -209,14 +232,18 @@ def main() -> None:
             f"{out}/embeddings.parquet/_SUCCESS"
         ):
             blow_embeddings(spark, reps, out)
+        if "bm25fv" in fams and not os.path.exists(
+            f"{out}/fv/documents.parquet/_SUCCESS"
+        ):
+            blow_documents_fixed_vocab(spark, reps, out)
 
     def run(fn) -> float:
         best = None
         for _ in range(2):  # warm second run
             t0 = time.perf_counter()
             fn()
-            release_caches()
-            best = time.perf_counter() - t0
+            best = time.perf_counter() - t0  # BEFORE release: cache-drop
+            release_caches()  # time is proportional to cached state, not fn
         return round(best, 3)
 
     probes: list[tuple[str, object]] = []
@@ -249,6 +276,15 @@ def main() -> None:
         # index build is the linear floor (one corpus explode); the df /
         # term tables are vocab-bounded and scoring is query-term-pruned
         probes.append(("bm25_topk_docs", "bm25_topk_docs"))
+    if "bm25fv" in fams:
+        # same probe over the fixed-vocabulary blowup: isolates the
+        # posting build's true token-linear slope from the dedup blowup's
+        # x reps type-table growth
+        def bm25_fv(spark, sf_dir, reps):
+            d = sf_dir if reps == 1 else f"{sf_dir}/fv"
+            return REGISTRY["bm25_topk_docs"](spark, d)
+
+        probes.append(("bm25_topk_docs_fixed_vocab", bm25_fv))
 
     out: dict[str, dict[str, float]] = {}
     for label, spec in probes:
