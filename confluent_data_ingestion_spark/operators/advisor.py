@@ -119,6 +119,8 @@ def join_advice(
     broadcast_rows: int = 100_000,
     skew_factor: float = 5.0,
     max_salt: int = 32,
+    left_stats: SideStats | None = None,
+    right_stats: SideStats | None = None,
 ) -> JoinAdvice:
     """Recommend a strategy for ``left JOIN right`` on the given keys.
 
@@ -130,8 +132,11 @@ def join_advice(
     is the smallest replication that levels the hot key to ~average,
     capped at ``max_salt`` (replication multiplies the other side).
     """
-    ls = side_stats(left, left_key)
-    rs = side_stats(right, right_key)
+    # precomputed stats let a caller profiling several candidate joins
+    # over the same inputs scan each side ONCE and reuse the profile —
+    # never re-aggregate a 100 TB fact per what-if
+    ls = left_stats if left_stats is not None else side_stats(left, left_key)
+    rs = right_stats if right_stats is not None else side_stats(right, right_key)
     if rs.rows <= broadcast_rows and rs.rows <= ls.rows:
         return JoinAdvice(
             "broadcast_right", 1, ls, rs,

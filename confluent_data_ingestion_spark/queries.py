@@ -6238,25 +6238,44 @@ def join_advisor_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap).  The broadcast budget scales with the data (orders/3) so the
     classification is scale-invariant — the advisor's inputs are two
     sketch-sized aggregations per side, never a key-space
-    materialization.  Non-SQL by nature (the DECISION is the output);
-    the oracle pins the expected strategy table literally."""
-    from .operators.advisor import join_advice
+    materialization.  Each distinct (input, key) side is profiled ONCE
+    and the profile reused across scenarios (the orders side serves
+    two); the five profiles run as concurrent Spark jobs — at 100 TB a
+    what-if planner never re-scans a fact per candidate join.  Non-SQL
+    by nature (the DECISION is the output); the oracle pins the
+    expected strategy table literally."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .operators.advisor import join_advice, side_stats
 
     li, od, su = _t(spark, sf_dir, "lineitem", "orders", "supplier")
-    thresh = od.count() // 3  # scale-relative broadcast budget
     skewed = li.withColumn(
         "skew_key",
         F.when(F.col("l_orderkey") % 10 < 7, F.lit(-1).cast("long"))
         .otherwise(F.col("l_orderkey").cast("long")),
     )
+    sides = {
+        "li_supp": (li, "l_suppkey"),
+        "li_ok": (li, "l_orderkey"),
+        "skew": (skewed, "skew_key"),
+        "od": (od, "o_orderkey"),
+        "su": (su, "s_suppkey"),
+    }
+    with ThreadPoolExecutor(max_workers=len(sides)) as ex:
+        futs = {n: ex.submit(side_stats, df, k) for n, (df, k) in sides.items()}
+        st = {n: f.result() for n, f in futs.items()}
+    thresh = st["od"].rows // 3  # scale-relative broadcast budget
     scenarios = [
-        ("dim_lookup", li, "l_suppkey", su, "s_suppkey"),
-        ("fact_fact", li, "l_orderkey", od, "o_orderkey"),
-        ("hot_key", skewed, "skew_key", od, "o_orderkey"),
+        ("dim_lookup", (li, "l_suppkey", "li_supp"), (su, "s_suppkey", "su")),
+        ("fact_fact", (li, "l_orderkey", "li_ok"), (od, "o_orderkey", "od")),
+        ("hot_key", (skewed, "skew_key", "skew"), (od, "o_orderkey", "od")),
     ]
     rows = []
-    for name, left, lk, right, rk in scenarios:
-        adv = join_advice(left, right, lk, rk, broadcast_rows=thresh)
+    for name, (ldf, lk, ln), (rdf, rk, rn) in scenarios:
+        adv = join_advice(
+            ldf, rdf, lk, rk, broadcast_rows=thresh,
+            left_stats=st[ln], right_stats=st[rn],
+        )
         rows.append((name, adv.strategy, adv.salt))
     return spark.createDataFrame(
         rows, "scenario string, strategy string, salt int"
