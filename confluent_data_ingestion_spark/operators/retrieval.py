@@ -71,13 +71,24 @@ def bm25_index(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> BM25Index:
     """Build the full BM25 index from ONE explode of the corpus.
 
-    postings/doclen/df all derive from the same token pass; n_docs and
-    avgdl are the only collects (both scalars).  df is computed HERE —
-    it is a corpus statistic, so it belongs to the index artifact, not
-    to the per-query scoring path.
+    With ``materialize`` (the default, and the deployment shape) the
+    postings table is checkpointed as soon as it exists and doclen /
+    df / avgdl all derive from THAT artifact — the corpus is tokenized
+    exactly once, and the derived tables are doc- and vocab-sized
+    aggregations of the persisted postings, never re-scans of the text.
+    At 100 TB the checkpoint stands in for writing the index tables to
+    storage.  ``materialize=False`` returns fully lazy frames for
+    callers embedding the build in a larger plan.
+
+    n_docs and avgdl are the only collects (both scalars; n_docs comes
+    from the parquet-metadata count of ``docs`` so empty documents are
+    counted too).  df is computed HERE — it is a corpus statistic, so
+    it belongs to the index artifact, not to the per-query scoring
+    path.
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
@@ -86,8 +97,13 @@ def bm25_index(
         ).alias("term"),
     )
     postings = toks.groupBy("term", "id").agg(F.count("*").alias("tf"))
+    if materialize:
+        postings = postings.localCheckpoint()
     doclen = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
     df_tab = postings.groupBy("term").agg(F.count("*").alias("df"))
+    if materialize:
+        doclen = doclen.localCheckpoint()
+        df_tab = df_tab.localCheckpoint()
     n_docs = docs.count()
     avgdl_row = doclen.agg(
         (F.sum("dl") / F.count("*")).alias("avgdl")

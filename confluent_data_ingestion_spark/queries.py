@@ -3305,20 +3305,12 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus statistics so they live here, amortized to zero per query);
     scoring touches only the query terms' postings via a broadcast join
     and never re-aggregates the corpus."""
-    from dataclasses import replace
-
     from pyspark.sql import Window
 
     from .operators.retrieval import bm25_index, bm25_topk
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = bm25_index(docs)
-    idx = replace(
-        idx,
-        postings=idx.postings.localCheckpoint(),
-        doclen=idx.doclen.localCheckpoint(),
-        df=idx.df.localCheckpoint(),
-    )
+    idx = bm25_index(docs)  # materialized: ONE corpus tokenization
     tt = idx.postings.groupBy("term").agg(F.sum("tf").alias("c"))
     top = tt.orderBy(F.col("c").desc(), F.col("term").asc()).limit(15)
     wq = Window.orderBy(F.col("c").desc(), F.col("term").asc())

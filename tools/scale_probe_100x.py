@@ -198,6 +198,57 @@ def zorder_incr_probe(spark, sf_dir: str, reps: int):
     ).select("event_id", "user_id", "event_type", "value")
 
 
+def compaction_probe(spark, sf_dir: str, reps: int):
+    """Small-file compaction with a FIXED backlog (a 16-file Z-ordered
+    append of the sf0.1-sized batch) against a base layout that grows
+    x10 / x100: plan + apply must cost the backlog, never the table —
+    the planner is filesystem-metadata-only and the rewrite touches only
+    planned bins.  Returns the cross-generation skip-scan over base +
+    compacted batch (the compaction_lifecycle registry shape)."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.skipping import (
+        apply_compaction, collect_file_stats, compaction_plan, skip_scan,
+        zorder_append,
+    )
+    from confluent_data_ingestion_spark.queries import (
+        _ensure_skipscan_layout, _t,
+    )
+
+    layout, stats = _ensure_skipscan_layout(spark, sf_dir)
+    ev = _t(spark, BASE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    batch = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(20_000_000_000)
+    )
+    genc = os.path.join(
+        os.path.dirname(layout.rstrip("/")),
+        os.path.basename(layout.rstrip("/")) + "_gencprobe",
+    )
+    merged = zorder_append(
+        spark, batch, ["user_id", "value"], genc, stats, n_files=16
+    )
+    new_files = [
+        r["file"]
+        for r in merged.join(stats, "file", "left_anti").select("file").collect()
+    ]
+    batch_dir = new_files[0].rsplit("/", 1)[0]
+    plan = compaction_plan(spark, batch_dir, target_bytes=8 << 20)
+    comp = (urlparse(batch_dir).path or batch_dir) + "_compact"
+    apply_compaction(spark, batch_dir, plan, comp)
+    final = stats.unionByName(
+        collect_file_stats(spark, comp, ["user_id", "value"])
+    ).localCheckpoint()
+    return skip_scan(
+        spark, layout, {"user_id": (100, 300), "value": (0.0, 50.0)},
+        stats=final,
+    ).select("event_id", "user_id", "event_type", "value")
+
+
 def main() -> None:
     from confluent_data_ingestion_spark.caching import release_caches
     from confluent_data_ingestion_spark.queries import QUERIES as REGISTRY
@@ -224,6 +275,7 @@ def main() -> None:
             blow_documents(spark, reps, out)
         if (
             "rollup" in fams or "stats" in fams or "zorder" in fams
+            or "compact" in fams
         ) and not os.path.exists(
             f"{out}/events.parquet/_SUCCESS"
         ):
@@ -265,6 +317,8 @@ def main() -> None:
             probes.append((name, name))
     if "zorder" in fams:
         probes.append(("zorder_incremental_fixed_batch", zorder_incr_probe))
+    if "compact" in fams:
+        probes.append(("compaction_fixed_backlog", compaction_probe))
     if "lm" in fams:
         # bounded-model trained operators: the bigram LM's (V+1)^2 state
         # table and the NB classifier's O(V x classes) model are both
