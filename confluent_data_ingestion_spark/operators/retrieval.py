@@ -21,6 +21,12 @@ the standard scorer; here it is expressed as pure DataFrame ops:
                query (score desc, doc_id asc) via window ranking.
                Scoring touches NO corpus-wide aggregation — every
                per-call cost is bounded by the query terms' postings.
+  lm_qlik_topk Dirichlet-smoothed query likelihood over the SAME index
+               (rank-equivalent split form) — the classic second
+               lexical model; identical plan shape to bm25_topk.
+  rrf_fuse     reciprocal-rank fusion of any rankings sharing
+               (query_id, doc_id, rank) — the scale-free hybrid
+               combiner; rank-list-sized, flat at any corpus scale.
 
 Numerics: each per-(term, doc) contribution rounds to 6 decimals and
 accumulates as DECIMAL(18,6) — the repo-wide convention — so scores are
@@ -53,11 +59,13 @@ from pyspark.sql import functions as F
 class BM25Index:
     """The persistable retrieval artifact: everything scoring needs.
 
-    postings: (term, id, tf); doclen: (id, dl); df: (term, df) — the
-    vocab-bounded document-frequency table; n_docs / avgdl: the two
-    corpus scalars.  Callers that score many query batches persist all
-    three frames (they ARE the index); nothing in :func:`bm25_topk`
-    recomputes a corpus statistic.
+    postings: (term, id, tf); doclen: (id, dl); df: (term, df, cf) —
+    the vocab-bounded per-term table (document frequency + collection
+    frequency, serving both the BM25 idf and the query-likelihood
+    collection model); n_docs / avgdl / total_tokens: the corpus
+    scalars.  Callers that score many query batches persist all three
+    frames (they ARE the index); nothing in :func:`bm25_topk` or
+    :func:`lm_qlik_topk` recomputes a corpus statistic.
     """
 
     postings: DataFrame
@@ -65,6 +73,7 @@ class BM25Index:
     df: DataFrame
     n_docs: int
     avgdl: float
+    total_tokens: int = 0
 
 
 def bm25_index(
@@ -100,20 +109,24 @@ def bm25_index(
     if materialize:
         postings = postings.localCheckpoint()
     doclen = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
-    df_tab = postings.groupBy("term").agg(F.count("*").alias("df"))
+    df_tab = postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
     if materialize:
         doclen = doclen.localCheckpoint()
         df_tab = df_tab.localCheckpoint()
     n_docs = docs.count()
-    avgdl_row = doclen.agg(
-        (F.sum("dl") / F.count("*")).alias("avgdl")
+    stats_row = doclen.agg(
+        F.sum("dl").alias("tot"), F.count("*").alias("n")
     ).collect()[0]
+    tot = int(stats_row["tot"] or 0)
     return BM25Index(
         postings=postings,
         doclen=doclen,
         df=df_tab,
         n_docs=n_docs,
-        avgdl=float(avgdl_row["avgdl"]),
+        avgdl=tot / max(int(stats_row["n"]), 1),
+        total_tokens=tot,
     )
 
 
@@ -167,5 +180,126 @@ def bm25_topk(
             "doc_id",
             "rank",
             F.round(F.col("s").cast("double"), 6).alias("score"),
+        )
+    )
+
+
+def lm_qlik_topk(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 10,
+    mu: float = 100.0,
+) -> DataFrame:
+    """Top-k documents per query by Dirichlet-smoothed query likelihood —
+    the classic second lexical model next to BM25 (Zhai & Lafferty's
+    smoothing), over the SAME index artifact.
+
+    The full QL score sums ln((tf + mu*p_c(t)) / (dl + mu)) over every
+    query term t, including terms the document lacks.  Splitting out the
+    per-query constant sum ln(mu*p_c(t)) (identical for every document,
+    so rank-irrelevant) leaves the rank-equivalent form actually
+    computed here over MATCHING documents only:
+
+        score(q, d) = -|q| * ln(dl + mu)
+                      + sum_{t in q, tf > 0} ln(1 + tf / (mu * p_c(t)))
+
+    with p_c(t) = cf_t / total_tokens from the index's per-term table.
+    Candidates are documents matching >= 1 query term (the standard
+    retrieval restriction — a no-hit document has no posting to rank
+    by).  |q| counts query term ROWS (bag semantics, like bm25_topk).
+
+    Numerics: both addends round to 6 decimals and accumulate as
+    DECIMAL(18,6) — engine-identical bits; rank tiebreak (score desc,
+    doc_id asc).  Plan shape mirrors bm25_topk: postings pruned by the
+    broadcast query frame, per-term stats broadcast from the index, one
+    aggregation per (query, doc), no corpus-wide work per call.
+    """
+    qterms = queries.select("query_id", "term")
+    nq = qterms.groupBy("query_id").agg(F.count("*").alias("nq"))
+    hits = index.postings.join(F.broadcast(qterms), "term").join(
+        F.broadcast(index.df), "term"
+    )
+    contrib = F.expr(
+        f"cast(round(ln(1.0 + tf / ({mu!r} * cf / {float(index.total_tokens)!r})), 6) "
+        "as decimal(18,6))"
+    )
+    scored = (
+        hits.select("query_id", F.col("id").alias("doc_id"), contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("cs"))
+        .join(index.doclen.withColumnRenamed("id", "doc_id"), "doc_id")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.expr(
+                    f"cast(round(-nq * ln(dl + {mu!r}), 6) as decimal(18,6))"
+                )
+                + F.col("cs")
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round(F.col("s").cast("double"), 6).alias("score"),
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k_const: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several (query_id, doc_id, rank)
+    rankings: score(q, d) = sum over rankings of 1 / (k_const + rank) —
+    the standard hybrid-retrieval combiner (Cormack et al.), score-scale
+    free so a BM25 ranking fuses with a query-likelihood or
+    embedding-cosine ranking without calibration.
+
+    Returns (query_id, doc_id, rank, rrf_score) top-k per query with the
+    deterministic (score desc, doc_id asc) tiebreak.  Per-ranking
+    contributions round to 6 decimals and accumulate as DECIMAL(18,6).
+    The fusion input is rank lists (k rows per query per ranking), so
+    this stage is query-count-sized — trivially flat at any corpus
+    scale.
+    """
+    from functools import reduce
+
+    u = reduce(
+        DataFrame.unionByName,
+        [r.select("query_id", "doc_id", "rank") for r in rankings],
+    )
+    scored = (
+        u.select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"cast(round(1.0 / ({k_const} + rank), 6) as decimal(18,6))"
+            ).alias("c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round(F.col("s").cast("double"), 6).alias("rrf_score"),
         )
     )

@@ -97,3 +97,63 @@ def test_bm25_empty_tokens_ignored(spark):
     idx = bm25_index(docs)
     assert {r["term"] for r in idx.postings.collect()} == {"a", "b"}
     assert {r["id"]: r["dl"] for r in idx.doclen.collect()} == {1: 2, 2: 1}
+
+
+def test_qlik_hand_computed(spark, corpus):
+    """Dirichlet query-likelihood (rank-equivalent form) on the planted
+    corpus: C = 9 total tokens, cf(x)=3, cf(y)=4, mu=100."""
+    from confluent_data_ingestion_spark.operators.retrieval import lm_qlik_topk
+
+    idx = bm25_index(corpus)
+    assert idx.total_tokens == 9
+    q = spark.createDataFrame([(0, "x"), (0, "y")], "query_id long, term string")
+    out = {r["doc_id"]: r for r in lm_qlik_topk(idx, q, k=10, mu=100.0).collect()}
+
+    def ql(dl, hits):  # hits: list of (tf, cf)
+        base = round(-2 * math.log(dl + 100.0), 6)
+        return round(
+            base + sum(round(math.log(1 + tf / (100.0 * cf / 9.0)), 6)
+                       for tf, cf in hits),
+            6,
+        )
+
+    assert out[1]["score"] == pytest.approx(ql(3, [(2, 3), (1, 4)]), abs=1e-9)
+    assert out[2]["score"] == pytest.approx(ql(2, [(1, 3)]), abs=1e-9)
+    assert out[3]["score"] == pytest.approx(ql(4, [(3, 4)]), abs=1e-9)
+    # no-hit docs never appear (candidates = matching docs only)
+    assert set(out) == {1, 2, 3}
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from confluent_data_ingestion_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 2, 1), (0, 3, 2)], "query_id long, doc_id long, rank int"
+    )
+    rows = sorted(
+        rrf_fuse([a, b], k=10, k_const=60).collect(), key=lambda r: r["rank"]
+    )
+    # d2 in both lists (1/61 + 1/62) beats d1 (1/61) beats d3 (1/62)
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [(2, 1), (1, 2), (3, 3)]
+    assert rows[0]["rrf_score"] == pytest.approx(
+        round(round(1 / 61, 6) + round(1 / 62, 6), 6), abs=1e-9
+    )
+
+
+def test_rrf_tie_breaks_doc_id_asc(spark):
+    from confluent_data_ingestion_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 9, 1), (0, 4, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 4, 1), (0, 9, 2)], "query_id long, doc_id long, rank int"
+    )
+    rows = sorted(
+        rrf_fuse([a, b], k=10).collect(), key=lambda r: r["rank"]
+    )
+    # identical fused scores -> doc_id asc wins rank 1
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [(4, 1), (9, 2)]
