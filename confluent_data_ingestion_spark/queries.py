@@ -3452,6 +3452,103 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, ql], k=10, k_const=60)
 
 
+@query(
+    "hybrid_dense_sparse",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id, w AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    postings AS (SELECT term, id, count(*) AS tf FROM toks GROUP BY term, id),
+    doclen AS (SELECT id, sum(tf) AS dl FROM postings GROUP BY id),
+    nd AS (SELECT count(*) AS n FROM documents),
+    avg AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM doclen),
+    tt AS (SELECT term, sum(tf) AS c FROM postings GROUP BY term),
+    top AS (
+      SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS rn
+      FROM tt ORDER BY c DESC, term ASC LIMIT 15
+    ),
+    q AS (SELECT CAST((rn - 1) // 3 AS BIGINT) AS query_id, term FROM top),
+    dfq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    bm_hits AS (
+      SELECT q.query_id, p.id,
+        CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                   6) AS DECIMAL(18,6)) AS c
+      FROM postings p JOIN q ON p.term = q.term
+      JOIN dfq ON dfq.term = p.term
+      JOIN doclen d2 ON d2.id = p.id, nd, avg
+    ),
+    bm_sc AS (SELECT query_id, id AS doc_id, sum(c) AS s
+              FROM bm_hits GROUP BY query_id, id),
+    bm_best AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM bm_sc
+    ),
+    -- dense branch: exact cosine against query vectors 0..4 (the
+    -- similarity_cosine_topk parity formula; self-matches excluded)
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    qv AS (SELECT * FROM v WHERE vec_id < 5),
+    d_scored AS (
+      SELECT qv.vec_id AS query_id, v.vec_id AS doc_id,
+             {_COS.format(a='qv.e', b='v.e')} AS cosine
+      FROM qv JOIN v ON qv.vec_id <> v.vec_id
+    ),
+    d_best AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, doc_id ASC) AS rank
+      FROM d_scored
+    ),
+    unioned AS (
+      SELECT query_id, doc_id, rank FROM bm_best WHERE rank <= 20
+      UNION ALL
+      SELECT query_id, doc_id, rank FROM d_best WHERE rank <= 20
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             sum(CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6))) AS s
+      FROM unioned GROUP BY query_id, doc_id
+    ),
+    fin AS (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM fused
+    )
+    SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+           round(CAST(s AS DOUBLE), 6) AS rrf_score
+    FROM fin WHERE rank <= 10
+    """,
+)
+def hybrid_dense_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense + sparse hybrid search — the canonical vector+lexical
+    retrieval everyone ships: the BM25 top-20 (shared index artifact)
+    fuses with the exact-cosine top-20 for the matching query vectors
+    (vec_id 0-4, the embeddings table aligning with doc ids) by
+    reciprocal rank, so neither scorer needs calibration against the
+    other.  At scale the dense branch swaps to any of the ANN rows
+    (IVF / LSH / PQ — same (query, doc, rank) contract) without
+    touching the fusion; the fusion stage itself is rank-list-sized."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    idx, q = _ensure_bm25_index(spark, sf_dir)
+    bm = bm25_topk(idx, q, k=20)
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=20).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rn").alias("rank"),
+    )
+    return rrf_fuse([bm, dense], k=10, k_const=60)
+
+
 # ---------------------------------------------------------------------------
 # Interpolated-bigram LM scoring: the perplexity-filter signal that catches
 # word-order scrambles unigram scoring cannot.  Per-type log-probs round to
@@ -6921,7 +7018,8 @@ _PRIORITY_ORDER = [
     # implementation touched this round — fresh records (BM25 df moved
     # into the index artifact; NB vocab-empty-class left join) — plus the
     # new hybrid-fusion row sharing the BM25 index
-    "bm25_topk_docs", "hybrid_rrf_retrieval", "nb_language_classify",
+    "bm25_topk_docs", "hybrid_rrf_retrieval", "hybrid_dense_sparse",
+    "nb_language_classify",
     # r11 rotation target: the entire r7-record cohort (28 queries — the
     # stalest anywhere in the registry after r10)
     "event_type_pivot_daily", "excess_shipped_suppliers",
@@ -6939,11 +7037,11 @@ _PRIORITY_ORDER = [
     # queries are the first candidates for the r12 window)
     "asof_join_latest_order", "colspec_quarantine_arms",
     "corpus_mix_report", "decontaminate_ngrams", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh",
     # positions 51+: the rest of the r8 cohort, then everything else in
     # registration order.  The simhash family stays in lifecycle order
     # (pairs -> clusters -> apply) so apply never absorbs the family JIT.
-    "dlq_corrupt_split",
+    "dedup_simhash", "dlq_corrupt_split",
     "doc_chunk_overlap", "doc_fingerprint", "embedding_quantize_int8",
     "flatten_nested_json", "keyword_topk", "language_id_heuristic",
     "multimodal_frame_sample", "pack_sequences", "pii_scrub",

@@ -16,6 +16,9 @@ import pytest
 # queries whose DESIGN includes a non-equi join strategy
 NESTED_LOOP_ALLOWED = {
     "similarity_cosine_topk",     # declared brute-force baseline
+    "hybrid_dense_sparse",        # dense branch = the same declared baseline
+                                  # (5 broadcast query vectors; swaps to an
+                                  # ANN row at scale, same rank contract)
     "similarity_ivf_topk",        # broadcast centroid scoring
     "similarity_ivf_nprobe",      # broadcast centroid scoring
     "similarity_ivfpq_topk",      # broadcast coarse-centroid scoring

@@ -326,15 +326,30 @@ def main() -> None:
         # whether the training scans stay linear and nothing else grows.
         for name in ("bigram_logprob_vocab", "nb_language_classify"):
             probes.append((name, name))
+    if "bm25" in fams or "bm25fv" in fams:
+        from confluent_data_ingestion_spark import queries as _Q
+
     if "bm25" in fams:
-        # index build is the linear floor (one corpus explode); the df /
-        # term tables are vocab-bounded and scoring is query-term-pruned
-        probes.append(("bm25_topk_docs", "bm25_topk_docs"))
+        # the retrieval rows share a per-(session, sf_dir) materialized
+        # index, so the probe decomposes the two real costs: COLD = build
+        # the index artifact + score (cache cleared per call — the linear
+        # floor, one corpus tokenization); WARM = scoring over the
+        # prebuilt artifact (run 1 builds, the measured run 2 reuses —
+        # the steady-state per-query-batch cost, bounded by the query
+        # terms' posting lists)
+        def bm25_cold(spark, sf_dir, reps):
+            _Q._BM25_CACHE.clear()
+            return REGISTRY["bm25_topk_docs"](spark, sf_dir)
+
+        probes.append(("bm25_index_build_topk", bm25_cold))
+        probes.append(("bm25_topk_scoring_warm", "bm25_topk_docs"))
+        probes.append(("hybrid_rrf_scoring_warm", "hybrid_rrf_retrieval"))
     if "bm25fv" in fams:
-        # same probe over the fixed-vocabulary blowup: isolates the
+        # cold probe over the fixed-vocabulary blowup: isolates the
         # posting build's true token-linear slope from the dedup blowup's
         # x reps type-table growth
         def bm25_fv(spark, sf_dir, reps):
+            _Q._BM25_CACHE.clear()
             d = sf_dir if reps == 1 else f"{sf_dir}/fv"
             return REGISTRY["bm25_topk_docs"](spark, d)
 
