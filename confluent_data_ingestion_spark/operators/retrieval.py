@@ -74,6 +74,7 @@ class BM25Index:
     n_docs: int
     avgdl: float
     total_tokens: int = 0
+    indexed_docs: int = 0  # doclen rows (docs with >= 1 token)
 
 
 def bm25_index(
@@ -127,6 +128,7 @@ def bm25_index(
         n_docs=n_docs,
         avgdl=tot / max(int(stats_row["n"]), 1),
         total_tokens=tot,
+        indexed_docs=int(stats_row["n"]),
     )
 
 
@@ -302,4 +304,59 @@ def rrf_fuse(
             "rank",
             F.round(F.col("s").cast("double"), 6).alias("rrf_score"),
         )
+    )
+
+
+def bm25_index_merge(
+    index: BM25Index,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> BM25Index:
+    """Incrementally extend a BM25 index with an append batch — the
+    retrieval analog of the layout family's `zorder_append`: at 100 TB
+    nobody re-tokenizes the corpus per arriving batch; they tokenize the
+    BATCH, union its postings/doclen alongside the existing artifact,
+    and merge the vocab-sized term statistics.
+
+    Requirements: batch doc ids must be NEW (append semantics — an id
+    already indexed would double-count; same contract as the upsert
+    stores' append path).  Cost: one batch tokenization + one
+    vocab-sized full-outer merge of the per-term table + two scalar
+    updates — the OLD postings are never read, only referenced.  The
+    merged index is bit-identical to a full rebuild over old ∪ batch
+    (pinned in pytest and by the registry row's full-corpus oracle).
+    """
+    batch = bm25_index(new_docs, id_col=id_col, text_col=text_col)
+    df_merged = (
+        index.df.withColumnsRenamed({"df": "df_a", "cf": "cf_a"})
+        .join(
+            batch.df.withColumnsRenamed({"df": "df_b", "cf": "cf_b"}),
+            "term",
+            "full_outer",
+        )
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df_a"), F.lit(0))
+                + F.coalesce(F.col("df_b"), F.lit(0))
+            ).alias("df"),
+            (
+                F.coalesce(F.col("cf_a"), F.lit(0))
+                + F.coalesce(F.col("cf_b"), F.lit(0))
+            ).alias("cf"),
+        )
+        .localCheckpoint()
+    )
+    n_docs = index.n_docs + batch.n_docs
+    tot = index.total_tokens + batch.total_tokens
+    indexed = index.indexed_docs + batch.indexed_docs
+    return BM25Index(
+        postings=index.postings.unionByName(batch.postings),
+        doclen=index.doclen.unionByName(batch.doclen),
+        df=df_merged,
+        n_docs=n_docs,
+        avgdl=tot / max(indexed, 1),
+        total_tokens=tot,
+        indexed_docs=indexed,
     )

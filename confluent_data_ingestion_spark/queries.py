@@ -3453,6 +3453,78 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_incremental_index",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, w AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    postings AS (SELECT term, id, count(*) AS tf FROM toks GROUP BY term, id),
+    doclen AS (SELECT id, sum(tf) AS dl FROM postings GROUP BY id),
+    nd AS (SELECT count(*) AS n FROM documents),
+    avg AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM doclen),
+    tt AS (SELECT term, sum(tf) AS c FROM postings GROUP BY term),
+    top AS (
+      SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS rn
+      FROM tt ORDER BY c DESC, term ASC LIMIT 15
+    ),
+    q AS (SELECT CAST((rn - 1) // 3 AS BIGINT) AS query_id, term FROM top),
+    dfq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    hits AS (
+      SELECT q.query_id, p.id,
+        CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                   6) AS DECIMAL(18,6)) AS c
+      FROM postings p JOIN q ON p.term = q.term
+      JOIN dfq ON dfq.term = p.term
+      JOIN doclen d2 ON d2.id = p.id, nd, avg
+    ),
+    sc AS (SELECT query_id, id AS doc_id, sum(c) AS s
+           FROM hits GROUP BY query_id, id),
+    best AS (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM sc
+    )
+    SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+           round(CAST(s AS DOUBLE), 6) AS score
+    FROM best WHERE rank <= 10
+    """,
+)
+def bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, oracle-pinned lossless: the index
+    builds over 80% of the corpus, the remaining 20% arrives as an
+    append batch merged via ``bm25_index_merge`` (batch tokenization +
+    vocab-sized term-stat merge — the OLD postings are never re-read,
+    the zorder_append shape), and the standard five query bags score
+    against the merged artifact.  The oracle is the FULL-corpus BM25 —
+    identical answers prove the maintenance path changes when work
+    happens, never what the index answers."""
+    from pyspark.sql import Window
+
+    from .operators.retrieval import bm25_index, bm25_index_merge, bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = bm25_index(docs.filter(F.col("doc_id") % 5 != 0))
+    idx = bm25_index_merge(base, docs.filter(F.col("doc_id") % 5 == 0))
+    tt = idx.postings.groupBy("term").agg(F.sum("tf").alias("c"))
+    top = tt.orderBy(F.col("c").desc(), F.col("term").asc()).limit(15)
+    wq = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    q = (
+        top.withColumn("rn", F.row_number().over(wq))
+        .select(
+            F.expr("cast((rn - 1) div 3 as bigint)").alias("query_id"),
+            "term",
+        )
+    )
+    return bm25_topk(idx, q, k=10)
+
+
+@query(
     "hybrid_dense_sparse",
     f"""
     WITH toks AS (
@@ -7019,7 +7091,7 @@ _PRIORITY_ORDER = [
     # into the index artifact; NB vocab-empty-class left join) — plus the
     # new hybrid-fusion row sharing the BM25 index
     "bm25_topk_docs", "hybrid_rrf_retrieval", "hybrid_dense_sparse",
-    "nb_language_classify",
+    "bm25_incremental_index", "nb_language_classify",
     # r11 rotation target: the entire r7-record cohort (28 queries — the
     # stalest anywhere in the registry after r10)
     "event_type_pivot_daily", "excess_shipped_suppliers",
@@ -7037,11 +7109,11 @@ _PRIORITY_ORDER = [
     # queries are the first candidates for the r12 window)
     "asof_join_latest_order", "colspec_quarantine_arms",
     "corpus_mix_report", "decontaminate_ngrams", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_minhash_lsh",
+    "dedup_exact",
     # positions 51+: the rest of the r8 cohort, then everything else in
     # registration order.  The simhash family stays in lifecycle order
     # (pairs -> clusters -> apply) so apply never absorbs the family JIT.
-    "dedup_simhash", "dlq_corrupt_split",
+    "dedup_minhash_lsh", "dedup_simhash", "dlq_corrupt_split",
     "doc_chunk_overlap", "doc_fingerprint", "embedding_quantize_int8",
     "flatten_nested_json", "keyword_topk", "language_id_heuristic",
     "multimodal_frame_sample", "pack_sequences", "pii_scrub",

@@ -157,3 +157,38 @@ def test_rrf_tie_breaks_doc_id_asc(spark):
     )
     # identical fused scores -> doc_id asc wins rank 1
     assert [(r["doc_id"], r["rank"]) for r in rows] == [(4, 1), (9, 2)]
+
+
+def test_bm25_index_merge_equals_full_rebuild(spark):
+    """Appending a batch via bm25_index_merge must produce an index
+    bit-identical (postings, term stats, scalars, and scores) to a full
+    rebuild over old ∪ batch — the lossless-maintenance contract."""
+    from confluent_data_ingestion_spark.operators.retrieval import (
+        bm25_index_merge,
+        bm25_topk,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z"), (3, "y y y z")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(4, "x w w"), (5, "z"), (6, "")],  # new terms, and an empty doc
+        "doc_id long, text string",
+    )
+    merged = bm25_index_merge(bm25_index(old), batch)
+    full = bm25_index(old.unionByName(batch))
+
+    assert merged.n_docs == full.n_docs == 6
+    assert merged.total_tokens == full.total_tokens == 13
+    assert merged.indexed_docs == full.indexed_docs == 5  # doc 6 empty
+    assert merged.avgdl == full.avgdl
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(merged.postings) == key(full.postings)
+    assert key(merged.doclen) == key(full.doclen)
+    assert key(merged.df) == key(full.df)
+
+    q = spark.createDataFrame(
+        [(0, "x"), (0, "w"), (1, "z")], "query_id long, term string"
+    )
+    assert key(bm25_topk(merged, q, k=10)) == key(bm25_topk(full, q, k=10))
