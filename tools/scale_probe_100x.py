@@ -269,6 +269,7 @@ def main() -> None:
         os.makedirs(out, exist_ok=True)
         if (
             "dedup" in fams or "lm" in fams or "bm25" in fams
+            or "bm25merge" in fams
         ) and not os.path.exists(
             f"{out}/documents.parquet/_SUCCESS"
         ):
@@ -344,6 +345,38 @@ def main() -> None:
         probes.append(("bm25_index_build_topk", bm25_cold))
         probes.append(("bm25_topk_scoring_warm", "bm25_topk_docs"))
         probes.append(("hybrid_rrf_scoring_warm", "hybrid_rrf_retrieval"))
+    if "bm25merge" in fams:
+        # incremental index maintenance with a FIXED batch (1/5 of the
+        # sf0.1 documents, ids offset) against a base index that grows
+        # x10/x100: run 1 at each scale builds the shared base index
+        # (the bm25_index_build cost above), the warm run 2 measures
+        # merge + scoring only.  Expected: cost = batch tokenization +
+        # a VOCAB-sized term-stat merge — flat on real corpora; under
+        # the suffix blowup the vocabulary itself grows x reps, so the
+        # merge grows with the (synthetic) type table, not the corpus.
+        def bm25_merge(spark, sf_dir, reps):
+            from pyspark.sql import functions as F
+
+            from confluent_data_ingestion_spark.operators.retrieval import (
+                bm25_index_merge, bm25_topk,
+            )
+            from confluent_data_ingestion_spark.queries import (
+                _ensure_bm25_index,
+            )
+
+            idx, q = _ensure_bm25_index(spark, sf_dir)
+            batch = (
+                spark.read.parquet(f"{BASE}/documents.parquet")
+                .filter(F.col("doc_id") % 5 == 0)
+                .select(
+                    (F.col("doc_id") + F.lit(10**12)).alias("doc_id"),
+                    "text",
+                )
+            )
+            merged = bm25_index_merge(idx, batch)
+            return bm25_topk(merged, q, k=10)
+
+        probes.append(("bm25_merge_fixed_batch", bm25_merge))
     if "bm25fv" in fams:
         # cold probe over the fixed-vocabulary blowup: isolates the
         # posting build's true token-linear slope from the dedup blowup's
