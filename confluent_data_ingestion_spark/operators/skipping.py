@@ -258,9 +258,11 @@ def apply_compaction(
     each planned bin rewritten as one file, PLUS a copy of every
     right-sized file the plan left alone — ``out_dir`` is a complete,
     substitutable replacement for the source directory, never a partial
-    one.  One job per planned bin, but each job is a trivial narrow
-    read→write of a few small files; a production deployment runs the
-    bins from a thread pool (exactly Delta OPTIMIZE's shape).
+    one.  One job per planned bin — a trivial narrow read→write of a
+    few small files — and the bins run CONCURRENTLY from a thread pool
+    (exactly Delta OPTIMIZE's shape): each bin writes into its own
+    scratch directory and its single output file renames into place, so
+    concurrent bins never share a Spark commit protocol directory.
 
     The relative subpath of every file under ``path`` is preserved, so a
     Hive-partitioned source (``__seq=N/part.parquet``) keeps its layout
@@ -300,17 +302,41 @@ def apply_compaction(
     os.makedirs(staging, exist_ok=True)  # plan may be empty
     try:
         planned = {p for members in plan for p in members}
-        for members in plan:
+
+        def _rewrite_bin(i: int, members: list[str]) -> None:
             rels = {_rel_dir(m) for m in members}
             if len(rels) > 1:  # bins must not cross partition directories
                 raise ValueError(
                     f"compaction bin spans directories {sorted(rels)}; "
                     "plan bins within one directory (compaction_plan does)"
                 )
-            dst = os.path.join(staging, rels.pop())
+            # private scratch dir per bin: concurrent Spark writes must
+            # never share one output path's _temporary commit directory
+            tmp = os.path.join(staging, f"__bin-{i}")
             spark.read.parquet(*members).coalesce(1).write.mode(
-                "append"
-            ).parquet(dst)
+                "error"
+            ).parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst_dir = os.path.join(staging, rels.pop())
+            os.makedirs(dst_dir, exist_ok=True)
+            os.rename(
+                os.path.join(tmp, part[0]),
+                os.path.join(dst_dir, f"bin-{i:05d}.parquet"),
+            )
+            shutil.rmtree(tmp)
+
+        if plan:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(16, len(plan))
+            ) as ex:
+                futs = [
+                    ex.submit(_rewrite_bin, i, members)
+                    for i, members in enumerate(plan)
+                ]
+                for f in futs:
+                    f.result()  # re-raise the first bin failure
         # right-sized files carry over verbatim — byte copies through the
         # Hadoop FS API (any source scheme), no decode/encode, relative
         # subpath preserved, so out_dir holds the WHOLE table
