@@ -7083,10 +7083,11 @@ _PRIORITY_ORDER = [
     "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
     "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
     "union_arms_null_fill", "ordered_multi_join", "pricing_summary",
-    # new this round: the layout-lifecycle row (append -> compact ->
-    # skip-scan, builds the shared Z-order layout for the family) and the
-    # join-strategy advisor
-    "compaction_lifecycle", "join_advisor_strategy",
+    # zorder_rewrite leads the layout family so the one-off shared
+    # clustering build is charged to the row named for it; the new
+    # lifecycle row then pays only its own append+compact+scan, and the
+    # join-strategy advisor follows
+    "zorder_rewrite", "compaction_lifecycle", "join_advisor_strategy",
     # implementation touched this round — fresh records (BM25 df moved
     # into the index artifact; NB vocab-empty-class left join) — plus the
     # new hybrid-fusion row sharing the BM25 index
@@ -7109,11 +7110,10 @@ _PRIORITY_ORDER = [
     # queries are the first candidates for the r12 window)
     "asof_join_latest_order", "colspec_quarantine_arms",
     "corpus_mix_report", "decontaminate_ngrams", "dedup_embedding_cosine",
-    "dedup_exact",
     # positions 51+: the rest of the r8 cohort, then everything else in
     # registration order.  The simhash family stays in lifecycle order
     # (pairs -> clusters -> apply) so apply never absorbs the family JIT.
-    "dedup_minhash_lsh", "dedup_simhash", "dlq_corrupt_split",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dlq_corrupt_split",
     "doc_chunk_overlap", "doc_fingerprint", "embedding_quantize_int8",
     "flatten_nested_json", "keyword_topk", "language_id_heuristic",
     "multimodal_frame_sample", "pack_sequences", "pii_scrub",
