@@ -651,6 +651,68 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(planted).drop("text")
 
 
+# ---------------------------------------------------------------------------
+# Group-privacy gates (operators/privacy.py): pii_scrub masks free text;
+# these gate structured releases.  k-anonymity suppression = one window
+# count over the quasi partition; the l-diversity report = one hash
+# aggregation with an exact per-group distinct count.
+# ---------------------------------------------------------------------------
+@query(
+    "k_anonymity_suppress",
+    """
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+               AS group_size
+      FROM customer
+    )
+    WHERE group_size >= 5
+    """,
+)
+def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate on customers with quasi-identifiers
+    (nation, market segment): every released row's quasi combination is
+    shared by >= 5 customers, group size attached as the audit trail.
+    One shuffle on the quasi key — scan-shaped at any table size."""
+    from .operators.privacy import k_anonymize_suppress
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymize_suppress(
+        cust, ["c_nationkey", "c_mktsegment"], k=5
+    ).select("c_custkey", "c_nationkey", "c_mktsegment", "group_size")
+
+
+@query(
+    "l_diversity_report",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT))
+                AS BIGINT) AS distinct_sensitive,
+           (count(*) >= 5 AND
+            count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) >= 3)
+             AS releasable
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-quasi-group privacy audit: k-anonymity alone fails when a
+    small group shares one sensitive value, so the release verdict also
+    requires >= 3 distinct sensitive values (account balance bucketed
+    to $2000 bands — diversity over a near-unique continuous value is
+    meaningless).  One hash aggregation, group-count-sized output."""
+    from .operators.privacy import privacy_group_report
+
+    cust = _t(spark, sf_dir, "customer")
+    sensitive = F.expr("cast(floor(c_acctbal / 2000.0) as bigint)")
+    return privacy_group_report(
+        cust, ["c_nationkey", "c_mktsegment"], sensitive, k=5, l_div=3
+    )
+
+
 @query(
     "dedup_exact",
     """
@@ -7093,6 +7155,7 @@ _PRIORITY_ORDER = [
     # new hybrid-fusion row sharing the BM25 index
     "bm25_topk_docs", "hybrid_rrf_retrieval", "hybrid_dense_sparse",
     "bm25_incremental_index", "nb_language_classify",
+    "k_anonymity_suppress", "l_diversity_report",
     # r11 rotation target: the entire r7-record cohort (28 queries — the
     # stalest anywhere in the registry after r10)
     "event_type_pivot_daily", "excess_shipped_suppliers",
@@ -7109,10 +7172,11 @@ _PRIORITY_ORDER = [
     # r8-record cohort, filling the window to 50 (the remaining 25 r8
     # queries are the first candidates for the r12 window)
     "asof_join_latest_order", "colspec_quarantine_arms",
-    "corpus_mix_report", "decontaminate_ngrams", "dedup_embedding_cosine",
+    "corpus_mix_report",
     # positions 51+: the rest of the r8 cohort, then everything else in
     # registration order.  The simhash family stays in lifecycle order
     # (pairs -> clusters -> apply) so apply never absorbs the family JIT.
+    "decontaminate_ngrams", "dedup_embedding_cosine",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dlq_corrupt_split",
     "doc_chunk_overlap", "doc_fingerprint", "embedding_quantize_int8",
     "flatten_nested_json", "keyword_topk", "language_id_heuristic",
