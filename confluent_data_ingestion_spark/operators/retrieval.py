@@ -208,7 +208,11 @@ def lm_qlik_topk(
     with p_c(t) = cf_t / total_tokens from the index's per-term table.
     Candidates are documents matching >= 1 query term (the standard
     retrieval restriction — a no-hit document has no posting to rank
-    by).  |q| counts query term ROWS (bag semantics, like bm25_topk).
+    by).  |q| counts query term ROWS (bag semantics, like bm25_topk),
+    INCLUDING out-of-vocabulary terms: an OOV term has p_c = 0, so its
+    only finite effect on the rank-equivalent form is through the
+    length penalty — it contributes no per-document term and simply
+    deepens -|q| ln(dl + mu) uniformly per document length.
 
     Numerics: both addends round to 6 decimals and accumulate as
     DECIMAL(18,6) — engine-identical bits; rank tiebreak (score desc,

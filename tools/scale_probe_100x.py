@@ -198,6 +198,32 @@ def zorder_incr_probe(spark, sf_dir: str, reps: int):
     ).select("event_id", "user_id", "event_type", "value")
 
 
+def advisor_probe(spark, sf_dir: str, reps: int):
+    """Join-strategy advisor over a fact side that grows x10/x100 (blown
+    events: keys multiply at constant per-key depth): the two profiling
+    passes per side are a depth x width count-min aggregation and one
+    HLL aggregation — state is sketch-bounded at ANY input size, so the
+    wall should track the scan and nothing else.  The right side is the
+    FIXED sf0.1 events keyed the same way."""
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.advisor import join_advice
+
+    left = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    right = spark.read.parquet(f"{BASE}/events.parquet").select(
+        F.col("user_id").alias("r_user"), "value"
+    )
+    adv = join_advice(
+        left, right, "user_id", "r_user", broadcast_rows=1000
+    )
+    return spark.createDataFrame(
+        [(adv.strategy, adv.salt, adv.left.rows)],
+        "strategy string, salt int, left_rows long",
+    )
+
+
 def compaction_probe(spark, sf_dir: str, reps: int):
     """Small-file compaction with a FIXED backlog (a 16-file Z-ordered
     append of the sf0.1-sized batch) against a base layout that grows
@@ -276,7 +302,7 @@ def main() -> None:
             blow_documents(spark, reps, out)
         if (
             "rollup" in fams or "stats" in fams or "zorder" in fams
-            or "compact" in fams
+            or "compact" in fams or "advisor" in fams
         ) and not os.path.exists(
             f"{out}/events.parquet/_SUCCESS"
         ):
@@ -320,6 +346,8 @@ def main() -> None:
         probes.append(("zorder_incremental_fixed_batch", zorder_incr_probe))
     if "compact" in fams:
         probes.append(("compaction_fixed_backlog", compaction_probe))
+    if "advisor" in fams:
+        probes.append(("join_advisor_growing_fact", advisor_probe))
     if "lm" in fams:
         # bounded-model trained operators: the bigram LM's (V+1)^2 state
         # table and the NB classifier's O(V x classes) model are both
