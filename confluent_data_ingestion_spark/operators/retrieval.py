@@ -76,6 +76,28 @@ class BM25Index:
     total_tokens: int = 0
     indexed_docs: int = 0  # doclen rows (docs with >= 1 token)
 
+    def unpersist(self) -> None:
+        """Release the materialized frames' storage blocks.
+
+        ``localCheckpoint`` pins its data as RDD blocks that
+        ``DataFrame.unpersist`` does NOT release (that path only drops
+        cache-manager entries); the blocks are reachable through the
+        checkpointed plan's ``LogicalRDD`` and freed there.  A session
+        that rotates between corpora (e.g. a bench alternating sf dirs)
+        calls this on the evicted index or leaks block-manager memory
+        until JVM GC.  No-op per frame when nothing was materialized.
+        """
+        for frame in (self.postings, self.doclen, self.df):
+            _release_checkpoint(frame)
+
+
+def _release_checkpoint(frame: DataFrame) -> None:
+    """Free a localCheckpointed DataFrame's RDD blocks (best-effort)."""
+    try:
+        frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # not a checkpointed frame (materialize=False) — nothing held
+
 
 def bm25_index(
     docs: DataFrame,
@@ -132,6 +154,23 @@ def bm25_index(
     )
 
 
+def _query_term_stats(index: BM25Index, qterms: DataFrame) -> DataFrame:
+    """``index.df`` pruned to the query's DISTINCT terms — the only rows a
+    scoring call may broadcast.
+
+    The per-term table is vocab-sized; broadcasting it whole per call
+    would OOM executors on a large-vocab corpus (billion-type vocabs are
+    normal at 100 TB).  Pruning first is a broadcast semi-shape join of
+    the tiny distinct-term frame ONTO the vocab table — the vocab side
+    streams past a broadcast hash join, never shuffles, never broadcasts
+    — and the survivor is query-term-sized, safe to broadcast onto the
+    postings.
+    """
+    return index.df.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+
+
 def bm25_topk(
     index: BM25Index,
     queries: DataFrame,
@@ -157,7 +196,7 @@ def bm25_topk(
     qterms = queries.select("query_id", "term")
     hits = (
         index.postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(index.df), "term")
+        .join(F.broadcast(_query_term_stats(index, qterms)), "term")
         .join(index.doclen, "id")
     )
     contrib = F.expr(
@@ -223,7 +262,7 @@ def lm_qlik_topk(
     qterms = queries.select("query_id", "term")
     nq = qterms.groupBy("query_id").agg(F.count("*").alias("nq"))
     hits = index.postings.join(F.broadcast(qterms), "term").join(
-        F.broadcast(index.df), "term"
+        F.broadcast(_query_term_stats(index, qterms)), "term"
     )
     contrib = F.expr(
         f"cast(round(ln(1.0 + tf / ({mu!r} * cf / {float(index.total_tokens)!r})), 6) "
@@ -316,6 +355,7 @@ def bm25_index_merge(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    validate: bool = True,
 ) -> BM25Index:
     """Incrementally extend a BM25 index with an append batch — the
     retrieval analog of the layout family's `zorder_append`: at 100 TB
@@ -324,14 +364,35 @@ def bm25_index_merge(
     and merge the vocab-sized term statistics.
 
     Requirements: batch doc ids must be NEW (append semantics — an id
-    already indexed would double-count; same contract as the upsert
-    stores' append path).  Cost: one batch tokenization + one
+    already indexed would double-count df/cf and leave two doclen rows
+    per id, corrupting every later score with no error; same contract as
+    the upsert stores' append path).  With ``validate`` (the default)
+    the contract is ENFORCED: a metadata-sized semi-join of the batch's
+    doclen ids against the existing index's — never a corpus scan, the
+    batch side is batch-sized and the probe side is the already-
+    materialized doc-length table — raises on the first overlap instead
+    of silently corrupting.  (Re-sent EMPTY documents have no doclen row
+    on either side; they only nudge n_docs, so the guard covers every
+    row that can affect a score.)  Cost: one batch tokenization + one
     vocab-sized full-outer merge of the per-term table + two scalar
     updates — the OLD postings are never read, only referenced.  The
     merged index is bit-identical to a full rebuild over old ∪ batch
     (pinned in pytest and by the registry row's full-corpus oracle).
     """
     batch = bm25_index(new_docs, id_col=id_col, text_col=text_col)
+    if validate:
+        dup = (
+            batch.doclen.join(index.doclen.select("id"), "id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"bm25_index_merge: doc id {dup[0]['id']} is already "
+                "indexed — merge is append-only (re-sending an indexed id "
+                "would double-count term statistics); dedupe the batch or "
+                "pass validate=False after deduping upstream"
+            )
     df_merged = (
         index.df.withColumnsRenamed({"df": "df_a", "cf": "cf_a"})
         .join(

@@ -317,6 +317,16 @@ def apply_compaction(
                 "error"
             ).parquet(tmp)
             part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            if len(part) != 1:
+                # coalesce(1) must emit exactly one data file; zero (a
+                # writer-naming change, or a bin of all-empty files) or
+                # several would silently drop or duplicate the bin's rows
+                # during the rename — fail naming the bin's members
+                raise RuntimeError(
+                    f"compaction bin {i} produced {len(part)} part files "
+                    f"(expected 1) rewriting {sorted(members)}; refusing "
+                    "to rename an ambiguous output"
+                )
             dst_dir = os.path.join(staging, rels.pop())
             os.makedirs(dst_dir, exist_ok=True)
             os.rename(

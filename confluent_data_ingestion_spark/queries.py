@@ -3328,6 +3328,8 @@ def _ensure_bm25_index(spark: SparkSession, sf_dir: str):
 
     from .operators.retrieval import bm25_index
 
+    from .operators.retrieval import _release_checkpoint as _release_ckpt
+
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _BM25_CACHE.get(key)
     if cached is not None:
@@ -3345,7 +3347,15 @@ def _ensure_bm25_index(spark: SparkSession, sf_dir: str):
         )
         .localCheckpoint()
     )
-    _BM25_CACHE.clear()  # one corpus at a time: no session-long growth
+    # one corpus at a time: evict AND free — the evicted index's frames
+    # are localCheckpointed, whose RDD blocks DataFrame.unpersist never
+    # releases; without the explicit release a session alternating
+    # sf_dirs (bench at sf0.1 then the gate at sf0.01) leaks
+    # block-manager memory on every switch
+    for old_idx, old_q in _BM25_CACHE.values():
+        old_idx.unpersist()
+        _release_ckpt(old_q)
+    _BM25_CACHE.clear()
     _BM25_CACHE[key] = (idx, q)
     return idx, q
 

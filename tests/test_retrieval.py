@@ -159,6 +159,69 @@ def test_rrf_tie_breaks_doc_id_asc(spark):
     assert [(r["doc_id"], r["rank"]) for r in rows] == [(4, 1), (9, 2)]
 
 
+def test_scoring_broadcasts_only_query_term_stats(spark, corpus):
+    """The df rows a scoring call broadcasts must be pruned to the
+    query's DISTINCT terms — broadcasting the whole vocab-sized table
+    per call OOMs on a large-vocab corpus (r11 regression: moving df
+    into the index artifact accidentally broadcast it unpruned)."""
+    from confluent_data_ingestion_spark.operators.retrieval import (
+        _query_term_stats,
+    )
+
+    idx = bm25_index(corpus)  # vocab {x, y, z}
+    q = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (1, "w")], "query_id long, term string"
+    )
+    pruned = _query_term_stats(idx, q.select("query_id", "term"))
+    # one row per distinct matching query term — never the z row, and the
+    # duplicate x collapses; OOV w has no stats row
+    assert {r["term"] for r in pruned.collect()} == {"x"}
+    # and scoring still matches the unpruned semantics (x in docs 1, 2)
+    out = bm25_topk(idx, q, k=10)
+    assert {(r["query_id"], r["doc_id"]) for r in out.collect()} == {
+        (0, 1), (0, 2), (1, 1), (1, 2),
+    }
+
+
+def test_bm25_index_merge_rejects_duplicate_doc_id(spark):
+    """Append-only contract is ENFORCED: re-sending an already-indexed id
+    must fail loudly (silent double-counted df/cf corrupts every later
+    score)."""
+    from confluent_data_ingestion_spark.operators.retrieval import (
+        bm25_index_merge,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z")], "doc_id long, text string"
+    )
+    dup_batch = spark.createDataFrame(
+        [(2, "z w"), (3, "w")], "doc_id long, text string"
+    )
+    idx = bm25_index(old)
+    with pytest.raises(ValueError, match="already\\s+indexed|already "):
+        bm25_index_merge(idx, dup_batch)
+    # validate=False restores the old caller-deduped fast path
+    merged = bm25_index_merge(
+        idx, spark.createDataFrame([(3, "w")], "doc_id long, text string")
+    )
+    assert merged.n_docs == 3
+
+
+def test_bm25_index_unpersist_releases_blocks(spark):
+    """BM25Index.unpersist must free the localCheckpointed frames' RDD
+    blocks (DataFrame.unpersist does not) — the session-alternating-
+    sf_dir leak found in the r11 review."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    idx = bm25_index(docs)
+    held = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert held >= before + 3  # postings, doclen, df
+    idx.unpersist()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
 def test_bm25_index_merge_equals_full_rebuild(spark):
     """Appending a batch via bm25_index_merge must produce an index
     bit-identical (postings, term stats, scalars, and scores) to a full
