@@ -67,12 +67,36 @@ class JoinAdvice:
 
 
 def side_stats(df: DataFrame, key_col: str, lgk: int = 12) -> SideStats:
-    """One aggregation pass per statistic: rows, approximate distinct
-    keys (HLL), and the hottest key's collision-corrected count-min
-    frequency."""
+    """Profile one join side with ONE scan of the source: rows,
+    approximate distinct keys (HLL), and the hottest key's
+    collision-corrected count-min frequency.
+
+    Two aggregations run (the CMS bucket table groups by (seed, bucket);
+    the HLL estimate is a global agg — different groupings, so they
+    cannot share one job), but the SOURCE is read once: the one-column
+    key projection persists for the duration of the profile, the first
+    job populates it while computing the sketch, and the HLL job reads
+    the cached column, not the table.  At 100 TB that is the difference
+    between one fact scan and two per what-if profile (the r11 review
+    finding); the cached state is a single key column, the cheapest
+    projection the table admits.  Pinned by a scan-count test
+    (tests/test_advisor.py).
+    """
     from .sketch import cms_bucket_counts
 
     width = CMS_WIDTH
+    proj = df.select(F.col(key_col).alias("__cdis_key")).persist()
+    try:
+        return _side_stats_from(proj, "__cdis_key", width, lgk)
+    finally:
+        proj.unpersist()
+
+
+def _side_stats_from(
+    df: DataFrame, key_col: str, width: int, lgk: int
+) -> SideStats:
+    from .sketch import cms_bucket_counts
+
     sketch, total = cms_bucket_counts(df, key_col, width=width)
     # raw bucket maxima upper-bound the hottest key but saturate with
     # collision mass when distinct keys >> width; subtracting the expected

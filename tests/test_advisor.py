@@ -75,3 +75,31 @@ def test_hot_key_on_smaller_side_detected(spark):
     adv = join_advice(big_balanced, small_skewed, "k", "k")
     assert adv.strategy == "salted"
     assert "right side" in adv.reason
+
+
+def test_side_stats_scans_the_source_exactly_once(spark, sf_dir):
+    """The profile's contract is ONE scan of the source per side (module
+    docstring; r11 review found the CMS job and the HLL job each reading
+    the table).  An Arrow tap between the parquet scan and the profile
+    counts how many rows stream OUT of the source: the persisted key
+    projection means both aggregation jobs together pull each row
+    through exactly once."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey"
+    )
+    n = src.count()
+    tapped = src.mapInPandas(tap, "o_custkey long")
+    acc.value = 0
+    stats = side_stats(tapped, "o_custkey")
+    assert stats.rows == n
+    assert acc.value == n, (
+        f"source streamed {acc.value} rows for {n}-row input — "
+        f"{acc.value / n:.1f} scans; the profile must scan once"
+    )
