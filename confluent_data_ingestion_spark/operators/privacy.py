@@ -23,14 +23,65 @@ Both are pure aggregations:
 Suppression is the conservative mechanism (never generalizes values,
 so released rows are verbatim rows); generalization hierarchies are a
 policy choice layered on top by rewriting the quasi columns BEFORE
-calling these (e.g. bucketing an age, truncating a zip) — the
-operators themselves stay mechanism-only.
+calling these (e.g. bucketing an age, truncating a zip).  That rewrite
+ships here too, as a composable spec:
+
+  generalize_quasi       rewrite named quasi columns in place from a
+                         {column: rule} spec — ``bucket_rule(width)``
+                         (numeric value -> its bucket's lower bound),
+                         ``truncate_rule(n)`` (string -> n-char
+                         prefix), or any Column expression.  A pure
+                         projection: zero shuffles, the gate that
+                         follows still pays only its own one.
+
+Generalize-then-gate trades value precision for row survival: raw
+near-unique quasi values suppress almost everything at any useful k,
+the coarsened values keep the rows and release the bucket label — the
+standard Sweeney hierarchy move, demonstrated by the
+``k_anonymity_generalized`` registry row against suppression-only.
 """
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def bucket_rule(width: float) -> Callable[[Column], Column]:
+    """Generalization rule: numeric value -> its bucket's LOWER BOUND
+    (double), e.g. width 1000.0 maps 2345.67 -> 2000.0 and -999.0 ->
+    -1000.0.  The lower bound IS the released value — a real
+    generalized datum, not an opaque bucket ordinal."""
+    return lambda c: (F.floor(c / F.lit(width)) * F.lit(width)).cast(
+        "double"
+    )
+
+
+def truncate_rule(n: int) -> Callable[[Column], Column]:
+    """Generalization rule: string -> its first ``n`` characters (the
+    zip-truncation hierarchy)."""
+    return lambda c: F.substring(c, 1, n)
+
+
+def generalize_quasi(
+    df: DataFrame,
+    rules: dict[str, object],
+) -> DataFrame:
+    """Rewrite quasi-identifier columns to coarser values, in place.
+
+    ``rules`` maps column name -> a rule from :func:`bucket_rule` /
+    :func:`truncate_rule` (a callable applied to the column), or a
+    ready Column expression.  Pure projection — no shuffle, no join;
+    compose as ``k_anonymize_suppress(generalize_quasi(df, ...), ...)``
+    so the pipeline still costs one shuffle total.
+    """
+    out = {}
+    for name, rule in rules.items():
+        col = rule(F.col(name)) if callable(rule) else rule
+        out[name] = col
+    return df.withColumns(out)
 
 
 def k_anonymize_suppress(

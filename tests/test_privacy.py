@@ -71,3 +71,69 @@ def test_sensitive_accepts_expression(people):
         l_div=2,
     )
     assert {r["zip"] for r in rep.collect()} == {"02139", "94103", "10001"}
+
+
+def test_bucket_rule_lower_bound_and_negatives(spark):
+    from confluent_data_ingestion_spark.operators.privacy import (
+        bucket_rule, generalize_quasi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2345.67), (2, -999.0), (3, 1000.0), (4, 0.0)],
+        "pid long, bal double",
+    )
+    out = {
+        r["pid"]: r["bal"]
+        for r in generalize_quasi(df, {"bal": bucket_rule(1000.0)}).collect()
+    }
+    # lower bound, negatives floor DOWN (the bucket a value is IN)
+    assert out == {1: 2000.0, 2: -1000.0, 3: 1000.0, 4: 0.0}
+
+
+def test_truncate_rule_prefix(spark):
+    from confluent_data_ingestion_spark.operators.privacy import (
+        generalize_quasi, truncate_rule,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "02139"), (2, "02144"), (3, "94103")], "pid long, zip string"
+    )
+    out = {
+        r["pid"]: r["zip"]
+        for r in generalize_quasi(df, {"zip": truncate_rule(3)}).collect()
+    }
+    assert out == {1: "021", 2: "021", 3: "941"}
+
+
+def test_generalize_is_pure_projection(spark):
+    """The rewrite must add NO shuffle — the gate that follows pays the
+    only one."""
+    from confluent_data_ingestion_spark.operators.privacy import (
+        bucket_rule, generalize_quasi, truncate_rule,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "02139", 10.0)], "pid long, zip string, bal double"
+    )
+    plan = generalize_quasi(
+        df, {"zip": truncate_rule(3), "bal": bucket_rule(1000.0)}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_generalize_then_gate_releases_more_than_raw(spark):
+    """The suppression-vs-generalization trade on planted data: raw
+    near-unique zips release nothing at k=3; 3-digit prefixes release
+    every row of the shared prefix group."""
+    from confluent_data_ingestion_spark.operators.privacy import (
+        generalize_quasi, k_anonymize_suppress, truncate_rule,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"0213{i}") for i in range(6)], "pid long, zip string"
+    )
+    assert k_anonymize_suppress(df, ["zip"], k=3).count() == 0
+    gen = generalize_quasi(df, {"zip": truncate_rule(4)})
+    out = k_anonymize_suppress(gen, ["zip"], k=3)
+    assert out.count() == 6
+    assert {r["zip"] for r in out.collect()} == {"0213"}  # released datum
