@@ -34,3 +34,21 @@ def release_caches() -> int:
         _LIVE.pop().unpersist()
         n += 1
     return n
+
+
+def release_checkpoint(frame: DataFrame) -> None:
+    """Free a localCheckpointed DataFrame's RDD blocks (best-effort).
+
+    ``localCheckpoint`` pins its data as persisted RDD blocks that
+    ``DataFrame.unpersist`` does NOT release (that path only drops
+    cache-manager entries for ``persist()``-ed plans); the blocks stay
+    reachable through the checkpointed plan's ``LogicalRDD`` and are
+    freed there.  Shared-artifact caches (BM25 index, PQ index, simhash
+    pairs/labels, skip-scan stats) call this on the entry they evict —
+    without it a session alternating sf_dirs leaks block-manager memory
+    on every switch.  No-op when ``frame`` was never checkpointed.
+    """
+    try:
+        frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # not a LogicalRDD-backed frame — nothing held

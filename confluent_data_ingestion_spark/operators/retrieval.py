@@ -93,10 +93,9 @@ class BM25Index:
 
 def _release_checkpoint(frame: DataFrame) -> None:
     """Free a localCheckpointed DataFrame's RDD blocks (best-effort)."""
-    try:
-        frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass  # not a checkpointed frame (materialize=False) — nothing held
+    from ..caching import release_checkpoint
+
+    release_checkpoint(frame)
 
 
 def bm25_index(

@@ -927,7 +927,13 @@ def _simhash_shared(
     labels = connected_components(
         pairs, pairs_distinct=True
     ).localCheckpoint()
-    _SIMHASH_CACHE.clear()  # one family at a time: no session-long growth
+    # one family at a time: evict AND free the evicted checkpoint blocks
+    from .caching import release_checkpoint as _free
+
+    for old_pairs, old_labels in _SIMHASH_CACHE.values():
+        _free(old_pairs)
+        _free(old_labels)
+    _SIMHASH_CACHE.clear()
     _SIMHASH_CACHE[key] = (pairs, labels)
     return pairs, labels
 
@@ -5108,7 +5114,13 @@ def _pq_shared_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "books": books, "codes": codes,
         "coarse_books": coarse_books, "coarse_assign": coarse_assign,
     }
-    _PQ_INDEX_CACHE.clear()  # one index at a time: no session-long growth
+    # one index at a time: evict AND free the evicted checkpoint blocks
+    from .caching import release_checkpoint as _free
+
+    for old in _PQ_INDEX_CACHE.values():
+        for frame in old.values():
+            _free(frame)
+    _PQ_INDEX_CACHE.clear()
     _PQ_INDEX_CACHE[key] = arts
     return arts
 
@@ -5474,7 +5486,12 @@ def _bpe_shared_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 8 == 0
     ).select("text")
     merges = bpe_train_merges(docs, n_merges=_BPE_N_MERGES)
-    _BPE_MERGES_CACHE.clear()  # one model at a time: no session-long growth
+    # one model at a time: evict AND free (no-op if not checkpointed)
+    from .caching import release_checkpoint as _free
+
+    for old in _BPE_MERGES_CACHE.values():
+        _free(old)
+    _BPE_MERGES_CACHE.clear()
     _BPE_MERGES_CACHE[key] = merges
     return merges
 
@@ -6439,7 +6456,14 @@ def _ensure_skipscan_layout(
     stats = collect_file_stats(
         spark, layout, ["user_id", "value"]
     ).localCheckpoint()
-    _SKIPSCAN_CACHE.clear()  # one layout at a time: no session-long growth
+    # one layout at a time: evict AND free the evicted stats checkpoint
+    # (the layout DIRECTORY stays — it is disk under the app-scoped /tmp
+    # scratch root, reclaimed when the application exits)
+    from .caching import release_checkpoint as _free
+
+    for _old_layout, old_stats in _SKIPSCAN_CACHE.values():
+        _free(old_stats)
+    _SKIPSCAN_CACHE.clear()
     _SKIPSCAN_CACHE[key] = (layout, stats)
     return layout, stats
 

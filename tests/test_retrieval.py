@@ -255,3 +255,70 @@ def test_bm25_index_merge_equals_full_rebuild(spark):
         [(0, "x"), (0, "w"), (1, "z")], "query_id long, term string"
     )
     assert key(bm25_topk(merged, q, k=10)) == key(bm25_topk(full, q, k=10))
+
+
+def test_hybrid_dense_branch_swaps_to_ivfpq(spark, sf_dir):
+    """The hybrid row's documented swap contract: the exact-cosine dense
+    branch is replaceable by ANY ANN row under the same
+    (query_id, doc_id, rank) contract without touching the fusion.
+    Actually swap in IVF-PQ and pin (a) full candidate coverage — the
+    ANN branch must rank a full top-20 per query, so a broken bucket
+    probe can't silently degrade the fusion to BM25-only — and (b) a
+    fused top-10 overlap floor vs the exact-branch fusion (observed
+    0.4-0.5 on the deterministic sf0.001 corpus; PQ m=4 over 64-dim
+    near-orthogonal synthetic vectors is the quantizer's worst case,
+    which is exactly why the floor, not equality, is the contract)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.retrieval import (
+        bm25_topk as _bm25_topk,
+        rrf_fuse,
+    )
+    from confluent_data_ingestion_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+    from confluent_data_ingestion_spark.queries import (
+        _ensure_bm25_index,
+        _pq_shared_index,
+    )
+
+    idx, q = _ensure_bm25_index(spark, sf_dir)
+    bm = _bm25_topk(idx, q, k=20)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, qv, k=20).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rn").alias("rank"),
+    )
+    ix = _pq_shared_index(spark, sf_dir)
+    ann = ivfpq_topk(
+        ix["codes"], ix["coarse_assign"], qv, ix["books"],
+        ix["coarse_books"], dim=64, m=4, k=20, nprobe=4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    swapped = ann.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+
+    from collections import Counter, defaultdict
+
+    per_q = Counter(r["query_id"] for r in swapped.collect())
+    assert per_q == {qid: 20 for qid in range(5)}  # full coverage
+
+    fused_exact = rrf_fuse([bm, exact], k=10)
+    fused_ann = rrf_fuse([bm, swapped], k=10)
+    assert fused_ann.columns == fused_exact.columns  # same contract out
+    e, a = defaultdict(set), defaultdict(set)
+    for r in fused_exact.collect():
+        e[r["query_id"]].add(r["doc_id"])
+    for r in fused_ann.collect():
+        a[r["query_id"]].add(r["doc_id"])
+    assert set(e) == set(a) == set(range(5))
+    overlaps = {qid: len(e[qid] & a[qid]) / len(e[qid]) for qid in e}
+    assert min(overlaps.values()) >= 0.3, overlaps
+    assert sum(overlaps.values()) / len(overlaps) >= 0.4, overlaps
