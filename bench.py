@@ -78,6 +78,29 @@ def main() -> None:
         "overwrite"
     ).save()
     minhash_lsh_pairs(tiny).write.format("noop").mode("overwrite").save()
+    # warm the embedding-family codegen (centroid assignment broadcast
+    # scoring + within-cluster cosine pairing + edge grouping) on an
+    # 8-vector corpus: semantic_dedup / decontaminate_semantic compile
+    # the largest vector-fold classes after simhash, and the r11 driver
+    # record charged ~2.5x the family's warm floor to whichever row
+    # first touched them (semantic_dedup, 8.06 s vs ~3 s warm)
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    tinyv = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) + 0.1 for j in range(8)])
+         for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = tinyv.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    semantic_dedup(tinyv, cent, threshold=0.5).write.format("noop").mode(
+        "overwrite"
+    ).save()
     # warm the Arrow / Python-worker path once (worker spawn + Arrow batch
     # serialization cost ~5-7 s the first time any mapInPandas runs; the
     # multimodal/PII/chunking family should measure its plan, not that)

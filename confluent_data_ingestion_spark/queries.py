@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .caching import release_caches, track
+from .streaming.audit import (
+    record_runner_plans as _record_runner_plans,
+    record_stream_plan as _record_stream_plan,
+)
 from .operators import (
     csv_view,
     json_view,
@@ -1490,6 +1494,7 @@ def streaming_xref_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     runner = StatementSetRunner(spark, spec, {}, out_dir)
     stream = file_envelope_stream(spark, src_dir, max_files_per_trigger=16)
     runner.run_streaming(stream)
+    _record_runner_plans("streaming_xref_upsert", runner)
     return spark.read.parquet(runner.table_path("XREF_EVT"))
 
 
@@ -1588,6 +1593,7 @@ def streaming_statement_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     runner = StatementSetRunner(spark, spec, {"dim": dim}, out_dir)
     stream = file_envelope_stream(spark, src_dir, max_files_per_trigger=16)
     runner.run_streaming(stream)
+    _record_runner_plans("streaming_statement_set", runner)
     ns, nd = F.lit(None).cast("string"), F.lit(None).cast("double")
     xref = spark.read.parquet(runner.table_path("XREF_EVT")).select(
         F.lit("xref").alias("sink"), "user_id", "event_type", "value",
@@ -4120,6 +4126,7 @@ def streaming_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _record_stream_plan("streaming_event_funnel", q)
     return spark.read.parquet(out_dir).select(
         "user_id", "stage", "step_name",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
@@ -4191,6 +4198,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        _record_stream_plan("streaming_dedup_events", q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", shp)
     return spark.read.parquet(out_dir).select(
@@ -4274,6 +4282,7 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        _record_stream_plan("streaming_interval_join", q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", shp)
     return spark.read.parquet(out_dir).select(
@@ -7221,37 +7230,12 @@ _PRIORITY_ORDER = [
     "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
     "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
     "union_arms_null_fill", "ordered_multi_join", "pricing_summary",
-    # zorder_rewrite leads the layout family so the one-off shared
-    # clustering build is charged to the row named for it; the new
-    # lifecycle row then pays only its own append+compact+scan, and the
-    # join-strategy advisor follows
-    "zorder_rewrite", "compaction_lifecycle", "join_advisor_strategy",
-    # implementation touched this round — fresh records (BM25 df moved
-    # into the index artifact; NB vocab-empty-class left join) — plus the
-    # new hybrid-fusion row sharing the BM25 index
-    "bm25_topk_docs", "hybrid_rrf_retrieval", "hybrid_dense_sparse",
-    "bm25_incremental_index", "nb_language_classify",
-    "k_anonymity_suppress", "l_diversity_report",
-    # r11 rotation target: the entire r7-record cohort (28 queries — the
-    # stalest anywhere in the registry after r10)
-    "event_type_pivot_daily", "excess_shipped_suppliers",
-    "fuzzy_supplier_pairs", "gopher_quality_gate", "heavy_hitter_parts",
-    "idle_rich_customers", "important_parts_value", "large_order_customers",
-    "market_share_yearly", "mixture_plan", "nation_pair_trade",
-    "order_priority_semijoin", "part_supplier_counts", "profile_documents",
-    "promo_revenue_monthly", "retention_cohorts_weekly",
-    "returned_item_topk", "rollup_incremental_events", "scd2_asof_enrich",
-    "scd2_incremental_apply", "scd2_user_history",
-    "ship_latency_distribution", "small_qty_revenue_share",
-    "snapshot_diff_orders", "top_supplier_by_revenue", "value_mad_by_type",
-    "waiting_orders_blame", "zorder_layout_key",
-    # r8-record cohort, filling the window to 50 (the remaining 25 r8
-    # queries are the first candidates for the r12 window)
-    "asof_join_latest_order", "colspec_quarantine_arms",
-    "corpus_mix_report",
-    # positions 51+: the rest of the r8 cohort, then everything else in
-    # registration order.  The simhash family stays in lifecycle order
-    # (pairs -> clusters -> apply) so apply never absorbs the family JIT.
+    # new this round: generalize-then-gate privacy release (first record)
+    "k_anonymity_generalized",
+    # r12 rotation target: the entire r8-record cohort (31 queries — the
+    # stalest anywhere in the registry after r11).  The similarity rows
+    # keep their relative order; dedup_simhash computes raw signatures
+    # only (no shared artifact), the banded family follows below.
     "decontaminate_ngrams", "dedup_embedding_cosine",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dlq_corrupt_split",
     "doc_chunk_overlap", "doc_fingerprint", "embedding_quantize_int8",
@@ -7263,8 +7247,33 @@ _PRIORITY_ORDER = [
     "similarity_lsh_topk", "stratified_sample_lang", "sttm_pipeline_e2e",
     "temperature_resample_mix", "text_quality_features",
     "text_repetition_stats", "token_count_bpe", "train_test_split",
+    # r9 fills to 50: the shared simhash (pairs, labels) artifact family
+    # in lifecycle order — pairs carries the build, clusters/apply/
+    # keep-best read it — then the oldest remaining r9 names
     "dedup_simhash_pairs", "dedup_clusters", "dedup_apply_pipeline",
-    "dedup_ngram_jaccard",
+    "dedup_keep_best_quality", "dedup_ngram_jaccard", "dedup_incremental",
+    "char_entropy_scores", "corpus_length_quantiles", "corpus_sample_exact_n",
+    # positions 51+: last round's window in its r11 order (keeps every
+    # shared-artifact family build-first: zorder_rewrite before the
+    # lifecycle/skip rows, bm25_topk_docs before the hybrid/incremental
+    # retrieval rows), then everything else in registration order
+    "zorder_rewrite", "compaction_lifecycle", "join_advisor_strategy",
+    "bm25_topk_docs", "hybrid_rrf_retrieval", "hybrid_dense_sparse",
+    "bm25_incremental_index", "nb_language_classify",
+    "k_anonymity_suppress", "l_diversity_report",
+    "event_type_pivot_daily", "excess_shipped_suppliers",
+    "fuzzy_supplier_pairs", "gopher_quality_gate", "heavy_hitter_parts",
+    "idle_rich_customers", "important_parts_value", "large_order_customers",
+    "market_share_yearly", "mixture_plan", "nation_pair_trade",
+    "order_priority_semijoin", "part_supplier_counts", "profile_documents",
+    "promo_revenue_monthly", "retention_cohorts_weekly",
+    "returned_item_topk", "rollup_incremental_events", "scd2_asof_enrich",
+    "scd2_incremental_apply", "scd2_user_history",
+    "ship_latency_distribution", "small_qty_revenue_share",
+    "snapshot_diff_orders", "top_supplier_by_revenue", "value_mad_by_type",
+    "waiting_orders_blame", "zorder_layout_key",
+    "asof_join_latest_order", "colspec_quarantine_arms",
+    "corpus_mix_report",
 ]
 
 

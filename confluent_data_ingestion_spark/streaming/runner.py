@@ -54,6 +54,10 @@ class StatementSetRunner:
         # per-instance state (the latched v1->v2 log-format check) holds
         # across microbatches instead of re-running every batch
         self._stores: dict[tuple[str, str], UpsertSnapshot | None] = {}
+        # per-stage physical plans of the most recent microbatch — the
+        # foreachBatch side of the plan audit (streaming/audit.py);
+        # overwritten each batch so quiescence leaves the LAST one
+        self.last_batch_plans: dict[str, str] = {}
         os.makedirs(self.out_dir, exist_ok=True)
 
     def table_path(self, table: str) -> str:
@@ -133,6 +137,12 @@ class StatementSetRunner:
             for table, rows in self.spec.tables().items():  # stage-ordered
                 stage = rows[0].pipeline_stage
                 df = compiler._builders()[stage](table, rows)
+                try:  # plan capture must never fail the batch
+                    self.last_batch_plans[f"{stage} {table}"] = (
+                        df._jdf.queryExecution().executedPlan().toString()
+                    )
+                except Exception:  # pragma: no cover
+                    pass
                 if stage == "VIEW":
                     compiler.compiled[table] = df
                 elif stage == "XREF":

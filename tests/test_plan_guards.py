@@ -43,13 +43,19 @@ NESTED_LOOP_ALLOWED = {
     "similarity_int8_topk",       # brute-force baseline over int8 round-trip
 }
 
-# streaming / side-effecting queries that can't be compiled lazily
+# streaming / side-effecting queries that can't be compiled lazily —
+# guarded instead by test_streaming_executed_plans_guarded below, which
+# EXECUTES them and audits the captured last-microbatch plan
 SKIP = {
     "streaming_xref_upsert",
     "streaming_event_funnel",
     "streaming_interval_join",
     "streaming_dedup_events",
 }
+
+# every streaming e2e row (SKIP plus the foreachBatch statement set,
+# whose returned frame is only the quiescence read-back)
+STREAMING_E2E = SKIP | {"streaming_statement_set"}
 
 
 def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
@@ -69,6 +75,41 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_ALLOWED:
             failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not failures, "\n".join(failures)
+
+
+def test_streaming_executed_plans_guarded(spark, sf_dir):
+    """The five streaming e2e rows execute their query inside the
+    function, so the lazy-compile guard above never sees the microbatch
+    plan the engine actually ran.  Execute each row and audit the
+    captured last-microbatch executed plan (streaming/audit.py): no
+    CartesianProduct, no BroadcastNestedLoopJoin anywhere on the
+    streaming side — none of these rows' designs calls for a non-equi
+    strategy — and a stateful/streaming operator must actually appear
+    (an empty capture would silently void the guard)."""
+    import __spark_entry__ as e
+    from confluent_data_ingestion_spark.streaming.audit import (
+        STREAMING_PLANS,
+    )
+
+    qs = e.queries()
+    failures = []
+    for name in sorted(STREAMING_E2E):
+        qs[name](spark, sf_dir).count()
+        plan = STREAMING_PLANS.get(name, "")
+        if not plan or plan.startswith("<"):
+            failures.append(f"{name}: no captured microbatch plan ({plan!r})")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in executed plan")
+        if "BroadcastNestedLoopJoin" in plan:
+            failures.append(f"{name}: BroadcastNestedLoopJoin in executed plan")
+    assert not failures, "\n".join(failures)
+    # the captures really are the streaming side, not a batch read-back
+    assert "StreamingDeduplicate" in STREAMING_PLANS["streaming_dedup_events"]
+    assert "StreamingSymmetricHashJoin" in STREAMING_PLANS[
+        "streaming_interval_join"
+    ]
+    assert "foreachBatch stage" in STREAMING_PLANS["streaming_statement_set"]
 
 
 def test_epoch_shuffle_assignment_is_zero_shuffle(spark, sf_dir):

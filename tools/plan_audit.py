@@ -4,6 +4,15 @@ count, join strategies, scan pushdown, whole-stage codegen presence.
 Writes PLAN_AUDIT.md — the per-query evidence behind SCALE.md's claims
 (where the shuffles are, which joins broadcast, what reaches the scan).
 
+Streaming rows execute their query inside the function, so their
+returned DataFrame is only the quiescence read-back; for those the
+audit EXECUTES the row and summarizes the captured last-microbatch
+executed plan (streaming/audit.py) — the stateful operators, stream
+joins, and exchanges the engine actually ran.  For foreachBatch
+statement sets the capture is per-stage on the foreachBatch side.  The
+final availableNow microbatch may be the watermark-advancing empty
+batch; its operator/exchange structure is the steady-state one.
+
 Usage: python tools/plan_audit.py [sf_dir]
 """
 
@@ -15,13 +24,81 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# streaming / side-effecting queries cannot be compiled lazily
-SKIP = {
+# rows whose function EXECUTES a streaming query; audited from the
+# captured executed microbatch plan, not the returned read-back frame
+STREAMING = {
     "streaming_xref_upsert",
+    "streaming_statement_set",
     "streaming_event_funnel",
     "streaming_interval_join",
     "streaming_dedup_events",
 }
+
+
+def summarize(plan: str) -> tuple[str, str, str]:
+    """(shuffles, joins, flags) for one physical-plan string."""
+    # a cached (InMemoryRelation) subtree prints its FULL text again at
+    # every InMemoryTableScan site, so naive line counts multiply each
+    # cached exchange/join by its consumer count.  Operator nodes carry
+    # a stable [plan_id=N], and one plan_id executes once — dedupe on it
+    # (nodes printed without a plan_id fall back to the line count).
+    def _count(pat: str) -> int:
+        ids = set()
+        bare = 0
+        for m in re.finditer(pat + r"[^\n]*", plan):
+            pid = re.search(r"\[plan_id=(\d+)\]", m.group(0))
+            if pid:
+                ids.add(pid.group(1))
+            else:
+                bare += 1
+        # bare lines have no identity: the same node reprinted under
+        # several cache-scan sites is indistinguishable, so dedupe on
+        # the full line text instead of overcounting
+        if bare:
+            bare = len({m.group(0) for m in re.finditer(pat + r"[^\n]*", plan)
+                        if "plan_id=" not in m.group(0)})
+        return len(ids) + bare
+
+    n_ex = _count(r"\bExchange hashpartitioning")
+    n_single = _count(r"\bExchange SinglePartition")
+    joins = []
+    for pat, label in [
+        (r"\bBroadcastHashJoin", "BHJ"),
+        (r"\bSortMergeJoin", "SMJ"),
+        (r"\bShuffledHashJoin", "SHJ"),
+        (r"\bStreamingSymmetricHashJoin", "SSHJ"),
+        (r"\bBroadcastNestedLoopJoin", "BNLJ"),
+        (r"\bCartesianProduct", "CART"),
+    ]:
+        k = _count(pat)
+        if k:
+            joins.append(f"{k}x{label}")
+    flags = []
+    # per-scan: flag if ANY scan opens a non-empty pushed-filter list
+    # (an unfiltered second scan must not suppress the flag, and a
+    # metadata-truncated list — no closing bracket — still counts)
+    if re.search(r"PushedFilters: \[[^\]]", plan):
+        flags.append("pushdown")
+    if "TakeOrderedAndProject" in plan:
+        flags.append("take-ordered")
+    if re.search(r"\bWindow\b", plan):
+        flags.append("window")
+    # whole-stage codegen renders as "*(n) Op" prefixes in toString()
+    if "WholeStageCodegen" in plan or re.search(r"\*\(\d+\) ", plan):
+        flags.append("codegen")
+    if "mapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
+        flags.append("arrow-udf")
+    if "FlatMapGroupsWithState" in plan or "ApplyInPandasWithState" in plan:
+        flags.append("stateful")
+    for pat, label in [
+        (r"StreamingDeduplicate", "stream-dedup"),
+        (r"StateStoreSave|StateStoreRestore", "state-store"),
+        (r"EventTimeWatermark", "watermark"),
+    ]:
+        if re.search(pat, plan):
+            flags.append(label)
+    shuffles = f"{n_ex}" + (f"+{n_single}s" if n_single else "")
+    return shuffles, " ".join(joins) or "—", " ".join(flags) or "—"
 
 
 def main() -> None:
@@ -30,71 +107,26 @@ def main() -> None:
     import __spark_entry__ as e
     from confluent_data_ingestion_spark.caching import release_caches
     from confluent_data_ingestion_spark.session import get_spark
+    from confluent_data_ingestion_spark.streaming.audit import STREAMING_PLANS
 
     spark = get_spark("cdis-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = []
     for name, fn in e.queries().items():
-        if name in SKIP:
-            rows.append((name, "— streaming e2e (executes a query; audited "
-                               "by its pytest + oracle entry)", ""))
+        if name in STREAMING:
+            # run the row (executes the stream), then audit the captured
+            # last-microbatch plan(s)
+            fn(spark, sf_dir)
+            release_caches()
+            plan = STREAMING_PLANS.get(name, "")
+            shuffles, joins, flags = summarize(plan)
+            rows.append((name, shuffles, joins,
+                         (flags + " streaming-e2e").strip()))
             continue
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         release_caches()
-        # a cached (InMemoryRelation) subtree prints its FULL text again at
-        # every InMemoryTableScan site, so naive line counts multiply each
-        # cached exchange/join by its consumer count.  Operator nodes carry
-        # a stable [plan_id=N], and one plan_id executes once — dedupe on it
-        # (nodes printed without a plan_id fall back to the line count).
-        def _count(pat: str) -> int:
-            ids = set()
-            bare = 0
-            for m in re.finditer(pat + r"[^\n]*", plan):
-                pid = re.search(r"\[plan_id=(\d+)\]", m.group(0))
-                if pid:
-                    ids.add(pid.group(1))
-                else:
-                    bare += 1
-            # bare lines have no identity: the same node reprinted under
-            # several cache-scan sites is indistinguishable, so dedupe on
-            # the full line text instead of overcounting
-            if bare:
-                bare = len({m.group(0) for m in re.finditer(pat + r"[^\n]*", plan)
-                            if "plan_id=" not in m.group(0)})
-            return len(ids) + bare
-
-        n_ex = _count(r"\bExchange hashpartitioning")
-        n_single = _count(r"\bExchange SinglePartition")
-        joins = []
-        for pat, label in [
-            (r"\bBroadcastHashJoin", "BHJ"),
-            (r"\bSortMergeJoin", "SMJ"),
-            (r"\bShuffledHashJoin", "SHJ"),
-            (r"\bBroadcastNestedLoopJoin", "BNLJ"),
-            (r"\bCartesianProduct", "CART"),
-        ]:
-            k = _count(pat)
-            if k:
-                joins.append(f"{k}x{label}")
-        flags = []
-        # per-scan: flag if ANY scan opens a non-empty pushed-filter list
-        # (an unfiltered second scan must not suppress the flag, and a
-        # metadata-truncated list — no closing bracket — still counts)
-        if re.search(r"PushedFilters: \[[^\]]", plan):
-            flags.append("pushdown")
-        if "TakeOrderedAndProject" in plan:
-            flags.append("take-ordered")
-        if re.search(r"\bWindow\b", plan):
-            flags.append("window")
-        # whole-stage codegen renders as "*(n) Op" prefixes in toString()
-        if "WholeStageCodegen" in plan or re.search(r"\*\(\d+\) ", plan):
-            flags.append("codegen")
-        if "mapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
-            flags.append("arrow-udf")
-        shuffles = f"{n_ex}" + (f"+{n_single}s" if n_single else "")
-        rows.append((name, shuffles, " ".join(joins) or "—",
-                     " ".join(flags) or "—"))
+        rows.append((name, *summarize(plan)))
 
     out = [
         "# PLAN AUDIT — physical-plan inventory per registry query",
@@ -104,9 +136,17 @@ def main() -> None:
         "final 1-row aggregates), deduplicated by plan_id so a cached",
         "subtree reprinted at every cache-scan site counts once — each",
         "plan_id executes once.  Join labels: BHJ broadcast-hash, SMJ",
-        "sort-merge, SHJ shuffled-hash, BNLJ broadcast-nested-loop (allowed",
-        "only for the documented broadcast-scoring/1-row cases — enforced by",
+        "sort-merge, SHJ shuffled-hash, SSHJ streaming symmetric-hash,",
+        "BNLJ broadcast-nested-loop (allowed only for the documented",
+        "broadcast-scoring/1-row cases — enforced by",
         "`tests/test_plan_guards.py`), CART cartesian (never allowed).",
+        "Rows flagged `streaming-e2e` EXECUTED their stream and are",
+        "audited from the captured LAST EXECUTED microbatch plan",
+        "(`streaming/audit.py`): sink-writing streams via the streaming",
+        "query's own explainInternal, foreachBatch statement sets from",
+        "the per-stage plans of the final microbatch; their extra flags",
+        "(`stateful`, `stream-dedup`, `state-store`, `watermark`) name",
+        "the stateful operators that actually ran.",
         "Note: plans compile under AQE before execution, so `codegen` only",
         "shows where the initial plan renders `*(n)` stages; every",
         "expression here is built-in (JVM codegen-eligible) except the",
@@ -116,10 +156,7 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for r in rows:
-        if len(r) == 3:
-            out.append(f"| `{r[0]}` | {r[1]} | | |")
-        else:
-            out.append(f"| `{r[0]}` | {r[1]} | {r[2]} | {r[3]} |")
+        out.append(f"| `{r[0]}` | {r[1]} | {r[2]} | {r[3]} |")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLAN_AUDIT.md")
     with open(path, "w") as f:
