@@ -38,14 +38,35 @@ def stream_interval_join(
     upper_seconds: float,
     watermark: str = "1 hour",
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two STREAMING frames on key equality plus the event-time
+    """Join two STREAMING frames on key equality plus the event-time
     interval ``left_time + lower < right_time <= left_time + upper``.
     Right-side columns come back ``suffix``-renamed (the batch twin's
     convention).  Both sides get ``watermark`` as their event-time bound;
-    pick it >= the max tolerated lateness — it also caps state size."""
+    pick it >= the max tolerated lateness — it also caps state size.
+
+    ``how``: ``inner`` (matches emit as they arrive) or ``left_outer``
+    — Flink's outer interval-join semantics: an unmatched left row
+    emits with NULL right columns, but only once the GLOBAL watermark
+    passes ``left_time + upper`` (before that a match could still
+    arrive, so the engine MUST hold the row; this is watermark-gated
+    null emission, not a per-batch outer join).  The global watermark
+    is the MIN over both streams and advances only with event time —
+    so a held row flushes when LATER DATA on both sides pushes event
+    time past its deadline, and rows whose deadline the final
+    watermark never passed stay HELD in state at quiescence (held,
+    not lost: a restart with newer data still emits them).  Pinned in
+    tests/test_streaming_scd2.py with watermark-advancing trailing
+    events; up to the rows still inside the watermark horizon, the
+    emitted set equals the batch LEFT interval join."""
     if upper_seconds <= lower_seconds:
         raise ValueError("upper_seconds must exceed lower_seconds")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how must be 'inner' or 'left_outer', got {how!r} "
+            "(right_outer/full mirror left_outer — swap the inputs)"
+        )
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark).select(
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
@@ -58,4 +79,4 @@ def stream_interval_join(
         & (F.col(rt) <= F.expr(
             f"{left_time} + INTERVAL {upper_seconds} SECONDS"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)

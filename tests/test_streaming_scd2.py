@@ -417,3 +417,97 @@ def test_stream_stream_join_matches_across_microbatches(spark, tmp_path):
         ).collect()
     )
     assert got == want == [(1, "a", 25.0), (2, "b", 35.0)]
+
+
+def test_stream_stream_interval_join_left_outer_flushes_at_quiescence(
+    spark, tmp_path
+):
+    """how='left_outer': an unmatched left row emits with NULL right
+    columns once the GLOBAL watermark (min over both streams, advanced
+    only by event time) passes left_time + upper.  The trailing 999
+    events push both sides' event time to 03:00, so the final
+    availableNow no-data batch's watermark passes every real view's
+    30-minute deadline and the emitted set equals the batch LEFT
+    interval join (inner pairs plus every never-matched view)."""
+    from confluent_data_ingestion_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    views = [
+        (1, "2026-01-01T00:00:00", "a"), (1, "2026-01-01T00:10:00", "b"),
+        (2, "2026-01-01T00:05:00", "c"), (3, "2026-01-01T00:20:00", "d"),
+        # watermark-advancing trailing event (its own deadline 03:30 is
+        # never passed, so it stays HELD — asserting it is absent also
+        # pins the held-not-lost semantics)
+        (999, "2026-01-01T03:00:00", "w"),
+    ]
+    buys = [
+        (1, "2026-01-01T00:04:00", 10.0),   # matches view a
+        (1, "2026-01-01T00:35:00", 20.0),   # matches view b only
+        (2, "2026-01-01T00:05:00", 30.0),   # equal ts -> excluded (>, not >=)
+        (3, "2026-01-01T01:20:00", 40.0),   # outside the 30min window
+        (999, "2026-01-01T03:00:00", 0.0),  # watermark-advancing trailer
+    ]
+    vsrc, bsrc = str(tmp_path / "v"), str(tmp_path / "b")
+    os.makedirs(vsrc); os.makedirs(bsrc)
+    with open(f"{vsrc}/v.ndjson", "w") as f:
+        f.writelines(json.dumps({"user_id": u, "vts": t, "page": p}) + "\n"
+                     for u, t, p in views)
+    with open(f"{bsrc}/b.ndjson", "w") as f:
+        f.writelines(json.dumps({"user_id": u, "bts": t, "amount": a}) + "\n"
+                     for u, t, a in buys)
+
+    joined = stream_interval_join(
+        spark.readStream.schema("user_id bigint, vts string, page string")
+        .json(vsrc)
+        .select("user_id", F.col("vts").cast("timestamp").alias("vts"),
+                "page"),
+        spark.readStream.schema("user_id bigint, bts string, amount double")
+        .json(bsrc)
+        .select(F.col("user_id").alias("buyer_id"),
+                F.col("bts").cast("timestamp").alias("bts"), "amount"),
+        left_on="user_id", right_on="buyer_id",
+        left_time="vts", right_time="bts",
+        lower_seconds=0, upper_seconds=1800,
+        # null emission waits for watermark > vts + upper: the latest
+        # event is 01:20, so a tight lateness bound lets the final
+        # availableNow watermark advance (01:20 - 1s) pass every held
+        # view's 30-minute deadline; the default 1h bound would leave
+        # them all still-waiting at quiescence (held, not lost)
+        watermark="1 second",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_lo")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.page, r.amount_r)
+        for r in spark.sql("select * from ssj_lo").collect()
+    )
+    # inner pairs + the never-matched views c (equal-ts exclusion) and d;
+    # the 999 trailer's own deadline was never passed -> held, not emitted
+    assert got == [
+        (1, "a", 10.0), (1, "b", 20.0), (2, "c", None), (3, "d", None),
+    ]
+
+
+def test_stream_interval_join_rejects_unknown_how(spark):
+    import pytest as _pytest
+
+    from confluent_data_ingestion_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    with _pytest.raises(ValueError, match="left_outer"):
+        stream_interval_join(
+            spark.readStream.format("rate").load(),
+            spark.readStream.format("rate").load(),
+            left_on="value", right_on="value",
+            left_time="timestamp", right_time="timestamp",
+            lower_seconds=0, upper_seconds=10,
+            how="full",
+        )
