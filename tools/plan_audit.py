@@ -88,7 +88,7 @@ def summarize(plan: str) -> tuple[str, str, str]:
         flags.append("codegen")
     if "mapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
         flags.append("arrow-udf")
-    if "FlatMapGroupsWithState" in plan or "ApplyInPandasWithState" in plan:
+    if re.search(r"FlatMapGroupsWithState|InPandasWithState", plan):
         flags.append("stateful")
     for pat, label in [
         (r"StreamingDeduplicate", "stream-dedup"),
