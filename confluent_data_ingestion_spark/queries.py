@@ -4297,6 +4297,122 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join — Flink's outer interval-join
+# semantics: an unmatched view emits with NULL purchase columns once the
+# GLOBAL watermark (min over the two streams, advanced only by event
+# time) passes view_ts + 6h.  The oracle encodes the quiescence
+# contract exactly: matched pairs are the batch interval join; a
+# NULL row appears iff its deadline fell strictly before the final
+# watermark, least(max view ts, max purchase ts) - the 10-minute
+# lateness bound — views whose deadline the watermark never passed are
+# HELD in state (not lost, not emitted), and the oracle's cutoff
+# predicate reproduces that boundary.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_interval_join_outer",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, ts, event_type, value FROM events
+      WHERE user_id % 4 = 0 AND event_type IN ('view', 'purchase')
+    ),
+    v AS (SELECT user_id, event_id, value, ts FROM ev
+          WHERE event_type = 'view'),
+    b AS (SELECT user_id, event_id, value, ts FROM ev
+          WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM b))
+                  - INTERVAL 600 SECOND AS w)
+    SELECT user_id, view_event, view_value, view_ts,
+           buy_event, buy_value, buy_ts
+    FROM (
+      SELECT v.user_id, v.event_id AS view_event,
+             CAST(v.value AS DOUBLE) AS view_value, v.ts AS view_ts,
+             b.event_id AS buy_event, CAST(b.value AS DOUBLE) AS buy_value,
+             b.ts AS buy_ts
+      FROM v LEFT JOIN b
+        ON v.user_id = b.user_id
+       AND b.ts > v.ts AND b.ts <= v.ts + INTERVAL 21600 SECOND
+    )
+    WHERE buy_event IS NOT NULL
+       OR view_ts + INTERVAL 21600 SECOND < (SELECT w FROM wm)
+    """,
+)
+def streaming_interval_join_outer_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-gated outer emission, driver-checked: the streaming
+    left-outer interval join's quiescence output equals the batch LEFT
+    interval join RESTRICTED to views whose null-emission deadline the
+    final watermark passed — the restriction is the semantics, not a
+    test artifact, and the oracle states it as a plain cutoff
+    predicate.  Same state bound as the inner row: per-key rows inside
+    the 6h window, evicted by watermark."""
+    import tempfile
+
+    from .streaming import file_envelope_stream
+    from .streaming.joins import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 4 == 0)
+        & F.col("event_type").isin("view", "purchase")
+    )
+    src_dir = tempfile.mkdtemp(prefix="cdis-ivjo-src-")
+    out_dir = tempfile.mkdtemp(prefix="cdis-ivjo-out-")
+    ckpt = tempfile.mkdtemp(prefix="cdis-ivjo-ckpt-")
+    ev.select(
+        F.to_json(F.struct(
+            "event_id", "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            "event_type", "value",
+        )).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(src_dir)
+
+    def side(tp: str) -> DataFrame:
+        return file_envelope_stream(spark, src_dir).select(
+            F.get_json_object("val", "$.event_id").cast("bigint")
+            .alias("event_id"),
+            F.get_json_object("val", "$.user_id").cast("bigint")
+            .alias("user_id"),
+            F.get_json_object("val", "$.ts").cast("timestamp")
+            .alias("ts"),
+            F.get_json_object("val", "$.event_type").alias("event_type"),
+            F.get_json_object("val", "$.value").cast("double")
+            .alias("value"),
+        ).filter(F.col("event_type") == tp).drop("event_type")
+
+    joined = stream_interval_join(
+        side("view"), side("purchase"),
+        left_on="user_id", right_on="user_id",
+        left_time="ts", right_time="ts",
+        lower_seconds=0, upper_seconds=6 * 3600,
+        watermark="10 minutes",
+        how="left_outer",
+    )
+    shp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _record_stream_plan("streaming_interval_join_outer", q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shp)
+    return spark.read.parquet(out_dir).select(
+        "user_id",
+        F.col("event_id").alias("view_event"),
+        F.col("value").alias("view_value"),
+        F.col("ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("event_id_r").alias("buy_event"),
+        F.col("value_r").alias("buy_value"),
+        F.col("ts_r").cast("timestamp_ntz").alias("buy_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Part/supplier profit rollup (Q9-shaped): completes coverage of all ten
 # driver tables.  lineitem x part is the big join (shuffle on partkey);
 # supplier + nation broadcast.
@@ -7230,8 +7346,9 @@ _PRIORITY_ORDER = [
     "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
     "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
     "union_arms_null_fill", "ordered_multi_join", "pricing_summary",
-    # new this round: generalize-then-gate privacy release (first record)
-    "k_anonymity_generalized",
+    # new this round (first records): generalize-then-gate privacy
+    # release; watermark-gated left-outer stream-stream interval join
+    "k_anonymity_generalized", "streaming_interval_join_outer",
     # r12 rotation target: the entire r8-record cohort (31 queries — the
     # stalest anywhere in the registry after r11).  The similarity rows
     # keep their relative order; dedup_simhash computes raw signatures
@@ -7252,11 +7369,13 @@ _PRIORITY_ORDER = [
     # keep-best read it — then the oldest remaining r9 names
     "dedup_simhash_pairs", "dedup_clusters", "dedup_apply_pipeline",
     "dedup_keep_best_quality", "dedup_ngram_jaccard", "dedup_incremental",
-    "char_entropy_scores", "corpus_length_quantiles", "corpus_sample_exact_n",
-    # positions 51+: last round's window in its r11 order (keeps every
+    "char_entropy_scores", "corpus_length_quantiles",
+    # positions 51+: the r9 name displaced by the new outer-join row,
+    # then last round's window in its r11 order (keeps every
     # shared-artifact family build-first: zorder_rewrite before the
     # lifecycle/skip rows, bm25_topk_docs before the hybrid/incremental
     # retrieval rows), then everything else in registration order
+    "corpus_sample_exact_n",
     "zorder_rewrite", "compaction_lifecycle", "join_advisor_strategy",
     "bm25_topk_docs", "hybrid_rrf_retrieval", "hybrid_dense_sparse",
     "bm25_incremental_index", "nb_language_classify",

@@ -50,6 +50,7 @@ SKIP = {
     "streaming_xref_upsert",
     "streaming_event_funnel",
     "streaming_interval_join",
+    "streaming_interval_join_outer",
     "streaming_dedup_events",
 }
 
@@ -78,7 +79,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
 
 
 def test_streaming_executed_plans_guarded(spark, sf_dir):
-    """The five streaming e2e rows execute their query inside the
+    """The six streaming e2e rows execute their query inside the
     function, so the lazy-compile guard above never sees the microbatch
     plan the engine actually ran.  Execute each row and audit the
     captured last-microbatch executed plan (streaming/audit.py): no

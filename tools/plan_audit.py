@@ -31,6 +31,7 @@ STREAMING = {
     "streaming_statement_set",
     "streaming_event_funnel",
     "streaming_interval_join",
+    "streaming_interval_join_outer",
     "streaming_dedup_events",
 }
 
