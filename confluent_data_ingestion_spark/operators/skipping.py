@@ -132,6 +132,161 @@ def skip_scan(
     return exact(spark.read.parquet(*kept))
 
 
+def collect_file_blooms(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """One Bloom bitset PER FILE over ``col`` — the point-lookup
+    complement of :func:`collect_file_stats`.
+
+    Min/max envelopes prune RANGE predicates on the layout's clustered
+    columns, but an equality lookup on a column the sort order does not
+    cluster (a scattered id, a hash key) sees every file's envelope span
+    the whole domain — zero skips.  A per-file Bloom answers "could this
+    file contain value v" regardless of clustering: Delta calls these
+    bloom filter indexes, Iceberg/Parquet carry them as optional column
+    bloom metadata; here the index is an ordinary DataFrame persisted
+    next to the table, like the stats index.
+
+    Build cost: ONE aggregation over ``_metadata.file_path`` — each row
+    contributes ``num_hashes`` (word, bit) pairs, partial-aggregated
+    map-side, so the shuffle carries at most files x ``num_bits/64``
+    rows.  Output: (file, bloom) with ``bloom`` a SPARSE map<word_idx,
+    or-of-bits> — unset words are absent, so tiny files cost bytes, not
+    ``num_bits``.  Hashing is ``xxhash64(col, seed)`` (JVM-side,
+    deterministic); :func:`prune_files_bloom` re-derives probe positions
+    with the SAME expression, so index and probe can never drift.
+
+    Sizing: false-positive rate ~ (1 - e^(-k*n/m))^k with n = distinct
+    values per file — keep ``num_bits`` >= ~10x n for ~1% (the classic
+    10-bits-per-key rule; parquet's own optional column blooms budget
+    the same way).  At 100 TB that makes the index ~1-2% of the indexed
+    column's footprint — far below re-reading skipped files, and an
+    undersized bloom degrades to "keep everything", never to a wrong
+    answer.
+    """
+    from .sketch import _bit_positions
+
+    key = F.col("__k")
+    pos = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("file"),
+                F.col(col).alias("__k"))
+        .filter(key.isNotNull())  # NULLs never match an equality lookup
+        .select(
+            "file",
+            F.explode(F.array(*[
+                _bit_positions(key, s, num_bits) for s in range(num_hashes)
+            ])).alias("p"),
+        )
+    )
+    words = (
+        pos.select(
+            "file",
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("file", "w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    return words.groupBy("file").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("w", "bits"))
+        ).alias("bloom")
+    )
+
+
+def prune_files_bloom(
+    spark: SparkSession,
+    blooms: DataFrame,
+    values: list,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+    value_type: str | None = None,
+) -> tuple[list[str], int]:
+    """Files that MAY contain at least one of ``values``, plus the total
+    file count.  One-sided like every pruner here: a file survives when
+    every probe bit of SOME value is set (false positives keep a file —
+    the exact predicate still runs; false negatives are impossible).
+
+    Probe positions come from a values-sized Spark expression using the
+    same ``xxhash64`` as the build (never re-implemented driver-side);
+    ``value_type`` casts the probe values to the indexed column's type
+    first — xxhash64 is TYPE-sensitive, so probing a bigint index with
+    an int would silently miss everything.  The pruning join is values
+    x files on the metadata-sized index — both frames are tiny, the
+    work is planning-time.
+    """
+    if not values:
+        return [], blooms.count()
+    positions = ",".join(
+        f"pmod(xxhash64(__v, {s}), {num_bits})" for s in range(num_hashes)
+    )
+    probe = (
+        spark.createDataFrame([(v,) for v in values], ["__v0"])
+        .selectExpr(
+            f"cast(__v0 as {value_type}) as __v" if value_type else
+            "__v0 as __v"
+        )
+        .selectExpr(
+            f"""transform(array({positions}),
+                p -> struct(cast(p div 64 as int) as w,
+                            shiftleft(cast(1 as bigint),
+                                      cast(p % 64 as int)) as m)) as pm"""
+        )
+    )
+    hit = (
+        blooms.crossJoin(F.broadcast(probe))  # files x values: metadata-sized
+        .selectExpr(
+            "file",
+            # absent word => no bits ever set there => definitely-absent
+            "aggregate(pm, true, (acc, x) -> "
+            "acc AND (coalesce(bloom[x.w], 0L) & x.m) = x.m) as maybe",
+        )
+    )
+    total = blooms.count()
+    kept = [
+        r["file"]
+        for r in hit.filter("maybe").select("file").distinct().collect()
+    ]
+    return sorted(kept), total
+
+
+def bloom_skip_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    blooms: DataFrame | None = None,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Exact point-lookup scan: read only files whose Bloom cannot rule
+    out every lookup value, then apply the exact IN predicate — result
+    bit-identical to ``spark.read.parquet(path).filter(col IN values)``.
+    ``blooms`` is a persisted :func:`collect_file_blooms` frame; omit to
+    build one on the fly (a steady-state pipeline persists the index and
+    refreshes it per append, exactly like the stats index)."""
+    if blooms is None:
+        blooms = collect_file_blooms(
+            spark, path, col, num_bits=num_bits, num_hashes=num_hashes
+        )
+    col_type = spark.read.parquet(path).schema[col].dataType.simpleString()
+    kept, _total = prune_files_bloom(
+        spark, blooms, values, num_bits=num_bits, num_hashes=num_hashes,
+        value_type=col_type,
+    )
+    if not kept:
+        schema = spark.read.parquet(path).schema
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*kept).filter(F.col(col).isin(values))
+
+
 def zorder_append(
     spark: SparkSession,
     batch: DataFrame,

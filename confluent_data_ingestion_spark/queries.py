@@ -6642,6 +6642,33 @@ def skipscan_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_skipscan_pointlookup",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id IN (123, 4567, 987654)
+    """,
+)
+def bloom_skipscan_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a column the layout does NOT cluster: the shared
+    layout is Z-ordered on (user_id, value), so every file's event_id
+    [min, max] envelope spans the whole domain and min/max skipping
+    prunes nothing — the per-file Bloom index
+    (operators/skipping.py collect_file_blooms) still answers "could
+    this file contain id v" and the scan opens only the maybe-files
+    (one-sided: false positives re-filter away, false negatives are
+    impossible, so the answer is bit-identical to the full scan).  The
+    row carries the whole lifecycle: one index-build aggregation over
+    the layout + metadata-sized probe + pruned exact read."""
+    from .operators.skipping import bloom_skip_scan, collect_file_blooms
+
+    layout, _stats = _ensure_skipscan_layout(spark, sf_dir)
+    blooms = collect_file_blooms(spark, layout, "event_id")
+    return bloom_skip_scan(
+        spark, layout, "event_id", [123, 4567, 987654], blooms=blooms
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
     "zorder_incremental",
     """
     WITH combined AS (
@@ -7347,8 +7374,11 @@ _PRIORITY_ORDER = [
     "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
     "union_arms_null_fill", "ordered_multi_join", "pricing_summary",
     # new this round (first records): generalize-then-gate privacy
-    # release; watermark-gated left-outer stream-stream interval join
+    # release; watermark-gated left-outer stream-stream interval join;
+    # per-file-Bloom point-lookup skipping (zorder_rewrite precedes it
+    # so the shared layout build stays charged to the row named for it)
     "k_anonymity_generalized", "streaming_interval_join_outer",
+    "zorder_rewrite", "bloom_skipscan_pointlookup",
     # r12 rotation target: the entire r8-record cohort (31 queries — the
     # stalest anywhere in the registry after r11).  The similarity rows
     # keep their relative order; dedup_simhash computes raw signatures
@@ -7369,14 +7399,13 @@ _PRIORITY_ORDER = [
     # keep-best read it — then the oldest remaining r9 names
     "dedup_simhash_pairs", "dedup_clusters", "dedup_apply_pipeline",
     "dedup_keep_best_quality", "dedup_ngram_jaccard", "dedup_incremental",
-    "char_entropy_scores", "corpus_length_quantiles",
-    # positions 51+: the r9 name displaced by the new outer-join row,
-    # then last round's window in its r11 order (keeps every
+    # positions 51+: the r9 names displaced by the three new rows, then
+    # last round's window in its r11 order (keeps every
     # shared-artifact family build-first: zorder_rewrite before the
     # lifecycle/skip rows, bm25_topk_docs before the hybrid/incremental
     # retrieval rows), then everything else in registration order
-    "corpus_sample_exact_n",
-    "zorder_rewrite", "compaction_lifecycle", "join_advisor_strategy",
+    "char_entropy_scores", "corpus_length_quantiles", "corpus_sample_exact_n",
+    "compaction_lifecycle", "join_advisor_strategy",
     "bm25_topk_docs", "hybrid_rrf_retrieval", "hybrid_dense_sparse",
     "bm25_incremental_index", "nb_language_classify",
     "k_anonymity_suppress", "l_diversity_report",

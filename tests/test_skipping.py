@@ -317,3 +317,89 @@ def test_refresh_file_stats_scans_only_new_files(spark, tmp_path):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, refreshed.collect())
     )
+
+
+def test_bloom_skipscan_point_lookup_exact_and_skipping(spark, tmp_path):
+    """Per-file Bloom pruning: equality lookups on a non-clustered column
+    must read a strict subset of files yet return exactly the full
+    scan's rows; an absent value prunes every file."""
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.skipping import (
+        bloom_skip_scan,
+        collect_file_blooms,
+        prune_files_bloom,
+    )
+
+    d = str(tmp_path / "layout")
+    ev = spark.range(40_000).selectExpr(
+        "id as event_id", "pmod(hash(id), 499) as user_id"
+    )
+    # laid out by user_id -> event_id scattered across all files
+    ev.repartitionByRange(8, "user_id").write.parquet(d)
+    blooms = collect_file_blooms(spark, d, "event_id")
+    vals = [7, 12_345, 39_999]
+    kept, total = prune_files_bloom(
+        spark, blooms, vals, value_type="bigint"
+    )
+    assert total == 8
+    assert 1 <= len(kept) < total  # real skipping on a scattered column
+    got = sorted(
+        r["event_id"]
+        for r in bloom_skip_scan(
+            spark, d, "event_id", vals, blooms=blooms
+        ).collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(d)
+        .filter(F.col("event_id").isin(vals)).collect()
+    )
+    assert got == want == vals
+    # absent value: every file provably excluded
+    kept_none, _ = prune_files_bloom(
+        spark, blooms, [10**15], value_type="bigint"
+    )
+    assert kept_none == []
+
+
+def test_bloom_skipscan_undersized_never_wrong(spark, tmp_path):
+    """A saturated (undersized) Bloom degrades to keeping files — the
+    answer must stay bit-identical to the full scan, never lose rows."""
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.skipping import (
+        bloom_skip_scan,
+    )
+
+    d = str(tmp_path / "layout")
+    spark.range(10_000).selectExpr(
+        "id as event_id", "pmod(hash(id), 97) as user_id"
+    ).repartitionByRange(4, "user_id").write.parquet(d)
+    vals = [5, 9_876]
+    got = sorted(
+        r["event_id"]
+        for r in bloom_skip_scan(
+            spark, d, "event_id", vals, num_bits=64, num_hashes=2
+        ).collect()
+    )
+    assert got == vals
+
+
+def test_bloom_probe_casts_to_indexed_type(spark, tmp_path):
+    """xxhash64 is type-sensitive: bloom_skip_scan must cast probe values
+    to the indexed column's type (an int probe against an INT column
+    hashed as int would otherwise never match a python-long literal)."""
+    from confluent_data_ingestion_spark.operators.skipping import (
+        bloom_skip_scan,
+    )
+
+    d = str(tmp_path / "layout")
+    spark.range(1_000).selectExpr(
+        "cast(id as int) as event_id", "pmod(hash(id), 7) as user_id"
+    ).repartitionByRange(2, "user_id").write.parquet(d)
+    got = sorted(
+        r["event_id"]
+        for r in bloom_skip_scan(spark, d, "event_id", [3, 999]).collect()
+    )
+    assert got == [3, 999]
