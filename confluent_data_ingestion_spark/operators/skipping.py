@@ -132,6 +132,38 @@ def skip_scan(
     return exact(spark.read.parquet(*kept))
 
 
+def _file_blooms_from(
+    df: DataFrame, num_bits: int, num_hashes: int
+) -> DataFrame:
+    """(file, bloom) sparse word-map bitsets from a (file, __k) frame —
+    the shared aggregation behind build and incremental refresh."""
+    from .sketch import _bit_positions
+
+    key = F.col("__k")
+    pos = df.filter(key.isNotNull()).select(
+        "file",
+        F.explode(F.array(*[
+            _bit_positions(key, s, num_bits) for s in range(num_hashes)
+        ])).alias("p"),
+    )
+    words = (
+        pos.select(
+            "file",
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("file", "w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    return words.groupBy("file").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("w", "bits"))
+        ).alias("bloom")
+    )
+
+
 def collect_file_blooms(
     spark: SparkSession,
     path: str,
@@ -168,37 +200,49 @@ def collect_file_blooms(
     undersized bloom degrades to "keep everything", never to a wrong
     answer.
     """
-    from .sketch import _bit_positions
+    return _file_blooms_from(
+        spark.read.parquet(path).select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col(col).alias("__k"),
+        ),
+        num_bits, num_hashes,
+    )
 
-    key = F.col("__k")
-    pos = (
-        spark.read.parquet(path)
-        .select(F.col("_metadata.file_path").alias("file"),
-                F.col(col).alias("__k"))
-        .filter(key.isNotNull())  # NULLs never match an equality lookup
-        .select(
-            "file",
-            F.explode(F.array(*[
-                _bit_positions(key, s, num_bits) for s in range(num_hashes)
-            ])).alias("p"),
-        )
+
+def refresh_file_blooms(
+    spark: SparkSession,
+    path: str,
+    old_blooms: DataFrame,
+    col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Incrementally maintain a persisted Bloom index after appends —
+    the same contract as :func:`refresh_file_stats`: only files absent
+    from ``old_blooms`` are scanned (steady-state cost proportional to
+    the new data; a file's bitset never changes because files are
+    immutable), removed files drop, and the result equals
+    :func:`collect_file_blooms` from scratch.  ``num_bits``/
+    ``num_hashes`` must match the original build — probe positions are
+    parameter-dependent, so a mixed-parameter index would corrupt
+    pruning."""
+    current = {p for p, _ in list_files(spark, path)}
+    known = {r["file"] for r in old_blooms.select("file").collect()}
+    fresh = sorted(current - known)
+    cur_df = spark.createDataFrame(
+        [(p,) for p in sorted(current)] or [("",)], "file STRING"
     )
-    words = (
-        pos.select(
-            "file",
-            (F.col("p") / 64).cast("int").alias("w"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
-            ).alias("m"),
-        )
-        .groupBy("file", "w")
-        .agg(F.bit_or("m").alias("bits"))
+    kept = old_blooms.join(F.broadcast(cur_df), "file", "left_semi")
+    if not fresh:
+        return kept
+    fresh_blooms = _file_blooms_from(
+        spark.read.parquet(*fresh).select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col(col).alias("__k"),
+        ),
+        num_bits, num_hashes,
     )
-    return words.groupBy("file").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("w", "bits"))
-        ).alias("bloom")
-    )
+    return kept.unionByName(fresh_blooms)
 
 
 def prune_files_bloom(

@@ -403,3 +403,35 @@ def test_bloom_probe_casts_to_indexed_type(spark, tmp_path):
         for r in bloom_skip_scan(spark, d, "event_id", [3, 999]).collect()
     )
     assert got == [3, 999]
+
+
+def test_refresh_file_blooms_incremental_equals_rebuild(spark, tmp_path):
+    """Appending files must cost only the new files' scan and produce
+    the same index (and the same pruning decisions) as a full rebuild."""
+    from confluent_data_ingestion_spark.operators.skipping import (
+        collect_file_blooms,
+        prune_files_bloom,
+        refresh_file_blooms,
+    )
+
+    d = str(tmp_path / "layout")
+    spark.range(10_000).selectExpr(
+        "id as event_id", "pmod(hash(id), 97) as user_id"
+    ).repartitionByRange(4, "user_id").write.parquet(d)
+    old = collect_file_blooms(spark, d, "event_id").localCheckpoint()
+    # append a new generation of ids
+    spark.range(10_000, 12_000).selectExpr(
+        "id as event_id", "pmod(hash(id), 97) as user_id"
+    ).coalesce(2).write.mode("append").parquet(d)
+    refreshed = refresh_file_blooms(spark, d, old, "event_id")
+    rebuilt = collect_file_blooms(spark, d, "event_id")
+    key = lambda df: sorted(  # noqa: E731
+        (r["file"], tuple(sorted(r["bloom"].items()))) for r in df.collect()
+    )
+    assert key(refreshed) == key(rebuilt)
+    # a new-generation id prunes to the appended files only
+    kept, total = prune_files_bloom(
+        spark, refreshed, [11_500], value_type="bigint"
+    )
+    assert total == 6
+    assert 1 <= len(kept) <= 2
