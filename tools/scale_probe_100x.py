@@ -198,6 +198,76 @@ def zorder_incr_probe(spark, sf_dir: str, reps: int):
     ).select("event_id", "user_id", "event_type", "value")
 
 
+def make_bloom_probes():
+    """Per-file Bloom index over the blown events (keys multiply, so the
+    lookup column's per-file distinct count grows with file size): the
+    BUILD is one linear scan (the floor); the warm POINT LOOKUP over a
+    prebuilt index should stay near-flat — the probe stage is
+    metadata-sized and the read opens ~matched files + the fixed-rate
+    false positives.  num_bits is budgeted at the classic 10 bits per
+    key-per-file at every scale (how a real deployment sizes blooms);
+    sizing is part of the design, so the probe sizes honestly rather
+    than letting a fixed tiny bloom saturate into keep-everything."""
+    from confluent_data_ingestion_spark.operators.skipping import (
+        bloom_skip_scan,
+        collect_file_blooms,
+        list_files,
+    )
+
+    built: dict[str, tuple] = {}
+    laid: dict[str, tuple] = {}
+
+    def layout(spark, sf_dir):
+        """Blown events re-laid as a REAL table: ~256k-row files (the
+        compaction target every lakehouse enforces).  The raw blowup
+        writes 1-2 giant files — per-file blooms over a layout no one
+        would ship measure the wrong thing (a 10M-row single file needs
+        a 2^27-bit bloom and serializes the scan).  One-time setup per
+        scale, excluded from the measured runs."""
+        if sf_dir in laid:
+            return laid[sf_dir]
+        src = f"{sf_dir}/events.parquet"
+        n = spark.read.parquet(src).count()
+        n_files = max(1, (n + 262_143) // 262_144)
+        path = os.path.join(
+            ROOT, f"bloom_layout_{os.path.basename(sf_dir.rstrip('/'))}"
+        )
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            (
+                spark.read.parquet(src)
+                .select("event_id", "user_id", "event_type", "value")
+                .repartition(n_files, "user_id")
+                .write.mode("overwrite").parquet(path)
+            )
+        bits = 1 << 16
+        while bits < 10 * (n / n_files):
+            bits <<= 1
+        laid[sf_dir] = (path, bits)
+        return laid[sf_dir]
+
+    def build(spark, sf_dir, reps):
+        path, bits = layout(spark, sf_dir)
+        return collect_file_blooms(spark, path, "event_id", num_bits=bits)
+
+    def ensure(spark, sf_dir):
+        if sf_dir not in built:
+            path, bits = layout(spark, sf_dir)
+            blooms = collect_file_blooms(
+                spark, path, "event_id", num_bits=bits
+            ).localCheckpoint()
+            built[sf_dir] = (path, bits, blooms)
+        return built[sf_dir]
+
+    def lookup(spark, sf_dir, reps):
+        path, bits, blooms = ensure(spark, sf_dir)
+        return bloom_skip_scan(
+            spark, path, "event_id", [123, 4567, 98765],
+            blooms=blooms, num_bits=bits,
+        )
+
+    return build, lookup
+
+
 def advisor_probe(spark, sf_dir: str, reps: int):
     """Join-strategy advisor over a fact side that grows x10/x100 (blown
     events: keys multiply at constant per-key depth): the two profiling
@@ -302,7 +372,7 @@ def main() -> None:
             blow_documents(spark, reps, out)
         if (
             "rollup" in fams or "stats" in fams or "zorder" in fams
-            or "compact" in fams or "advisor" in fams
+            or "compact" in fams or "advisor" in fams or "bloom" in fams
         ) and not os.path.exists(
             f"{out}/events.parquet/_SUCCESS"
         ):
@@ -348,6 +418,10 @@ def main() -> None:
         probes.append(("compaction_fixed_backlog", compaction_probe))
     if "advisor" in fams:
         probes.append(("join_advisor_growing_fact", advisor_probe))
+    if "bloom" in fams:
+        bloom_build, bloom_lookup = make_bloom_probes()
+        probes.append(("bloom_index_build", bloom_build))
+        probes.append(("bloom_pointlookup_warm", bloom_lookup))
     if "lm" in fams:
         # bounded-model trained operators: the bigram LM's (V+1)^2 state
         # table and the NB classifier's O(V x classes) model are both
