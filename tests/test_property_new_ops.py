@@ -351,3 +351,45 @@ def test_scrub_boilerplate_reassembly_invariants(spark, texts):
         assert r["text_clean"] == " ".join(
             c for c in cs if len(occ[c]) < 2
         )
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1, max_size=60, unique=True,
+    ),
+    lookups=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1, max_size=8,
+    ),
+    num_bits=st.sampled_from([64, 1 << 10, 1 << 16]),
+)
+@settings(max_examples=8, deadline=None)
+def test_bloom_skipscan_never_loses_rows(spark, tmp_path_factory, ids,
+                                         lookups, num_bits):
+    """One-sidedness under arbitrary ids, lookup values (present, absent,
+    negative), and bloom sizes down to a fully saturated 64-bit filter:
+    bloom_skip_scan must equal the plain filter exactly — skipping can
+    only change which files are OPENED, never the rows returned."""
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.skipping import (
+        bloom_skip_scan,
+    )
+
+    d = str(tmp_path_factory.mktemp("bloomprop") / "t")
+    spark.createDataFrame(
+        [(i, i % 7) for i in ids], "event_id long, g long"
+    ).repartition(3).write.parquet(d)
+    got = sorted(
+        r["event_id"]
+        for r in bloom_skip_scan(
+            spark, d, "event_id", lookups, num_bits=num_bits, num_hashes=3
+        ).collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(d)
+        .filter(F.col("event_id").isin(lookups)).collect()
+    )
+    assert got == want
