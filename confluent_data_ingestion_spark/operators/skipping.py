@@ -293,12 +293,13 @@ def prune_files_bloom(
             "acc AND (coalesce(bloom[x.w], 0L) & x.m) = x.m) as maybe",
         )
     )
-    total = blooms.count()
-    kept = [
-        r["file"]
-        for r in hit.filter("maybe").select("file").distinct().collect()
-    ]
-    return sorted(kept), total
+    # ONE action: kept and total both fall out of the per-(file, value)
+    # verdict rows (files x values — metadata-sized).  A second action
+    # would recompute an unpersisted index's whole build aggregation.
+    rows = hit.collect()
+    total = len({r["file"] for r in rows})
+    kept = sorted({r["file"] for r in rows if r["maybe"]})
+    return kept, total
 
 
 def bloom_skip_scan(
