@@ -137,3 +137,20 @@ def test_generalize_then_gate_releases_more_than_raw(spark):
     out = k_anonymize_suppress(gen, ["zip"], k=3)
     assert out.count() == 6
     assert {r["zip"] for r in out.collect()} == {"0213"}  # released datum
+
+
+def test_generalize_accepts_ready_column_expression(spark):
+    from confluent_data_ingestion_spark.operators.privacy import (
+        generalize_quasi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 17), (2, 34), (3, 71)], "pid long, age long"
+    )
+    out = {
+        r["pid"]: r["age"]
+        for r in generalize_quasi(
+            df, {"age": F.expr("cast(age div 20 * 20 as bigint)")}
+        ).collect()
+    }
+    assert out == {1: 0, 2: 20, 3: 60}
