@@ -386,6 +386,10 @@ def bm25_index_merge(
             .collect()
         )
         if dup:
+            # the batch index is already materialized (localCheckpointed);
+            # release its pinned blocks before raising or every failed
+            # retry leaks block-manager memory
+            batch.unpersist()
             raise ValueError(
                 f"bm25_index_merge: doc id {dup[0]['id']} is already "
                 "indexed — merge is append-only (re-sending an indexed id "

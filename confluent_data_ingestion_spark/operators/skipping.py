@@ -132,13 +132,52 @@ def skip_scan(
     return exact(spark.read.parquet(*kept))
 
 
+def _bloom_meta(blooms: DataFrame) -> dict | None:
+    """The build parameters a :func:`collect_file_blooms` frame carries in
+    its ``bloom`` column's schema metadata (driver-side, no action), or
+    ``None`` for a hand-built frame that predates/omits them."""
+    meta = blooms.schema["bloom"].metadata or {}
+    if "key_type" not in meta:
+        return None
+    return {
+        "key_type": meta["key_type"],
+        "num_bits": int(meta["num_bits"]),
+        "num_hashes": int(meta["num_hashes"]),
+    }
+
+
+def _stamp_bloom_meta(
+    blooms: DataFrame, key_type: str, num_bits: int, num_hashes: int
+) -> DataFrame:
+    """Record the build parameters in the ``bloom`` column's metadata.
+
+    xxhash64 is TYPE-sensitive and probe positions depend on
+    (num_bits, num_hashes), so an index probed with drifted parameters
+    silently rules out every file — false negatives that lose rows.
+    Embedding the parameters in the frame itself (schema metadata:
+    zero rows, zero actions, survives localCheckpoint/union/join) lets
+    :func:`prune_files_bloom` and :func:`refresh_file_blooms` derive
+    them and RAISE on an explicit mismatch instead of mispruning."""
+    return blooms.withColumn(
+        "bloom",
+        F.col("bloom").alias("bloom", metadata={
+            "key_type": key_type,
+            "num_bits": num_bits,
+            "num_hashes": num_hashes,
+        }),
+    )
+
+
 def _file_blooms_from(
     df: DataFrame, num_bits: int, num_hashes: int
 ) -> DataFrame:
     """(file, bloom) sparse word-map bitsets from a (file, __k) frame —
-    the shared aggregation behind build and incremental refresh."""
+    the shared aggregation behind build and incremental refresh.  The
+    indexed column's type and the (num_bits, num_hashes) build
+    parameters ride along as ``bloom``-column schema metadata."""
     from .sketch import _bit_positions
 
+    key_type = df.schema["__k"].dataType.simpleString()
     key = F.col("__k")
     pos = df.filter(key.isNotNull()).select(
         "file",
@@ -157,10 +196,13 @@ def _file_blooms_from(
         .groupBy("file", "w")
         .agg(F.bit_or("m").alias("bits"))
     )
-    return words.groupBy("file").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("w", "bits"))
-        ).alias("bloom")
+    return _stamp_bloom_meta(
+        words.groupBy("file").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("bloom")
+        ),
+        key_type, num_bits, num_hashes,
     )
 
 
@@ -225,7 +267,29 @@ def refresh_file_blooms(
     :func:`collect_file_blooms` from scratch.  ``num_bits``/
     ``num_hashes`` must match the original build — probe positions are
     parameter-dependent, so a mixed-parameter index would corrupt
-    pruning."""
+    pruning; the original build's parameters ride in ``old_blooms``'s
+    schema metadata and a mismatch (parameters OR the indexed column's
+    type) raises instead of silently mixing generations."""
+    meta = _bloom_meta(old_blooms)
+    if meta is not None:
+        if (num_bits, num_hashes) != (meta["num_bits"], meta["num_hashes"]):
+            raise ValueError(
+                "refresh_file_blooms: index was built with "
+                f"num_bits={meta['num_bits']}, num_hashes={meta['num_hashes']}"
+                f" but refresh was asked for num_bits={num_bits}, "
+                f"num_hashes={num_hashes} — a mixed-parameter index would "
+                "misprune; rebuild with collect_file_blooms instead"
+            )
+        cur_type = (
+            spark.read.parquet(path).schema[col].dataType.simpleString()
+        )
+        if cur_type != meta["key_type"]:
+            raise ValueError(
+                f"refresh_file_blooms: index was built over a "
+                f"{meta['key_type']} column but {col!r} now reads as "
+                f"{cur_type} — xxhash64 is type-sensitive, the bitsets "
+                "are incompatible; rebuild with collect_file_blooms"
+            )
     current = {p for p, _ in list_files(spark, path)}
     known = {r["file"] for r in old_blooms.select("file").collect()}
     fresh = sorted(current - known)
@@ -249,8 +313,8 @@ def prune_files_bloom(
     spark: SparkSession,
     blooms: DataFrame,
     values: list,
-    num_bits: int = 1 << 16,
-    num_hashes: int = 4,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
     value_type: str | None = None,
 ) -> tuple[list[str], int]:
     """Files that MAY contain at least one of ``values``, plus the total
@@ -262,10 +326,40 @@ def prune_files_bloom(
     same ``xxhash64`` as the build (never re-implemented driver-side);
     ``value_type`` casts the probe values to the indexed column's type
     first — xxhash64 is TYPE-sensitive, so probing a bigint index with
-    an int would silently miss everything.  The pruning join is values
-    x files on the metadata-sized index — both frames are tiny, the
-    work is planning-time.
+    an int would silently miss everything.  All three parameters
+    therefore default to the values recorded in ``blooms``'s schema
+    metadata at build time (see :func:`_stamp_bloom_meta`); passing a
+    value that CONTRADICTS the recorded one raises — parameter drift
+    must be an error, never a silent prune-everything.  A hand-built
+    frame with no metadata requires all three explicitly.  The pruning
+    join is values x files on the metadata-sized index — both frames
+    are tiny, the work is planning-time.
     """
+    meta = _bloom_meta(blooms)
+    if meta is not None:
+        for name, given, built in (
+            ("num_bits", num_bits, meta["num_bits"]),
+            ("num_hashes", num_hashes, meta["num_hashes"]),
+            ("value_type", value_type, meta["key_type"]),
+        ):
+            if given is not None and given != built:
+                raise ValueError(
+                    f"prune_files_bloom: index was built with {name}="
+                    f"{built!r} but probe was asked for {given!r} — "
+                    "mismatched probes would silently rule out every "
+                    "file (false negatives); drop the argument to use "
+                    "the recorded value or rebuild the index"
+                )
+        num_bits = meta["num_bits"]
+        num_hashes = meta["num_hashes"]
+        value_type = meta["key_type"]
+    elif num_bits is None or num_hashes is None or value_type is None:
+        raise ValueError(
+            "prune_files_bloom: blooms frame carries no build metadata "
+            "(not built by collect_file_blooms?) — num_bits, num_hashes "
+            "AND value_type must all be passed explicitly; guessing any "
+            "of them risks silent false negatives"
+        )
     if not values:
         return [], blooms.count()
     positions = ",".join(
@@ -321,11 +415,9 @@ def bloom_skip_scan(
         blooms = collect_file_blooms(
             spark, path, col, num_bits=num_bits, num_hashes=num_hashes
         )
-    col_type = spark.read.parquet(path).schema[col].dataType.simpleString()
-    kept, _total = prune_files_bloom(
-        spark, blooms, values, num_bits=num_bits, num_hashes=num_hashes,
-        value_type=col_type,
-    )
+    # parameters + indexed type come from the index frame's own build
+    # metadata — passing them again here could only drift from the build
+    kept, _total = prune_files_bloom(spark, blooms, values)
     if not kept:
         schema = spark.read.parquet(path).schema
         return spark.createDataFrame([], schema)

@@ -1491,7 +1491,9 @@ def streaming_xref_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         R(PipelineStage="XREF", TargetTable="XREF_EVT", TargetColumn="value",
           TargetDataType="DOUBLE", SourceTable="V_EVT", FieldSelector="value"),
     ])
-    runner = StatementSetRunner(spark, spec, {}, out_dir)
+    runner = StatementSetRunner(
+        spark, spec, {}, out_dir, capture_plans=True,
+    )
     stream = file_envelope_stream(spark, src_dir, max_files_per_trigger=16)
     runner.run_streaming(stream)
     _record_runner_plans("streaming_xref_upsert", runner)
@@ -1590,7 +1592,9 @@ def streaming_statement_set(spark: SparkSession, sf_dir: str) -> DataFrame:
           JoinAlias="d", JoinCondition="s.user_id = d.id",
           FilterPredicate="d.id IS NULL"),
     ])
-    runner = StatementSetRunner(spark, spec, {"dim": dim}, out_dir)
+    runner = StatementSetRunner(
+        spark, spec, {"dim": dim}, out_dir, capture_plans=True,
+    )
     stream = file_envelope_stream(spark, src_dir, max_files_per_trigger=16)
     runner.run_streaming(stream)
     _record_runner_plans("streaming_statement_set", runner)

@@ -44,6 +44,7 @@ class StatementSetRunner:
         out_dir: str,
         *,
         checkpoint_dir: str | None = None,
+        capture_plans: bool = False,
     ):
         self.spark = spark
         self.spec = spec
@@ -56,7 +57,12 @@ class StatementSetRunner:
         self._stores: dict[tuple[str, str], UpsertSnapshot | None] = {}
         # per-stage physical plans of the most recent microbatch — the
         # foreachBatch side of the plan audit (streaming/audit.py);
-        # overwritten each batch so quiescence leaves the LAST one
+        # overwritten each batch so quiescence leaves the LAST one.
+        # OPT-IN (capture_plans): executedPlan() forces an extra physical
+        # planning pass per stage per microbatch — e.g. VIEW stages whose
+        # plan is otherwise only planned inlined into consumers — so
+        # production runners skip it and only audit/registry paths pay
+        self.capture_plans = capture_plans
         self.last_batch_plans: dict[str, str] = {}
         os.makedirs(self.out_dir, exist_ok=True)
 
@@ -137,12 +143,13 @@ class StatementSetRunner:
             for table, rows in self.spec.tables().items():  # stage-ordered
                 stage = rows[0].pipeline_stage
                 df = compiler._builders()[stage](table, rows)
-                try:  # plan capture must never fail the batch
-                    self.last_batch_plans[f"{stage} {table}"] = (
-                        df._jdf.queryExecution().executedPlan().toString()
-                    )
-                except Exception:  # pragma: no cover
-                    pass
+                if self.capture_plans:
+                    try:  # plan capture must never fail the batch
+                        self.last_batch_plans[f"{stage} {table}"] = (
+                            df._jdf.queryExecution().executedPlan().toString()
+                        )
+                    except Exception:  # pragma: no cover
+                        pass
                 if stage == "VIEW":
                     compiler.compiled[table] = df
                 elif stage == "XREF":

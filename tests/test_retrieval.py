@@ -198,8 +198,15 @@ def test_bm25_index_merge_rejects_duplicate_doc_id(spark):
         [(2, "z w"), (3, "w")], "doc_id long, text string"
     )
     idx = bm25_index(old)
+    # the rejected batch's ALREADY-MATERIALIZED index must be released
+    # before the raise — a retry loop would otherwise leak block-manager
+    # memory per failed attempt
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     with pytest.raises(ValueError, match="already\\s+indexed|already "):
         bm25_index_merge(idx, dup_batch)
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size() == before
+    )
     # validate=False restores the old caller-deduped fast path
     merged = bm25_index_merge(
         idx, spark.createDataFrame([(3, "w")], "doc_id long, text string")

@@ -435,3 +435,70 @@ def test_refresh_file_blooms_incremental_equals_rebuild(spark, tmp_path):
     )
     assert total == 6
     assert 1 <= len(kept) <= 2
+
+
+def test_bloom_index_records_build_params_and_rejects_drift(spark, tmp_path):
+    """The index frame carries (key_type, num_bits, num_hashes) in its
+    bloom column's schema metadata; probing or refreshing with a
+    CONTRADICTING parameter raises — never a silent prune-everything."""
+    import pytest
+
+    from confluent_data_ingestion_spark.operators.skipping import (
+        collect_file_blooms,
+        prune_files_bloom,
+        refresh_file_blooms,
+    )
+
+    d = str(tmp_path / "layout")
+    spark.range(2_000).selectExpr(
+        "id as event_id", "pmod(hash(id), 7) as user_id"
+    ).repartitionByRange(2, "user_id").write.parquet(d)
+    blooms = collect_file_blooms(spark, d, "event_id", num_bits=1 << 12)
+
+    # parameterless probe derives everything from the frame
+    kept, total = prune_files_bloom(spark, blooms, [42])
+    assert total == 2 and len(kept) >= 1
+
+    # metadata survives the refresh path (localCheckpoint + union)
+    refreshed = refresh_file_blooms(
+        spark, d, blooms.localCheckpoint(), "event_id", num_bits=1 << 12
+    )
+    kept2, _ = prune_files_bloom(spark, refreshed, [42])
+    assert kept2 == kept
+
+    with pytest.raises(ValueError, match="num_bits"):
+        prune_files_bloom(spark, blooms, [42], num_bits=1 << 16)
+    with pytest.raises(ValueError, match="value_type"):
+        prune_files_bloom(spark, blooms, [42], value_type="int")
+    with pytest.raises(ValueError, match="num_bits"):
+        refresh_file_blooms(spark, d, blooms, "event_id", num_bits=1 << 16)
+    with pytest.raises(ValueError, match="type-sensitive"):
+        # user_id reads as INT but the index was built over BIGINT event_id
+        refresh_file_blooms(spark, d, blooms, "user_id", num_bits=1 << 12)
+
+
+def test_bloom_prune_without_metadata_requires_all_params(spark, tmp_path):
+    """A hand-built blooms frame (no schema metadata) must be probed with
+    ALL parameters explicit — guessing any one risks false negatives."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.skipping import (
+        collect_file_blooms,
+        prune_files_bloom,
+    )
+
+    d = str(tmp_path / "layout")
+    spark.range(500).selectExpr(
+        "id as event_id", "pmod(hash(id), 3) as user_id"
+    ).repartitionByRange(2, "user_id").write.parquet(d)
+    built = collect_file_blooms(spark, d, "event_id")
+    # strip the metadata by rebuilding the column without it
+    bare = built.withColumn("bloom", F.map_from_entries(F.map_entries("bloom")))
+    with pytest.raises(ValueError, match="metadata"):
+        prune_files_bloom(spark, bare, [7])
+    kept, _ = prune_files_bloom(
+        spark, bare, [7],
+        num_bits=1 << 16, num_hashes=4, value_type="bigint",
+    )
+    assert kept  # explicit matching params still prune correctly
