@@ -204,6 +204,16 @@ def test_bm25_index_merge_rejects_duplicate_doc_id(spark):
     before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     with pytest.raises(ValueError, match="already\\s+indexed|already "):
         bm25_index_merge(idx, dup_batch)
+    # the release is non-blocking (unpersist(False)); poll to quiescence
+    # so the count is stable here AND for whatever test runs next
+    import time
+
+    deadline = time.monotonic() + 30
+    while (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size() != before
+        and time.monotonic() < deadline
+    ):
+        time.sleep(0.1)
     assert (
         spark.sparkContext._jsc.sc().getPersistentRDDs().size() == before
     )
