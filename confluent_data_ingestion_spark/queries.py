@@ -4417,6 +4417,127 @@ def streaming_interval_join_outer_q(
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream FULL OUTER interval join — both outer contracts at once,
+# each gated by the GLOBAL watermark: an unmatched view emits NULLs once
+# the watermark passes view_ts + upper (strict, same as the left-outer
+# row); an unmatched purchase emits NULLs once the watermark reaches
+# buy_ts - lower (NON-strict: a purchase at exactly the final watermark
+# flushes — the newest view that could match it has ts < buy_ts, already
+# sealed off; pinned by a boundary sentinel in tests).  Rows on either
+# side whose deadline the final watermark never passed stay HELD.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_interval_join_full",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, ts, event_type, value FROM events
+      WHERE user_id % 4 = 1 AND event_type IN ('view', 'purchase')
+    ),
+    v AS (SELECT user_id, event_id, value, ts FROM ev
+          WHERE event_type = 'view'),
+    b AS (SELECT user_id, event_id, value, ts FROM ev
+          WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM b))
+                  - INTERVAL 600 SECOND AS w)
+    SELECT user_id, view_event, view_value, view_ts,
+           buy_event, buy_value, buy_ts
+    FROM (
+      SELECT coalesce(v.user_id, b.user_id) AS user_id,
+             v.event_id AS view_event,
+             CAST(v.value AS DOUBLE) AS view_value, v.ts AS view_ts,
+             b.event_id AS buy_event, CAST(b.value AS DOUBLE) AS buy_value,
+             b.ts AS buy_ts
+      FROM v FULL JOIN b
+        ON v.user_id = b.user_id
+       AND b.ts > v.ts AND b.ts <= v.ts + INTERVAL 21600 SECOND
+    )
+    WHERE (view_event IS NOT NULL AND buy_event IS NOT NULL)
+       OR (buy_event IS NULL
+           AND view_ts + INTERVAL 21600 SECOND < (SELECT w FROM wm))
+       OR (view_event IS NULL AND buy_ts <= (SELECT w FROM wm))
+    """,
+)
+def streaming_interval_join_full_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-gated null emission on BOTH sides, driver-checked: the
+    streaming full-outer interval join's quiescence output equals the
+    batch FULL interval join restricted by each side's final-watermark
+    cutoff — views strictly (deadline view_ts + 6h must fall BEFORE the
+    final watermark), purchases non-strictly (deadline buy_ts - 0s: a
+    purchase AT the watermark flushes because every view that could
+    still match it is already sealed off).  Completes the r12 verdict's
+    outer-side contract: right_outer/full_outer are first-class ``how``
+    values now, not a documented input swap.  Same state bound as the
+    inner and left-outer rows: per-key rows inside the 6h window,
+    evicted by watermark."""
+    import tempfile
+
+    from .streaming import file_envelope_stream
+    from .streaming.joins import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 4 == 1)
+        & F.col("event_type").isin("view", "purchase")
+    )
+    src_dir = tempfile.mkdtemp(prefix="cdis-ivjf-src-")
+    out_dir = tempfile.mkdtemp(prefix="cdis-ivjf-out-")
+    ckpt = tempfile.mkdtemp(prefix="cdis-ivjf-ckpt-")
+    ev.select(
+        F.to_json(F.struct(
+            "event_id", "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            "event_type", "value",
+        )).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(src_dir)
+
+    def side(tp: str) -> DataFrame:
+        return file_envelope_stream(spark, src_dir).select(
+            F.get_json_object("val", "$.event_id").cast("bigint")
+            .alias("event_id"),
+            F.get_json_object("val", "$.user_id").cast("bigint")
+            .alias("user_id"),
+            F.get_json_object("val", "$.ts").cast("timestamp")
+            .alias("ts"),
+            F.get_json_object("val", "$.event_type").alias("event_type"),
+            F.get_json_object("val", "$.value").cast("double")
+            .alias("value"),
+        ).filter(F.col("event_type") == tp).drop("event_type")
+
+    joined = stream_interval_join(
+        side("view"), side("purchase"),
+        left_on="user_id", right_on="user_id",
+        left_time="ts", right_time="ts",
+        lower_seconds=0, upper_seconds=6 * 3600,
+        watermark="10 minutes",
+        how="full_outer",
+    )
+    shp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _record_stream_plan("streaming_interval_join_full", q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shp)
+    return spark.read.parquet(out_dir).select(
+        F.coalesce(F.col("user_id"), F.col("user_id_r")).alias("user_id"),
+        F.col("event_id").alias("view_event"),
+        F.col("value").alias("view_value"),
+        F.col("ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("event_id_r").alias("buy_event"),
+        F.col("value_r").alias("buy_value"),
+        F.col("ts_r").cast("timestamp_ntz").alias("buy_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Part/supplier profit rollup (Q9-shaped): completes coverage of all ten
 # driver tables.  lineitem x part is the big join (shuffle on partkey);
 # supplier + nation broadcast.
@@ -6865,6 +6986,146 @@ def join_advisor_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "salted_join_hotkey",
+    """
+    WITH hot AS (SELECT min(o_orderkey) AS k FROM orders),
+    sk AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS quantity,
+             CASE WHEN l_orderkey % 10 < 7 THEN (SELECT k FROM hot)
+                  WHEN l_orderkey % 10 = 9 THEN -l_orderkey - 1
+                  ELSE l_orderkey END AS skew_key
+      FROM lineitem
+    )
+    SELECT sk.skew_key, sk.l_orderkey, sk.l_linenumber, sk.quantity,
+           o.o_orderstatus, o.o_orderpriority
+    FROM sk LEFT JOIN orders o ON sk.skew_key = o.o_orderkey
+    """,
+)
+def salted_join_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The advisor's planted hot-key scenario EXECUTED through the
+    salted join (operators/skew.py): 70% of lineitem is rekeyed onto
+    ONE order key (min(o_orderkey)) and 10% onto keys that match
+    nothing, then joined LEFT to orders through salted_join with
+    n_salt=32 — the strategy join_advisor_strategy RECOMMENDS for this
+    exact histogram.  The oracle is the PLAIN equi-join: salting must
+    be lossless — every matched row appears exactly once (the hot
+    key's rows spread over 32 reducers but each finds its single
+    replica partner) and every unmatched left row appears exactly
+    once with NULL order columns (the left-outer contract the
+    replicated right side must not break).  At 100 TB this is the
+    difference between one reducer holding 70 TB and 32 reducers
+    holding ~2 TB each; the salt is hashed from the full row tuple,
+    never the key (reference xref-queries.sql:86-88 theta joins are
+    where this histogram shows up)."""
+    from .operators.skew import salted_join
+
+    li, od = _t(spark, sf_dir, "lineitem", "orders")
+    # scalar hot key: one 1-row aggregate collect (metadata-sized, the
+    # same pattern the advisor row uses for its broadcast budget)
+    hot = od.agg(F.min("o_orderkey")).collect()[0][0]
+    sk = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(hot))
+        .when(F.col("l_orderkey") % 10 == 9, -F.col("l_orderkey") - 1)
+        .otherwise(F.col("l_orderkey"))
+        .cast("bigint").alias("skew_key"),
+    )
+    right = od.select(
+        F.col("o_orderkey").alias("skew_key"),
+        "o_orderstatus", "o_orderpriority",
+    )
+    return salted_join(sk, right, ["skew_key"], how="left", n_salt=32).select(
+        "skew_key", "l_orderkey", "l_linenumber", "quantity",
+        "o_orderstatus", "o_orderpriority",
+    )
+
+
+@query(
+    "bloom_compaction_lifecycle",
+    """
+    WITH combined AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events
+      UNION ALL
+      SELECT event_id + 300000000, user_id, event_type,
+             CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT event_id, user_id, event_type, value
+    FROM combined
+    WHERE event_id IN (123, 4567, 300000005, 300000125, 987654321)
+    """,
+)
+def bloom_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-index twin of compaction_lifecycle: per-file Bloom
+    filters must SURVIVE a compaction rewrite the way min/max stats do.
+    An append batch (1/5 of events, ids offset) lands as 16 undersized
+    files; a Bloom index is built over the arriving generation; the FFD
+    planner compacts the small files into full-size ones;
+    refresh_file_blooms then reconciles the index against the compacted
+    directory — dropped input files leave the index, each rewritten
+    file gets a freshly-scanned bitset, untouched entries are NOT
+    re-read (the incremental contract), and the build parameters are
+    validated from the index frame's own metadata so a drifted rebuild
+    raises instead of mispruning.  The point lookup then prunes across
+    BOTH generations (base layout's index ∪ the refreshed batch index)
+    and must stay lossless: the oracle is the plain IN-filter over
+    base ∪ batch.  At 100 TB this is the OPTIMIZE loop for point-lookup
+    indexes: rebuild cost scales with the compacted backlog, never the
+    table, and a lookup is flat across generations."""
+    from .operators.skipping import (
+        apply_compaction,
+        bloom_skip_scan,
+        collect_file_blooms,
+        compaction_plan,
+        refresh_file_blooms,
+        zorder_append,
+    )
+
+    layout, stats = _ensure_skipscan_layout(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    batch = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(300000000)
+    )
+    genb = layout + "_genb"
+    # land the batch Z-ordered as 16 deliberately undersized files;
+    # recover the arriving generation's directory from the stats index
+    # (metadata-sized anti-join — the index is the source of truth for
+    # where files live) and Bloom-index its event_ids
+    merged = zorder_append(
+        spark, batch, ["user_id", "value"], genb, stats, n_files=16
+    )
+    new_files = [
+        r["file"]
+        for r in merged.join(stats, "file", "left_anti")
+        .select("file").collect()
+    ]
+    batch_dir = new_files[0].rsplit("/", 1)[0]
+    batch_blooms = collect_file_blooms(spark, batch_dir, "event_id")
+    plan = compaction_plan(spark, batch_dir, target_bytes=8 << 20)
+    import os as _os
+    from urllib.parse import urlparse as _urlparse
+
+    comp = (_urlparse(batch_dir).path or batch_dir) + "_compact"
+    if not _os.path.exists(comp):  # re-run in one session: layout is kept
+        apply_compaction(spark, batch_dir, plan, comp)
+    # reconcile the index with the compacted generation: inputs drop,
+    # rewritten files scan fresh, parameters validate from metadata
+    comp_blooms = refresh_file_blooms(spark, comp, batch_blooms, "event_id")
+    base_blooms = collect_file_blooms(spark, layout, "event_id")
+    blooms = base_blooms.unionByName(comp_blooms)
+    return bloom_skip_scan(
+        spark, layout, "event_id",
+        [123, 4567, 300000005, 300000125, 987654321],
+        blooms=blooms,
+    ).select("event_id", "user_id", "event_type", "value")
+
+
 # ---------------------------------------------------------------------------
 # Multi-dimensional aggregation shapes: CUBE (Expand-operator plan, one
 # shuffle for all 2^n grouping combinations) and PIVOT (wide conditional
@@ -7361,58 +7622,63 @@ def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
-# externally-recorded oracle row.  Round-10 window: the 9 headline pipeline
-# stages first (they anchor the benchmark baseline), then the 21-query
-# cohort whose newest driver record is round 6 (the stalest after the r9
-# rotation), then the two rows NEW this round (incremental Z-order
-# maintenance, multi-sink streaming statement set), then every row whose
-# implementation changed this round (null-safe exact quantiles, empty-word
-# BPE segmentation, zero-norm-guarded semantic decontamination, the PQ
-# family's shared index cache, the bench-warmed rollup store), then 10 of
-# the r7-record cohort to fill the window.  Everything else follows in a
-# staleness-aware order so future rotations are a simple prefix shift.
+# externally-recorded oracle row.  Round-13 window: the 9 headline pipeline
+# stages (they anchor the benchmark baseline), then zorder_rewrite (kept
+# adjacent so the shared Z-order layout build stays charged to the row
+# named for it) followed by the three rows NEW this round (Bloom-index x
+# compaction lifecycle, the executed salted hot-key join, the full-outer
+# stream-stream interval join), then the ENTIRE 29-row cohort whose newest
+# driver record is round 9 (the stalest anywhere in the registry after
+# r12), then 8 of the r10-record cohort to fill the window.  After a green
+# r13 run no registry row's newest driver record is older than r10.
+# Positions 51+ keep the r12 relative order (shared-artifact families stay
+# build-first: dedup_simhash_pairs before the cluster/apply/keep-best/
+# leakage/cluster-sizes consumers, bm25_topk_docs before the hybrid/
+# incremental/classify rows, similarity_pq_topk before rerank/ivfpq), so
+# future rotations remain a simple prefix shift.
 # ---------------------------------------------------------------------------
 _PRIORITY_ORDER = [
     # headline stages
     "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
     "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
     "union_arms_null_fill", "ordered_multi_join", "pricing_summary",
-    # new this round (first records): generalize-then-gate privacy
-    # release; watermark-gated left-outer stream-stream interval join;
-    # per-file-Bloom point-lookup skipping (zorder_rewrite precedes it
-    # so the shared layout build stays charged to the row named for it)
+    # layout-build anchor + the three rows new in r13, then the full
+    # r9-record cohort (29), then 8 r10-record fills
+    "zorder_rewrite", "bloom_compaction_lifecycle", "salted_join_hotkey",
+    "streaming_interval_join_full", "char_entropy_scores",
+    "corpus_length_quantiles", "corpus_sample_exact_n",
+    "forecast_revenue_change", "streaming_xref_upsert",
+    "tumbling_window_agg", "hopping_window_agg", "kmeans_refine_assign",
+    "normalize_text_stage", "training_prep_e2e", "repeated_spans_cdc",
+    "multimodal_embed_topk", "unigram_logprob_score", "span_decontaminate",
+    "domain_cap_exact", "domain_cap_rate", "epoch_shuffle_assign",
+    "dedup_lsh_verified", "bigram_logprob_score", "bigram_logprob_vocab",
+    "streaming_dedup_events", "streaming_interval_join",
+    "scrub_boilerplate_docs", "hash_embed_vectors", "skipscan_events_range",
+    "revenue_cube_flag_status", "dsir_weights_docs", "dsir_select_topk",
+    "rollup_sample_events", "streaming_statement_set",
+    "exact_quantiles_events", "concat_chunks_plan",
+    "weighted_sample_priority", "semantic_dedup", "event_funnel",
+    "rolling_event_stats", "quality_cutoff_per_lang",
+    # positions 51+: everything else in its r12 relative order
     "k_anonymity_generalized", "streaming_interval_join_outer",
-    "zorder_rewrite", "bloom_skipscan_pointlookup",
-    # r12 rotation target: the entire r8-record cohort (31 queries — the
-    # stalest anywhere in the registry after r11).  The similarity rows
-    # keep their relative order; dedup_simhash computes raw signatures
-    # only (no shared artifact), the banded family follows below.
-    "decontaminate_ngrams", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dlq_corrupt_split",
-    "doc_chunk_overlap", "doc_fingerprint", "embedding_quantize_int8",
-    "flatten_nested_json", "keyword_topk", "language_id_heuristic",
-    "multimodal_frame_sample", "pack_sequences", "pii_scrub",
-    "quality_filter_gate", "range_join_event_pairs", "session_window_agg",
-    "sessionize_events", "shard_assignment_balanced",
-    "similarity_cosine_topk", "similarity_ivf_nprobe", "similarity_ivf_topk",
-    "similarity_lsh_topk", "stratified_sample_lang", "sttm_pipeline_e2e",
+    "bloom_skipscan_pointlookup", "decontaminate_ngrams",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "dlq_corrupt_split", "doc_chunk_overlap",
+    "doc_fingerprint", "embedding_quantize_int8", "flatten_nested_json",
+    "keyword_topk", "language_id_heuristic", "multimodal_frame_sample",
+    "pack_sequences", "pii_scrub", "quality_filter_gate",
+    "range_join_event_pairs", "session_window_agg", "sessionize_events",
+    "shard_assignment_balanced", "similarity_cosine_topk",
+    "similarity_ivf_nprobe", "similarity_ivf_topk", "similarity_lsh_topk",
+    "stratified_sample_lang", "sttm_pipeline_e2e",
     "temperature_resample_mix", "text_quality_features",
     "text_repetition_stats", "token_count_bpe", "train_test_split",
-    # r9 fills to 50: the shared simhash (pairs, labels) artifact family
-    # in lifecycle order — pairs carries the build, clusters/apply/
-    # keep-best read it — then the oldest remaining r9 names
     "dedup_simhash_pairs", "dedup_clusters", "dedup_apply_pipeline",
     "dedup_keep_best_quality", "dedup_ngram_jaccard", "dedup_incremental",
-    # positions 51+: the r9 names displaced by the three new rows, then
-    # last round's window in its r11 order (keeps every
-    # shared-artifact family build-first: zorder_rewrite before the
-    # lifecycle/skip rows, bm25_topk_docs before the hybrid/incremental
-    # retrieval rows), then everything else in registration order
-    "char_entropy_scores", "corpus_length_quantiles", "corpus_sample_exact_n",
-    "compaction_lifecycle", "join_advisor_strategy",
-    "bm25_topk_docs", "hybrid_rrf_retrieval", "hybrid_dense_sparse",
-    "bm25_incremental_index", "nb_language_classify",
-    "k_anonymity_suppress", "l_diversity_report",
+    "compaction_lifecycle", "join_advisor_strategy", "bm25_topk_docs",
+    "hybrid_rrf_retrieval", "hybrid_dense_sparse", "bm25_incremental_index",
+    "nb_language_classify", "k_anonymity_suppress", "l_diversity_report",
     "event_type_pivot_daily", "excess_shipped_suppliers",
     "fuzzy_supplier_pairs", "gopher_quality_gate", "heavy_hitter_parts",
     "idle_rich_customers", "important_parts_value", "large_order_customers",
@@ -7423,9 +7689,20 @@ _PRIORITY_ORDER = [
     "scd2_incremental_apply", "scd2_user_history",
     "ship_latency_distribution", "small_qty_revenue_share",
     "snapshot_diff_orders", "top_supplier_by_revenue", "value_mad_by_type",
-    "waiting_orders_blame", "zorder_layout_key",
-    "asof_join_latest_order", "colspec_quarantine_arms",
-    "corpus_mix_report",
+    "waiting_orders_blame", "zorder_layout_key", "asof_join_latest_order",
+    "colspec_quarantine_arms", "corpus_mix_report", "leakage_safe_split",
+    "regional_revenue", "shipping_priority_topk", "knn_classify_labels",
+    "collocation_pmi", "dedup_cluster_sizes", "contamination_report",
+    "decontaminate_semantic", "similarity_int8_topk",
+    "streaming_event_funnel", "brand_nation_revenue",
+    "winsorize_doc_lengths", "dedup_exact_normalized", "packing_fill_report",
+    "top_docs_per_source", "chunk_boilerplate_ratio", "event_anomaly_zscore",
+    "similarity_pq_topk", "similarity_pq_rerank", "similarity_ivfpq_topk",
+    "bpe_train_merges", "bpe_segment_tokens", "curriculum_stages",
+    "bloom_semijoin_revenue", "distinct_users_by_type",
+    "cust_order_distribution", "discounted_revenue_disjunctive",
+    "zorder_incremental", "cheapest_supplier_per_part",
+    "rollup_quantile_events",
 ]
 
 

@@ -46,26 +46,32 @@ def stream_interval_join(
     convention).  Both sides get ``watermark`` as their event-time bound;
     pick it >= the max tolerated lateness — it also caps state size.
 
-    ``how``: ``inner`` (matches emit as they arrive) or ``left_outer``
-    — Flink's outer interval-join semantics: an unmatched left row
-    emits with NULL right columns, but only once the GLOBAL watermark
-    passes ``left_time + upper`` (before that a match could still
-    arrive, so the engine MUST hold the row; this is watermark-gated
-    null emission, not a per-batch outer join).  The global watermark
-    is the MIN over both streams and advances only with event time —
-    so a held row flushes when LATER DATA on both sides pushes event
-    time past its deadline, and rows whose deadline the final
-    watermark never passed stay HELD in state at quiescence (held,
-    not lost: a restart with newer data still emits them).  Pinned in
-    tests/test_streaming_scd2.py with watermark-advancing trailing
-    events; up to the rows still inside the watermark horizon, the
-    emitted set equals the batch LEFT interval join."""
+    ``how``: ``inner`` (matches emit as they arrive), ``left_outer``,
+    ``right_outer``, or ``full_outer`` — Flink's outer interval-join
+    semantics: an unmatched LEFT row emits with NULL right columns,
+    but only once the GLOBAL watermark passes ``left_time + upper``
+    (before that a match could still arrive, so the engine MUST hold
+    the row; this is watermark-gated null emission, not a per-batch
+    outer join).  An unmatched RIGHT row's deadline is
+    ``right_time - lower``: the newest left row that could still
+    match it carries ``left_time < right_time - lower``, so once the
+    watermark passes that point no on-time match can arrive and the
+    row emits with NULL left columns.  ``full_outer`` applies both
+    rules at once.  The global watermark is the MIN over both streams
+    and advances only with event time — so a held row flushes when
+    LATER DATA on both sides pushes event time past its deadline, and
+    rows whose deadline the final watermark never passed stay HELD in
+    state at quiescence (held, not lost: a restart with newer data
+    still emits them).  Pinned in tests/test_streaming_scd2.py with
+    watermark-advancing trailing events; up to the rows still inside
+    the watermark horizon, the emitted set equals the batch outer
+    interval join."""
     if upper_seconds <= lower_seconds:
         raise ValueError("upper_seconds must exceed lower_seconds")
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(
-            f"how must be 'inner' or 'left_outer', got {how!r} "
-            "(right_outer/full mirror left_outer — swap the inputs)"
+            f"how must be inner/left_outer/right_outer/full_outer, "
+            f"got {how!r}"
         )
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark).select(

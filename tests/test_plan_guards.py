@@ -51,6 +51,7 @@ SKIP = {
     "streaming_event_funnel",
     "streaming_interval_join",
     "streaming_interval_join_outer",
+    "streaming_interval_join_full",
     "streaming_dedup_events",
 }
 
@@ -79,7 +80,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
 
 
 def test_streaming_executed_plans_guarded(spark, sf_dir):
-    """The six streaming e2e rows execute their query inside the
+    """The seven streaming e2e rows execute their query inside the
     function, so the lazy-compile guard above never sees the microbatch
     plan the engine actually ran.  Execute each row and audit the
     captured last-microbatch executed plan (streaming/audit.py): no
@@ -213,3 +214,20 @@ def test_hash_embed_explode_does_not_refilter_the_fold(spark, sf_dir):
             raise AssertionError(
                 "embedding fold cloned into a pre-explode filter:\n" + line
             )
+
+
+def test_salted_join_hotkey_spreads_hot_key(spark, sf_dir):
+    """The salted-join registry row must actually run the salted plan:
+    the right side replicated by an explode over the salt sequence, the
+    join keyed on (skew_key, __salt__) so the planted hot key's rows
+    land on 32 reducers instead of one — and never a cartesian."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.queries()["salted_join_hotkey"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "explode" in plan, "right-side salt replication missing"
+    assert "__salt__" in plan, "join no longer keyed on the salt"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -511,3 +511,130 @@ def test_stream_interval_join_rejects_unknown_how(spark):
             lower_seconds=0, upper_seconds=10,
             how="full",
         )
+
+
+def test_stream_stream_interval_join_full_outer_flushes_both_sides(
+    spark, tmp_path
+):
+    """how='full_outer': BOTH outer contracts at once, each gated by the
+    global watermark.  Unmatched views flush once the watermark passes
+    vts + upper (strict); unmatched buys flush once it reaches
+    bts - lower (NON-strict — the 02:59:59 sentinel sits exactly AT the
+    final watermark and must emit, because every view that could still
+    match it has ts < bts, already sealed off).  The 999 trailers on
+    both sides advance event time to 03:00 but their own deadlines are
+    never passed -> held, not emitted."""
+    from confluent_data_ingestion_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    views = [
+        (1, "2026-01-01T00:00:00", "a"), (1, "2026-01-01T00:10:00", "b"),
+        (2, "2026-01-01T00:05:00", "c"), (3, "2026-01-01T00:20:00", "d"),
+        (999, "2026-01-01T03:00:00", "w"),
+    ]
+    buys = [
+        (1, "2026-01-01T00:04:00", 10.0),   # matches view a
+        (1, "2026-01-01T00:35:00", 20.0),   # matches view b only
+        (2, "2026-01-01T00:05:00", 30.0),   # equal ts -> excluded (>, not >=)
+        (3, "2026-01-01T01:20:00", 40.0),   # outside the 30min window
+        (77, "2026-01-01T02:59:59", 1.0),   # bts == final watermark exactly
+        (999, "2026-01-01T03:00:00", 0.0),  # trailer: deadline never passed
+    ]
+    vsrc, bsrc = str(tmp_path / "v"), str(tmp_path / "b")
+    os.makedirs(vsrc); os.makedirs(bsrc)
+    with open(f"{vsrc}/v.ndjson", "w") as f:
+        f.writelines(json.dumps({"user_id": u, "vts": t, "page": p}) + "\n"
+                     for u, t, p in views)
+    with open(f"{bsrc}/b.ndjson", "w") as f:
+        f.writelines(json.dumps({"user_id": u, "bts": t, "amount": a}) + "\n"
+                     for u, t, a in buys)
+
+    joined = stream_interval_join(
+        spark.readStream.schema("user_id bigint, vts string, page string")
+        .json(vsrc)
+        .select("user_id", F.col("vts").cast("timestamp").alias("vts"),
+                "page"),
+        spark.readStream.schema("user_id bigint, bts string, amount double")
+        .json(bsrc)
+        .select(F.col("user_id").alias("buyer_id"),
+                F.col("bts").cast("timestamp").alias("bts"), "amount"),
+        left_on="user_id", right_on="buyer_id",
+        left_time="vts", right_time="bts",
+        lower_seconds=0, upper_seconds=1800,
+        watermark="1 second",
+        how="full_outer",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_fo")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted(
+        ((r.user_id, r.page, r.buyer_id_r, r.amount_r)
+         for r in spark.sql("select * from ssj_fo").collect()),
+        key=key,
+    )
+    assert got == [
+        (1, "a", 1, 10.0), (1, "b", 1, 20.0),
+        (2, "c", None, None), (3, "d", None, None),
+        (None, None, 2, 30.0),   # equal-ts exclusion -> right-null row
+        (None, None, 3, 40.0),   # outside window -> right-null row
+        (None, None, 77, 1.0),   # AT the watermark -> flushes (non-strict)
+    ]
+
+
+def test_stream_stream_interval_join_right_outer(spark, tmp_path):
+    """how='right_outer': the mirror contract as a first-class mode —
+    unmatched buys flush at the watermark, unmatched views never emit."""
+    from confluent_data_ingestion_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    views = [(1, "2026-01-01T00:00:00", "a"),
+             (999, "2026-01-01T03:00:00", "w")]
+    buys = [
+        (1, "2026-01-01T00:04:00", 10.0),   # matched
+        (3, "2026-01-01T01:20:00", 40.0),   # no view at all -> null row
+        (999, "2026-01-01T03:00:00", 0.0),
+    ]
+    vsrc, bsrc = str(tmp_path / "v"), str(tmp_path / "b")
+    os.makedirs(vsrc); os.makedirs(bsrc)
+    with open(f"{vsrc}/v.ndjson", "w") as f:
+        f.writelines(json.dumps({"user_id": u, "vts": t, "page": p}) + "\n"
+                     for u, t, p in views)
+    with open(f"{bsrc}/b.ndjson", "w") as f:
+        f.writelines(json.dumps({"user_id": u, "bts": t, "amount": a}) + "\n"
+                     for u, t, a in buys)
+    joined = stream_interval_join(
+        spark.readStream.schema("user_id bigint, vts string, page string")
+        .json(vsrc)
+        .select("user_id", F.col("vts").cast("timestamp").alias("vts"),
+                "page"),
+        spark.readStream.schema("user_id bigint, bts string, amount double")
+        .json(bsrc)
+        .select(F.col("user_id").alias("buyer_id"),
+                F.col("bts").cast("timestamp").alias("bts"), "amount"),
+        left_on="user_id", right_on="buyer_id",
+        left_time="vts", right_time="bts",
+        lower_seconds=0, upper_seconds=1800,
+        watermark="1 second",
+        how="right_outer",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_ro")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted(
+        ((r.user_id, r.page, r.buyer_id_r, r.amount_r)
+         for r in spark.sql("select * from ssj_ro").collect()),
+        key=key,
+    )
+    assert got == [(1, "a", 1, 10.0), (None, None, 3, 40.0)]
