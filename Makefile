@@ -1,7 +1,7 @@
 # Convenience targets for the verification surface (see USAGE.md and
 # .claude/skills/verify/SKILL.md for the full driver contract).
 
-.PHONY: test correctness correctness-sf01 bench audit smoke verify
+.PHONY: test correctness correctness-sf01 bench audit plan-fixture smoke verify
 
 test:
 	python -m pytest tests/ -x -q
@@ -17,6 +17,12 @@ bench:
 
 audit:
 	python tools/plan_audit.py
+
+# regenerate the plan-drift fixture test_plan_guards pins the registry
+# against (run when a plan change is INTENDED; review the diff)
+plan-fixture:
+	python tools/plan_audit.py /root/testdata/sf0.001 \
+		--fixture-out tests/fixtures/plan_inventory_sf0.001.json
 
 smoke:
 	python -c "import sys; sys.path.insert(0, '.'); \

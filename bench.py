@@ -143,30 +143,48 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    # The driver keeps the TAIL of captured output (BENCH_r05/r06/r07 all
-    # recorded parsed:null because the parseable line scrolled out), so the
-    # full 132-entry per-query map prints FIRST (for human diffing) and the
-    # bounded compact record — headline stages plus the ten slowest queries —
-    # prints LAST so it survives the tail capture.
+    # The driver keeps only the LAST 2000 characters of captured output and
+    # parses the final JSON line it finds there (BENCH_r05/r06/r07 recorded
+    # parsed:null when the parseable line scrolled out; r08-r12 fit only a
+    # 19-entry compact map).  Full query names cannot fit 157+ entries in
+    # 2000 chars, so the FINAL line keys every query by its REGISTRY INDEX
+    # (position in confluent_data_ingestion_spark.queries.QUERIES order —
+    # deterministic, pinned by _PRIORITY_ORDER) with integer-millisecond
+    # values and no whitespace: ~1.7 KB for the whole registry.  The
+    # name-keyed map still prints FIRST for human eyes and is also written
+    # to BENCH_FULL_LOCAL.json next to this script for in-repo diffing.
     headline = [
         "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
         "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
         "union_arms_null_fill", "ordered_multi_join", "pricing_summary",
     ]
-    slowest = sorted(timings, key=lambda n: -timings[n])[:10]
-    compact = {n: timings[n] for n in headline if n in timings}
-    for n in slowest:
-        compact.setdefault(n, timings[n])
     print(json.dumps({"metric": "per_query_wallclock_full", "queries": timings}))
-    print(json.dumps({
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_FULL_LOCAL.json",
+        )
+        with open(full_path, "w") as f:
+            json.dump({"sf": float(sf), "queries": timings}, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout map above still has it all
+    indexed = {
+        str(i): int(round(timings[n] * 1000)) for i, n in enumerate(timings)
+    }
+    line = json.dumps({
         "metric": "total_query_wallclock",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": compact,
+        "queries": indexed,
         "sf": float(sf),
         "n_queries": len(timings),
         "headline_sec": round(sum(timings.get(n, 0.0) for n in headline), 3),
-    }))
+    }, separators=(",", ":"))
+    # hard guard: the whole line MUST fit the driver's 2000-char tail
+    # window with headroom for a trailing newline; integer-ms values and
+    # index keys keep it ~1.7 KB for 160 queries
+    assert len(line) < 1950, f"bench tail line too long: {len(line)} chars"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -60,22 +60,87 @@ SKIP = {
 STREAMING_E2E = SKIP | {"streaming_statement_set"}
 
 
-def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
+@pytest.fixture(scope="session")
+def batch_plans(spark, sf_dir):
+    """Executed-plan strings for every non-streaming registry row,
+    compiled ONCE per test session (the compile pass runs each row's
+    construction side effects — layout builds, artifact caches — so two
+    passes would both double the cost and skew warm/cold attribution).
+    Compile failures are stored as '<error: ...>' strings so every
+    consuming test reports them instead of crashing the fixture."""
     import __spark_entry__ as e
 
-    failures = []
+    plans: dict[str, str] = {}
     for name, fn in e.queries().items():
         if name in SKIP:
             continue
         try:
-            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        except Exception as ex:  # pragma: no cover - compile failure IS a failure
-            failures.append(f"{name}: failed to compile ({ex})")
+            plans[name] = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as ex:  # pragma: no cover - failure IS a failure
+            plans[name] = f"<error: {ex}>"
+    return plans
+
+
+def test_no_accidental_cartesian_or_nested_loop(batch_plans):
+    failures = []
+    for name, plan in batch_plans.items():
+        if plan.startswith("<error:"):
+            failures.append(f"{name}: failed to compile ({plan})")
             continue
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct in plan")
         if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_ALLOWED:
             failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not failures, "\n".join(failures)
+
+
+def test_plan_inventory_matches_fixture(batch_plans, sf_dir):
+    """Pin the WHOLE registry's plan shape (shuffle count, join-kind
+    mix) against the committed fixture — the r12 verdict's drift guard:
+    a BHJ→SMJ flip, a new Exchange, or a lost broadcast ANYWHERE in the
+    registry fails here even if no other guard names that query.
+    Regenerate deliberately with `make plan-fixture` when a plan change
+    is intended; the diff then shows up in review instead of silently
+    shipping.  Streaming rows are pinned by their executed-microbatch
+    audit below, not this lazy-compile fixture."""
+    import json
+    import os
+
+    from tools.plan_audit import summarize
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    fixture_path = os.path.join(
+        os.path.dirname(__file__), "fixtures",
+        f"plan_inventory_{sf_name}.json",
+    )
+    if not os.path.exists(fixture_path):
+        pytest.skip(f"no plan inventory fixture for {sf_name}")
+    with open(fixture_path) as f:
+        fixture = json.load(f)
+    failures = []
+    for name, plan in batch_plans.items():
+        if plan.startswith("<error:"):
+            continue  # reported by the cartesian guard already
+        want = fixture.get(name)
+        if want is None:
+            failures.append(
+                f"{name}: not in fixture — regenerate (make plan-fixture)"
+            )
+            continue
+        shuffles, joins, _flags = summarize(plan)
+        if shuffles != want["shuffles"] or joins != want["joins"]:
+            failures.append(
+                f"{name}: plan drifted — shuffles {want['shuffles']} -> "
+                f"{shuffles}, joins {want['joins']} -> {joins}"
+            )
+    stale = sorted(
+        set(fixture) - set(batch_plans) - SKIP
+    )
+    if stale:
+        failures.append(f"fixture has rows no longer in the registry: {stale}")
     assert not failures, "\n".join(failures)
 
 

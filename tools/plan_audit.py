@@ -13,7 +13,13 @@ statement sets the capture is per-stage on the foreachBatch side.  The
 final availableNow microbatch may be the watermark-advancing empty
 batch; its operator/exchange structure is the steady-state one.
 
-Usage: python tools/plan_audit.py [sf_dir]
+Usage: python tools/plan_audit.py [sf_dir] [--fixture-out PATH]
+
+``--fixture-out`` additionally writes the machine-readable inventory
+(query -> shuffles/joins) as JSON; tests/fixtures/plan_inventory_<sf>.json
+is the drift fixture `tests/test_plan_guards.py` pins the whole registry
+against (regenerate deliberately when a plan change is intended:
+``make plan-fixture``).
 """
 
 from __future__ import annotations
@@ -103,7 +109,13 @@ def summarize(plan: str) -> tuple[str, str, str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:]]
+    fixture_out = None
+    if "--fixture-out" in args:
+        i = args.index("--fixture-out")
+        fixture_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import __spark_entry__ as e
     from confluent_data_ingestion_spark.caching import release_caches
@@ -163,6 +175,16 @@ def main() -> None:
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"wrote {path} ({len(rows)} queries)")
+    if fixture_out:
+        import json
+
+        inventory = {
+            name: {"shuffles": shuffles, "joins": joins}
+            for name, shuffles, joins, _flags in rows
+        }
+        with open(fixture_out, "w") as f:
+            json.dump(inventory, f, indent=1, sort_keys=True)
+        print(f"wrote {fixture_out} ({len(inventory)} queries)")
 
 
 if __name__ == "__main__":
