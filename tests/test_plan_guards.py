@@ -122,6 +122,11 @@ def test_plan_inventory_matches_fixture(batch_plans, sf_dir):
         fixture = json.load(f)
     failures = []
     for name, plan in batch_plans.items():
+        if name in STREAMING_E2E:
+            # the fixture records these rows' captured MICROBATCH plans
+            # (tools/plan_audit.py executes them); this lazy compile only
+            # sees the quiescence read-back — not comparable
+            continue
         if plan.startswith("<error:"):
             continue  # reported by the cartesian guard already
         want = fixture.get(name)
@@ -137,7 +142,7 @@ def test_plan_inventory_matches_fixture(batch_plans, sf_dir):
                 f"{shuffles}, joins {want['joins']} -> {joins}"
             )
     stale = sorted(
-        set(fixture) - set(batch_plans) - SKIP
+        set(fixture) - set(batch_plans) - STREAMING_E2E
     )
     if stale:
         failures.append(f"fixture has rows no longer in the registry: {stale}")

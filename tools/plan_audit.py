@@ -38,6 +38,7 @@ STREAMING = {
     "streaming_event_funnel",
     "streaming_interval_join",
     "streaming_interval_join_outer",
+    "streaming_interval_join_full",
     "streaming_dedup_events",
 }
 
