@@ -396,6 +396,37 @@ def prune_files_bloom(
     return kept, total
 
 
+def merge_bloom_indexes(*indexes: DataFrame) -> DataFrame:
+    """Union per-file Bloom index frames (e.g. the base table's
+    maintained index + a freshly-indexed append/compacted generation)
+    into one probe-able index, validating that EVERY frame was built
+    with the same parameters first.  A plain union silently carries the
+    FIRST frame's schema metadata, so a mixed-parameter merge would
+    evaluate every probe with one generation's (key_type, num_bits,
+    num_hashes) and misprune the other's files — the false-negative
+    drift class this module turns into errors.  Frames without build
+    metadata are rejected outright (rebuild via collect_file_blooms)."""
+    if not indexes:
+        raise ValueError("merge_bloom_indexes: no frames given")
+    metas = [_bloom_meta(f) for f in indexes]
+    if any(m is None for m in metas):
+        raise ValueError(
+            "merge_bloom_indexes: a frame carries no build metadata "
+            "(not built by collect_file_blooms?) — cannot prove the "
+            "generations share parameters; rebuild it"
+        )
+    if len({tuple(sorted(m.items())) for m in metas}) > 1:
+        raise ValueError(
+            f"merge_bloom_indexes: mismatched build parameters {metas} — "
+            "a merged index must share (key_type, num_bits, num_hashes); "
+            "rebuild the divergent generation"
+        )
+    out = indexes[0]
+    for f in indexes[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def bloom_skip_scan(
     spark: SparkSession,
     path: str,

@@ -502,3 +502,39 @@ def test_bloom_prune_without_metadata_requires_all_params(spark, tmp_path):
         num_bits=1 << 16, num_hashes=4, value_type="bigint",
     )
     assert kept  # explicit matching params still prune correctly
+
+
+def test_merge_bloom_indexes_validates_generations(spark, tmp_path):
+    """Merging index generations must prove they share build parameters
+    — a plain union silently carries the first frame's metadata and
+    would misprune the other generation's files."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.skipping import (
+        collect_file_blooms,
+        merge_bloom_indexes,
+        prune_files_bloom,
+    )
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(1_000).selectExpr(
+        "id as event_id", "pmod(hash(id), 3) as user_id"
+    ).repartitionByRange(2, "user_id").write.parquet(d1)
+    spark.range(1_000, 2_000).selectExpr(
+        "id as event_id", "pmod(hash(id), 3) as user_id"
+    ).repartitionByRange(2, "user_id").write.parquet(d2)
+
+    a = collect_file_blooms(spark, d1, "event_id")
+    b = collect_file_blooms(spark, d2, "event_id")
+    merged = merge_bloom_indexes(a, b)
+    kept, total = prune_files_bloom(spark, merged, [42, 1_500])
+    assert total == 4 and len(kept) >= 2  # hits prune into BOTH generations
+
+    with pytest.raises(ValueError, match="mismatched"):
+        merge_bloom_indexes(
+            a, collect_file_blooms(spark, d2, "event_id", num_bits=1 << 12)
+        )
+    bare = a.withColumn("bloom", F.map_from_entries(F.map_entries("bloom")))
+    with pytest.raises(ValueError, match="metadata"):
+        merge_bloom_indexes(a, bare)

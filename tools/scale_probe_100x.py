@@ -304,6 +304,103 @@ def make_bloom_probes():
     return build, lookup
 
 
+def make_bloom_compact_fixed_probe():
+    """Bloom OPTIMIZE loop with a FIXED backlog against a base that
+    grows x10/x100 (the compaction_fixed_backlog twin for the
+    point-lookup index): a sf0.1-sized batch lands as 16 small files,
+    gets Bloom-indexed, FFD-compacted, refresh-reconciled, and merged
+    with the BASE table's maintained index (built once per scale,
+    cached) for a cross-generation pruned lookup.  Nothing in the loop
+    may scan the base table — wall must stay flat while the base grows
+    two decades.  The base is re-laid to ~256k-row files with
+    10-bits-per-key blooms (the honest deployment shape, per the r12
+    bloom probe); batch and base share parameters so the merge
+    validates."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.skipping import (
+        apply_compaction,
+        bloom_skip_scan,
+        collect_file_blooms,
+        compaction_plan,
+        merge_bloom_indexes,
+        refresh_file_blooms,
+        zorder_append,
+        collect_file_stats,
+    )
+
+    state: dict[str, tuple] = {}
+
+    def ensure_base(spark, sf_dir):
+        if sf_dir in state:
+            return state[sf_dir]
+        src = f"{sf_dir}/events.parquet"
+        n = spark.read.parquet(src).count()
+        n_files = max(1, (n + 262_143) // 262_144)
+        path = _os.path.join(
+            ROOT, f"bloomc_layout_{_os.path.basename(sf_dir.rstrip('/'))}"
+        )
+        if not _os.path.exists(f"{path}/_SUCCESS"):
+            (
+                spark.read.parquet(src)
+                .select("event_id", "user_id", "event_type", "value")
+                .repartition(n_files, "user_id")
+                .write.mode("overwrite").parquet(path)
+            )
+        bits = 1 << 16
+        while bits < 10 * (n / n_files):
+            bits <<= 1
+        blooms = collect_file_blooms(
+            spark, path, "event_id", num_bits=bits
+        ).localCheckpoint()
+        stats = collect_file_stats(
+            spark, path, ["user_id", "value"]
+        ).localCheckpoint()
+        state[sf_dir] = (path, bits, blooms, stats)
+        return state[sf_dir]
+
+    def probe(spark, sf_dir, reps):
+        path, bits, base_blooms, stats = ensure_base(spark, sf_dir)
+        batch = (
+            spark.read.parquet(f"{BASE}/events.parquet")
+            .select("event_id", "user_id", "event_type", "value")
+            .filter(F.col("event_id") % 5 == 0)
+            .withColumn("event_id", F.col("event_id") + F.lit(30_000_000_000))
+        )
+        gen = _os.path.join(
+            ROOT, f"bloomc_gen_{_os.path.basename(sf_dir.rstrip('/'))}"
+        )
+        merged_stats = zorder_append(
+            spark, batch, ["user_id", "value"], gen, stats, n_files=16
+        )
+        new_files = [
+            r["file"]
+            for r in merged_stats.join(stats, "file", "left_anti")
+            .select("file").collect()
+        ]
+        batch_dir = new_files[0].rsplit("/", 1)[0]
+        batch_blooms = collect_file_blooms(
+            spark, batch_dir, "event_id", num_bits=bits
+        )
+        plan = compaction_plan(spark, batch_dir, target_bytes=8 << 20)
+        comp = (urlparse(batch_dir).path or batch_dir) + "_compact"
+        apply_compaction(spark, batch_dir, plan, comp)
+        comp_blooms = refresh_file_blooms(
+            spark, comp, batch_blooms, "event_id", num_bits=bits
+        )
+        blooms = merge_bloom_indexes(base_blooms, comp_blooms)
+        return bloom_skip_scan(
+            spark, path, "event_id",
+            [123, 4567, 30_000_000_000 + 5],
+            blooms=blooms,
+        )
+
+    return probe
+
+
 def advisor_probe(spark, sf_dir: str, reps: int):
     """Join-strategy advisor over a fact side that grows x10/x100 (blown
     events: keys multiply at constant per-key depth): the two profiling
@@ -409,6 +506,7 @@ def main() -> None:
         if (
             "rollup" in fams or "stats" in fams or "zorder" in fams
             or "compact" in fams or "advisor" in fams or "bloom" in fams
+            or "bloomcompact" in fams
         ) and not os.path.exists(
             f"{out}/events.parquet/_SUCCESS"
         ):
@@ -464,6 +562,19 @@ def main() -> None:
         bloom_build, bloom_lookup = make_bloom_probes()
         probes.append(("bloom_index_build", bloom_build))
         probes.append(("bloom_pointlookup_warm", bloom_lookup))
+    if "bloomcompact" in fams:
+        # the r13 Bloom x compaction lifecycle at scale, both axes:
+        # (a) the registry row as-is — backlog GROWS with the table
+        # (batch = events/5 at each scale), wall must track the batch;
+        # (b) FIXED sf0.1-sized backlog against the growing base — the
+        # "never the table" half of the contract, wall must stay flat
+        probes.append(
+            ("bloom_compaction_growing_backlog", "bloom_compaction_lifecycle")
+        )
+        probes.append(
+            ("bloom_compaction_fixed_backlog",
+             make_bloom_compact_fixed_probe())
+        )
     if "lm" in fams:
         # bounded-model trained operators: the bigram LM's (V+1)^2 state
         # table and the NB classifier's O(V x classes) model are both
