@@ -7059,10 +7059,16 @@ def salted_join_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("l_orderkey"))
         .cast("bigint").alias("skew_key"),
     )
+    # the operator's premise is a right side too big to BROADCAST (a
+    # broadcast join has no reducer skew to fix); at sf0.01 the exploded
+    # orders side still fits Spark's broadcast budget, so pin the
+    # scale-path plan with a merge hint — the SMJ on (skew_key, salt)
+    # IS the 100 TB shape, and the guard asserts the salt reaches its
+    # join keys
     right = od.select(
         F.col("o_orderkey").alias("skew_key"),
         "o_orderstatus", "o_orderpriority",
-    )
+    ).hint("merge")
     return salted_join(sk, right, ["skew_key"], how="left", n_salt=32).select(
         "skew_key", "l_orderkey", "l_linenumber", "quantity",
         "o_orderstatus", "o_orderpriority",

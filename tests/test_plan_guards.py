@@ -299,5 +299,9 @@ def test_salted_join_hotkey_spreads_hot_key(spark, sf_dir):
     )
     assert "explode" in plan, "right-side salt replication missing"
     assert "__salt__" in plan, "join no longer keyed on the salt"
+    assert "SortMergeJoin" in plan, (
+        "hot-key row must run the SHUFFLE join shape (a broadcast join "
+        "has no reducer skew — the merge hint pins the 100 TB plan)"
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
