@@ -630,3 +630,53 @@ def dsir_weights(
             F.coalesce(F.col("dsir_weight"), F.lit(0.0)).alias("dsir_weight"),
         )
     )
+
+
+def temporal_holdout_split(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    tiebreak_col: str,
+    train_frac: float = 0.8,
+    out_col: str = "split",
+) -> DataFrame:
+    """Per-entity TEMPORAL holdout: each entity's earliest
+    ``train_frac`` of rows (by event time) become ``train``, the rest
+    ``test`` — the split that evaluates FORECASTING generalization.  A
+    hash split would let a user's later behavior leak into training
+    while their earlier behavior sits in test; here, within every
+    entity, no test row precedes a train row (ties on ``time_col``
+    break on ``tiebreak_col``, so the boundary is deterministic across
+    partitionings and engines).  Entities with a single row land in
+    train (``floor`` of a positive fraction of 1 is 0 — guarded to 1:
+    a one-row entity must not be test-only, that entity would be
+    unseen at training time yet evaluated).
+
+    Scale: one window over (entity) ordered by (time, tiebreak) — a
+    single shuffle on the entity key, constant state per row; the
+    count rides the same window (no second pass).
+    """
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0, 1), got {train_frac}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(time_col).asc(), F.col(tiebreak_col).asc()
+    )
+    wc = Window.partitionBy(entity_col)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .withColumn("__n__", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__rn__")
+                <= F.greatest(
+                    F.floor(F.col("__n__") * F.lit(train_frac)),
+                    F.lit(1),
+                ),
+                F.lit("train"),
+            ).otherwise(F.lit("test")),
+        )
+        .drop("__rn__", "__n__")
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def corpus_mix_report(
@@ -227,4 +228,102 @@ def exact_quantiles_twopass(
             *g, "q", F.col("__k__").alias("rank"),
             F.col("__v__").alias("value"),
         )
+    )
+
+
+def psi_drift_report(
+    base: DataFrame,
+    current: DataFrame,
+    cat_cols: list[str] | None = None,
+    num_cols: dict[str, float] | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-Stability-Index drift between two corpus snapshots —
+    the monitoring gate a recurring training-data pipeline runs before
+    trusting a new crawl/dump against the one the last model trained on.
+
+    Features: every ``cat_cols`` entry contributes its raw value as the
+    bucket; every ``num_cols`` entry maps ``col -> bin_width`` and
+    buckets by ``floor(col / width)`` (fixed-width bins — deterministic,
+    mergeable, no quantile pass; NULL buckets as the sentinel ``'∅'``).
+    For each (feature, bucket): shares on both sides and the PSI term
+    ``(cur - base) * ln((cur + eps) / (base + eps))``; per feature the
+    terms SUM to the classic PSI (industry rule of thumb: > 0.2 =
+    investigate).  Returns one row per feature:
+    ``(feature, psi, n_buckets, base_rows, cur_rows)``.
+
+    Determinism: bucket counts are exact; shares are single IEEE
+    divisions; each term is rounded to 6 dp and summed as an exact
+    DECIMAL, so the report is bit-identical regardless of partitioning
+    or engine (the same ln-round-then-decimal-sum contract as the LM
+    log-prob rows).
+
+    Scale: one scan per side — every feature's (feature, bucket) pair
+    is emitted from the same pass via a stack/explode projection, so
+    adding features adds map-side rows (feature-count x rows), never
+    scans; the join and the PSI arithmetic run on the bucket-count
+    frame, which is (features x buckets)-sized metadata.
+    """
+    cat_cols = list(cat_cols or [])
+    num_cols = dict(num_cols or {})
+    if not cat_cols and not num_cols:
+        raise ValueError("psi_drift_report: no features given")
+
+    def melt(df: DataFrame) -> DataFrame:
+        pairs = []
+        for c in cat_cols:
+            pairs.append(
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("∅"))
+                    .alias("bucket"),
+                )
+            )
+        for c, width in num_cols.items():
+            pairs.append(
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    F.coalesce(
+                        F.floor(F.col(c) / F.lit(float(width)))
+                        .cast("long").cast("string"),
+                        F.lit("∅"),
+                    ).alias("bucket"),
+                )
+            )
+        return (
+            df.select(F.explode(F.array(*pairs)).alias("fb"))
+            .select("fb.feature", "fb.bucket")
+            .groupBy("feature", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    b = melt(base).withColumnsRenamed({"n": "base_n"})
+    c = melt(current).withColumnsRenamed({"n": "cur_n"})
+    joined = b.join(c, ["feature", "bucket"], "full_outer").select(
+        "feature", "bucket",
+        F.coalesce("base_n", F.lit(0)).alias("base_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+    )
+    per_f = Window.partitionBy("feature")
+    terms = joined.select(
+        "feature", "base_n", "cur_n",
+        F.sum("base_n").over(per_f).alias("base_t"),
+        F.sum("cur_n").over(per_f).alias("cur_t"),
+    ).select(
+        "feature", "base_t", "cur_t",
+        F.round(
+            (F.col("cur_n") / F.col("cur_t")
+             - F.col("base_n") / F.col("base_t"))
+            * F.round(F.log(
+                (F.col("cur_n") / F.col("cur_t") + F.lit(eps))
+                / (F.col("base_n") / F.col("base_t") + F.lit(eps))
+            ), 6),
+            6,
+        ).cast("decimal(18,6)").alias("term"),
+    )
+    return terms.groupBy("feature").agg(
+        F.sum("term").cast("double").alias("psi"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.first("base_t").alias("base_rows"),
+        F.first("cur_t").alias("cur_rows"),
     )

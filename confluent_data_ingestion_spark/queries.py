@@ -7657,6 +7657,266 @@ def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-13 additions beyond the verdict items: pipeline-monitoring and
+# supervision operators — snapshot drift (PSI), multi-annotator label
+# resolution + agreement, and per-entity temporal holdout.  All three
+# follow the repo's float-parity contract (exact counts; single IEEE
+# divisions; ln/ratios rounded to 6 dp; cross-bucket sums as exact
+# DECIMALs) so the DuckDB oracle hashes bit-identically.
+# ---------------------------------------------------------------------------
+@query(
+    "drift_psi_snapshots",
+    """
+    WITH base AS (SELECT * FROM events WHERE user_id % 3 <> 0),
+    cur AS (SELECT * FROM events WHERE user_id % 3 = 0),
+    bm AS (
+      SELECT feature, bucket, count(*) AS base_n FROM (
+        SELECT 'event_type' AS feature,
+               COALESCE(event_type, '∅') AS bucket FROM base
+        UNION ALL
+        SELECT 'value', COALESCE(CAST(CAST(floor(value / 10.0) AS BIGINT)
+                                      AS VARCHAR), '∅') FROM base
+      ) GROUP BY 1, 2
+    ),
+    cm AS (
+      SELECT feature, bucket, count(*) AS cur_n FROM (
+        SELECT 'event_type' AS feature,
+               COALESCE(event_type, '∅') AS bucket FROM cur
+        UNION ALL
+        SELECT 'value', COALESCE(CAST(CAST(floor(value / 10.0) AS BIGINT)
+                                      AS VARCHAR), '∅') FROM cur
+      ) GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT COALESCE(bm.feature, cm.feature) AS feature,
+             COALESCE(bm.bucket, cm.bucket) AS bucket,
+             COALESCE(base_n, 0) AS base_n, COALESCE(cur_n, 0) AS cur_n
+      FROM bm FULL JOIN cm
+        ON bm.feature = cm.feature AND bm.bucket = cm.bucket
+    ),
+    t AS (
+      SELECT feature, base_n, cur_n,
+             sum(base_n) OVER (PARTITION BY feature) AS base_t,
+             sum(cur_n) OVER (PARTITION BY feature) AS cur_t
+      FROM j
+    ),
+    terms AS (
+      SELECT feature, base_t, cur_t,
+        CAST(round(
+          (CAST(cur_n AS DOUBLE) / cur_t - CAST(base_n AS DOUBLE) / base_t)
+          * round(ln((CAST(cur_n AS DOUBLE) / cur_t + 1e-6)
+                     / (CAST(base_n AS DOUBLE) / base_t + 1e-6)), 6),
+          6) AS DECIMAL(18,6)) AS term
+      FROM t
+    )
+    SELECT feature, CAST(sum(term) AS DOUBLE) AS psi,
+           count(*) AS n_buckets,
+           CAST(first(base_t) AS BIGINT) AS base_rows,
+           CAST(first(cur_t) AS BIGINT) AS cur_rows
+    FROM terms GROUP BY feature
+    """,
+)
+def drift_psi_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift between two corpus snapshots
+    (operators/stats.psi_drift_report) — the gate a recurring pipeline
+    runs before trusting a new dump against the one the last model
+    trained on.  Snapshots here are a deterministic 2:1 user split of
+    events; features: event_type (categorical) and value in width-10
+    bins.  One scan per side regardless of feature count (all features
+    melt from the same pass); the join + PSI arithmetic run on the
+    (features x buckets) metadata frame."""
+    from .operators.stats import psi_drift_report
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift_report(
+        ev.filter(F.col("user_id") % 3 != 0),
+        ev.filter(F.col("user_id") % 3 == 0),
+        cat_cols=["event_type"],
+        num_cols={"value": 10.0},
+    )
+
+
+_ANN_SQL = """
+      SELECT event_id,
+             CASE WHEN (event_id * 7 + {k} * 13) % 10 < 7 THEN event_type
+                  WHEN (event_id + {k}) % 17 = 0 THEN NULL
+                  ELSE CASE (event_id + {k}) % 5
+                       WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+                       WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                       ELSE 'view' END
+             END AS a{k}
+"""
+
+
+def _annotated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic synthetic annotators over events: each keeps
+    the true event_type 70% of the time (by pure event_id arithmetic —
+    portable across engines, unlike hash()), skips ~6% (NULL), and
+    otherwise votes a pseudo-random label from the fixed domain."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    noisy = F.array(
+        F.lit("click"), F.lit("error"), F.lit("purchase"),
+        F.lit("signup"), F.lit("view"),
+    )
+    out = ev
+    for k in (1, 2, 3):
+        out = out.withColumn(
+            f"a{k}",
+            F.when(
+                (F.col("event_id") * 7 + k * 13) % 10 < 7,
+                F.col("event_type"),
+            ).when(
+                (F.col("event_id") + k) % 17 == 0, F.lit(None)
+            ).otherwise(
+                F.element_at(noisy, ((F.col("event_id") + k) % 5 + 1)
+                             .cast("int"))
+            ),
+        )
+    return out.select("event_id", "a1", "a2", "a3")
+
+
+_ANN_CTE = "ann AS (SELECT event_id, event_type FROM events)"
+_ANN_WIDE = (
+    "wide AS (SELECT e.event_id,"
+    + ",".join(
+        _ANN_SQL.format(k=k).split("SELECT event_id,")[1] for k in (1, 2, 3)
+    )
+    + " FROM events e)"
+)
+
+
+@query(
+    "label_majority_vote",
+    """
+    WITH """ + _ANN_WIDE + """,
+    votes AS (
+      SELECT event_id, lab, count(*) AS v FROM (
+        SELECT event_id, a1 AS lab FROM wide
+        UNION ALL SELECT event_id, a2 FROM wide
+        UNION ALL SELECT event_id, a3 FROM wide
+      ) WHERE lab IS NOT NULL GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT event_id, lab, v,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY v DESC, lab ASC) AS rn,
+             sum(v) OVER (PARTITION BY event_id) AS nv
+      FROM votes
+    )
+    SELECT event_id, lab AS label, CAST(v AS BIGINT) AS votes,
+           CAST(nv AS BIGINT) AS n_votes, v = nv AS unanimous
+    FROM top WHERE rn = 1
+    """,
+)
+def label_majority_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label resolution (operators/labels.majority_label)
+    over three synthetic annotators: deterministic lexical tie-break,
+    NULL votes don't count, all-skip items absent.  Scale: explode k
+    columns (k map-side rows per item) + one window on the item key."""
+    from .operators.labels import majority_label
+
+    return majority_label(
+        _annotated_events(spark, sf_dir), "event_id", ["a1", "a2", "a3"]
+    )
+
+
+@query(
+    "annotator_pairwise_kappa",
+    """
+    WITH """ + _ANN_WIDE + """,
+    pairs AS (
+      SELECT 'a1' AS rater_a, 'a2' AS rater_b, a1 AS la, a2 AS lb
+      FROM wide WHERE a1 IS NOT NULL AND a2 IS NOT NULL
+      UNION ALL
+      SELECT 'a1', 'a3', a1, a3 FROM wide
+      WHERE a1 IS NOT NULL AND a3 IS NOT NULL
+      UNION ALL
+      SELECT 'a2', 'a3', a2, a3 FROM wide
+      WHERE a2 IS NOT NULL AND a3 IS NOT NULL
+    ),
+    joint AS (
+      SELECT rater_a, rater_b, la, lb, count(*) AS n
+      FROM pairs GROUP BY 1, 2, 3, 4
+    ),
+    s AS (
+      SELECT rater_a, rater_b, CAST(sum(n) AS BIGINT) AS n_items,
+             CAST(sum(CASE WHEN la = lb THEN n ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM joint GROUP BY 1, 2
+    ),
+    ma AS (SELECT rater_a, rater_b, la, sum(n) AS na FROM joint
+           GROUP BY 1, 2, 3),
+    mb AS (SELECT rater_a, rater_b, lb, sum(n) AS nb FROM joint
+           GROUP BY 1, 2, 3),
+    e AS (
+      SELECT ma.rater_a, ma.rater_b,
+             CAST(sum(na * nb) AS BIGINT) AS prod_sum
+      FROM ma JOIN mb ON ma.rater_a = mb.rater_a
+                     AND ma.rater_b = mb.rater_b AND ma.la = mb.lb
+      GROUP BY 1, 2
+    ),
+    po AS (
+      SELECT s.rater_a, s.rater_b, s.n_items,
+             round(CAST(agree AS DOUBLE) / s.n_items, 6)
+               AS observed_agreement,
+             round(CAST(prod_sum AS DOUBLE)
+                   / (CAST(s.n_items AS DOUBLE) * s.n_items), 6)
+               AS expected_agreement
+      FROM s JOIN e ON s.rater_a = e.rater_a AND s.rater_b = e.rater_b
+    )
+    SELECT rater_a, rater_b, n_items, observed_agreement,
+           expected_agreement,
+           CASE WHEN expected_agreement < 1.0
+                THEN round((observed_agreement - expected_agreement)
+                           / (1.0 - expected_agreement), 6)
+           END AS kappa
+    FROM po
+    """,
+)
+def annotator_pairwise_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for every annotator pair
+    (operators/labels.pairwise_kappa): chance-corrected agreement from
+    ratios of exact counts, pairwise NULL deletion, 6-dp parity
+    rounding.  Scale: one label-set-sized aggregation per pair."""
+    from .operators.labels import pairwise_kappa
+
+    return pairwise_kappa(
+        _annotated_events(spark, sf_dir), ["a1", "a2", "a3"]
+    )
+
+
+@query(
+    "temporal_holdout_events",
+    """
+    WITH r AS (
+      SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN rn <= greatest(CAST(floor(n * 0.8) AS BIGINT), 1)
+                THEN 'train' ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def temporal_holdout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity temporal holdout
+    (operators/sampling.temporal_holdout_split): each user's earliest
+    80% of events (by ts, event_id tie-break) train, the rest test —
+    within every user no test row precedes a train row, the
+    forecasting-eval contract a hash split cannot give.  One shuffle
+    on the entity key; count and rank ride the same window."""
+    from .operators.sampling import temporal_holdout_split
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return temporal_holdout_split(
+        ev, "user_id", "ts", "event_id", train_frac=0.8
+    ).select("event_id", "user_id", "split")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
 # externally-recorded oracle row.  Round-13 window: the 9 headline pipeline

@@ -1,0 +1,139 @@
+"""Unit tests for the round-13 supervision/monitoring operators:
+majority-vote label resolution, pairwise Cohen's kappa, per-entity
+temporal holdout, and PSI snapshot drift."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_data_ingestion_spark.operators.labels import (
+    majority_label,
+    pairwise_kappa,
+)
+from confluent_data_ingestion_spark.operators.sampling import (
+    temporal_holdout_split,
+)
+from confluent_data_ingestion_spark.operators.stats import psi_drift_report
+
+
+def test_majority_label_tiebreak_skips_and_unanimity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "cat", "cat", "dog"),    # majority cat
+            (2, "dog", "cat", None),     # 1-1 tie -> lexical: cat
+            (3, "owl", "owl", "owl"),    # unanimous
+            (4, None, None, None),       # all skipped -> absent
+            (5, "cat", None, None),      # single vote resolves
+        ],
+        "item long, a string, b string, c string",
+    )
+    got = {
+        r["item"]: (r["label"], r["votes"], r["n_votes"], r["unanimous"])
+        for r in majority_label(df, "item", ["a", "b", "c"]).collect()
+    }
+    assert got == {
+        1: ("cat", 2, 3, False),
+        2: ("cat", 1, 2, False),
+        3: ("owl", 3, 3, True),
+        5: ("cat", 1, 1, True),
+    }
+
+
+def test_pairwise_kappa_known_values_and_degenerate_pair(spark):
+    # a vs b: agree only on item 1 -> po = 0.25; marginals
+    # a: {x: 2/4, y: 2/4}, b: {x: 3/4, y: 1/4}
+    # pe = 0.5*0.75 + 0.5*0.25 = 0.5 -> kappa = (0.25 - 0.5)/0.5 = -0.5
+    # a vs c: c constant "x" -> pe = pa(x)*1 = 0.5 < 1 -> defined
+    # b vs b2 (both constant x) -> pe = 1 -> kappa NULL
+    df = spark.createDataFrame(
+        [
+            (1, "x", "x", "x", "x"),
+            (2, "x", "y", "x", "x"),
+            (3, "y", "x", "x", "x"),
+            (4, "y", "x", "x", "x"),
+        ],
+        "item long, a string, b string, c string, b2 string",
+    )
+    got = {
+        (r["rater_a"], r["rater_b"]): r
+        for r in pairwise_kappa(df, ["a", "b", "c", "b2"]).collect()
+    }
+    ab = got[("a", "b")]
+    assert ab["n_items"] == 4
+    assert ab["observed_agreement"] == 0.25
+    assert ab["expected_agreement"] == 0.5
+    assert ab["kappa"] == -0.5
+    assert got[("c", "b2")]["kappa"] is None  # both constant -> pe == 1
+    assert got[("c", "b2")]["expected_agreement"] == 1.0
+
+
+def test_pairwise_kappa_needs_two(spark):
+    df = spark.createDataFrame([(1, "x")], "item long, a string")
+    with pytest.raises(ValueError, match="two annotators"):
+        pairwise_kappa(df, ["a"])
+
+
+def test_temporal_holdout_no_test_before_train(spark):
+    df = spark.createDataFrame(
+        [(u, t, u * 100 + t) for u in range(5) for t in range(1 + u * 3)],
+        "user long, t long, eid long",
+    )
+    out = temporal_holdout_split(df, "user", "t", "eid", train_frac=0.8)
+    # per user: max train time <= min test time, and both halves ordered
+    agg = (
+        out.groupBy("user")
+        .agg(
+            F.max(F.when(F.col("split") == "train", F.col("t")))
+            .alias("max_train"),
+            F.min(F.when(F.col("split") == "test", F.col("t")))
+            .alias("min_test"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .alias("n_train"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in agg:
+        if r["min_test"] is not None:
+            assert r["max_train"] <= r["min_test"]
+        # single-row entity guarded into train
+        assert r["n_train"] >= 1
+        if r["n"] == 1:
+            assert r["min_test"] is None
+        else:
+            assert r["n_train"] == max(int(r["n"] * 0.8), 1)
+
+
+def test_temporal_holdout_frac_validated(spark):
+    df = spark.createDataFrame([(1, 1, 1)], "user long, t long, eid long")
+    with pytest.raises(ValueError, match="train_frac"):
+        temporal_holdout_split(df, "user", "t", "eid", train_frac=1.0)
+
+
+def test_psi_zero_on_identical_snapshots_and_positive_on_shift(spark):
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i % 50)) for i in range(1000)],
+        "id long, cat string, v double",
+    )
+    same = psi_drift_report(
+        base, base, cat_cols=["cat"], num_cols={"v": 10.0}
+    ).collect()
+    assert {r["feature"] for r in same} == {"cat", "v"}
+    for r in same:
+        assert abs(r["psi"]) < 1e-9  # identical shares -> every term 0
+        assert r["base_rows"] == r["cur_rows"] == 1000
+    shifted = base.withColumn(
+        "cat", F.when(F.col("id") % 10 < 9, "a").otherwise("b")
+    )
+    drift = {
+        r["feature"]: r["psi"]
+        for r in psi_drift_report(base, shifted, cat_cols=["cat"]).collect()
+    }
+    assert drift["cat"] > 0.2  # 50/50 -> 90/10 is a flagged shift
+
+
+def test_psi_requires_features(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="no features"):
+        psi_drift_report(df, df)
