@@ -91,66 +91,72 @@ def pairwise_kappa(
     chance correction is undefined there, and reporting 0 would hide
     the degeneracy).
 
-    Scale: one aggregation per pair over the wide frame — k*(k-1)/2
-    passes of map-side-combined counts (each pass carries label-set^2
-    state at most); for large k, melt once and self-join instead — at
-    the typical 3-7 annotators the direct form is cheaper than the
-    melt's shuffle.
+    Scale: ONE pipeline for all k*(k-1)/2 pairs — the wide frame melts
+    into (rater_a, rater_b, label_a, label_b) rows (k*(k-1)/2 map-side
+    rows per item, no extra scans), then every aggregation and join is
+    keyed on the pair: the shuffled state is pairs x label-set^2, never
+    the items, and adding annotators adds map-side rows rather than
+    whole jobs.
     """
     if len(annotator_cols) < 2:
         raise ValueError("pairwise_kappa needs at least two annotators")
-    outs = []
+    melted = []
     for i, a in enumerate(annotator_cols):
         for b in annotator_cols[i + 1:]:
-            both = df.filter(
-                F.col(a).isNotNull() & F.col(b).isNotNull()
-            )
-            # joint counts; marginals fall out of the same tiny frame
-            joint = both.groupBy(
-                F.col(a).alias("__la__"), F.col(b).alias("__lb__")
-            ).agg(F.count(F.lit(1)).alias("n"))
-            stats = joint.groupBy().agg(
-                F.sum("n").alias("n_items"),
-                F.sum(F.when(F.col("__la__") == F.col("__lb__"),
-                             F.col("n")).otherwise(F.lit(0))).alias("agree"),
-            )
-            pa = joint.groupBy("__la__").agg(F.sum("n").alias("na"))
-            pb = joint.groupBy("__lb__").agg(F.sum("n").alias("nb"))
-            exp = (
-                pa.join(pb, pa["__la__"] == pb["__lb__"], "inner")
-                .groupBy()
-                .agg(F.sum(F.col("na") * F.col("nb")).alias("prod_sum"))
-            )
-            row = (
-                stats.crossJoin(exp)  # two 1-row frames
-                .select(
-                    F.lit(a).alias("rater_a"),
-                    F.lit(b).alias("rater_b"),
-                    F.col("n_items"),
-                    F.round(F.col("agree") / F.col("n_items"), 6)
-                    .alias("observed_agreement"),
-                    F.round(
-                        F.col("prod_sum")
-                        / (F.col("n_items") * F.col("n_items")),
-                        6,
-                    ).alias("expected_agreement"),
-                )
-                .select(
-                    "rater_a", "rater_b", "n_items",
-                    "observed_agreement", "expected_agreement",
-                    F.when(
-                        F.col("expected_agreement") < 1.0,
-                        F.round(
-                            (F.col("observed_agreement")
-                             - F.col("expected_agreement"))
-                            / (F.lit(1.0) - F.col("expected_agreement")),
-                            6,
-                        ),
-                    ).alias("kappa"),
+            melted.append(
+                F.struct(
+                    F.lit(a).alias("ra"), F.lit(b).alias("rb"),
+                    F.col(a).alias("la"), F.col(b).alias("lb"),
                 )
             )
-            outs.append(row)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    pairs = (
+        df.select(F.explode(F.array(*melted)).alias("p"))
+        .select("p.ra", "p.rb", "p.la", "p.lb")
+        .filter(F.col("la").isNotNull() & F.col("lb").isNotNull())
+    )
+    joint = pairs.groupBy("ra", "rb", "la", "lb").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = joint.groupBy("ra", "rb").agg(
+        F.sum("n").alias("n_items"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("n"))
+              .otherwise(F.lit(0))).alias("agree"),
+    )
+    ma = joint.groupBy("ra", "rb", "la").agg(F.sum("n").alias("na"))
+    mb = joint.groupBy("ra", "rb", "lb").agg(F.sum("n").alias("nb"))
+    exp = (
+        ma.join(
+            mb,
+            (ma["ra"] == mb["ra"]) & (ma["rb"] == mb["rb"])
+            & (ma["la"] == mb["lb"]),
+        )
+        .groupBy(ma["ra"].alias("ra"), ma["rb"].alias("rb"))
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("prod_sum"))
+    )
+    return (
+        stats.join(exp, ["ra", "rb"])
+        .select(
+            F.col("ra").alias("rater_a"),
+            F.col("rb").alias("rater_b"),
+            "n_items",
+            F.round(F.col("agree") / F.col("n_items"), 6)
+            .alias("observed_agreement"),
+            F.round(
+                F.col("prod_sum") / (F.col("n_items") * F.col("n_items")),
+                6,
+            ).alias("expected_agreement"),
+        )
+        .select(
+            "rater_a", "rater_b", "n_items",
+            "observed_agreement", "expected_agreement",
+            F.when(
+                F.col("expected_agreement") < 1.0,
+                F.round(
+                    (F.col("observed_agreement")
+                     - F.col("expected_agreement"))
+                    / (F.lit(1.0) - F.col("expected_agreement")),
+                    6,
+                ),
+            ).alias("kappa"),
+        )
+    )
