@@ -76,6 +76,64 @@ def cosine_topk(
     )
 
 
+def hard_negative_mining(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dup_threshold: float = 0.95,
+) -> DataFrame:
+    """Contrastive-training pair mining: for each anchor, the k corpus
+    vectors MOST similar to it that carry a DIFFERENT label — the
+    "hard" negatives that actually move an embedding model (easy
+    negatives are already far away; same-label neighbors are
+    positives).  Candidates above ``dup_threshold`` are excluded: a
+    near-duplicate with a different label is a labeling conflict, not
+    a training signal — feeding it as a negative teaches the model to
+    separate two copies of the same thing.  Output: ``(query_id,
+    query_label, neighbor_id, neighbor_label, cosine, rn)``.
+
+    Scale: same contract as :func:`cosine_topk` — anchors broadcast
+    against the corpus (the declared brute-force baseline; the corpus
+    side drives parallelism, norms fold once per vector).  For anchor
+    sets too large to broadcast, assign both sides to IVF cells first
+    (:func:`assign_centroids`) and run this per-cell: the filter and
+    ranking compose unchanged because they are row-local predicates
+    over (anchor, candidate) pairs.
+    """
+    v = ensure_min_parallelism(vectors).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).cast("array<double>").alias("ve"),
+    ).withColumn("__vn__", F.expr(f"sqrt({_dot('ve', 've')})"))
+    q = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).cast("array<double>").alias("qe"),
+    ).withColumn("__qn__", F.expr(f"sqrt({_dot('qe', 'qe')})"))
+    scored = (
+        q.crossJoin(v)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            F.expr(
+                f"round({_dot('qe', 've')} / (__qn__ * __vn__), 6)"
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") <= F.lit(dup_threshold))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Recall of an approximate top-k result against the exact one: the
     fraction of ``exact`` (query_id, neighbor_id) pairs present in

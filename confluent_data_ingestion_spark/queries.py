@@ -7916,6 +7916,42 @@ def temporal_holdout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "split")
 
 
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH v AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    a AS (SELECT * FROM v WHERE vec_id % 53 = 0),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.label AS query_label,
+             v.vec_id AS neighbor_id, v.label AS neighbor_label,
+             {_COS.format(a='a.e', b='v.e')} AS cosine
+      FROM a JOIN v ON a.vec_id <> v.vec_id AND a.label <> v.label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored WHERE cosine <= 0.95
+    ) WHERE rn <= 5
+    """,
+)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators/similarity.hard_negative_mining): for each anchor (a 2%
+    deterministic sample) the 5 most-similar DIFFERENT-label vectors,
+    near-duplicates excluded (cos > 0.95 = labeling conflict, not
+    signal).  Brute-force baseline with broadcast anchors — the same
+    declared pattern as similarity_cosine_topk; at scale, compose with
+    IVF cell assignment per the docstring."""
+    from .operators.similarity import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb, emb.filter(F.col("vec_id") % 53 == 0), k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

@@ -137,3 +137,31 @@ def test_psi_requires_features(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="no features"):
         psi_drift_report(df, df)
+
+
+def test_hard_negative_mining_filters_and_ranks(spark):
+    from confluent_data_ingestion_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    rows = [
+        # anchor 0: label A at the origin direction
+        (0, "A", [1.0, 0.0]),
+        (1, "A", [0.99, 0.14]),   # same label -> never a negative
+        (2, "B", [1.0, 0.001]),   # different label but cos > 0.95 -> dup
+        (3, "B", [0.8, 0.6]),     # hard negative (cos 0.8)
+        (4, "B", [0.0, 1.0]),     # easy negative (cos 0)
+        (5, "C", [0.6, 0.8]),     # hard negative (cos 0.6)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    got = hard_negative_mining(
+        df, df.filter("vec_id = 0"), k=2
+    ).collect()
+    pairs = [(r["neighbor_id"], r["rn"]) for r in got]
+    assert pairs == [(3, 1), (5, 2)]  # ranked by cosine desc
+    assert all(r["query_label"] == "A" and r["neighbor_label"] != "A"
+               for r in got)
+    # dup-threshold exclusion really dropped the 0.999-cosine conflict
+    assert 2 not in {r["neighbor_id"] for r in got}

@@ -41,6 +41,8 @@ NESTED_LOOP_ALLOWED = {
                                   # the groups x bins histogram
     "knn_classify_labels",        # votes over the brute-force baseline
     "similarity_int8_topk",       # brute-force baseline over int8 round-trip
+    "hard_negative_mining",       # broadcast-anchor brute-force baseline
+                                  # (IVF-cell composition is the scale path)
 }
 
 # streaming / side-effecting queries that can't be compiled lazily —
