@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def majority_label(
@@ -52,8 +53,6 @@ def majority_label(
         raise ValueError(f"unknown tie_break {tie_break!r}")
     # max_by with a composite (votes, reversed-label) key would need an
     # orderable struct; a window keeps it engine-portable and explicit
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy(id_col).orderBy(
         F.col("__v__").desc(), F.col("__lab__").asc()
     )
@@ -158,5 +157,146 @@ def pairwise_kappa(
                     6,
                 ),
             ).alias("kappa"),
+        )
+    )
+
+
+def dawid_skene(
+    votes: DataFrame,
+    item_col: str = "item",
+    rater_col: str = "rater",
+    label_col: str = "label",
+    iterations: int = 2,
+    smoothing: float = 0.01,
+) -> DataFrame:
+    """Dawid-Skene label resolution: EM over per-rater confusion
+    matrices, so a reliable annotator's vote outweighs a noisy one's —
+    the classic upgrade over majority vote when rater quality varies
+    (Dawid & Skene 1979; the crowdsourcing standard).
+
+    ``votes`` is LONG form (item, rater, label); missing votes are
+    simply absent rows.  Fixed ``iterations`` of EM from a smoothed
+    vote-share initialization; returns ``(item, label, confidence,
+    n_votes)`` with ``label`` the posterior argmax (lexical tie-break)
+    and ``confidence`` its 6-dp posterior.
+
+    Engine-portable determinism (the BPE-training contract): every
+    cross-row SUM runs over exact DECIMALs — posteriors are
+    checkpointed to DECIMAL(7,6) each round, log-probabilities to
+    6-dp DECIMALs (one ``ln`` per MATRIX/PRIOR cell, never per item),
+    per-item log-posteriors accumulate as exact decimal sums, and the
+    softmax subtracts the exact per-item max before one ``exp`` per
+    (item, class).  No step depends on partitioning or accumulation
+    order, and an unrolled pure-SQL oracle reproduces it bit-for-bit.
+
+    Scale: state is items x classes (posteriors) plus
+    raters x classes^2 (confusion) — the matrices are metadata-sized
+    and every join against them is broadcastable; per iteration the
+    big frames are votes x classes rows, shuffled once on the item
+    key.  ``iterations`` is a fixed small constant (2-3 converges in
+    practice), so the whole resolver is O(iterations) shuffles of
+    votes x classes.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    a = float(smoothing)
+    v = votes.select(
+        F.col(item_col).alias("i"),
+        F.col(rater_col).alias("r"),
+        F.col(label_col).alias("l"),
+    ).filter(F.col("l").isNotNull())
+    classes = v.select(F.col("l").alias("j")).distinct()
+    n_classes = classes.count()  # label-set sized: metadata
+    aL = a * n_classes
+
+    n_votes = v.groupBy("i").agg(F.count(F.lit(1)).alias("n_votes"))
+    # T0: smoothed vote shares over the full item x class grid
+    counts = v.groupBy("i", F.col("l").alias("j")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = v.select("i").distinct().crossJoin(F.broadcast(classes))
+    T = (
+        grid.join(counts, ["i", "j"], "left")
+        .join(n_votes, "i")
+        .select(
+            "i", "j",
+            F.round(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(a))
+                / (F.col("n_votes") + F.lit(aL)),
+                6,
+            ).cast("decimal(7,6)").alias("t"),
+        )
+    )
+
+    for _ in range(iterations):
+        # M: class priors from exact posterior mass
+        prior = (
+            T.groupBy("j").agg(F.sum("t").alias("mass"))
+            .withColumn("total", F.sum("mass").over(Window.partitionBy()))
+            .select(
+                "j",
+                # DOUBLE division: decimal/decimal rounds at an
+                # engine-specific derived scale — not portable
+                F.round(F.log(F.col("mass").cast("double")
+                              / F.col("total").cast("double")), 6)
+                .cast("decimal(11,6)").alias("logp"),
+            )
+        )
+        # M: per-rater confusion matrices from exact joint mass
+        joint = (
+            v.join(T, "i")
+            .groupBy("r", "j", "l")
+            .agg(F.sum("t").alias("m"))
+        )
+        row_mass = joint.groupBy("r", "j").agg(F.sum("m").alias("rm"))
+        logpi = (
+            joint.join(row_mass, ["r", "j"])
+            .select(
+                "r", "j", "l",
+                F.round(
+                    F.log((F.col("m") + F.lit(a)) / (F.col("rm") + F.lit(aL))),
+                    6,
+                ).cast("decimal(11,6)").alias("logpi"),
+            )
+        )
+        # E: per-(item, class) log-posterior = exact decimal sum; votes a
+        # rater never cast contribute nothing (absent rows).  A vote on a
+        # (rater, label) pair joins to ALL classes' matrix entries.
+        # (classes-per-vote fan-out: votes x L rows, one shuffle on item)
+        lognum = (
+            v.join(F.broadcast(logpi), ["r", "l"])
+            .groupBy("i", "j")
+            .agg(F.sum("logpi").alias("s"))
+            .join(F.broadcast(prior), "j")
+            .select("i", "j", (F.col("s") + F.col("logp")).alias("ln_num"))
+        )
+        per_i = Window.partitionBy("i")
+        T = (
+            lognum.withColumn("mx", F.max("ln_num").over(per_i))
+            .select(
+                "i", "j",
+                F.round(
+                    F.exp((F.col("ln_num") - F.col("mx")).cast("double")), 12
+                ).cast("decimal(20,12)").alias("e"),
+            )
+            .withColumn("den", F.sum("e").over(per_i))
+            .select(
+                "i", "j",
+                F.round(F.col("e").cast("double")
+                        / F.col("den").cast("double"), 6)
+                .cast("decimal(7,6)").alias("t"),
+            )
+        )
+
+    w = Window.partitionBy("i").orderBy(F.col("t").desc(), F.col("j").asc())
+    return (
+        T.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(n_votes, "i")
+        .select(
+            F.col("i").alias(item_col),
+            F.col("j").alias(label_col),
+            F.col("t").cast("double").alias("confidence"),
+            "n_votes",
         )
     )

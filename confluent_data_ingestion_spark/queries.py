@@ -7952,6 +7952,148 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dawid_skene_labels",
+    """
+    WITH """ + _ANN_WIDE + """,
+    votes AS (
+      SELECT event_id AS i, 'a1' AS r, a1 AS l FROM wide WHERE a1 IS NOT NULL
+      UNION ALL
+      SELECT event_id, 'a2', a2 FROM wide WHERE a2 IS NOT NULL
+      UNION ALL
+      SELECT event_id, 'a3', a3 FROM wide WHERE a3 IS NOT NULL
+    ),
+    classes AS (SELECT DISTINCT l AS j FROM votes),
+    nv AS (SELECT i, count(*) AS n_votes FROM votes GROUP BY i),
+    counts AS (SELECT i, l AS j, count(*) AS c FROM votes GROUP BY 1, 2),
+    grid AS (SELECT nv.i, nv.n_votes, classes.j FROM nv CROSS JOIN classes),
+    T_0 AS (
+      SELECT grid.i, grid.j,
+             CAST(round((COALESCE(c, 0) + 0.01)
+                        / (n_votes + 0.05), 6) AS DECIMAL(7,6)) AS t
+      FROM grid LEFT JOIN counts
+        ON counts.i = grid.i AND counts.j = grid.j
+    ),
+    prior_1 AS (
+      SELECT j, CAST(round(ln(CAST(mass AS DOUBLE) / CAST(total AS DOUBLE)),
+                           6) AS DECIMAL(11,6)) AS logp
+      FROM (SELECT j, sum(t) AS mass FROM T_0 GROUP BY j) pm
+      CROSS JOIN (SELECT sum(t) AS total FROM T_0) pt
+    ),
+    joint_1 AS (
+      SELECT v.r, T.j, v.l, sum(T.t) AS m
+      FROM votes v JOIN T_0 T ON v.i = T.i
+      GROUP BY 1, 2, 3
+    ),
+    rowm_1 AS (SELECT r, j, sum(m) AS rm FROM joint_1 GROUP BY 1, 2),
+    logpi_1 AS (
+      SELECT jt.r, jt.j, jt.l,
+             CAST(round(ln((CAST(m AS DOUBLE) + 0.01)
+                           / (CAST(rm AS DOUBLE) + 0.05)),
+                        6) AS DECIMAL(11,6)) AS logpi
+      FROM joint_1 jt JOIN rowm_1 USING (r, j)
+    ),
+    lognum_1 AS (
+      SELECT sv.i, sv.j, sv.s + pr.logp AS ln_num
+      FROM (
+        SELECT v.i, lp.j, sum(lp.logpi) AS s
+        FROM votes v JOIN logpi_1 lp ON v.r = lp.r AND v.l = lp.l
+        GROUP BY 1, 2
+      ) sv JOIN prior_1 pr ON sv.j = pr.j
+    ),
+    T_1 AS (
+      SELECT i, j, CAST(round(CAST(e AS DOUBLE) / CAST(den AS DOUBLE), 6)
+                        AS DECIMAL(7,6)) AS t
+      FROM (
+        SELECT i, j, e, sum(e) OVER (PARTITION BY i) AS den FROM (
+          SELECT i, j,
+                 CAST(round(exp(CAST(ln_num - mx AS DOUBLE)), 12)
+                      AS DECIMAL(20,12)) AS e
+          FROM (SELECT i, j, ln_num,
+                       max(ln_num) OVER (PARTITION BY i) AS mx
+                FROM lognum_1) z
+        ) y
+      ) x
+    ),
+    prior_2 AS (
+      SELECT j, CAST(round(ln(CAST(mass AS DOUBLE) / CAST(total AS DOUBLE)),
+                           6) AS DECIMAL(11,6)) AS logp
+      FROM (SELECT j, sum(t) AS mass FROM T_1 GROUP BY j) pm
+      CROSS JOIN (SELECT sum(t) AS total FROM T_1) pt
+    ),
+    joint_2 AS (
+      SELECT v.r, T.j, v.l, sum(T.t) AS m
+      FROM votes v JOIN T_1 T ON v.i = T.i
+      GROUP BY 1, 2, 3
+    ),
+    rowm_2 AS (SELECT r, j, sum(m) AS rm FROM joint_2 GROUP BY 1, 2),
+    logpi_2 AS (
+      SELECT jt.r, jt.j, jt.l,
+             CAST(round(ln((CAST(m AS DOUBLE) + 0.01)
+                           / (CAST(rm AS DOUBLE) + 0.05)),
+                        6) AS DECIMAL(11,6)) AS logpi
+      FROM joint_2 jt JOIN rowm_2 USING (r, j)
+    ),
+    lognum_2 AS (
+      SELECT sv.i, sv.j, sv.s + pr.logp AS ln_num
+      FROM (
+        SELECT v.i, lp.j, sum(lp.logpi) AS s
+        FROM votes v JOIN logpi_2 lp ON v.r = lp.r AND v.l = lp.l
+        GROUP BY 1, 2
+      ) sv JOIN prior_2 pr ON sv.j = pr.j
+    ),
+    T_2 AS (
+      SELECT i, j, CAST(round(CAST(e AS DOUBLE) / CAST(den AS DOUBLE), 6)
+                        AS DECIMAL(7,6)) AS t
+      FROM (
+        SELECT i, j, e, sum(e) OVER (PARTITION BY i) AS den FROM (
+          SELECT i, j,
+                 CAST(round(exp(CAST(ln_num - mx AS DOUBLE)), 12)
+                      AS DECIMAL(20,12)) AS e
+          FROM (SELECT i, j, ln_num,
+                       max(ln_num) OVER (PARTITION BY i) AS mx
+                FROM lognum_2) z
+        ) y
+      ) x
+    )
+    SELECT i AS event_id, j AS label, CAST(t AS DOUBLE) AS confidence,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM (
+      SELECT i, j, t,
+             row_number() OVER (PARTITION BY i
+                                ORDER BY t DESC, j ASC) AS rn
+      FROM T_2
+    ) f JOIN nv USING (i)
+    WHERE rn = 1
+    """,
+)
+def dawid_skene_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dawid-Skene EM label resolution (operators/labels.dawid_skene)
+    over the three synthetic annotators: two EM rounds of per-rater
+    confusion matrices from a smoothed vote-share init — the rater that
+    votes noise gets downweighted, unlike majority_label.  The oracle
+    UNROLLS both EM rounds into pure SQL (the BPE-training pattern):
+    every cross-row sum is an exact DECIMAL, each ln/exp is rounded and
+    checkpointed, so DuckDB reproduces the posterior bit-for-bit.
+    Scale: per round, one votes x classes shuffle on the item key; the
+    confusion matrices and priors are raters x classes^2 metadata."""
+    from .operators.labels import dawid_skene
+
+    wide = _annotated_events(spark, sf_dir)
+    votes = None
+    for k in (1, 2, 3):
+        part = wide.select(
+            F.col("event_id").alias("item"),
+            F.lit(f"a{k}").alias("rater"),
+            F.col(f"a{k}").alias("label"),
+        ).filter(F.col("label").isNotNull())
+        votes = part if votes is None else votes.unionByName(part)
+    return dawid_skene(
+        votes, item_col="item", rater_col="rater", label_col="label",
+        iterations=2, smoothing=0.01,
+    ).withColumnsRenamed({"item": "event_id"})
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

@@ -165,3 +165,38 @@ def test_hard_negative_mining_filters_and_ranks(spark):
                for r in got)
     # dup-threshold exclusion really dropped the 0.999-cosine conflict
     assert 2 not in {r["neighbor_id"] for r in got}
+
+
+def test_dawid_skene_downweights_biased_rater(spark):
+    """The classic Dawid-Skene win over majority vote: raters a and b
+    are consistently correct, rater c always votes 'x' regardless of
+    the item.  On an item where only a ('y') and c ('x') voted, the
+    majority is a lexical-tie coin flip — DS learns c's confusion row
+    (votes x for everything) carries no evidence and resolves 'y'."""
+    from confluent_data_ingestion_spark.operators.labels import dawid_skene
+
+    rows = []
+    for i in range(20):
+        true = "x" if i % 2 == 0 else "y"
+        rows += [(i, "a", true), (i, "b", true), (i, "c", "x")]
+    rows += [(100, "a", "y"), (100, "c", "x")]
+    v = spark.createDataFrame(rows, "item long, rater string, label string")
+    out = {
+        r["item"]: (r["label"], r["confidence"], r["n_votes"])
+        for r in dawid_skene(v, iterations=2).collect()
+    }
+    assert out[100][0] == "y" and out[100][1] > 0.7
+    assert out[100][2] == 2
+    # clean items stay resolved to the consistent majority
+    assert out[0][0] == "x" and out[1][0] == "y"
+    assert out[0][1] > 0.99
+
+
+def test_dawid_skene_validates_iterations(spark):
+    from confluent_data_ingestion_spark.operators.labels import dawid_skene
+
+    v = spark.createDataFrame(
+        [(1, "a", "x")], "item long, rater string, label string"
+    )
+    with pytest.raises(ValueError, match="iterations"):
+        dawid_skene(v, iterations=0)

@@ -43,6 +43,7 @@ NESTED_LOOP_ALLOWED = {
     "similarity_int8_topk",       # brute-force baseline over int8 round-trip
     "hard_negative_mining",       # broadcast-anchor brute-force baseline
                                   # (IVF-cell composition is the scale path)
+    "dawid_skene_labels",         # label-set (5-row) broadcast class grid
 }
 
 # streaming / side-effecting queries that can't be compiled lazily —
