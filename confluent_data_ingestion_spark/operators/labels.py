@@ -199,12 +199,21 @@ def dawid_skene(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from ..caching import track
+
     a = float(smoothing)
-    v = votes.select(
+    # votes feed two aggregations per EM round; the round-t posterior T
+    # feeds THREE round-(t+1) consumers (prior, joint, E-step) — without
+    # persistence each consumer replays the entire preceding DAG and the
+    # recomputation grows exponentially in `iterations` (the unpersisted
+    # first cut measured 10.6 s at sf0.1 for 2 rounds).  Both are
+    # items-x-classes / votes-sized frames; track() releases them with
+    # the registry's standard cache discipline.
+    v = track(votes.select(
         F.col(item_col).alias("i"),
         F.col(rater_col).alias("r"),
         F.col(label_col).alias("l"),
-    ).filter(F.col("l").isNotNull())
+    ).filter(F.col("l").isNotNull()))
     classes = v.select(F.col("l").alias("j")).distinct()
     n_classes = classes.count()  # label-set sized: metadata
     aL = a * n_classes
@@ -215,7 +224,7 @@ def dawid_skene(
         F.count(F.lit(1)).alias("c")
     )
     grid = v.select("i").distinct().crossJoin(F.broadcast(classes))
-    T = (
+    T = track(
         grid.join(counts, ["i", "j"], "left")
         .join(n_votes, "i")
         .select(
@@ -287,6 +296,7 @@ def dawid_skene(
                 .cast("decimal(7,6)").alias("t"),
             )
         )
+        T = track(T)
 
     w = Window.partitionBy("i").orderBy(F.col("t").desc(), F.col("j").asc())
     return (

@@ -506,11 +506,15 @@ def main() -> None:
         if (
             "rollup" in fams or "stats" in fams or "zorder" in fams
             or "compact" in fams or "advisor" in fams or "bloom" in fams
-            or "bloomcompact" in fams
+            or "bloomcompact" in fams or "supervision" in fams
         ) and not os.path.exists(
             f"{out}/events.parquet/_SUCCESS"
         ):
             blow_events(spark, reps, out)
+        if "supervision" in fams and not os.path.exists(
+            f"{out}/embeddings.parquet/_SUCCESS"
+        ):
+            blow_embeddings(spark, reps, out)
         if "pq" in fams and not os.path.exists(
             f"{out}/embeddings.parquet/_SUCCESS"
         ):
@@ -562,6 +566,31 @@ def main() -> None:
         bloom_build, bloom_lookup = make_bloom_probes()
         probes.append(("bloom_index_build", bloom_build))
         probes.append(("bloom_pointlookup_warm", bloom_lookup))
+    if "supervision" in fams:
+        # the r13 monitoring/supervision rows at scale: PSI melt +
+        # window rows are scan-shaped; kappa state is pairs x label²;
+        # Dawid-Skene is O(iterations) votes x classes shuffles — all
+        # should hold ~linear walls with small constants
+        for name in ("drift_psi_snapshots", "label_majority_vote",
+                     "annotator_pairwise_kappa", "dawid_skene_labels",
+                     "temporal_holdout_events"):
+            probes.append((name, name))
+
+        # hard negatives with a FIXED anchor set against a corpus grown
+        # x10/x100 — the brute-force baseline is linear in corpus for a
+        # fixed query batch (the same honest framing as the IVF-PQ probe)
+        def hard_neg_fixed(spark, sf_dir, reps):
+            from pyspark.sql import functions as F
+
+            from confluent_data_ingestion_spark.operators.similarity import (
+                hard_negative_mining,
+            )
+
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            anchors = emb.filter(F.col("vec_id") % (53 * reps) == 0)
+            return hard_negative_mining(emb, anchors, k=5)
+
+        probes.append(("hard_negative_fixed_anchors", hard_neg_fixed))
     if "bloomcompact" in fams:
         # the r13 Bloom x compaction lifecycle at scale, both axes:
         # (a) the registry row as-is — backlog GROWS with the table
