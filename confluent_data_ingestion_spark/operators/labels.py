@@ -202,13 +202,15 @@ def dawid_skene(
     from ..caching import track
 
     a = float(smoothing)
-    # votes feed two aggregations per EM round; the round-t posterior T
-    # feeds THREE round-(t+1) consumers (prior, joint, E-step) — without
-    # persistence each consumer replays the entire preceding DAG and the
-    # recomputation grows exponentially in `iterations` (the unpersisted
-    # first cut measured 10.6 s at sf0.1 for 2 rounds).  Both are
-    # items-x-classes / votes-sized frames; track() releases them with
-    # the registry's standard cache discipline.
+    # votes feed two aggregations per EM round and the round-t posterior
+    # feeds THREE round-(t+1) consumers (prior, joint, E-step).  Inside
+    # one action Catalyst's ReusedExchange already dedupes the identical
+    # subtrees (measured: persisting changes the sf0.1 wall < 5%), but
+    # that reuse is a plan-shape accident, not a contract — persist the
+    # two frames so a future plan change (or a caller running extra
+    # actions against the returned lineage) cannot reintroduce
+    # exponential recomputation.  Both are items-x-classes / votes-sized;
+    # track() releases them under the registry's cache discipline.
     v = track(votes.select(
         F.col(item_col).alias("i"),
         F.col(rater_col).alias("r"),
