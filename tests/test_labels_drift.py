@@ -190,6 +190,12 @@ def test_dawid_skene_downweights_biased_rater(spark):
     # clean items stay resolved to the consistent majority
     assert out[0][0] == "x" and out[1][0] == "y"
     assert out[0][1] > 0.99
+    # the operator track()s its EM frames; direct calls (no registry
+    # wrapper) release them here so later cache-count tests see a
+    # stable baseline
+    from confluent_data_ingestion_spark.caching import release_caches
+
+    release_caches()
 
 
 def test_dawid_skene_validates_iterations(spark):

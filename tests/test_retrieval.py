@@ -236,6 +236,17 @@ def test_bm25_index_unpersist_releases_blocks(spark):
     held = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert held >= before + 3  # postings, doclen, df
     idx.unpersist()
+    # the release path is non-blocking (unpersist(False)): poll to
+    # quiescence so neither this assert nor the next test's baseline
+    # races an in-flight block drop
+    import time
+
+    deadline = time.monotonic() + 30
+    while (
+        len(spark.sparkContext._jsc.getPersistentRDDs()) != before
+        and time.monotonic() < deadline
+    ):
+        time.sleep(0.1)
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
 
 
