@@ -393,3 +393,119 @@ def test_bloom_skipscan_never_loses_rows(spark, tmp_path_factory, ids,
         .filter(F.col("event_id").isin(lookups)).collect()
     )
     assert got == want
+
+
+# -- round-13: salted join losslessness ---------------------------------------
+
+@given(
+    left_keys=st.lists(st.integers(min_value=-2, max_value=5), min_size=1,
+                       max_size=40),
+    right_keys=st.lists(st.integers(min_value=0, max_value=5), min_size=0,
+                        max_size=10),
+    n_salt=st.sampled_from([1, 3, 8]),
+    how=st.sampled_from(["inner", "left"]),
+)
+@settings(max_examples=8, deadline=None)
+def test_salted_join_equals_plain_join(spark, left_keys, right_keys, n_salt,
+                                       how):
+    """Salting must be invisible in the RESULT for any key histogram
+    (including planted hot keys, unmatched lefts, empty rights): only
+    the partition histogram may change."""
+    from confluent_data_ingestion_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [Row(k=k, lv=i) for i, k in enumerate(left_keys)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=k, rv=k * 10 + j) for j, k in enumerate(right_keys)],
+        "k bigint, rv bigint",
+    ) if right_keys else spark.createDataFrame([], "k bigint, rv bigint")
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join(left, right, ["k"], how=how,
+                             n_salt=n_salt).collect()
+    )
+    want = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in left.join(right, "k", how).select("k", "lv", "rv").collect()
+    )
+    assert got == want
+
+
+# -- round-13: temporal holdout invariants ------------------------------------
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=12), min_size=1,
+                   max_size=6),
+    frac=st.sampled_from([0.5, 0.8]),
+)
+@settings(max_examples=8, deadline=None)
+def test_temporal_holdout_invariants(spark, sizes, frac):
+    """For any entity-size histogram: per-entity train count is exactly
+    max(floor(n*frac), 1), no test row precedes a train row, and the
+    assignment is stable under repartitioning."""
+    from confluent_data_ingestion_spark.operators.sampling import (
+        temporal_holdout_split,
+    )
+
+    rows = [
+        Row(u=u, t=(i * 7919) % 97, eid=u * 1000 + i)
+        for u, n in enumerate(sizes) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows)
+    out = temporal_holdout_split(df, "u", "t", "eid", train_frac=frac)
+    per = {}
+    for r in out.collect():
+        per.setdefault(r["u"], []).append((r["t"], r["eid"], r["split"]))
+    for u, items in per.items():
+        n = len(items)
+        train = [(t, e) for t, e, s in items if s == "train"]
+        test = [(t, e) for t, e, s in items if s == "test"]
+        assert len(train) == max(int(n * frac), 1)
+        if test:
+            assert max(train) <= min(test)  # (t, eid) order: no leakage
+    again = temporal_holdout_split(
+        df.repartition(5), "u", "t", "eid", train_frac=frac
+    ).collect()
+    assert sorted((r["eid"], r["split"]) for r in again) == sorted(
+        (r["eid"], r["split"])
+        for r in out.collect()
+    )
+
+
+# -- round-13: majority vote column-order invariance ---------------------------
+
+@given(
+    votes=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", None]),
+                  st.sampled_from(["a", "b", None]),
+                  st.sampled_from(["a", "c", None])),
+        min_size=1, max_size=25,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_majority_label_column_order_invariant(spark, votes):
+    """The resolved label must not depend on annotator column ORDER
+    (ties break on the label value, never on which column voted) and
+    votes must sum to the non-null count."""
+    from confluent_data_ingestion_spark.operators.labels import majority_label
+
+    df = spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(votes)],
+        "item long, x string, y string, z string",
+    )
+    r1 = {
+        r["item"]: (r["label"], r["votes"], r["n_votes"])
+        for r in majority_label(df, "item", ["x", "y", "z"]).collect()
+    }
+    r2 = {
+        r["item"]: (r["label"], r["votes"], r["n_votes"])
+        for r in majority_label(df, "item", ["z", "x", "y"]).collect()
+    }
+    assert r1 == r2
+    for i, (a, b, c) in enumerate(votes):
+        nn = sum(v is not None for v in (a, b, c))
+        if nn == 0:
+            assert i not in r1
+        else:
+            assert r1[i][2] == nn
