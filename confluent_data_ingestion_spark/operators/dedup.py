@@ -1215,3 +1215,53 @@ def scrub_boilerplate(
         )
         .select(id_col, out_col, "n_chunks", "n_dropped")
     )
+
+
+def duplicate_provenance(
+    pairs: DataFrame,
+    meta: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Cross-group duplicate-flow matrix: aggregate a near-duplicate PAIR
+    list up to the (group_a, group_b) level — "which sources copy from
+    which".  The per-pair output of any pairing operator in this module
+    answers per-document questions; provenance triage (licensing risk,
+    crawler overlap, mirror detection, dedup-order policy between feeds)
+    needs the source-level rollup.
+
+    ``pairs``: (a_col, b_col) document-id pairs (each pair once, any
+    orientation).  ``meta``: (id_col, group_col) document metadata.
+    Output: one row per unordered group pair —
+    ``(group_a, group_b, n_pairs)`` with ``group_a <= group_b``
+    lexically, so within-group duplication shows up as the diagonal.
+
+    Scale shape: two equi-joins keyed on the document id attach each
+    side's group (the pair list is the small side after near-dup
+    pruning — at 100 TB, still orders of magnitude below the corpus —
+    so both joins broadcast it when it fits, else hash-shuffle on the
+    id), then ONE aggregation whose state is the groups-squared matrix
+    — metadata-sized.  The symmetric key is least/greatest, computed
+    map-side; no self-join, no explode.
+    """
+    ga = meta.select(
+        F.col(id_col).alias(a_col), F.col(group_col).alias("__ga__")
+    )
+    gb = meta.select(
+        F.col(id_col).alias(b_col), F.col(group_col).alias("__gb__")
+    )
+    return (
+        pairs.select(a_col, b_col)
+        .join(ga, a_col)
+        .join(gb, b_col)
+        .groupBy(
+            F.least("__ga__", "__gb__").alias("group_a"),
+            F.greatest("__ga__", "__gb__").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumnsRenamed(
+            {"group_a": f"{group_col}_a", "group_b": f"{group_col}_b"}
+        )
+    )

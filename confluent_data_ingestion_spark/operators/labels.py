@@ -312,3 +312,107 @@ def dawid_skene(
             "n_votes",
         )
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    id_col: str,
+    annotator_cols: list[str],
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) over the wide annotation frame —
+    the agreement coefficient that, unlike pairwise kappa, handles
+    MISSING votes and any number of annotators in one number:
+    ``alpha = 1 - D_o / D_e`` with D_o the observed disagreement of the
+    coincidence matrix and D_e the disagreement expected from the label
+    marginals.  Standard nominal-metric construction (Krippendorff,
+    "Content Analysis"; coincidence-matrix formulation): units with
+    fewer than two non-NULL votes carry no pairable information and are
+    excluded.
+
+    All arithmetic is exact until the final divisions: per-unit
+    disagreement is ``(m_u^2 - sum_c n_uc^2) / (m_u - 1)`` — integer
+    halves at worst, exact in DECIMAL(18,6) — and the marginals are
+    integer counts, so
+    ``alpha = 1 - (n - 1) * D_o_total / (n^2 - sum_c n_c^2)`` is a
+    ratio of exact quantities rounded to 6 dp (the repo's float-parity
+    contract).
+
+    Output: ONE row —
+    (n_units, n_votes, n_labels, observed_disagreement,
+    expected_disagreement, alpha) where the two disagreement columns are
+    the conventional per-pair rates (D_o_total / n and
+    (n^2 - sum n_c^2) / (n * (n - 1))), reported at 6 dp for reference;
+    alpha itself is computed from the unrounded exact pieces.
+
+    Scale shape: melt k annotator columns map-side, ONE aggregation to
+    (unit, label) counts, a per-unit window for m_u, then two
+    metadata-sized reductions (per-unit terms, label marginals) joined
+    at one row each.  Nothing wider than (id, label, count) ever
+    shuffles; the coincidence matrix itself is never materialized.
+    """
+    if len(annotator_cols) < 2:
+        raise ValueError("krippendorff_alpha needs at least two annotators")
+    votes = (
+        df.select(
+            F.col(id_col).alias("__u__"),
+            F.explode(F.array(*[F.col(c) for c in annotator_cols]))
+            .alias("__lab__"),
+        )
+        .filter(F.col("__lab__").isNotNull())
+        .groupBy("__u__", "__lab__")
+        .agg(F.count(F.lit(1)).alias("n_uc"))
+    )
+    wu = Window.partitionBy("__u__")
+    pairable = votes.withColumn("m_u", F.sum("n_uc").over(wu)).filter(
+        F.col("m_u") >= 2
+    )
+    unit_terms = pairable.groupBy("__u__").agg(
+        F.first("m_u").alias("m_u"),
+        F.sum(F.col("n_uc") * F.col("n_uc")).alias("s2_u"),
+    )
+    do = unit_terms.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(
+            F.round(
+                (F.col("m_u") * F.col("m_u") - F.col("s2_u"))
+                .cast("double")
+                / (F.col("m_u") - F.lit(1)),
+                6,
+            ).cast("decimal(18,6)")
+        ).alias("do_total"),
+    )
+    marg = (
+        pairable.groupBy("__lab__")
+        .agg(F.sum("n_uc").alias("n_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_labels"),
+            F.sum("n_c").alias("n"),
+            F.sum(F.col("n_c") * F.col("n_c")).alias("s2_c"),
+        )
+    )
+    # both sides are single aggregate rows — the cross join is a 1x1
+    # combine, not a data-sized cartesian (plan-guard allowlisted shape)
+    out = do.crossJoin(marg)
+    de_num = F.col("n") * F.col("n") - F.col("s2_c")
+    return out.select(
+        F.col("n_units").cast("bigint").alias("n_units"),
+        F.col("n").cast("bigint").alias("n_votes"),
+        F.col("n_labels").cast("bigint").alias("n_labels"),
+        F.round(
+            F.col("do_total").cast("double") / F.col("n"), 6
+        ).alias("observed_disagreement"),
+        F.round(
+            de_num.cast("double") / (F.col("n") * (F.col("n") - F.lit(1))),
+            6,
+        ).alias("expected_disagreement"),
+        F.when(
+            de_num > 0,
+            F.round(
+                F.lit(1.0)
+                - (F.col("n") - F.lit(1)).cast("double")
+                * F.col("do_total").cast("double")
+                / de_num.cast("double"),
+                6,
+            ),
+        ).alias("alpha"),
+    )

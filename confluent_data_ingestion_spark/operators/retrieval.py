@@ -428,3 +428,112 @@ def bm25_index_merge(
         total_tokens=tot,
         indexed_docs=indexed,
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    rel_threshold: int = 1,
+) -> DataFrame:
+    """Standard ranking-quality metrics for a retrieval run — the
+    evaluation half of the BM25/QL/RRF family: a retriever that is
+    never scored against judgments cannot be tuned or regressed.
+
+    ``results``: (query_id, doc_id, rank) — a ranked run (e.g.
+    ``bm25_topk`` output); rows with rank > k are ignored.
+    ``judgments``: (query_id, doc_id, grade) — graded relevance,
+    grade >= 1; a (query, doc) absent from judgments is unjudged
+    (grade 0).  Binary metrics count docs with grade >= rel_threshold
+    as relevant.
+
+    Output, one row per query_id in ``results``:
+      n_rel        judged docs with grade >= rel_threshold
+      hits_k       relevant docs retrieved in the top k
+      precision_k  hits_k / k
+      recall_k     hits_k / n_rel                     (NULL if n_rel = 0)
+      rr_k         1 / rank of the first relevant hit (0.0 if none)
+      ndcg_k       DCG over the run's top k / ideal DCG from the
+                   judgments' best k grades, with the standard gain
+                   (2^grade - 1) / log2(rank + 1)     (NULL if IDCG = 0)
+
+    Determinism: every per-rank DCG term is rounded to 6 dp and
+    quantized to DECIMAL before summing (sum order cannot change a
+    bit); the final ratios are ratios of exact quantities rounded to
+    6 dp — the repo's float-parity contract.
+
+    Scale shape: the run is queries x k rows and judgments are
+    query-local — the (query_id, doc_id) equi-join and both window
+    passes shuffle on the query key only; no corpus-sized input is
+    touched.  At 100 TB the judged set is still evaluation-sized; the
+    expensive side (producing ``results``) already paid its cost.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    run = results.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", "rank"
+    )
+    judged = judgments.select("query_id", "doc_id", "grade")
+    gain = F.coalesce(F.col("grade"), F.lit(0))
+    dcg_term = F.round(
+        (F.pow(F.lit(2.0), gain.cast("double")) - F.lit(1.0))
+        / F.log2(F.col("rank").cast("double") + F.lit(1.0)),
+        6,
+    ).cast("decimal(18,6)")
+    scored = run.join(judged, ["query_id", "doc_id"], "left")
+    rel = gain >= F.lit(rel_threshold)
+    per_q = scored.groupBy("query_id").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).alias("hits_k"),
+        F.min(F.when(rel, F.col("rank"))).alias("__first_rel__"),
+        F.sum(dcg_term).alias("__dcg__"),
+    )
+    wj = Window.partitionBy("query_id").orderBy(
+        F.col("grade").desc(), F.col("doc_id").asc()
+    )
+    ideal_term = F.round(
+        (F.pow(F.lit(2.0), F.col("grade").cast("double")) - F.lit(1.0))
+        / F.log2(F.col("__irank__").cast("double") + F.lit(1.0)),
+        6,
+    ).cast("decimal(18,6)")
+    ideal = (
+        judged.withColumn("__irank__", F.row_number().over(wj))
+        .filter(F.col("__irank__") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(ideal_term).alias("__idcg__"))
+    )
+    n_rel = (
+        judged.filter(F.col("grade") >= rel_threshold)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    return (
+        per_q.join(ideal, "query_id", "left")
+        .join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint")
+            .alias("n_rel"),
+            F.col("hits_k").cast("bigint").alias("hits_k"),
+            F.round(F.col("hits_k").cast("double") / F.lit(k), 6)
+            .alias("precision_k"),
+            F.when(
+                F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                F.round(
+                    F.col("hits_k").cast("double") / F.col("n_rel"), 6
+                ),
+            ).alias("recall_k"),
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("__first_rel__"), 6),
+                F.lit(0.0),
+            ).alias("rr_k"),
+            F.when(
+                F.coalesce(F.col("__idcg__"), F.lit(0).cast("decimal(18,6)"))
+                > 0,
+                F.round(
+                    F.col("__dcg__").cast("double")
+                    / F.col("__idcg__").cast("double"),
+                    6,
+                ),
+            ).alias("ndcg_k"),
+        )
+    )

@@ -485,3 +485,191 @@ def anomaly_zscore(
         .filter(F.abs(F.col("zscore")) > threshold)
         .drop("__n__", "__s__", "__s2__")
     )
+
+
+def gapfill_locf(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    *,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Resample each key's event stream onto a dense daily grid with
+    last-observation-carried-forward fill — the hypertable/timeseries
+    "gap-fill" primitive (TimescaleDB's ``time_bucket_gapfill`` +
+    ``locf``): downstream per-day features and forecasting joins need a
+    row for EVERY day in an entity's active span, not just days with
+    traffic.
+
+    Per (key, day) the observed aggregate is the event count and the
+    exact daily value sum (values quantized to DECIMAL(18,6) before
+    summing, so the total is bit-identical across engines and
+    partitionings).  Days inside the key's [first, last] observed span
+    with no events appear with ``n_events = 0``, ``filled = true`` and
+    the PRECEDING observed day's ``value_sum_locf`` carried forward.
+
+    Output: (key, day, n_events, filled, value_sum_locf), one row per
+    key per day of the key's span.
+
+    Scale design — gap rows are GENERATED, not joined: the obvious plan
+    (per-key min/max -> explode a calendar grid -> left join
+    observations -> LOCF window) costs two extra shuffles (grid join +
+    fill window).  Instead each observed day looks at the NEXT observed
+    day (lead over one (key, day) window) and emits itself plus its gap
+    days via ``sequence`` — every grid day is produced exactly once,
+    already carrying the value it would inherit, so LOCF is free and the
+    whole operator is ONE shuffle for the (key, day) aggregate plus ONE
+    for the per-key window.  Fan-out per row is bounded by the key's
+    longest gap (days, not events), the same bound the join plan's grid
+    side has — but map-side.
+    """
+    day = F.col(ts_col).cast("date").alias("day")
+    obs = events.groupBy(key_col, day).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum(F.round(F.col(value_col), 6).cast("decimal(18,6)")).alias(
+            "__vsum__"
+        ),
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("day").asc())
+    nxt = obs.withColumn("__next__", F.lead("day").over(w))
+    gridded = nxt.select(
+        F.col(key_col),
+        F.col("day").alias("__obs_day__"),
+        F.explode(
+            F.expr("sequence(day, coalesce(date_sub(__next__, 1), day))")
+        ).alias("day"),
+        "__n__",
+        "__vsum__",
+    )
+    is_obs = F.col("day") == F.col("__obs_day__")
+    return gridded.select(
+        F.col(key_col),
+        F.col("day"),
+        F.when(is_obs, F.col("__n__")).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+        (~is_obs).alias("filled"),
+        F.col("__vsum__").cast("double").alias("value_sum_locf"),
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of per-key state sequences:
+    order each key's events by (ts, tiebreak), pair every state with its
+    predecessor (lag), and count + row-normalize the (prev, next) pairs —
+    the behavioral-model primitive behind next-event prediction, funnel
+    leak analysis, and session simulation.
+
+    Output: (prev_state, next_state, n_transitions, n_out, prob) where
+    ``n_out`` is the total outgoing transitions of ``prev_state`` and
+    ``prob = round(n_transitions / n_out, 6)`` (ratio of exact counts —
+    engine-portable).
+
+    Scale shape: ONE hash shuffle on the key for the lag window (the
+    per-key sort is the floor the semantics allow), then a groupBy on
+    (prev, next) whose state is the state-alphabet squared — metadata
+    sized, partially aggregated map-side.  The row-total rides a window
+    over the tiny matrix, not a second scan.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.withColumn("__prev__", F.lag(state_col).over(w))
+        .filter(F.col("__prev__").isNotNull())
+        .groupBy(
+            F.col("__prev__").alias("prev_state"),
+            F.col(state_col).alias("next_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wrow = Window.partitionBy("prev_state")
+    return (
+        pairs.withColumn("n_out", F.sum("n_transitions").over(wrow))
+        .withColumn(
+            "prob",
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("n_out"), 6
+            ).cast("decimal(18,6)"),
+        )
+    )
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    steps: int = 3,
+) -> DataFrame:
+    """Approximate stationary distribution of a Markov transition matrix
+    by ``steps`` rounds of power iteration from the uniform vector —
+    "where does user behavior settle": the long-run share of each state
+    under the observed dynamics.
+
+    Input is ``markov_transitions`` output (or any frame with
+    prev_state / next_state / prob as DECIMAL(18,6)).  States are the
+    distinct ``prev_state`` values (states with outgoing edges; a pure
+    sink has no row in a row-normalized matrix and is excluded — callers
+    wanting sink mass should add explicit self-loops first).
+
+    Determinism: the vector starts at round(1/S, 6) and every iteration
+    computes ``p'(s') = round(sum_s p(s) * prob(s, s'), 6)`` in exact
+    DECIMAL arithmetic (scale-12 products, exact sum, half-up round to
+    6 dp) — bit-identical across engines, partitionings, and join
+    orders, the property an unrounded DOUBLE accumulation cannot give.
+
+    Output: (state, p_uniform, p_stationary) — the start vector and the
+    ``steps``-step iterate.
+
+    Scale shape: the matrix is state-alphabet squared (metadata sized)
+    and the vector is state-alphabet sized; each round is one broadcast
+    join + one tiny aggregation.  The transitions frame is persisted
+    (``caching.track`` — released by the registry after the action) so
+    the corpus-sized lineage BELOW it runs once, not once per
+    iteration: without it each round's join re-derives the matrix from
+    the raw events.  The iteration count is fixed and small, so the
+    plan above the persisted matrix stays shallow.
+    """
+    from ..caching import track
+
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    trans = track(
+        transitions.select("prev_state", "next_state", "prob")
+    )
+    states = trans.select(F.col("prev_state").alias("state")).distinct()
+    # alphabet-sized frame: the single-partition window is metadata work,
+    # not a skew risk, and keeps the uniform seed collect-free
+    w_all = Window.partitionBy()
+    p0 = F.round(
+        F.lit(1.0) / F.count(F.lit(1)).over(w_all), 6
+    ).cast("decimal(18,6)")
+    vec = states.select("state", p0.alias("p"))
+    trans = F.broadcast(trans)
+    for _ in range(steps):
+        # vec descends from `transitions` (states -> groupBy lineage), so
+        # an expression join against `trans` would trip Spark's ambiguous
+        # self-join detection — explicit aliases keep each side's
+        # attributes distinct.
+        vec = (
+            vec.alias("v")
+            .join(
+                trans.alias("t"),
+                F.col("v.state") == F.col("t.prev_state"),
+                "inner",
+            )
+            .groupBy(F.col("t.next_state").alias("state"))
+            .agg(
+                F.round(F.sum(F.col("v.p") * F.col("t.prob")), 6)
+                .cast("decimal(18,6)")
+                .alias("p")
+            )
+        )
+    return states.select("state", p0.alias("p_uniform")).join(
+        vec.withColumnRenamed("p", "p_stationary"), "state", "left"
+    )

@@ -932,3 +932,69 @@ def hash_embed(
         .withColumn(out_col, F.expr(emb))
         .drop("__th__")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group vocabulary coverage / OOV-rate report against the
+    corpus-global top-``vocab_size`` token types — the tokenizer-budget
+    question ("how big a vocab until the long tail is noise?") and a
+    cheap per-language drift probe (a group whose OOV rate jumps is
+    writing tokens the vocab has never seen).
+
+    Vocabulary = the ``vocab_size`` most frequent whitespace token types
+    corpus-wide (count desc, token asc tie-break — deterministic).
+    Output per group: ``(group, n_tokens, n_oov, oov_rate)`` with
+    ``oov_rate = round(n_oov / n_tokens, 6)`` (ratio of exact counts).
+    Empty texts contribute nothing; groups with no tokens are absent.
+
+    Scale shape: ONE corpus tokenization feeding two aggregations — the
+    (token, count) type table (vocab-bounded state, map-side combined)
+    and the per-(group, token) count.  The vocab is ``vocab_size`` rows
+    and BROADCASTS to a left join that marks OOV types; the final
+    per-group rollup is groups-sized.  The corpus text itself shuffles
+    nowhere — only (group, token, count) rows do.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    toks = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+            .alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.sum("n").alias("c"))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= vocab_size)
+        .select("tok", F.lit(True).alias("__in_vocab__"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab__").isNull(), F.col("n"))
+                .otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .select(
+            group_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )

@@ -8094,6 +8094,382 @@ def dawid_skene_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed({"item": "event_id"})
 
 
+@query(
+    "resample_gapfill_events",
+    """
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+             sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS vsum
+      FROM events GROUP BY 1, 2
+    ),
+    nxt AS (
+      SELECT *, lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nd
+      FROM obs
+    ),
+    g AS (
+      SELECT user_id,
+             unnest(generate_series(day, coalesce(nd - INTERVAL 1 DAY, day),
+                                    INTERVAL 1 DAY)) AS gday,
+             day, n, vsum
+      FROM nxt
+    )
+    SELECT user_id, strftime(CAST(gday AS DATE), '%Y-%m-%d') AS day,
+           CAST(CASE WHEN CAST(gday AS DATE) = day THEN n ELSE 0 END
+                AS BIGINT) AS n_events,
+           CAST(gday AS DATE) <> day AS filled,
+           CAST(vsum AS DOUBLE) AS value_sum_locf
+    FROM g
+    """,
+)
+def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap-fill resampling with LOCF
+    (operators/temporal.gapfill_locf): every user gets a row for EVERY
+    day of their active span; zero-traffic days carry the preceding
+    day's exact value sum forward — the hypertable ``time_bucket_gapfill
+    + locf`` primitive per-day features and forecasting joins need.
+    Gap rows are GENERATED map-side from each observed day's lead, not
+    joined against a calendar: two shuffles total ((user, day) aggregate
+    + per-user window), no grid join, no fill window."""
+    from .operators.temporal import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    out = gapfill_locf(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "filled",
+        "value_sum_locf",
+    )
+
+
+@query(
+    "krippendorff_alpha_events",
+    """
+    WITH """ + _ANN_WIDE + """,
+    votes AS (
+      SELECT u, lab, count(*) AS n_uc FROM (
+        SELECT event_id AS u, a1 AS lab FROM wide
+        UNION ALL SELECT event_id, a2 FROM wide
+        UNION ALL SELECT event_id, a3 FROM wide
+      ) WHERE lab IS NOT NULL GROUP BY 1, 2
+    ),
+    pairable AS (
+      SELECT u, lab, n_uc, sum(n_uc) OVER (PARTITION BY u) AS m_u
+      FROM votes QUALIFY m_u >= 2
+    ),
+    unit AS (
+      SELECT u, first(m_u) AS m_u, sum(n_uc * n_uc) AS s2_u
+      FROM pairable GROUP BY u
+    ),
+    do_t AS (
+      SELECT count(*) AS n_units,
+             sum(CAST(round(CAST(m_u * m_u - s2_u AS DOUBLE) / (m_u - 1), 6)
+                      AS DECIMAL(18,6))) AS do_total
+      FROM unit
+    ),
+    marg AS (
+      SELECT count(*) AS n_labels, sum(n_c) AS n, sum(n_c * n_c) AS s2_c
+      FROM (SELECT lab, sum(n_uc) AS n_c FROM pairable GROUP BY lab)
+    )
+    SELECT CAST(n_units AS BIGINT) AS n_units,
+           CAST(n AS BIGINT) AS n_votes,
+           CAST(n_labels AS BIGINT) AS n_labels,
+           round(CAST(do_total AS DOUBLE) / n, 6) AS observed_disagreement,
+           round(CAST(n * n - s2_c AS DOUBLE) / (n * (n - 1)), 6)
+             AS expected_disagreement,
+           CASE WHEN n * n - s2_c > 0 THEN
+             round(1.0 - (n - 1) * CAST(do_total AS DOUBLE)
+                   / (n * n - s2_c), 6)
+           END AS alpha
+    FROM do_t, marg
+    """,
+)
+def krippendorff_alpha_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over the three synthetic
+    annotators (operators/labels.krippendorff_alpha) — the
+    missing-data-tolerant agreement coefficient next to pairwise kappa:
+    one number for the whole annotator pool, units with a skipped vote
+    still contribute their pairable information.  All counts exact, the
+    per-unit disagreement terms are exact halves in DECIMAL, alpha is
+    one ratio rounded at 6 dp.  Scale: one (item, label) aggregation +
+    two metadata-sized reductions; the 1x1 final combine is the
+    allowlisted single-row cross join."""
+    from .operators.labels import krippendorff_alpha
+
+    return krippendorff_alpha(
+        _annotated_events(spark, sf_dir), "event_id", ["a1", "a2", "a3"]
+    )
+
+
+@query(
+    "retrieval_eval_metrics",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, w AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    postings AS (SELECT term, id, count(*) AS tf FROM toks GROUP BY term, id),
+    doclen AS (SELECT id, sum(tf) AS dl FROM postings GROUP BY id),
+    nd AS (SELECT count(*) AS n FROM documents),
+    avg AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM doclen),
+    tt AS (SELECT term, sum(tf) AS c FROM postings GROUP BY term),
+    top AS (
+      SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS rn
+      FROM tt ORDER BY c DESC, term ASC LIMIT 15
+    ),
+    q AS (SELECT CAST((rn - 1) // 3 AS BIGINT) AS query_id, term FROM top),
+    dfq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    hits AS (
+      SELECT q.query_id, p.id,
+        CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                   6) AS DECIMAL(18,6)) AS c
+      FROM postings p JOIN q ON p.term = q.term
+      JOIN dfq ON dfq.term = p.term
+      JOIN doclen d2 ON d2.id = p.id, nd, avg
+    ),
+    sc AS (SELECT query_id, id AS doc_id, sum(c) AS s
+           FROM hits GROUP BY 1, 2),
+    run AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id ASC) AS rank
+        FROM sc) WHERE rank <= 10
+    ),
+    langs AS (
+      SELECT lang, row_number() OVER (ORDER BY lang ASC) - 1 AS query_id
+      FROM (SELECT DISTINCT lang FROM documents)
+    ),
+    jg AS (
+      SELECT l.query_id, d.doc_id,
+             CAST(1 + d.n_chars % 3 AS BIGINT) AS grade
+      FROM documents d JOIN langs l ON d.lang = l.lang
+    ),
+    scored AS (
+      SELECT r.query_id, r.doc_id, r.rank, jg.grade
+      FROM run r LEFT JOIN jg ON r.query_id = jg.query_id
+                             AND r.doc_id = jg.doc_id
+    ),
+    perq AS (
+      SELECT query_id,
+             sum(CASE WHEN coalesce(grade, 0) >= 2 THEN 1 ELSE 0 END)
+               AS hits_k,
+             min(CASE WHEN coalesce(grade, 0) >= 2 THEN rank END)
+               AS first_rel,
+             sum(CAST(round((pow(2.0, coalesce(grade, 0)) - 1.0)
+                            / log2(rank + 1.0), 6) AS DECIMAL(18,6)))
+               AS dcg
+      FROM scored GROUP BY 1
+    ),
+    ideal AS (
+      SELECT query_id,
+             sum(CAST(round((pow(2.0, grade) - 1.0)
+                            / log2(irank + 1.0), 6) AS DECIMAL(18,6)))
+               AS idcg
+      FROM (SELECT query_id, grade, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY grade DESC, doc_id ASC)
+                     AS irank
+            FROM jg) WHERE irank <= 10 GROUP BY 1
+    ),
+    nr AS (SELECT query_id, count(*) AS n_rel FROM jg
+           WHERE grade >= 2 GROUP BY 1)
+    SELECT p.query_id,
+           CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(hits_k AS BIGINT) AS hits_k,
+           round(CAST(hits_k AS DOUBLE) / 10, 6) AS precision_k,
+           CASE WHEN coalesce(n_rel, 0) > 0
+                THEN round(CAST(hits_k AS DOUBLE) / n_rel, 6) END
+             AS recall_k,
+           coalesce(round(1.0 / first_rel, 6), 0.0) AS rr_k,
+           CASE WHEN coalesce(idcg, 0) > 0
+                THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+           END AS ndcg_k
+    FROM perq p LEFT JOIN ideal ON p.query_id = ideal.query_id
+                LEFT JOIN nr ON p.query_id = nr.query_id
+    """,
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the BM25 run
+    (operators/retrieval.retrieval_eval): precision/recall@10, MRR and
+    graded nDCG@10 against judgments that come from an INDEPENDENT
+    signal (each query_id is a document language; grade 1-3 from a
+    deterministic n_chars hash) — the external-labels shape real
+    retrieval eval has, and the reason the metrics spread instead of
+    saturating (every top-15 corpus term matches ~77% of this synthetic
+    corpus).  Reuses the session BM25 index; the metric pipeline joins
+    run x judgments on the query key only — evaluation-sized, no corpus
+    rescan."""
+    from pyspark.sql import Window
+
+    from .operators.retrieval import bm25_topk, retrieval_eval
+
+    idx, q = _ensure_bm25_index(spark, sf_dir)
+    run = bm25_topk(idx, q, k=10)
+    docs = _t(spark, sf_dir, "documents")
+    wl = Window.orderBy(F.col("lang").asc())
+    langs = (
+        docs.select("lang").distinct()
+        .select("lang", (F.row_number().over(wl) - 1)
+                .cast("bigint").alias("query_id"))
+    )
+    judgments = docs.join(langs, "lang").select(
+        "query_id",
+        "doc_id",
+        (F.lit(1) + F.col("n_chars") % 3).cast("bigint").alias("grade"),
+    )
+    return retrieval_eval(run, judgments, k=10, rel_threshold=2)
+
+
+@query(
+    "markov_stationary_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    ),
+    t AS (SELECT prev AS prev_state, event_type AS next_state,
+                 count(*) AS n
+          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    tm AS (
+      SELECT prev_state, next_state,
+             CAST(round(CAST(n AS DOUBLE)
+                        / sum(n) OVER (PARTITION BY prev_state), 6)
+                  AS DECIMAL(18,6)) AS prob
+      FROM t
+    ),
+    states AS (SELECT DISTINCT prev_state AS state FROM tm),
+    p0 AS (SELECT state,
+                  CAST(round(1.0 / (SELECT count(*) FROM states), 6)
+                       AS DECIMAL(18,6)) AS p
+           FROM states),
+    p1 AS (SELECT next_state AS state,
+                  CAST(round(sum(p * prob), 6) AS DECIMAL(18,6)) AS p
+           FROM p0 JOIN tm ON p0.state = tm.prev_state GROUP BY 1),
+    p2 AS (SELECT next_state AS state,
+                  CAST(round(sum(p * prob), 6) AS DECIMAL(18,6)) AS p
+           FROM p1 JOIN tm ON p1.state = tm.prev_state GROUP BY 1),
+    p3 AS (SELECT next_state AS state,
+                  CAST(round(sum(p * prob), 6) AS DECIMAL(18,6)) AS p
+           FROM p2 JOIN tm ON p2.state = tm.prev_state GROUP BY 1)
+    SELECT p0.state, CAST(p0.p AS DOUBLE) AS p_uniform,
+           CAST(p3.p AS DOUBLE) AS p_stationary
+    FROM p0 LEFT JOIN p3 ON p0.state = p3.state
+    """,
+)
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov dynamics of user event sequences
+    (operators/temporal.markov_transitions + markov_stationary): the
+    row-normalized transition matrix of consecutive event types per
+    user, then THREE power-iteration steps from uniform — where
+    behavior settles.  The oracle unrolls the iterations as CTEs (the
+    dawid_skene pattern); every step is exact-DECIMAL multiply-sum
+    rounded at 6 dp, so join order and engine cannot change a bit.
+    Scale: one per-user lag window over the corpus; everything after is
+    alphabet-squared metadata (persisted once, broadcast to each
+    step)."""
+    from .operators.temporal import markov_stationary, markov_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    trans = markov_transitions(ev, "user_id", "ts", "event_type", "event_id")
+    out = markov_stationary(trans, steps=3)
+    return out.select(
+        "state",
+        F.col("p_uniform").cast("double").alias("p_uniform"),
+        F.col("p_stationary").cast("double").alias("p_stationary"),
+    )
+
+
+@query(
+    "dup_provenance_sources",
+    f"""
+    WITH {_SHINGLE_SQL},
+    csh AS (SELECT doc_id, s FROM sh
+            QUALIFY count(*) OVER (PARTITION BY s) <= 500),
+    sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+    )
+    SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs JOIN documents a ON pairs.doc_a = a.doc_id
+               JOIN documents b ON pairs.doc_b = b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dup_provenance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-flow matrix
+    (operators/dedup.duplicate_provenance): near-duplicate pairs at
+    exact 5-gram Jaccard >= 0.8 (the posting-list pairing, df-capped)
+    rolled up to unordered (source, source) cells — which feeds mirror
+    each other, the triage a dedup-order policy between crawls needs.
+    The pair list is tiny after thresholding; the rollup's state is the
+    sources-squared matrix.  Within-source duplication appears on the
+    diagonal."""
+    from .operators.dedup import duplicate_provenance, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=5, threshold=0.8, persist_shingles=True
+    )
+    return duplicate_provenance(
+        pairs.select("doc_a", "doc_b"), docs.select("doc_id", "source")
+    )
+
+
+@query(
+    "vocab_oov_rate",
+    """
+    WITH toks AS (
+      SELECT lang AS grp, w AS tok, count(*) AS n
+      FROM (SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1, 2
+    ),
+    tt AS (SELECT tok, sum(n) AS c FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+        FROM tt
+      ) WHERE rn <= 16
+    )
+    SELECT grp AS lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN n ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(sum(CASE WHEN v.tok IS NULL THEN n ELSE 0 END)
+                      AS DOUBLE) / sum(n), 6) AS oov_rate
+    FROM toks LEFT JOIN vocab v ON toks.tok = v.tok
+    GROUP BY 1
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV-rate report against the corpus-global top-16
+    token types (operators/text.vocab_coverage) — the tokenizer-budget
+    and per-language drift probe.  One corpus tokenization feeds both
+    the vocab-bounded type table and the per-(lang, token) counts; the
+    16-row vocab broadcasts; nothing corpus-sized shuffles."""
+    from .operators.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, 16, "text", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

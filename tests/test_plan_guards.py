@@ -44,6 +44,8 @@ NESTED_LOOP_ALLOWED = {
     "hard_negative_mining",       # broadcast-anchor brute-force baseline
                                   # (IVF-cell composition is the scale path)
     "dawid_skene_labels",         # label-set (5-row) broadcast class grid
+    "krippendorff_alpha_events",  # 1-row x 1-row final combine (observed
+                                  # disagreement x label marginals)
 }
 
 # streaming / side-effecting queries that can't be compiled lazily —

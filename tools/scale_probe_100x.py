@@ -507,6 +507,7 @@ def main() -> None:
             "rollup" in fams or "stats" in fams or "zorder" in fams
             or "compact" in fams or "advisor" in fams or "bloom" in fams
             or "bloomcompact" in fams or "supervision" in fams
+            or "timeseries" in fams
         ) and not os.path.exists(
             f"{out}/events.parquet/_SUCCESS"
         ):
@@ -610,6 +611,16 @@ def main() -> None:
         # corpus-size-independent by construction — the probe measures
         # whether the training scans stay linear and nothing else grows.
         for name in ("bigram_logprob_vocab", "nb_language_classify"):
+            probes.append((name, name))
+    if "timeseries" in fams:
+        # the r13 second-wave rows at scale (events blowup = keys x reps
+        # at constant per-key depth): gap-fill generates each key's grid
+        # map-side from the lead — output grows with keys, state is one
+        # key's days; the Markov matrix and the alpha coincidence
+        # marginals are alphabet-sized no matter the corpus, so both
+        # rows should track the scan
+        for name in ("resample_gapfill_events", "markov_stationary_events",
+                     "krippendorff_alpha_events"):
             probes.append((name, name))
     if "bm25" in fams or "bm25fv" in fams:
         from confluent_data_ingestion_spark import queries as _Q
