@@ -341,49 +341,65 @@ def krippendorff_alpha(
     (n_units, n_votes, n_labels, observed_disagreement,
     expected_disagreement, alpha) where the two disagreement columns are
     the conventional per-pair rates (D_o_total / n and
-    (n^2 - sum n_c^2) / (n * (n - 1))), reported at 6 dp for reference;
-    alpha itself is computed from the unrounded exact pieces.
+    (n^2 - sum_c n_c^2) / (n * (n - 1))), reported at 6 dp for
+    reference; alpha itself is computed from the unrounded exact pieces.
 
-    Scale shape: melt k annotator columns map-side, ONE aggregation to
-    (unit, label) counts, a per-unit window for m_u, then two
-    metadata-sized reductions (per-unit terms, label marginals) joined
-    at one row each.  Nothing wider than (id, label, count) ever
-    shuffles; the coincidence matrix itself is never materialized.
+    Scale shape — every per-unit statistic is a MAP-SIDE codegen
+    expression: the wide row IS the unit, and for nominal data
+    ``sum_c n_uc^2`` equals the count of agreeing ordered vote pairs
+    WITHIN the row (``sum_ij [a_i = a_j]``, self-pairs included), so
+    m_u and the unit disagreement term are k^2 scalar comparisons
+    (k = annotators), no arrays, no higher-order functions, no per-item
+    shuffle.  Two whole-stage-codegen reductions remain: the global sum
+    of unit terms, and the label marginals (melt k columns of pairable
+    rows -> groupBy(label), which partial-aggregates to the label
+    alphabet map-side).  Their single-row results meet in a 1x1 cross
+    join (plan-guard allowlisted).  Earlier cuts aggregated a melted
+    (item, label) frame (items-sized shuffle + window: 16 s at a 100x
+    events blowup) or per-row array lambdas (interpreted, 44 s); this
+    plan reads ~4 s — two scans, everything else label-sized.
     """
     if len(annotator_cols) < 2:
         raise ValueError("krippendorff_alpha needs at least two annotators")
-    votes = (
-        df.select(
-            F.col(id_col).alias("__u__"),
-            F.explode(F.array(*[F.col(c) for c in annotator_cols]))
-            .alias("__lab__"),
-        )
-        .filter(F.col("__lab__").isNotNull())
-        .groupBy("__u__", "__lab__")
-        .agg(F.count(F.lit(1)).alias("n_uc"))
+    cols = [F.col(c) for c in annotator_cols]
+    m_expr = sum(
+        (c.isNotNull().cast("int") for c in cols), F.lit(0)
     )
-    wu = Window.partitionBy("__u__")
-    pairable = votes.withColumn("m_u", F.sum("n_uc").over(wu)).filter(
-        F.col("m_u") >= 2
+    s2_expr = sum(
+        (
+            (a.isNotNull() & b.isNotNull() & (a == b)).cast("int")
+            for a in cols
+            for b in cols
+        ),
+        F.lit(0),
     )
-    unit_terms = pairable.groupBy("__u__").agg(
-        F.first("m_u").alias("m_u"),
-        F.sum(F.col("n_uc") * F.col("n_uc")).alias("s2_u"),
-    )
-    do = unit_terms.agg(
+    unit = df.select(
+        m_expr.alias("__m__"), s2_expr.cast("bigint").alias("__s2__")
+    ).filter(F.col("__m__") >= 2)
+    do = unit.agg(
         F.count(F.lit(1)).alias("n_units"),
         F.sum(
             F.round(
-                (F.col("m_u") * F.col("m_u") - F.col("s2_u"))
+                (F.col("__m__") * F.col("__m__") - F.col("__s2__"))
                 .cast("double")
-                / (F.col("m_u") - F.lit(1)),
+                / (F.col("__m__") - F.lit(1)),
                 6,
             ).cast("decimal(18,6)")
         ).alias("do_total"),
     )
+    melted = (
+        df.select(m_expr.alias("__m__"), *[c.alias(f"__a{i}__") for i, c in enumerate(cols)])
+        .filter(F.col("__m__") >= 2)
+        .select(
+            F.explode(
+                F.array(*[F.col(f"__a{i}__") for i in range(len(cols))])
+            ).alias("__lab__")
+        )
+        .filter(F.col("__lab__").isNotNull())
+    )
     marg = (
-        pairable.groupBy("__lab__")
-        .agg(F.sum("n_uc").alias("n_c"))
+        melted.groupBy("__lab__")
+        .agg(F.count(F.lit(1)).alias("n_c"))
         .agg(
             F.count(F.lit(1)).alias("n_labels"),
             F.sum("n_c").alias("n"),
@@ -396,7 +412,7 @@ def krippendorff_alpha(
     de_num = F.col("n") * F.col("n") - F.col("s2_c")
     return out.select(
         F.col("n_units").cast("bigint").alias("n_units"),
-        F.col("n").cast("bigint").alias("n_votes"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_votes"),
         F.col("n_labels").cast("bigint").alias("n_labels"),
         F.round(
             F.col("do_total").cast("double") / F.col("n"), 6

@@ -537,3 +537,84 @@ def retrieval_eval(
             ).alias("ndcg_k"),
         )
     )
+
+
+def rank_agreement(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query agreement between two ranked runs — the retriever
+    A/B diagnostic next to ``retrieval_eval``: before swapping BM25 for
+    a hybrid (or an index rebuild), measure how much the rankings
+    actually moved.
+
+    Both runs: (query_id, doc_id, rank); rows with rank > k ignored.
+    Output per query (any query present in either run):
+      n_common     documents in both top-k sets
+      jaccard_k    |A ∩ B| / |A ∪ B| of the retrieved sets
+      kendall_tau  Kendall's tau over the COMMON documents — sign
+                   agreement of all rank pairs; NULL when fewer than
+                   two common documents.  Ranks are unique within a
+                   run, so there are no ties and the simple
+                   (C - D) / (m(m-1)/2) form is exact.
+
+    Ratios of exact counts rounded at 6 dp — engine-portable.
+
+    Scale shape: runs are queries x k rows; the full outer join and
+    the within-query pair join (<= k(k-1)/2 pairs per query) shuffle
+    on the query key only — evaluation-sized, never the corpus.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = run_a.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("__ra__")
+    )
+    b = run_b.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("__rb__")
+    )
+    u = a.join(b, ["query_id", "doc_id"], "outer")
+    sets = u.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("__ra__").isNotNull() & F.col("__rb__").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_common"),
+        F.count(F.lit(1)).alias("__n_union__"),
+    )
+    common = u.filter(
+        F.col("__ra__").isNotNull() & F.col("__rb__").isNotNull()
+    ).select("query_id", "doc_id", "__ra__", "__rb__")
+    prod = (
+        (F.col("x.__ra__") - F.col("y.__ra__"))
+        * (F.col("x.__rb__") - F.col("y.__rb__"))
+    )
+    tau = (
+        common.alias("x")
+        .join(
+            common.alias("y"),
+            (F.col("x.query_id") == F.col("y.query_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.query_id").alias("query_id"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(-1)).alias("__cd__"),
+            F.count(F.lit(1)).alias("__np__"),
+        )
+    )
+    return (
+        sets.join(tau, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("__n_union__"), 6
+            ).alias("jaccard_k"),
+            F.when(
+                F.col("__np__") >= 1,
+                F.round(
+                    F.col("__cd__").cast("double") / F.col("__np__"), 6
+                ),
+            ).alias("kendall_tau"),
+        )
+    )

@@ -680,3 +680,74 @@ def temporal_holdout_split(
         )
         .drop("__rn__", "__n__")
     )
+
+
+def doremi_reweight(
+    doc_losses: DataFrame,
+    group_col: str = "source",
+    loss_col: str = "loss",
+    eta: float = 1.0,
+    smoothing: float = 0.2,
+) -> DataFrame:
+    """One DoReMi-style exponentiated-gradient reweighting step over a
+    per-document proxy-loss table (Xie et al. 2023, "DoReMi: Optimizing
+    Data Mixtures Speeds Up Language Model Pretraining" — public
+    method): domains whose documents the proxy model finds HARD (excess
+    loss over the easiest domain) get upweighted, then the weights are
+    smoothed toward uniform so no domain starves.
+
+      excess_d = avg_loss_d - min_d' avg_loss_d'
+      w_d      ∝ exp(eta * excess_d)
+      weight_d = (1 - smoothing) * w_d / Σ w + smoothing / n_domains
+
+    The full DoReMi loop re-trains the proxy under each new mixture;
+    this operator is the REWEIGHTING step given a loss table — run it
+    per round with refreshed losses.  Output per domain:
+    ``(group, n_docs, avg_loss, excess, weight)``.
+
+    Determinism: per-document losses arrive 6-dp rounded (e.g.
+    ``unigram_logprob_score``); per-domain means are exact DECIMAL sums
+    divided once and rounded at 6 dp; each exp() result is rounded to
+    12 dp and quantized before the normalizing sum, so engines agree
+    bit-for-bit (the dawid_skene ln/exp contract).
+
+    Scale shape: ONE aggregation from the doc-loss table to the
+    domains-sized frame; everything after (min, exp, normalize, smooth)
+    is a couple of single-partition windows over tens of rows —
+    metadata work.  The doc-loss producer owns the corpus-scale cost.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= smoothing < 1.0:
+        raise ValueError("smoothing must be in [0, 1)")
+    per = doc_losses.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col(loss_col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).cast("decimal(18,6)").alias("avg_loss"),
+    )
+    # domains-sized frame: single-partition windows are metadata work
+    w_all = Window.partitionBy()
+    per = per.withColumn(
+        "excess", F.col("avg_loss") - F.min("avg_loss").over(w_all)
+    ).withColumn(
+        "__f__",
+        F.round(
+            F.exp(F.lit(eta) * F.col("excess").cast("double")), 12
+        ).cast("decimal(20,12)"),
+    )
+    n_dom = F.count(F.lit(1)).over(w_all)
+    w_raw = F.col("__f__").cast("double") / F.sum("__f__").over(w_all).cast(
+        "double"
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("avg_loss").cast("double").alias("avg_loss"),
+        F.col("excess").cast("double").alias("excess"),
+        F.round(
+            F.lit(1.0 - smoothing) * w_raw + F.lit(smoothing) / n_dom, 6
+        ).alias("weight"),
+    )

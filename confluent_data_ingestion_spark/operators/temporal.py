@@ -53,17 +53,31 @@ def asof_join(
     value_cols: list[str],
     tie_col: str | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_time <= left_time`` and matching key (backward as-of,
-    inclusive).  Left rows with no prior right row keep NULLs.
+    """For each left row, attach the nearest right row at-or-before
+    (``direction="backward"``, the default: latest ``right_time <=
+    left_time``) or at-or-after (``direction="forward"``: earliest
+    ``right_time >= left_time``) its timestamp, per key — backward is
+    the point-in-time enrichment join (no future leakage), forward is
+    the time-to-next-event join (time-to-conversion, next restock,
+    next error after a deploy).  Left rows with no match keep NULLs.
 
-    Deterministic tie-break among right rows sharing the max
-    ``right_time``: the greatest ``tie_col`` wins (pass a unique right
-    key; defaults to the first value column).
+    Deterministic tie-break among right rows sharing the matched
+    ``right_time``: backward takes the GREATEST ``tie_col`` (the
+    latest), forward the SMALLEST (the earliest) — pass a unique right
+    key; defaults to the first value column.
 
     Output: all left columns + ``prefix``-renamed ``value_cols``.
+
+    Both directions are the SAME single-pass plan (see module
+    docstring): one hash shuffle on the key, one per-partition sort —
+    forward just reverses the traversal order, it never range-joins.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     tie = tie_col or value_cols[0]
     lcols = left.columns
     # ALL value columns travel in ONE struct carried by ONE last(): the
@@ -91,11 +105,25 @@ def asof_join(
         F.lit(None).cast(vs_type).alias("__vs__"),
         *lcols,
     )
-    # Events (tag=1) sort after right rows at the same instant, making the
-    # match inclusive; __tie__ ascending makes last() pick the max tie.
+    # Left rows (tag=1) sort after right rows at the same instant, making
+    # the match inclusive in either direction.  Backward traverses time
+    # ascending and last() picks the latest-seen right row (max tie among
+    # equals, via tie asc); forward traverses time DESCENDING, so the
+    # latest-seen right row is the earliest at-or-after (min tie among
+    # equals, via tie desc).
+    if direction == "backward":
+        order = [
+            F.col("__t__").asc(), F.col("__tag__").asc(),
+            F.col("__tie__").asc(),
+        ]
+    else:
+        order = [
+            F.col("__t__").desc(), F.col("__tag__").asc(),
+            F.col("__tie__").desc(),
+        ]
     w = (
         Window.partitionBy("__k__")
-        .orderBy(F.col("__t__").asc(), F.col("__tag__").asc(), F.col("__tie__").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r.unionByName(l).select(

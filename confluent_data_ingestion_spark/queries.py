@@ -8470,6 +8470,299 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, 16, "text", "lang")
 
 
+@query(
+    "doremi_mixture_weights",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE len(term) >= 1 GROUP BY doc_id, term
+    ),
+    vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    lp AS (
+      SELECT term,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / total), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM vocab, tot
+    ),
+    dl AS (
+      SELECT tf.doc_id,
+             -round(CAST(sum(tf.tf * lp.logp) AS DOUBLE)
+                    / CAST(sum(tf.tf) AS DOUBLE), 6) AS loss
+      FROM tf JOIN lp USING (term) GROUP BY tf.doc_id
+    ),
+    per AS (
+      SELECT d.source AS grp, count(*) AS n_docs,
+             CAST(round(CAST(sum(CAST(loss AS DECIMAL(18,6))) AS DOUBLE)
+                        / count(*), 6) AS DECIMAL(18,6)) AS avg_loss
+      FROM dl JOIN documents d USING (doc_id) GROUP BY 1
+    ),
+    ex AS (
+      SELECT grp, n_docs, avg_loss,
+             avg_loss - min(avg_loss) OVER () AS excess
+      FROM per
+    ),
+    f AS (
+      SELECT *, CAST(round(exp(1.0 * CAST(excess AS DOUBLE)), 12)
+                     AS DECIMAL(20,12)) AS fac
+      FROM ex
+    )
+    SELECT grp AS source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(avg_loss AS DOUBLE) AS avg_loss,
+           CAST(excess AS DOUBLE) AS excess,
+           round(0.75 * (CAST(fac AS DOUBLE)
+                         / CAST(sum(fac) OVER () AS DOUBLE))
+                 + 0.25 / count(*) OVER (), 6) AS weight
+    FROM f
+    """,
+)
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting step
+    (operators/sampling.doremi_reweight): per-source proxy loss = the
+    negated corpus-unigram log-probability (the cheap stand-in for the
+    reference model's loss), one exponentiated-gradient update from the
+    excess over the easiest domain, smoothed 25% toward uniform.  The
+    corpus-scale cost is the loss table (one tokenization, the
+    unigram_logprob_score machinery); the reweighting itself is
+    domains-sized windows.  Smoothing 0.25 and eta 1.0 are exact binary
+    literals so both engines compute identical arithmetic."""
+    from .operators.sampling import doremi_reweight
+    from .operators.text import unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    losses = (
+        unigram_logprob_score(docs.select("doc_id", "text"))
+        .select("doc_id", (-F.col("avg_logprob")).alias("loss"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return doremi_reweight(
+        losses, group_col="source", loss_col="loss", eta=1.0, smoothing=0.25
+    )
+
+
+@query(
+    "asof_forward_conversion",
+    """
+    WITH s AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'signup'),
+    p AS (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase'),
+    m AS (
+      SELECT s.event_id, p.event_id AS pid, p.ts AS pts, p.value AS pval,
+             row_number() OVER (PARTITION BY s.event_id
+                                ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      FROM s JOIN p ON s.user_id = p.user_id AND p.ts >= s.ts
+    )
+    SELECT s.event_id, s.user_id,
+           m.pid AS next_purchase_id,
+           CAST(date_diff('microsecond', s.ts, m.pts) AS BIGINT) AS wait_us,
+           m.pval AS next_value
+    FROM s LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      ON s.event_id = m.event_id
+    """,
+)
+def asof_forward_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/temporal.asof_join,
+    direction='forward'): for every signup event, the user's earliest
+    at-or-after purchase and the wait in microseconds — the
+    time-to-conversion join.  Same single-pass plan as the backward row
+    (`asof_join_latest_order`): union-tagged stream, ONE key shuffle,
+    one per-partition sort traversed in reverse — never a range join.
+    The oracle is the naive range join + row_number, which is the
+    semantics; the operator is the scale-shaped plan."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event"),
+        F.col("value").alias("p_value"),
+    )
+    j = asof_join(
+        signups,
+        purchases,
+        left_on="user_id",
+        right_on="p_user",
+        left_time="ts",
+        right_time="p_ts",
+        value_cols=["p_event", "p_ts", "p_value"],
+        tie_col="p_event",
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_event").alias("next_purchase_id"),
+        (
+            F.unix_micros(F.col("asof_p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).cast("bigint").alias("wait_us"),
+        F.col("asof_p_value").alias("next_value"),
+    )
+
+
+@query(
+    "connected_components_chain",
+    """
+    WITH r AS (
+      SELECT event_id,
+             count(*) OVER (PARTITION BY user_id) AS cnt,
+             min(event_id) OVER (PARTITION BY user_id) AS mn
+      FROM events
+    )
+    SELECT event_id AS doc_id, mn AS cluster_id FROM r WHERE cnt >= 2
+    """,
+)
+def connected_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase star contraction on a CHAIN-shaped graph
+    (operators/cluster.connected_components, algorithm='star'): edges
+    link each user's consecutive events, so every component is a path
+    whose diameter is the user's event count (~67 at sf0.01) — the
+    shape where min-label propagation needs O(diameter) rounds and the
+    large-star/small-star algorithm (Kiveris et al.) converges in
+    O(log n).  This row executes the star path against planted
+    long-diameter components; the oracle states the ground truth
+    directly (every user's chain collapses to the user's min event_id;
+    single-event users have no edges and are absent)."""
+    from pyspark.sql import Window
+
+    from .operators.cluster import connected_components
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    edges = (
+        ev.withColumn("__prev__", F.lag("event_id").over(w))
+        .filter(F.col("__prev__").isNotNull())
+        .select(
+            F.col("__prev__").alias("doc_a"),
+            F.col("event_id").alias("doc_b"),
+        )
+    )
+    return connected_components(
+        edges, algorithm="star", pairs_distinct=True
+    )
+
+
+@query(
+    "retrieval_rank_agreement",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, w AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    postings AS (SELECT term, id, count(*) AS tf FROM toks GROUP BY term, id),
+    doclen AS (SELECT id, sum(tf) AS dl FROM postings GROUP BY id),
+    nd AS (SELECT count(*) AS n FROM documents),
+    avg AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM doclen),
+    ctot AS (SELECT CAST(sum(dl) AS DOUBLE) AS c_tot FROM doclen),
+    tt AS (SELECT term, sum(tf) AS c FROM postings GROUP BY term),
+    top AS (
+      SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS rn
+      FROM tt ORDER BY c DESC, term ASC LIMIT 15
+    ),
+    q AS (SELECT CAST((rn - 1) // 3 AS BIGINT) AS query_id, term FROM top),
+    dfq AS (SELECT term, count(*) AS df, sum(tf) AS cf
+            FROM postings GROUP BY term),
+    bm_hits AS (
+      SELECT q.query_id, p.id,
+        CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                   6) AS DECIMAL(18,6)) AS c
+      FROM postings p JOIN q ON p.term = q.term
+      JOIN dfq ON dfq.term = p.term
+      JOIN doclen d2 ON d2.id = p.id, nd, avg
+    ),
+    bm_best AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM (SELECT query_id, id AS doc_id, sum(c) AS s
+            FROM bm_hits GROUP BY query_id, id)
+    ),
+    nq AS (SELECT query_id, count(*) AS nq FROM q GROUP BY query_id),
+    ql_contrib AS (
+      SELECT q.query_id, p.id,
+        CAST(round(ln(1.0 + p.tf / (100.0 * cf / c_tot)), 6)
+             AS DECIMAL(18,6)) AS c
+      FROM postings p JOIN q ON p.term = q.term
+      JOIN dfq ON dfq.term = p.term, ctot
+    ),
+    ql_best AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM (
+        SELECT s.query_id, s.doc_id,
+               CAST(round(-nq.nq * ln(d.dl + 100.0), 6) AS DECIMAL(18,6))
+               + s.cs AS s
+        FROM (SELECT query_id, id AS doc_id, sum(c) AS cs
+              FROM ql_contrib GROUP BY query_id, id) s
+        JOIN doclen d ON d.id = s.doc_id
+        JOIN nq ON nq.query_id = s.query_id
+      )
+    ),
+    a AS (SELECT query_id, doc_id, rank AS ra FROM bm_best
+          WHERE rank <= 10),
+    b AS (SELECT query_id, doc_id, rank AS rb FROM ql_best
+          WHERE rank <= 10),
+    u AS (
+      SELECT coalesce(a.query_id, b.query_id) AS qid,
+             coalesce(a.doc_id, b.doc_id) AS doc, ra, rb
+      FROM a FULL JOIN b ON a.query_id = b.query_id
+                        AND a.doc_id = b.doc_id
+    ),
+    sets AS (
+      SELECT qid, count(*) AS n_union,
+             sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                      THEN 1 ELSE 0 END) AS n_common
+      FROM u GROUP BY 1
+    ),
+    c AS (SELECT qid, doc, ra, rb FROM u
+          WHERE ra IS NOT NULL AND rb IS NOT NULL),
+    t AS (
+      SELECT x.qid,
+             sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                      THEN 1 ELSE -1 END) AS cd,
+             count(*) AS np
+      FROM c x JOIN c y ON x.qid = y.qid AND x.doc < y.doc
+      GROUP BY 1
+    )
+    SELECT s.qid AS query_id,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / n_union, 6) AS jaccard_k,
+           CASE WHEN np >= 1
+                THEN round(CAST(cd AS DOUBLE) / np, 6) END AS kendall_tau
+    FROM sets s LEFT JOIN t ON s.qid = t.qid
+    """,
+)
+def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank agreement between the BM25 and Dirichlet query-likelihood
+    runs over the shared index (operators/retrieval.rank_agreement):
+    Jaccard@10 of the retrieved sets + exact Kendall's tau over the
+    common documents — the A/B diagnostic a retriever swap needs.
+    Both runs reuse the per-(session, sf_dir) index; the agreement math
+    joins rank lists on the query key only (k(k-1)/2 pairs per query),
+    corpus-independent."""
+    from .operators.retrieval import bm25_topk, lm_qlik_topk, rank_agreement
+
+    idx, q = _ensure_bm25_index(spark, sf_dir)
+    bm = bm25_topk(idx, q, k=10)
+    ql = lm_qlik_topk(idx, q, k=10, mu=100.0)
+    return rank_agreement(bm, ql, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

@@ -46,6 +46,8 @@ NESTED_LOOP_ALLOWED = {
     "dawid_skene_labels",         # label-set (5-row) broadcast class grid
     "krippendorff_alpha_events",  # 1-row x 1-row final combine (observed
                                   # disagreement x label marginals)
+    "doremi_mixture_weights",     # 1-row totals broadcast (the unigram-LM
+                                  # loss table's corpus total)
 }
 
 # streaming / side-effecting queries that can't be compiled lazily —

@@ -85,3 +85,110 @@ def test_vocab_coverage_full_vocab_has_zero_oov(spark):
     )
     r = vocab_coverage(docs, 10, "text", "lang").collect()[0]
     assert r["n_oov"] == 0 and r["oov_rate"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# doremi_reweight
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_reweight_hand_computed(spark):
+    import math
+
+    from confluent_data_ingestion_spark.operators.sampling import (
+        doremi_reweight,
+    )
+
+    # dom A: losses 1.0, 2.0 -> avg 1.5; dom B: 1.0 -> avg 1.0 (baseline)
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 1.0)], "source string, loss double"
+    )
+    out = {
+        r["source"]: r
+        for r in doremi_reweight(df, eta=1.0, smoothing=0.25).collect()
+    }
+    assert out["A"]["n_docs"] == 2 and out["B"]["n_docs"] == 1
+    assert out["A"]["avg_loss"] == 1.5
+    assert out["A"]["excess"] == 0.5
+    assert out["B"]["excess"] == 0.0
+    fa = round(math.exp(0.5), 12)
+    fb = 1.0
+    wa = 0.75 * (fa / (fa + fb)) + 0.25 / 2
+    wb = 0.75 * (fb / (fa + fb)) + 0.25 / 2
+    assert out["A"]["weight"] == round(wa, 6)
+    assert out["B"]["weight"] == round(wb, 6)
+    # harder domain strictly upweighted; weights sum to ~1
+    assert out["A"]["weight"] > out["B"]["weight"]
+    assert abs(out["A"]["weight"] + out["B"]["weight"] - 1.0) < 2e-6
+
+
+def test_doremi_reweight_uniform_losses_give_uniform_weights(spark):
+    from confluent_data_ingestion_spark.operators.sampling import (
+        doremi_reweight,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 2.0), ("B", 2.0), ("C", 2.0)], "source string, loss double"
+    )
+    ws = {
+        r["source"]: r["weight"]
+        for r in doremi_reweight(df, smoothing=0.25).collect()
+    }
+    assert set(ws.values()) == {round(1 / 3, 6)}
+
+
+def test_doremi_reweight_rejects_bad_smoothing(spark):
+    import pytest as _pytest
+
+    from confluent_data_ingestion_spark.operators.sampling import (
+        doremi_reweight,
+    )
+
+    df = spark.createDataFrame([("A", 1.0)], "source string, loss double")
+    with _pytest.raises(ValueError):
+        doremi_reweight(df, smoothing=1.0)
+
+
+# ---------------------------------------------------------------------------
+# rank_agreement
+# ---------------------------------------------------------------------------
+
+
+def test_rank_agreement_hand_computed(spark):
+    from confluent_data_ingestion_spark.operators.retrieval import (
+        rank_agreement,
+    )
+
+    # q0: A = [1, 2, 3], B = [2, 1, 4] (ranks 1..3 each)
+    # common {1, 2}: A ranks (1, 2), B ranks (2, 1) -> 1 discordant pair
+    # union {1,2,3,4} -> jaccard 0.5; tau = -1
+    # q1: only in run A -> n_common 0, jaccard 0, tau NULL
+    a = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3), (1, 9, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(0, 2, 1), (0, 1, 2), (0, 4, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    got = {
+        r["query_id"]: (r["n_common"], r["jaccard_k"], r["kendall_tau"])
+        for r in rank_agreement(a, b, k=3).collect()
+    }
+    assert got == {
+        0: (2, 0.5, -1.0),
+        1: (0, 0.0, None),
+    }
+
+
+def test_rank_agreement_identical_runs(spark):
+    from confluent_data_ingestion_spark.operators.retrieval import (
+        rank_agreement,
+    )
+
+    a = spark.createDataFrame(
+        [(0, d, r) for r, d in enumerate([5, 3, 8, 1], start=1)],
+        "query_id long, doc_id long, rank int",
+    )
+    r = rank_agreement(a, a, k=4).collect()[0]
+    assert (r["n_common"], r["jaccard_k"], r["kendall_tau"]) == (4, 1.0, 1.0)

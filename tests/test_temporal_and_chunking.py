@@ -694,3 +694,91 @@ def test_rolling_stats_frame_and_determinism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="window_rows"):
         rolling_stats(spark.createDataFrame(rows), window_rows=0)
+
+
+def test_asof_join_forward_inclusive_ties_and_nulls(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:00:00")),  # before both quotes
+            (2, 10, _ts("2024-01-02T00:00:00")),  # exactly at quote 2 (inclusive)
+            (3, 10, _ts("2024-01-02T00:00:01")),  # after every quote -> NULL
+            (4, 20, _ts("2024-01-01T00:00:00")),  # key with no right rows
+        ],
+        "event_id long, uid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T12:00:00"), 1.0),
+            (101, 10, _ts("2024-01-02T00:00:00"), 2.0),
+            (102, 10, _ts("2024-01-02T00:00:00"), 3.0),  # tie: min qid wins
+        ],
+        "qid long, uid long, qts timestamp, px double",
+    )
+    out = asof_join(
+        left, right,
+        left_on="uid", right_on="uid",
+        left_time="ts", right_time="qts",
+        value_cols=["qid", "px"], tie_col="qid",
+        direction="forward",
+    )
+    got = {r["event_id"]: (r["asof_qid"], r["asof_px"]) for r in out.collect()}
+    assert got == {
+        1: (100, 1.0),   # earliest at-or-after
+        2: (101, 2.0),   # inclusive; min tie among the 2024-01-02 tie
+        3: (None, None),
+        4: (None, None),
+    }
+
+
+def test_asof_join_forward_matches_backward_on_reversed_time(spark):
+    # duality: forward(t) == backward(-t) — pin the two traversals
+    # against each other on a small randomized-ish frame
+    left = spark.createDataFrame(
+        [(i, 1, _ts(f"2024-01-{d:02d}T00:00:00")) for i, d in
+         enumerate([3, 7, 11, 15, 19, 23], start=1)],
+        "event_id long, uid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, 1, _ts(f"2024-01-{d:02d}T00:00:00"), float(d)) for i, d
+         in enumerate([2, 5, 10, 14, 21])],
+        "qid long, uid long, qts timestamp, px double",
+    )
+    fwd = {
+        r["event_id"]: r["asof_qid"]
+        for r in asof_join(
+            left, right, left_on="uid", right_on="uid",
+            left_time="ts", right_time="qts",
+            value_cols=["qid"], direction="forward",
+        ).collect()
+    }
+    neg = F.expr("timestamp '2024-02-01 00:00:00'")
+    left_r = left.withColumn(
+        "rts", (F.unix_micros(neg) - F.unix_micros("ts")).cast("long")
+    )
+    right_r = right.withColumn(
+        "rqts", (F.unix_micros(neg) - F.unix_micros("qts")).cast("long")
+    )
+    bwd = {
+        r["event_id"]: r["asof_qid"]
+        for r in asof_join(
+            left_r, right_r, left_on="uid", right_on="uid",
+            left_time="rts", right_time="rqts",
+            value_cols=["qid"], direction="backward",
+        ).collect()
+    }
+    assert fwd == bwd
+
+
+def test_asof_join_rejects_unknown_direction(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T00:00:00"))],
+        "event_id long, uid long, ts timestamp",
+    )
+    with _pytest.raises(ValueError):
+        asof_join(
+            left, left, left_on="uid", right_on="uid",
+            left_time="ts", right_time="ts",
+            value_cols=["event_id"], direction="sideways",
+        )

@@ -498,7 +498,7 @@ def main() -> None:
         os.makedirs(out, exist_ok=True)
         if (
             "dedup" in fams or "lm" in fams or "bm25" in fams
-            or "bm25merge" in fams
+            or "bm25merge" in fams or "docops" in fams
         ) and not os.path.exists(
             f"{out}/documents.parquet/_SUCCESS"
         ):
@@ -611,6 +611,16 @@ def main() -> None:
         # corpus-size-independent by construction — the probe measures
         # whether the training scans stay linear and nothing else grows.
         for name in ("bigram_logprob_vocab", "nb_language_classify"):
+            probes.append((name, name))
+    if "docops" in fams:
+        # document-table rows over the perturbed-replica blowup: the
+        # provenance rollup rides the jaccard pairing (pairs stay rate-
+        # constant under the blowup); vocab coverage is one tokenization
+        # + a type-table window (the suffix blowup grows the TYPE table
+        # x reps — synthetic, like the bm25 build); DoReMi's reweight is
+        # domains-sized after the unigram loss table
+        for name in ("dup_provenance_sources", "vocab_oov_rate",
+                     "doremi_mixture_weights"):
             probes.append((name, name))
     if "timeseries" in fams:
         # the r13 second-wave rows at scale (events blowup = keys x reps
