@@ -8763,6 +8763,59 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_agreement(bm, ql, k=10)
 
 
+@query(
+    "similarity_matryoshka_recall",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    t AS (SELECT vec_id, e[1:32] AS e FROM v),
+    qf AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+    qt AS (SELECT * FROM t WHERE vec_id % 100 = 0),
+    full_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a='q.e', b='v.e')} DESC, v.vec_id)
+                 AS rn
+        FROM qf q JOIN v ON q.vec_id <> v.vec_id
+      ) WHERE rn <= 5
+    ),
+    tr_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a='q.e', b='t.e')} DESC, t.vec_id)
+                 AS rn
+        FROM qt q JOIN t ON q.vec_id <> t.vec_id
+      ) WHERE rn <= 5
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           round(CAST(count(t.neighbor_id) AS DOUBLE) / 5, 6)
+             AS recall_at_k
+    FROM full_top f LEFT JOIN tr_top t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY 1
+    """,
+)
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-truncation recall audit
+    (operators/similarity.truncation_recall): exact cosine top-5 over
+    the first 32 of 64 components vs the full vectors — the
+    Matryoshka-deployment question "how much neighborhood does the
+    cheaper index keep?".  On these unstructured synthetic embeddings
+    the answer is ~0.36 (MRL-trained embeddings would score high) —
+    which is exactly why the audit runs BEFORE shipping a truncation.
+    Both passes are the declared brute-force baseline (broadcast
+    queries); the audit join is rank-list-sized."""
+    from .operators.similarity import truncation_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return truncation_recall(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=5, dims=32
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

@@ -48,6 +48,8 @@ NESTED_LOOP_ALLOWED = {
                                   # disagreement x label marginals)
     "doremi_mixture_weights",     # 1-row totals broadcast (the unigram-LM
                                   # loss table's corpus total)
+    "similarity_matryoshka_recall",  # two declared brute-force baselines
+                                     # (the similarity_cosine_topk pattern)
 }
 
 # streaming / side-effecting queries that can't be compiled lazily —

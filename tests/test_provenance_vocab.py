@@ -192,3 +192,66 @@ def test_rank_agreement_identical_runs(spark):
     )
     r = rank_agreement(a, a, k=4).collect()[0]
     assert (r["n_common"], r["jaccard_k"], r["kendall_tau"]) == (4, 1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# truncation_recall
+# ---------------------------------------------------------------------------
+
+
+def test_truncation_recall_perfect_when_prefix_carries_signal(spark):
+    from confluent_data_ingestion_spark.operators.similarity import (
+        truncation_recall,
+    )
+
+    # vectors whose tail is ZERO: dot products and norms are identical
+    # with or without it, so truncation cannot change any cosine ->
+    # recall 1.0 (the MRL best case)
+    rows = [
+        (i, [float(i % 7), float((i * 3) % 5), 0.0, 0.0])
+        for i in range(1, 30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = truncation_recall(
+        df, df.filter("vec_id % 10 = 0"), k=3, dims=2
+    ).collect()
+    assert len(out) == 2  # queries 10, 20
+    assert all(r["recall_at_k"] == 1.0 and r["n_overlap"] == 3 for r in out)
+
+
+def test_truncation_recall_zero_when_signal_in_tail(spark):
+    from confluent_data_ingestion_spark.operators.similarity import (
+        truncation_recall,
+    )
+
+    # prefix constant, ALL signal in the tail: the truncated ranking is
+    # pure tie-break noise; engineered so the tie-broken top-1 differs
+    # from the true top-1
+    rows = [
+        (1, [1.0, 0.0, 0.0]),   # query
+        (2, [1.0, 0.9, 0.1]),
+        (3, [1.0, 0.0, 1.0]),   # true nearest (tail matches query's 0 tail? no)
+        (4, [1.0, 0.01, 0.0]),  # true nearest by tail; id sorts after 2, 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = truncation_recall(
+        df, df.filter("vec_id = 1"), k=1, dims=1
+    ).collect()[0]
+    # full top-1 = vec 4 (tail [0.01, 0] closest in angle to [0, 0]...
+    # all prefixes equal so truncated cosine ties at 1.0 -> tie-break
+    # picks min neighbor_id = 2 -> zero overlap
+    assert out["n_overlap"] == 0 and out["recall_at_k"] == 0.0
+
+
+def test_truncation_recall_rejects_bad_dims(spark):
+    import pytest as _pytest
+
+    from confluent_data_ingestion_spark.operators.similarity import (
+        truncation_recall,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        truncation_recall(df, df, dims=0)
