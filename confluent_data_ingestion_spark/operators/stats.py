@@ -327,3 +327,76 @@ def psi_drift_report(
         F.first("base_t").alias("base_rows"),
         F.first("cur_t").alias("cur_rows"),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line — slope, intercept and
+    r² of y over x within every key: the per-entity trend detector
+    (spend drifting up, latency creeping, a domain's quality decaying)
+    that turns raw history into one monitorable number per entity.
+
+    Closed-form OLS from the five sufficient sums (n, Σx, Σy, Σxy,
+    Σx², plus Σy² for r²), all accumulated EXACTLY: x must be integral
+    (bucket indexes, day offsets), y is quantized to DECIMAL(18,6) —
+    so the sums are bit-identical across engines and partitionings and
+    the final divisions are the only floating-point steps (rounded at
+    6 dp).  The intercept derives from the ALREADY-ROUNDED slope, and
+    r² computes in DOUBLE from the exact sums — both sides of any
+    oracle must mirror those two choices (they do).
+
+    Output per key: (key, n_points, slope, intercept, r2).  Keys with
+    a single point (or zero x-variance) report NULL slope/intercept/r2;
+    zero y-variance alone reports slope 0 and NULL r2 (r² is 0/0 on a
+    flat line).
+
+    Scale shape: ONE hash aggregation on the key — five decimal/bigint
+    accumulators of map-side-combinable state, scan speed; no window,
+    no join, no second pass.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.round(F.col(y_col), 6).cast("decimal(18,6)")
+    agg = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    # combine the sufficient sums in DOUBLE on individually-cast
+    # operands: each sum is exact, so its double image is deterministic,
+    # and the products/differences are then identical IEEE ops in any
+    # engine — whereas a DECIMAL n*sxy would hit precision-cap rounding
+    # whose semantics differ between engines
+    nD = F.col("n").cast("double")
+    sxD = F.col("sx").cast("double")
+    syD = F.col("sy").cast("double")
+    num = nD * F.col("sxy").cast("double") - sxD * syD
+    denx = nD * F.col("sxx").cast("double") - sxD * sxD
+    deny = nD * F.col("syy").cast("double") - syD * syD
+    slope = F.when(denx > 0, F.round(num / denx, 6))
+    out = agg.withColumn("slope", slope)
+    intercept = F.when(
+        F.col("slope").isNotNull(),
+        F.round(
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx"))
+            / F.col("n"),
+            6,
+        ),
+    )
+    r2 = F.when(
+        (denx > 0) & (deny > 0),
+        F.round(F.pow(num, F.lit(2.0)) / (denx * deny), 6),
+    )
+    return out.select(
+        F.col(key_col),
+        F.col("n").cast("bigint").alias("n_points"),
+        "slope",
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -8816,6 +8816,68 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "trend_slope_per_user",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pts AS (SELECT user_id,
+                   date_diff('day', DATE '2024-01-01', day) AS x, y
+            FROM daily),
+    s AS (
+      SELECT user_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+             sum(y) AS sy, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pts GROUP BY 1
+    ),
+    d AS (
+      SELECT user_id, n, sx, sy,
+        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+      FROM s
+    ),
+    sl AS (SELECT *, CASE WHEN denx > 0 THEN round(num / denx, 6) END
+                     AS slope FROM d)
+    SELECT user_id, CAST(n AS BIGINT) AS n_points, slope,
+           CASE WHEN slope IS NOT NULL
+                THEN round((CAST(sy AS DOUBLE) - slope * sx) / n, 6) END
+             AS intercept,
+           CASE WHEN denx > 0 AND deny > 0
+                THEN round(pow(num, 2) / (denx * deny), 6) END AS r2
+    FROM sl
+    """,
+)
+def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS spend trend (operators/stats.ols_trend): slope,
+    intercept and r² of the daily value sum over the day offset — the
+    per-entity drift detector that turns a month of history into one
+    monitorable number.  The five sufficient sums accumulate exactly
+    (integral x, DECIMAL y), combine in deterministic double
+    arithmetic, and the whole operator is two hash aggregations — scan
+    shaped, no window, no join."""
+    from .operators.stats import ols_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("y")
+    )
+    pts = daily.select(
+        "user_id",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .alias("x"),
+        "y",
+    )
+    return ols_trend(pts, "user_id", "x", "y")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

@@ -255,3 +255,49 @@ def test_truncation_recall_rejects_bad_dims(spark):
     )
     with _pytest.raises(ValueError):
         truncation_recall(df, df, dims=0)
+
+
+# ---------------------------------------------------------------------------
+# ols_trend
+# ---------------------------------------------------------------------------
+
+
+def test_ols_trend_exact_line(spark):
+    from confluent_data_ingestion_spark.operators.stats import ols_trend
+
+    # key 1: y = 2x + 1 exactly -> slope 2, intercept 1, r2 = 1
+    # key 2: single point -> NULLs
+    # key 3: flat line y = 5 -> slope 0, intercept 5, r2 NULL (0/0)
+    rows = (
+        [(1, x, 2.0 * x + 1.0) for x in range(5)]
+        + [(2, 3, 7.0)]
+        + [(3, x, 5.0) for x in range(4)]
+    )
+    df = spark.createDataFrame(rows, "k long, x int, y double")
+    got = {
+        r["k"]: (r["n_points"], r["slope"], r["intercept"], r["r2"])
+        for r in ols_trend(df, "k", "x", "y").collect()
+    }
+    assert got[1] == (5, 2.0, 1.0, 1.0)
+    assert got[2] == (1, None, None, None)
+    assert got[3] == (4, 0.0, 5.0, None)
+
+
+def test_ols_trend_matches_numpy(spark):
+    import numpy as np
+
+    from confluent_data_ingestion_spark.operators.stats import ols_trend
+
+    xs = [0, 1, 2, 5, 7, 11, 13]
+    ys = [3.1, 4.9, 4.2, 9.8, 11.5, 18.0, 19.25]
+    df = spark.createDataFrame(
+        list(zip([1] * len(xs), xs, ys)), "k long, x int, y double"
+    )
+    r = ols_trend(df, "k", "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    corr = np.corrcoef(xs, ys)[0, 1]
+    # operator derives intercept from the 6-dp-rounded slope: compare
+    # against the same construction
+    assert r["slope"] == round(float(slope), 6)
+    assert abs(r["intercept"] - float(intercept)) < 1e-4
+    assert abs(r["r2"] - float(corr) ** 2) < 1e-6
