@@ -633,6 +633,7 @@ def markov_transitions(
 def markov_stationary(
     transitions: DataFrame,
     steps: int = 3,
+    damping: float = 1.0,
 ) -> DataFrame:
     """Approximate stationary distribution of a Markov transition matrix
     by ``steps`` rounds of power iteration from the uniform vector —
@@ -651,6 +652,14 @@ def markov_stationary(
     6 dp) — bit-identical across engines, partitionings, and join
     orders, the property an unrounded DOUBLE accumulation cannot give.
 
+    ``damping`` < 1 turns the iteration into PAGERANK (Brin & Page;
+    public method): ``p'(s') = round((1 - damping)/S +
+    damping * sum_s p(s) * prob(s, s'), 6)`` — the teleport term makes
+    the chain irreducible, so no state starves even when unreachable.
+    For engine-parity oracles pick an exact-binary damping (0.875,
+    0.75): the teleport constant ``1 - damping`` computes in Python and
+    must equal the literal an oracle writes.
+
     Output: (state, p_uniform, p_stationary) — the start vector and the
     ``steps``-step iterate.
 
@@ -667,6 +676,8 @@ def markov_stationary(
 
     if steps < 1:
         raise ValueError("steps must be >= 1")
+    if not 0.0 < damping <= 1.0:
+        raise ValueError("damping must be in (0, 1]")
     trans = track(
         transitions.select("prev_state", "next_state", "prob")
     )
@@ -678,13 +689,18 @@ def markov_stationary(
         F.lit(1.0) / F.count(F.lit(1)).over(w_all), 6
     ).cast("decimal(18,6)")
     vec = states.select("state", p0.alias("p"))
+    # base frame for the teleport re-join: every state, with the alphabet
+    # size attached once (window over the tiny states frame)
+    base = states.select(
+        "state", F.count(F.lit(1)).over(w_all).alias("__ns__")
+    )
     trans = F.broadcast(trans)
     for _ in range(steps):
         # vec descends from `transitions` (states -> groupBy lineage), so
         # an expression join against `trans` would trip Spark's ambiguous
         # self-join detection — explicit aliases keep each side's
         # attributes distinct.
-        vec = (
+        inc = (
             vec.alias("v")
             .join(
                 trans.alias("t"),
@@ -698,6 +714,22 @@ def markov_stationary(
                 .alias("p")
             )
         )
+        if damping == 1.0:
+            vec = inc
+        else:
+            # PageRank step: states with no incoming mass still get the
+            # teleport share — re-join the full state set each round
+            vec = base.join(inc, "state", "left").select(
+                "state",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("__ns__")
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.col("p"), F.lit(0).cast("decimal(18,6)")
+                    ).cast("double"),
+                    6,
+                ).cast("decimal(18,6)").alias("p"),
+            )
     return states.select("state", p0.alias("p_uniform")).join(
         vec.withColumnRenamed("p", "p_stationary"), "state", "left"
     )

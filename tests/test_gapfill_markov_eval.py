@@ -359,3 +359,45 @@ def test_krippendorff_alpha_bounds_and_column_invariance(spark, votes):
     # annotator-column order must not matter (the melt is a set)
     swapped = krippendorff_alpha(df, "item", ["c", "b", "a"]).collect()[0]
     assert swapped == out
+
+
+def test_markov_stationary_pagerank_teleport(spark):
+    from confluent_data_ingestion_spark.caching import release_caches
+
+    # A -> B only, B -> B: undamped drains A to zero mass (absent);
+    # with damping, A keeps exactly the teleport share each round
+    tr = spark.createDataFrame(
+        [("A", "B", 10, 10, Decimal("1.000000")),
+         ("B", "B", 10, 10, Decimal("1.000000"))],
+        "prev_state string, next_state string, n_transitions long,"
+        " n_out long, prob decimal(18,6)",
+    )
+    got = {
+        r["state"]: r["p_stationary"]
+        for r in markov_stationary(tr, steps=3, damping=0.875).collect()
+    }
+    release_caches()
+    # teleport share: (1 - 0.875) / 2 = 0.0625 — A receives ONLY that
+    assert float(got["A"]) == 0.0625
+    # B gets the rest; mass conserved to rounding
+    assert abs(float(got["A"]) + float(got["B"]) - 1.0) < 5e-6
+    # reference recursion: p_B' = .0625 + .875 * (p_A + p_B)
+    p_a, p_b = Decimal("0.5"), Decimal("0.5")
+    q6 = Decimal("0.000001")
+    for _ in range(3):
+        nb = (Decimal("0.0625")
+              + Decimal("0.875") * (p_a + p_b)).quantize(q6, ROUND_HALF_UP)
+        p_a, p_b = Decimal("0.0625"), nb
+    assert got["B"] == p_b
+
+
+def test_markov_stationary_rejects_bad_damping(spark):
+    import pytest as _pytest
+
+    tr = spark.createDataFrame(
+        [("A", "A", 1, 1, Decimal("1.000000"))],
+        "prev_state string, next_state string, n_transitions long,"
+        " n_out long, prob decimal(18,6)",
+    )
+    with _pytest.raises(ValueError):
+        markov_stationary(tr, damping=0.0)
