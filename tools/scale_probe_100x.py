@@ -620,7 +620,7 @@ def main() -> None:
         # x reps — synthetic, like the bm25 build); DoReMi's reweight is
         # domains-sized after the unigram loss table
         for name in ("dup_provenance_sources", "vocab_oov_rate",
-                     "doremi_mixture_weights"):
+                     "doremi_mixture_weights", "retrieval_rank_agreement"):
             probes.append((name, name))
     if "timeseries" in fams:
         # the r13 second-wave rows at scale (events blowup = keys x reps
@@ -630,7 +630,9 @@ def main() -> None:
         # marginals are alphabet-sized no matter the corpus, so both
         # rows should track the scan
         for name in ("resample_gapfill_events", "markov_stationary_events",
-                     "krippendorff_alpha_events"):
+                     "krippendorff_alpha_events", "asof_forward_conversion",
+                     "trend_slope_per_user", "pagerank_event_graph",
+                     "connected_components_chain"):
             probes.append((name, name))
     if "bm25" in fams or "bm25fv" in fams:
         from confluent_data_ingestion_spark import queries as _Q
