@@ -4,11 +4,12 @@ judges, weak heuristics) tag the same items, and the pipeline must (a)
 resolve one training label per item and (b) measure whether the
 annotators agree enough for the labels to mean anything.
 
-Both operators are pure DataFrame aggregations over the wide
-(item, annotator_1 .. annotator_k) frame — one shuffle each, label-set
-sized state, no UDFs.  Agreement statistics are ratios of exact counts
-rounded to 6 dp, so results are bit-identical across engines and
-partitionings (the repo's standard float-parity contract).
+The operators (majority vote, pairwise Cohen's kappa, Krippendorff's
+alpha, Dawid-Skene EM) are pure DataFrame work over the wide
+(item, annotator_1 .. annotator_k) frame or its long melt — label-set
+sized shuffled state, no UDFs.  Agreement statistics are ratios of
+exact counts rounded to 6 dp, so results are bit-identical across
+engines and partitionings (the repo's standard float-parity contract).
 """
 
 from __future__ import annotations

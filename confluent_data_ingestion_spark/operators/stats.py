@@ -10,6 +10,11 @@ Scale: token/byte counts are per-row Catalyst expressions folded into the
 aggregation's map-side partial step, so the shuffle carries one
 pre-aggregated row per (dims) combination per task — never documents.
 ROLLUP multiplies map-side rows by (levels + 1), all of them tiny.
+
+Also here: robust per-group statistics (median + MAD), two-pass exact
+order-statistic quantiles, PSI snapshot-drift reports, and per-key OLS
+trend lines — the monitoring statistics a recurring pipeline runs over
+its own output.
 """
 
 from __future__ import annotations

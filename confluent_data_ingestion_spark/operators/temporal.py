@@ -17,6 +17,11 @@ streaming pipelines).  These implement the same semantics Spark-first:
   hopping_window_agg  Flink HOP: overlapping sliding windows.
   session_window_agg  Flink SESSION: gap-merged windows (Spark-native
                       session_window).
+  gapfill_locf        dense per-key daily grid with last-observation-
+                      carried-forward fill (hypertable gap-fill).
+  markov_transitions  per-key consecutive-state transition matrix.
+  markov_stationary   power-iteration stationary distribution; with
+                      damping < 1 it is PageRank.
 
 Scale design:
  - ``asof_join`` does NOT range-join: a range join on (key, time<=)
