@@ -349,10 +349,19 @@ def ols_trend(
     Σx², plus Σy² for r²), all accumulated EXACTLY: x must be integral
     (bucket indexes, day offsets), y is quantized to DECIMAL(18,6) —
     so the sums are bit-identical across engines and partitionings and
-    the final divisions are the only floating-point steps (rounded at
-    6 dp).  The intercept derives from the ALREADY-ROUNDED slope, and
-    r² computes in DOUBLE from the exact sums — both sides of any
-    oracle must mirror those two choices (they do).
+    the final divisions are the only floating-point steps.  The
+    intercept derives from the ALREADY-QUANTIZED slope; both sides of
+    any oracle must mirror that choice (they do).
+
+    The 6-dp quantization is ``floor(x * 1e6 + 0.5) / 1e6`` — pure
+    IEEE ops, NOT ``round(double, 6)``: Spark's round() goes through
+    the double's SHORTEST decimal string (BigDecimal.valueOf) while
+    DuckDB rounds the exact binary value, and a quotient landing
+    within an ulp of a .5 boundary rounds differently (observed:
+    intercept 133.712866 vs .712865 at sf0.1 — found by the sf0.1
+    gate, not by luck).  floor on the same double is the same in every
+    engine.  (Negative exact halves quantize toward +inf — identical
+    on both sides, which is the actual contract.)
 
     Output per key: (key, n_points, slope, intercept, r2).  Keys with
     a single point (or zero x-variance) report NULL slope/intercept/r2;
@@ -384,19 +393,23 @@ def ols_trend(
     num = nD * F.col("sxy").cast("double") - sxD * syD
     denx = nD * F.col("sxx").cast("double") - sxD * sxD
     deny = nD * F.col("syy").cast("double") - syD * syD
-    slope = F.when(denx > 0, F.round(num / denx, 6))
+    def q6(col):
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+            1000000.0
+        )
+
+    slope = F.when(denx > 0, q6(num / denx))
     out = agg.withColumn("slope", slope)
     intercept = F.when(
         F.col("slope").isNotNull(),
-        F.round(
+        q6(
             (F.col("sy").cast("double") - F.col("slope") * F.col("sx"))
-            / F.col("n"),
-            6,
+            / F.col("n")
         ),
     )
     r2 = F.when(
         (denx > 0) & (deny > 0),
-        F.round(F.pow(num, F.lit(2.0)) / (denx * deny), 6),
+        q6(F.pow(num, F.lit(2.0)) / (denx * deny)),
     )
     return out.select(
         F.col(key_col),

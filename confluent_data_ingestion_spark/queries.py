@@ -8842,14 +8842,22 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
       FROM s
     ),
-    sl AS (SELECT *, CASE WHEN denx > 0 THEN round(num / denx, 6) END
-                     AS slope FROM d)
+    -- floor-quantization, NOT round(double, 6): Spark's round() goes
+    -- through the shortest decimal string while DuckDB rounds the exact
+    -- binary value — they disagree when a quotient lands within an ulp
+    -- of a .5 boundary (observed at sf0.1).  floor on the same double
+    -- is identical in every engine.
+    sl AS (SELECT *, CASE WHEN denx > 0 THEN
+                       floor((num / denx) * 1000000.0 + 0.5) / 1000000.0
+                     END AS slope FROM d)
     SELECT user_id, CAST(n AS BIGINT) AS n_points, slope,
            CASE WHEN slope IS NOT NULL
-                THEN round((CAST(sy AS DOUBLE) - slope * sx) / n, 6) END
+                THEN floor(((CAST(sy AS DOUBLE) - slope * sx) / n)
+                           * 1000000.0 + 0.5) / 1000000.0 END
              AS intercept,
            CASE WHEN denx > 0 AND deny > 0
-                THEN round(pow(num, 2) / (denx * deny), 6) END AS r2
+                THEN floor((pow(num, 2) / (denx * deny))
+                           * 1000000.0 + 0.5) / 1000000.0 END AS r2
     FROM sl
     """,
 )
