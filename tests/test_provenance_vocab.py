@@ -301,3 +301,80 @@ def test_ols_trend_matches_numpy(spark):
     assert r["slope"] == round(float(slope), 6)
     assert abs(r["intercept"] - float(intercept)) < 1e-4
     assert abs(r["r2"] - float(corr) ** 2) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# engine-parity property: ols_trend vs a DuckDB replica on random frames
+# (the strongest oracle form — this is the class of test that would have
+# caught the round(double, 6) shortest-string divergence pre-gate)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_OLS_SQL = """
+WITH s AS (
+  SELECT k, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         sum(CAST(round(y, 6) AS DECIMAL(18,6))) AS sy,
+         -- width-28 casts push DuckDB onto the hugeint path (the
+         -- int64 width-18 multiply overflows); values are identical
+         sum(CAST(round(y, 6) AS DECIMAL(28,6))
+             * CAST(round(y, 6) AS DECIMAL(28,6))) AS syy,
+         sum(x * CAST(round(y, 6) AS DECIMAL(28,6))) AS sxy
+  FROM pts GROUP BY 1
+),
+d AS (
+  SELECT k, n, sx, sy,
+    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+  FROM s
+),
+sl AS (SELECT *, CASE WHEN denx > 0 THEN
+                   floor((num / denx) * 1000000.0 + 0.5) / 1000000.0
+                 END AS slope FROM d)
+SELECT k, CAST(n AS BIGINT) AS n_points, slope,
+       CASE WHEN slope IS NOT NULL
+            THEN floor(((CAST(sy AS DOUBLE) - slope * sx) / n)
+                       * 1000000.0 + 0.5) / 1000000.0 END AS intercept,
+       CASE WHEN denx > 0 AND deny > 0
+            THEN floor((pow(num, 2) / (denx * deny))
+                       * 1000000.0 + 0.5) / 1000000.0 END AS r2
+FROM sl
+"""
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),       # key
+            st.integers(min_value=0, max_value=40),      # x
+            st.floats(min_value=-1000, max_value=1000,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_ols_trend_engine_parity(spark, pts):
+    import duckdb
+    import pandas as pd
+
+    from confluent_data_ingestion_spark.operators.stats import ols_trend
+
+    rows = [(k, x, round(y, 4)) for k, x, y in pts]
+    df = spark.createDataFrame(rows, "k long, x int, y double")
+    got = {
+        r["k"]: (r["n_points"], r["slope"], r["intercept"], r["r2"])
+        for r in ols_trend(df, "k", "x", "y").collect()
+    }
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame(rows, columns=["k", "x", "y"]))
+    want = {
+        int(k): (int(n), s, i, r)
+        for k, n, s, i, r in con.execute(_OLS_SQL).fetchall()
+    }
+    assert got == want
