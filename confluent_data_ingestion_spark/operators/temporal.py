@@ -59,6 +59,7 @@ def asof_join(
     tie_col: str | None = None,
     prefix: str = "asof_",
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row at-or-before
     (``direction="backward"``, the default: latest ``right_time <=
@@ -73,6 +74,14 @@ def asof_join(
     latest), forward the SMALLEST (the earliest) — pass a unique right
     key; defaults to the first value column.
 
+    ``tolerance_seconds`` bounds the match's staleness (pandas
+    ``merge_asof(tolerance=...)`` / kdb ``wj`` semantics): a matched
+    right row further than the tolerance from the left timestamp is
+    treated as NO match (NULLs).  Timestamps compare in seconds;
+    numeric time columns compare in their own units.  The bound is a
+    per-row post-filter on the already-carried match — the plan is
+    unchanged.
+
     Output: all left columns + ``prefix``-renamed ``value_cols``.
 
     Both directions are the SAME single-pass plan (see module
@@ -83,6 +92,8 @@ def asof_join(
         raise ValueError(
             f"direction must be 'backward' or 'forward', got {direction!r}"
         )
+    if tolerance_seconds is not None and tolerance_seconds < 0:
+        raise ValueError("tolerance_seconds must be >= 0")
     tie = tie_col or value_cols[0]
     lcols = left.columns
     # ALL value columns travel in ONE struct carried by ONE last(): the
@@ -91,15 +102,23 @@ def asof_join(
     # NULL in some value col — the older non-null value bleeds through
     # ignorenulls.  A struct built from a right row is non-null even when
     # every member is NULL, so ignorenulls skips exactly the left rows.
+    # the matched right row's OWN time travels inside the struct so a
+    # tolerance bound can be applied per left row after the carry
     vs_type = right.select(
-        F.struct(*[F.col(c) for c in value_cols]).alias("__vs__")
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.col(right_time).alias("__rt__"),
+        ).alias("__vs__")
     ).schema["__vs__"].dataType
     r = right.select(
         F.col(right_on).alias("__k__"),
         F.col(right_time).alias("__t__"),
         F.lit(0).alias("__tag__"),
         F.col(tie).alias("__tie__"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("__vs__"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.col(right_time).alias("__rt__"),
+        ).alias("__vs__"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     l = left.select(
@@ -136,10 +155,28 @@ def asof_join(
         F.col("__tag__"),
         F.last("__vs__", ignorenulls=True).over(w).alias("__asof__"),
     )
-    return carried.filter(F.col("__tag__") == 1).select(
+    matched = carried.filter(F.col("__tag__") == 1)
+    if tolerance_seconds is None:
+        ok = F.lit(True)
+    else:
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        def _num(col, dtype):
+            if isinstance(dtype, (TimestampType, TimestampNTZType)):
+                return F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
+            return col.cast("double")
+
+        lt = _num(F.col(left_time), left.schema[left_time].dataType)
+        rt = _num(
+            F.col("__asof__").getField("__rt__"),
+            right.schema[right_time].dataType,
+        )
+        gap = (lt - rt) if direction == "backward" else (rt - lt)
+        ok = gap <= F.lit(float(tolerance_seconds))
+    return matched.select(
         *lcols,
         *[
-            F.col("__asof__").getField(c).alias(f"{prefix}{c}")
+            F.when(ok, F.col("__asof__").getField(c)).alias(f"{prefix}{c}")
             for c in value_cols
         ],
     )

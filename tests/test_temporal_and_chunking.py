@@ -782,3 +782,77 @@ def test_asof_join_rejects_unknown_direction(spark):
             left_time="ts", right_time="ts",
             value_cols=["event_id"], direction="sideways",
         )
+
+
+def test_asof_join_tolerance_backward_and_forward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05T00:00:00")),  # 3 days after the quote
+            (2, 10, _ts("2024-01-02T01:00:00")),  # 1 hour after quote 2
+        ],
+        "event_id long, uid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-02T00:00:00"), 2.0),
+        ],
+        "qid long, uid long, qts timestamp, px double",
+    )
+    out = {
+        r["event_id"]: r["asof_qid"]
+        for r in asof_join(
+            left, right, left_on="uid", right_on="uid",
+            left_time="ts", right_time="qts", value_cols=["qid", "px"],
+            tolerance_seconds=7200.0,  # 2 hours
+        ).collect()
+    }
+    # event 1 is 3 days stale -> nulled; event 2 within 2 h -> kept
+    assert out == {1: None, 2: 100}
+    fwd = {
+        r["qid"]: r["asof_event_id"]
+        for r in asof_join(
+            right.withColumnRenamed("qts", "rts"),
+            left.withColumnRenamed("ts", "lts"),
+            left_on="uid", right_on="uid",
+            left_time="rts", right_time="lts",
+            value_cols=["event_id"], direction="forward",
+            tolerance_seconds=7200.0,
+        ).collect()
+    }
+    # forward from the quote: nearest later event is event 2 (1 h) — in
+    # tolerance, kept
+    assert fwd == {100: 2}
+
+
+def test_asof_join_tolerance_numeric_time_units(spark):
+    # numeric time columns: tolerance is in the column's own units
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 1000)], "event_id long, uid long, t long"
+    )
+    right = spark.createDataFrame(
+        [(7, 1, 90, 1.5)], "qid long, uid long, rt long, px double"
+    )
+    out = {
+        r["event_id"]: (r["asof_qid"], r["asof_px"])
+        for r in asof_join(
+            left, right, left_on="uid", right_on="uid",
+            left_time="t", right_time="rt", value_cols=["qid", "px"],
+            tolerance_seconds=50,
+        ).collect()
+    }
+    assert out == {1: (7, 1.5), 2: (None, None)}
+
+
+def test_asof_join_tolerance_rejects_negative(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T00:00:00"))],
+        "event_id long, uid long, ts timestamp",
+    )
+    with _pytest.raises(ValueError):
+        asof_join(
+            left, left, left_on="uid", right_on="uid",
+            left_time="ts", right_time="ts", value_cols=["event_id"],
+            tolerance_seconds=-1.0,
+        )
