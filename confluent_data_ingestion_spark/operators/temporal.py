@@ -624,6 +624,81 @@ def gapfill_locf(
     )
 
 
+def gapfill_interpolate(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily gap-fill with LINEAR INTERPOLATION — the other TimescaleDB
+    fill mode (``interpolate()`` next to ``locf()``): gap days take the
+    value on the straight line between the surrounding observed days'
+    exact daily sums, the right fill for quantities that drift rather
+    than step.
+
+    Same lead-generated-grid design as ``gapfill_locf`` (each observed
+    day emits itself plus its gap days map-side; two shuffles total) —
+    interpolation needs ONE extra lead (the next day's value) in the
+    same window pass, still no join.  Gap values are
+    ``round(prev + (next - prev) * pos / gap_len, 6)`` with prev/next
+    exact DECIMAL daily sums, pos/gap_len integral day offsets: the
+    only float step is one multiply-divide on exact inputs, identical
+    in any engine.  The trailing observed day of each key has no next
+    observation, so it generates no gaps (by construction) — every
+    emitted gap interpolates between two real observations.
+
+    Output: (key, day, n_events, filled, value_sum_interp).
+    """
+    day = F.col(ts_col).cast("date").alias("day")
+    obs = events.groupBy(key_col, day).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum(F.round(F.col(value_col), 6).cast("decimal(18,6)")).alias(
+            "__vsum__"
+        ),
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("day").asc())
+    nxt = obs.withColumn("__next__", F.lead("day").over(w)).withColumn(
+        "__nextv__", F.lead("__vsum__").over(w)
+    )
+    gridded = nxt.select(
+        F.col(key_col),
+        F.col("day").alias("__obs_day__"),
+        F.col("__next__"),
+        F.explode(
+            F.expr("sequence(day, coalesce(date_sub(__next__, 1), day))")
+        ).alias("day"),
+        "__n__",
+        "__vsum__",
+        "__nextv__",
+    )
+    is_obs = F.col("day") == F.col("__obs_day__")
+    pos = F.datediff(F.col("day"), F.col("__obs_day__")).cast("double")
+    gap_len = F.datediff(F.col("__next__"), F.col("__obs_day__")).cast(
+        "double"
+    )
+    # floor-quantization, not round(double, 6): the interpolation
+    # quotient is a raw double, the exact boundary-divergence class the
+    # ols_trend fix documents (stats.ols_trend docstring)
+    raw = (
+        F.col("__vsum__").cast("double")
+        + (F.col("__nextv__").cast("double") - F.col("__vsum__")
+           .cast("double"))
+        * pos / gap_len
+    )
+    interp = F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return gridded.select(
+        F.col(key_col),
+        F.col("day"),
+        F.when(is_obs, F.col("__n__")).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+        (~is_obs).alias("filled"),
+        F.when(is_obs, F.col("__vsum__").cast("double"))
+        .otherwise(interp)
+        .alias("value_sum_interp"),
+    )
+
+
 def markov_transitions(
     events: DataFrame,
     key_col: str = "user_id",

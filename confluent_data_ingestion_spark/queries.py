@@ -8962,6 +8962,63 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "resample_interp_events",
+    """
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+             sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS vsum
+      FROM events GROUP BY 1, 2
+    ),
+    nxt AS (
+      SELECT *,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nd,
+             lead(vsum) OVER (PARTITION BY user_id ORDER BY day) AS nv
+      FROM obs
+    ),
+    g AS (
+      SELECT user_id,
+             unnest(generate_series(day, coalesce(nd - INTERVAL 1 DAY, day),
+                                    INTERVAL 1 DAY)) AS gday,
+             day, nd, n, vsum, nv
+      FROM nxt
+    )
+    SELECT user_id, strftime(CAST(gday AS DATE), '%Y-%m-%d') AS day,
+           CAST(CASE WHEN CAST(gday AS DATE) = day THEN n ELSE 0 END
+                AS BIGINT) AS n_events,
+           CAST(gday AS DATE) <> day AS filled,
+           CASE WHEN CAST(gday AS DATE) = day THEN CAST(vsum AS DOUBLE)
+                ELSE floor((CAST(vsum AS DOUBLE)
+                      + (CAST(nv AS DOUBLE) - CAST(vsum AS DOUBLE))
+                        * CAST(date_diff('day', day, CAST(gday AS DATE))
+                               AS DOUBLE)
+                        / CAST(date_diff('day', day, nd) AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS value_sum_interp
+    FROM g
+    """,
+)
+def resample_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap-fill with linear interpolation
+    (operators/temporal.gapfill_interpolate) — TimescaleDB's
+    ``interpolate()`` next to the LOCF row: gap days take the straight
+    line between the surrounding observed days' exact daily sums.  Same
+    lead-generated-grid plan as the LOCF row (two shuffles, no join);
+    the interpolation quotient quantizes via floor (the ols_trend
+    cross-engine rounding fix)."""
+    from .operators.temporal import gapfill_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    out = gapfill_interpolate(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "filled",
+        "value_sum_interp",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

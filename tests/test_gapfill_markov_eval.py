@@ -401,3 +401,47 @@ def test_markov_stationary_rejects_bad_damping(spark):
     )
     with _pytest.raises(ValueError):
         markov_stationary(tr, damping=0.0)
+
+
+def test_gapfill_interpolate_hand_computed(spark):
+    from confluent_data_ingestion_spark.operators.temporal import (
+        gapfill_interpolate,
+    )
+
+    # user 1: day1 sum 3.0, day4 sum 9.0 -> gaps at 5.0, 7.0
+    df = spark.createDataFrame(
+        [
+            (1, _ts(1, 2), 1.0), (1, _ts(1, 8), 2.0),
+            (1, _ts(4, 1), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = {
+        str(r["day"]): (r["n_events"], r["filled"], r["value_sum_interp"])
+        for r in gapfill_interpolate(df).collect()
+    }
+    assert rows == {
+        "2024-01-01": (2, False, 3.0),
+        "2024-01-02": (0, True, 5.0),
+        "2024-01-03": (0, True, 7.0),
+        "2024-01-04": (1, False, 9.0),
+    }
+
+
+def test_gapfill_interpolate_grid_matches_locf_grid(spark):
+    from confluent_data_ingestion_spark.operators.temporal import (
+        gapfill_interpolate, gapfill_locf,
+    )
+
+    data = [
+        (u, _ts(d, h), float(u + d + h))
+        for u, days in ((1, [2, 9, 30]), (2, [5]))
+        for d in days for h in (0, 12)
+    ]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, value double")
+    a = {(r["user_id"], str(r["day"])): (r["n_events"], r["filled"])
+         for r in gapfill_locf(df).collect()}
+    b = {(r["user_id"], str(r["day"])): (r["n_events"], r["filled"])
+         for r in gapfill_interpolate(df).collect()}
+    # identical grid, counts and fill flags — only the fill VALUE differs
+    assert a == b
