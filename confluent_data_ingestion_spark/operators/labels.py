@@ -315,10 +315,23 @@ def dawid_skene(
     )
 
 
+def _q6(col):
+    """floor(x * 1e6 + 0.5) / 1e6 — engine-portable 6-dp quantization of
+    a double.  ``round(double, 6)`` is NOT portable: Spark rounds the
+    double's shortest decimal string, DuckDB the exact binary value, and
+    a quotient within an ulp of a .5 boundary rounds differently (the
+    ols_trend sf0.1 divergence class).  floor of the same double is the
+    same everywhere."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def krippendorff_alpha(
     df: DataFrame,
     id_col: str,
     annotator_cols: list[str],
+    *,
+    assume_unique_units: bool = False,
+    wide_max_annotators: int = 16,
 ) -> DataFrame:
     """Krippendorff's alpha (nominal) over the wide annotation frame —
     the agreement coefficient that, unlike pairwise kappa, handles
@@ -330,13 +343,14 @@ def krippendorff_alpha(
     fewer than two non-NULL votes carry no pairable information and are
     excluded.
 
-    All arithmetic is exact until the final divisions: per-unit
-    disagreement is ``(m_u^2 - sum_c n_uc^2) / (m_u - 1)`` — integer
-    halves at worst, exact in DECIMAL(18,6) — and the marginals are
-    integer counts, so
+    All arithmetic is exact until the divisions: per-unit disagreement
+    is ``(m_u^2 - sum_c n_uc^2) / (m_u - 1)`` (exact halves for
+    m_u <= 3; thirds etc. appear with larger pools, so the quotient is
+    floor-quantized at 6 dp — see :func:`_q6` — before the DECIMAL
+    accumulation) and the marginals are integer counts, so
     ``alpha = 1 - (n - 1) * D_o_total / (n^2 - sum_c n_c^2)`` is a
-    ratio of exact quantities rounded to 6 dp (the repo's float-parity
-    contract).
+    ratio of exact quantities quantized at 6 dp (the repo's
+    float-parity contract).
 
     Output: ONE row —
     (n_units, n_votes, n_labels, observed_disagreement,
@@ -345,62 +359,121 @@ def krippendorff_alpha(
     (n^2 - sum_c n_c^2) / (n * (n - 1))), reported at 6 dp for
     reference; alpha itself is computed from the unrounded exact pieces.
 
-    Scale shape — every per-unit statistic is a MAP-SIDE codegen
-    expression: the wide row IS the unit, and for nominal data
-    ``sum_c n_uc^2`` equals the count of agreeing ordered vote pairs
-    WITHIN the row (``sum_ij [a_i = a_j]``, self-pairs included), so
-    m_u and the unit disagreement term are k^2 scalar comparisons
-    (k = annotators), no arrays, no higher-order functions, no per-item
-    shuffle.  Two whole-stage-codegen reductions remain: the global sum
-    of unit terms, and the label marginals (melt k columns of pairable
-    rows -> groupBy(label), which partial-aggregates to the label
-    alphabet map-side).  Their single-row results meet in a 1x1 cross
-    join (plan-guard allowlisted).  Earlier cuts aggregated a melted
-    (item, label) frame (items-sized shuffle + window: 16 s at a 100x
-    events blowup) or per-row array lambdas (interpreted, 44 s); this
-    plan reads ~4 s — two scans, everything else label-sized.
+    The UNIT is every distinct ``id_col`` value: votes for the same id
+    split across several physical rows are POOLED before the per-unit
+    statistics (standard Krippendorff semantics — a unit's coincidence
+    matrix doesn't care which row carried which vote).
+
+    Two physical plans, chosen automatically:
+
+    * **wide fast path** (unique ids, <= ``wide_max_annotators``
+      annotators): every per-unit statistic is a MAP-SIDE codegen
+      expression — the wide row IS the unit, and for nominal data
+      ``sum_c n_uc^2`` equals the count of agreeing ordered vote pairs
+      WITHIN the row (``sum_ij [a_i = a_j]``, self-pairs included), so
+      m_u and the unit disagreement term are k^2 scalar comparisons
+      (k = annotators), no arrays, no higher-order functions, no
+      per-item shuffle.  Two whole-stage-codegen reductions remain: the
+      global sum of unit terms, and the label marginals (melt k columns
+      of pairable rows -> groupBy(label), which partial-aggregates to
+      the label alphabet map-side).  Their single-row results meet in a
+      1x1 cross join (plan-guard allowlisted).  Earlier cuts aggregated
+      a melted (item, label) frame (items-sized shuffle + window: 16 s
+      at a 100x events blowup) or per-row array lambdas (interpreted,
+      44 s); this plan reads ~4 s — two scans, everything else
+      label-sized.
+    * **melted pooled path**: melt to (id, label), count per-(id,
+      label), aggregate per id — one items-sized shuffle.  Taken when
+      (a) ids repeat, because pooling is then required for correct
+      semantics, or (b) ``len(annotator_cols) > wide_max_annotators``,
+      because the fast path's k^2 comparison expression grows
+      quadratically and would blow past JVM codegen limits (a k=100
+      pool is 10,000 terms) — above the cap the quadratic expression
+      is the risk, not the shuffle.
+
+    Which path applies is decided by one metadata-sized duplicate-id
+    probe (groupBy(id).count > 1, LIMIT 1 — a cheap extra scan).  Pass
+    ``assume_unique_units=True`` to skip the probe when the id is a
+    known primary key; the wide path is then used directly (with
+    repeated ids that assumption silently un-pools votes — only assert
+    what the upstream schema guarantees).
     """
     if len(annotator_cols) < 2:
         raise ValueError("krippendorff_alpha needs at least two annotators")
     cols = [F.col(c) for c in annotator_cols]
-    m_expr = sum(
-        (c.isNotNull().cast("int") for c in cols), F.lit(0)
-    )
-    s2_expr = sum(
-        (
-            (a.isNotNull() & b.isNotNull() & (a == b)).cast("int")
-            for a in cols
-            for b in cols
-        ),
-        F.lit(0),
-    )
-    unit = df.select(
-        m_expr.alias("__m__"), s2_expr.cast("bigint").alias("__s2__")
-    ).filter(F.col("__m__") >= 2)
+
+    use_wide = len(annotator_cols) <= wide_max_annotators
+    if use_wide and not assume_unique_units:
+        dup = (
+            df.groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("__c__"))
+            .filter(F.col("__c__") > 1)
+        )
+        use_wide = len(dup.take(1)) == 0
+
+    if use_wide:
+        m_expr = sum(
+            (c.isNotNull().cast("int") for c in cols), F.lit(0)
+        )
+        s2_expr = sum(
+            (
+                (a.isNotNull() & b.isNotNull() & (a == b)).cast("int")
+                for a in cols
+                for b in cols
+            ),
+            F.lit(0),
+        )
+        unit = df.select(
+            m_expr.alias("__m__"), s2_expr.cast("bigint").alias("__s2__")
+        ).filter(F.col("__m__") >= 2)
+        pair_labels = (
+            df.select(
+                m_expr.alias("__m__"),
+                *[c.alias(f"__a{i}__") for i, c in enumerate(cols)],
+            )
+            .filter(F.col("__m__") >= 2)
+            .select(
+                F.explode(
+                    F.array(*[F.col(f"__a{i}__") for i in range(len(cols))])
+                ).alias("__lab__")
+            )
+            .filter(F.col("__lab__").isNotNull())
+            .select("__lab__", F.lit(1).alias("__n__"))
+        )
+    else:
+        nuc = (
+            df.select(
+                F.col(id_col).alias("__id__"),
+                F.explode(F.array(*cols)).alias("__lab__"),
+            )
+            .filter(F.col("__lab__").isNotNull())
+            .groupBy("__id__", "__lab__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+        )
+        per_unit = nuc.groupBy("__id__").agg(
+            F.sum("__n__").alias("__m__"),
+            F.sum(F.col("__n__") * F.col("__n__")).alias("__s2__"),
+        )
+        unit = per_unit.filter(F.col("__m__") >= 2).select("__m__", "__s2__")
+        pair_labels = nuc.join(
+            per_unit.filter(F.col("__m__") >= 2).select("__id__"),
+            "__id__",
+            "left_semi",
+        ).select("__lab__", "__n__")
+
     do = unit.agg(
         F.count(F.lit(1)).alias("n_units"),
         F.sum(
-            F.round(
+            _q6(
                 (F.col("__m__") * F.col("__m__") - F.col("__s2__"))
                 .cast("double")
-                / (F.col("__m__") - F.lit(1)),
-                6,
+                / (F.col("__m__") - F.lit(1))
             ).cast("decimal(18,6)")
         ).alias("do_total"),
     )
-    melted = (
-        df.select(m_expr.alias("__m__"), *[c.alias(f"__a{i}__") for i, c in enumerate(cols)])
-        .filter(F.col("__m__") >= 2)
-        .select(
-            F.explode(
-                F.array(*[F.col(f"__a{i}__") for i in range(len(cols))])
-            ).alias("__lab__")
-        )
-        .filter(F.col("__lab__").isNotNull())
-    )
     marg = (
-        melted.groupBy("__lab__")
-        .agg(F.count(F.lit(1)).alias("n_c"))
+        pair_labels.groupBy("__lab__")
+        .agg(F.sum("__n__").alias("n_c"))
         .agg(
             F.count(F.lit(1)).alias("n_labels"),
             F.sum("n_c").alias("n"),
@@ -415,21 +488,19 @@ def krippendorff_alpha(
         F.col("n_units").cast("bigint").alias("n_units"),
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_votes"),
         F.col("n_labels").cast("bigint").alias("n_labels"),
-        F.round(
-            F.col("do_total").cast("double") / F.col("n"), 6
+        _q6(
+            F.col("do_total").cast("double") / F.col("n")
         ).alias("observed_disagreement"),
-        F.round(
-            de_num.cast("double") / (F.col("n") * (F.col("n") - F.lit(1))),
-            6,
+        _q6(
+            de_num.cast("double") / (F.col("n") * (F.col("n") - F.lit(1)))
         ).alias("expected_disagreement"),
         F.when(
             de_num > 0,
-            F.round(
+            _q6(
                 F.lit(1.0)
                 - (F.col("n") - F.lit(1)).cast("double")
                 * F.col("do_total").cast("double")
-                / de_num.cast("double"),
-                6,
+                / de_num.cast("double")
             ),
         ).alias("alpha"),
     )

@@ -751,3 +751,106 @@ def doremi_reweight(
             F.lit(1.0 - smoothing) * w_raw + F.lit(smoothing) / n_dom, 6
         ).alias("weight"),
     )
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Allocate a global token budget across domains by waterfilling —
+    the capped-mixture planner for "train on B tokens, no domain may
+    contribute more than it has, small domains keep everything":
+    every domain receives ``min(available_d, level)`` where the water
+    level solves ``sum_d min(available_d, level) = budget``.  This is
+    the max-min fair allocation (classic waterfilling, the same
+    construction as network fair-share): no domain can gain tokens
+    without taking them from a domain that got fewer.
+
+    Input is document-level — ``df[domain_col, tokens_col]`` — and the
+    first step is the per-domain exact token sum; pass a pre-aggregated
+    (domain, tokens) frame and it degenerates to a cheap re-sum.
+
+    Output per domain: (domain, tokens_available, tokens_alloc,
+    capped, level) —
+
+    * ``capped`` — the domain hit the water level (alloc = level,
+      fractional); uncapped domains take everything they have.
+    * ``tokens_alloc`` — exact available count for uncapped domains,
+      floor-quantized level (6 dp) for capped ones; the caller rounds
+      to whole tokens/documents as policy dictates.
+    * ``level`` — the common water level (same value on every capped
+      row; NULL when the budget covers the whole corpus and nothing
+      is capped).
+
+    If ``budget >= sum_d available_d`` every domain is uncapped and
+    alloc = available.
+
+    Scale shape: the document scan partial-aggregates to the domain
+    alphabet map-side; everything after runs on the domain-count-sized
+    frame (one ordered cumulative window over domains — metadata work,
+    like the mixture_plan/doremi rows).  Determinism: the level is
+    derived from exact integer prefix sums in one double division,
+    floor-quantized — bit-identical across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("avail")
+    )
+    # ordered scan over the domain alphabet: ascending availability.
+    # For the i-th domain (1-based) the candidate level assumes domains
+    # 1..i-1 are fully allocated and the rest share the remainder:
+    #   level_i = (budget - prefix_{i-1}) / (n - i + 1)
+    # the TRUE level is level_i of the FIRST position where
+    # level_i <= avail_i (before that, the domain fits under the
+    # water); if no position qualifies the budget covers everything.
+    w = Window.orderBy(F.col("avail").asc(), F.col("domain").asc())
+    wall = Window.partitionBy()
+    staged = dom.select(
+        "domain",
+        "avail",
+        F.row_number().over(w).alias("rn"),
+        (F.sum("avail").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - F.col("avail")).alias("prefix"),
+        (F.count(F.lit(1)).over(wall)
+         - F.row_number().over(w) + F.lit(1)).alias("rest"),
+    ).withColumn(
+        "cand",
+        (F.lit(float(budget)) - F.col("prefix").cast("double"))
+        / F.col("rest"),
+    )
+    # the FIRST qualifying position carries the true level (ascending
+    # avail makes cand_j > avail_j for every earlier j, see above);
+    # later candidates assume capped domains took their FULL counts and
+    # are garbage — never aggregate over them
+    first_q = F.min(
+        F.when(
+            F.col("cand") <= F.col("avail").cast("double"), F.col("rn")
+        )
+    ).over(wall)
+    level = F.max(
+        F.when(F.col("rn") == first_q, F.col("cand"))
+    ).over(wall)
+    q6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+        1000000.0
+    )
+    out = staged.withColumn("__lvl__", level).select(
+        "domain",
+        F.col("avail").cast("bigint").alias("tokens_available"),
+        F.when(
+            F.col("__lvl__").isNotNull()
+            & (F.col("avail").cast("double") > F.col("__lvl__")),
+            q6(F.col("__lvl__")),
+        ).otherwise(F.col("avail").cast("double")).alias("tokens_alloc"),
+        (
+            F.col("__lvl__").isNotNull()
+            & (F.col("avail").cast("double") > F.col("__lvl__"))
+        ).alias("capped"),
+        q6(F.col("__lvl__")).alias("level"),
+    )
+    return out

@@ -994,3 +994,119 @@ def truncation_recall(
             ).alias("recall_at_k"),
         )
     )
+
+
+def mutual_margin_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based mutual nearest-neighbor matching between two vector
+    sets — the standard bitext-mining / cross-corpus alignment scorer
+    (Artetxe & Schwenk 2019, "margin-based parallel corpus mining",
+    public method): a pair (x, y) is emitted when y is x's single
+    nearest neighbor in B AND x is y's single nearest in A AND their
+    cosine stands out against both local neighborhoods:
+
+        margin(x, y) = cos(x, y) / ((avg_k cos(x, NN_k(x))
+                                     + avg_k cos(y, NN_k(y))) / 2)
+
+    The ratio-margin kills hubs: a vector cosine-close to EVERYTHING
+    (a hub in the embedding space) has a high average neighborhood
+    cosine, so none of its matches clears a threshold near 1.  Mutual
+    top-1 alone (no margin) is the classic high-precision/low-recall
+    baseline; the margin recovers precision at useful recall.
+
+    Output: (a_id, b_id, cosine, margin) — one row per surviving pair,
+    cosine at 6 dp, margin floor-quantized at 6 dp (engine-portable).
+
+    Scale shape: by default the pair scores are the declared
+    brute-force cross product (the similarity_cosine_topk baseline
+    pattern — exactness first, and Catalyst broadcasts the smaller
+    side).  For production corpora pass ``candidates`` — an
+    (a_id, b_id) frame from any pruner in this module (IVF cells, LSH
+    bands, PQ shortlists) — and only those pairs are scored: the
+    margin statistics then read over the candidate neighborhoods,
+    exactly how the public mining pipelines run it at corpus scale.
+    Everything downstream of scoring is pair-sized: two rank windows
+    (one shuffle each on a_id / b_id), two top-k sum aggregations, and
+    two joins back onto the mutual-top-1 rows.  Top-k averages are
+    combined from EXACT decimal sums and integer counts in
+    deterministic double arithmetic, so the report is bit-identical
+    across engines and partitionings.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    av = a.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("ae"),
+    ).withColumn("__an__", F.expr(f"sqrt({_dot('ae', 'ae')})"))
+    bv = ensure_min_parallelism(b).select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("be"),
+    ).withColumn("__bn__", F.expr(f"sqrt({_dot('be', 'be')})"))
+    if candidates is not None:
+        paired = (
+            candidates.select("a_id", "b_id")
+            .join(av, "a_id")
+            .join(bv, "b_id")
+        )
+    else:
+        paired = av.crossJoin(bv)
+    scored = paired.select(
+        "a_id",
+        "b_id",
+        F.expr(f"round({_dot('ae', 'be')} / (__an__ * __bn__), 6)")
+        .cast("decimal(18,6)")
+        .alias("cos"),
+    )
+    wa = Window.partitionBy("a_id").orderBy(
+        F.col("cos").desc(), F.col("b_id").asc()
+    )
+    wb = Window.partitionBy("b_id").orderBy(
+        F.col("cos").desc(), F.col("a_id").asc()
+    )
+    ranked = scored.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    top_a = (
+        ranked.filter(F.col("ra") <= k)
+        .groupBy("a_id")
+        .agg(F.sum("cos").alias("__sa__"), F.count(F.lit(1)).alias("__ca__"))
+    )
+    top_b = (
+        ranked.filter(F.col("rb") <= k)
+        .groupBy("b_id")
+        .agg(F.sum("cos").alias("__sb__"), F.count(F.lit(1)).alias("__cb__"))
+    )
+    margin = F.floor(
+        (
+            F.col("cos").cast("double")
+            / (
+                (
+                    F.col("__sa__").cast("double") / F.col("__ca__")
+                    + F.col("__sb__").cast("double") / F.col("__cb__")
+                )
+                * F.lit(0.5)
+            )
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return (
+        ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1))
+        .join(top_a, "a_id")
+        .join(top_b, "b_id")
+        .withColumn("margin", margin)
+        .filter(F.col("margin") >= F.lit(float(margin_threshold)))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("cos").cast("double").alias("cosine"),
+            "margin",
+        )
+    )

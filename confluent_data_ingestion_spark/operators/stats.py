@@ -363,10 +363,17 @@ def ols_trend(
     engine.  (Negative exact halves quantize toward +inf — identical
     on both sides, which is the actual contract.)
 
+    Null contract: rows where x OR y is NULL are dropped BEFORE the
+    aggregation — a point with a missing coordinate carries no trend
+    information.  (Counting such rows while the sums skipped them would
+    silently corrupt n vs Σ consistency and with it every derived
+    statistic; the filter makes the contract explicit and keeps
+    ``n_points`` = the number of points actually fitted.)
+
     Output per key: (key, n_points, slope, intercept, r2).  Keys with
     a single point (or zero x-variance) report NULL slope/intercept/r2;
     zero y-variance alone reports slope 0 and NULL r2 (r² is 0/0 on a
-    flat line).
+    flat line).  Keys whose rows are ALL null-coordinate are absent.
 
     Scale shape: ONE hash aggregation on the key — five decimal/bigint
     accumulators of map-side-combinable state, scan speed; no window,
@@ -374,6 +381,7 @@ def ols_trend(
     """
     x = F.col(x_col).cast("long")
     y = F.round(F.col(y_col), 6).cast("decimal(18,6)")
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     agg = df.groupBy(F.col(key_col)).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -417,4 +425,90 @@ def ols_trend(
         "slope",
         intercept.alias("intercept"),
         r2.alias("r2"),
+    )
+
+
+def ewma_residual(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key EWMA baseline + last-observation residual — the
+    exponentially-weighted control chart (Roberts 1959, the EWMA chart;
+    public method) that asks of every entity "is today's value out of
+    line with its own smoothed history?".  Next to ols_trend (slope
+    over the whole window) and anomaly_zscore (global-stats z), this is
+    the RECENCY-weighted detector: yesterday counts ~4x more than five
+    days ago at the default alpha.
+
+    Per key, over the DAILY exact value sums x_1..x_n (day order):
+
+        e_1 = x_1;  e_t = alpha * x_t + (1 - alpha) * e_{t-1}
+
+    and the report row carries the baseline BEFORE the last day
+    (``ewma_prev`` = e_{n-1}), the smoothed level including it
+    (``ewma_last`` = e_n) and ``residual`` = x_n - e_{n-1} — the
+    surprise of the newest observation against its own history.
+
+    Determinism contract: daily sums are exact DECIMAL(18,6); the
+    recursion is evaluated as an explicit LEFT FOLD over the
+    day-ordered array (``F.aggregate`` — interpreted, but the array is
+    series-length-sized, bounded by the calendar not the data), so the
+    double operations happen in one defined order — the same order
+    DuckDB's ``list_reduce`` uses, making the statistic bit-identical
+    across engines AND partitionings (a windowed running sum would
+    leave the addition order to each engine's frame evaluator).  alpha
+    defaults to 0.25: alpha and 1-alpha are exact binary doubles, so
+    every fold step is reproducible IEEE arithmetic.  Outputs are
+    floor-quantized at 6 dp.
+
+    Scale shape: one hash aggregation to daily grain, one to the key
+    grain (collect_list of a ~series-length array per key — bounded by
+    days in range, NOT by table size), zero joins, zero windows.  Keys
+    with a single day report NULL ewma_prev/residual.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    a = repr(float(alpha))
+    b = repr(1.0 - float(alpha))
+    daily = df.groupBy(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col(value_col), 6).cast("decimal(18,6)"))
+        .alias("x")
+    )
+    series = daily.groupBy("k").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "x"))
+        ).alias("s")
+    )
+    # 1e6 / 0.5d are DOUBLE literals in Spark SQL — a plain 1000000.0
+    # would parse as DECIMAL and drag the quotient into decimal division
+    q6 = lambda e: f"floor(({e}) * 1e6 + 0.5d) / 1e6"  # noqa: E731
+    fold_prev = (
+        f"aggregate(slice(transform(s, e -> cast(e.x as double)),"
+        f" 2, size(s) - 2), cast(s[0].x as double),"
+        f" (acc, x) -> {a} * x + {b} * acc)"
+    )
+    last_x = "cast(element_at(s, -1).x as double)"
+    ewma_last_expr = f"{a} * {last_x} + {b} * ({fold_prev})"
+    residual_expr = f"{last_x} - ({fold_prev})"
+    return series.select(
+        F.col("k").alias(key_col),
+        F.expr("size(s)").cast("bigint").alias("n_days"),
+        F.expr("element_at(s, -1).day").alias("last_day"),
+        F.expr(last_x).alias("last_value"),
+        F.expr(
+            f"CASE WHEN size(s) >= 2 THEN {q6(fold_prev)} END"
+        ).alias("ewma_prev"),
+        F.expr(
+            f"CASE WHEN size(s) >= 2 THEN {q6(ewma_last_expr)}"
+            f" ELSE {last_x} END"
+        ).alias("ewma_last"),
+        F.expr(
+            f"CASE WHEN size(s) >= 2 THEN {q6(residual_expr)} END"
+        ).alias("residual"),
     )

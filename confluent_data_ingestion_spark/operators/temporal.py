@@ -43,8 +43,20 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _q6(col: Column) -> Column:
+    """6-dp quantization as ``floor(x * 1e6 + 0.5) / 1e6`` — pure IEEE
+    double ops, identical in every engine.  ``round(double, 6)`` is NOT:
+    Spark rounds the double's SHORTEST decimal string while DuckDB
+    rounds the exact binary value, so a quotient within an ulp of a .5
+    boundary rounds differently (the ols_trend sf0.1 divergence class).
+    Every double->6dp step in this module goes through this helper; the
+    DECIMAL-input rounds stay F.round (decimal arithmetic is exact and
+    engine-agnostic)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def asof_join(
@@ -714,8 +726,8 @@ def markov_transitions(
 
     Output: (prev_state, next_state, n_transitions, n_out, prob) where
     ``n_out`` is the total outgoing transitions of ``prev_state`` and
-    ``prob = round(n_transitions / n_out, 6)`` (ratio of exact counts —
-    engine-portable).
+    ``prob`` the 6-dp floor-quantized ratio of the exact counts (see
+    :func:`_q6` for why not ``round(double, 6)``).
 
     Scale shape: ONE hash shuffle on the key for the lag window (the
     per-key sort is the floor the semantics allow), then a groupBy on
@@ -740,8 +752,8 @@ def markov_transitions(
         pairs.withColumn("n_out", F.sum("n_transitions").over(wrow))
         .withColumn(
             "prob",
-            F.round(
-                F.col("n_transitions").cast("double") / F.col("n_out"), 6
+            _q6(
+                F.col("n_transitions").cast("double") / F.col("n_out")
             ).cast("decimal(18,6)"),
         )
     )
@@ -802,8 +814,8 @@ def markov_stationary(
     # alphabet-sized frame: the single-partition window is metadata work,
     # not a skew risk, and keeps the uniform seed collect-free
     w_all = Window.partitionBy()
-    p0 = F.round(
-        F.lit(1.0) / F.count(F.lit(1)).over(w_all), 6
+    p0 = _q6(
+        F.lit(1.0) / F.count(F.lit(1)).over(w_all)
     ).cast("decimal(18,6)")
     vec = states.select("state", p0.alias("p"))
     # base frame for the teleport re-join: every state, with the alphabet
@@ -838,13 +850,12 @@ def markov_stationary(
             # teleport share — re-join the full state set each round
             vec = base.join(inc, "state", "left").select(
                 "state",
-                F.round(
+                _q6(
                     F.lit(1.0 - damping) / F.col("__ns__")
                     + F.lit(damping)
                     * F.coalesce(
                         F.col("p"), F.lit(0).cast("decimal(18,6)")
-                    ).cast("double"),
-                    6,
+                    ).cast("double")
                 ).cast("decimal(18,6)").alias("p"),
             )
     return states.select("state", p0.alias("p_uniform")).join(

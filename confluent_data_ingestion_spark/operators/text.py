@@ -971,12 +971,18 @@ def vocab_coverage(
         .groupBy("grp", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    # top-vocab_size selection via orderBy().limit(): Catalyst plans a
+    # TakeOrderedAndProject (per-partition top-k, k-sized merge on the
+    # driver) — a partition-less row_number window here would funnel the
+    # ENTIRE corpus type table through one task (Spark 3.5's
+    # WindowGroupLimit bounds its memory, not its single-partition
+    # exchange), the one corpus-sized serial point in an otherwise
+    # map-side plan
     vocab = (
         toks.groupBy("tok")
         .agg(F.sum("n").alias("c"))
-        .withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") <= vocab_size)
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
         .select("tok", F.lit(True).alias("__in_vocab__"))
     )
     return (

@@ -8163,8 +8163,11 @@ def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairable GROUP BY u
     ),
     do_t AS (
+      -- floor-quantized, not round(double, 6): engine-portable (the
+      -- ols_trend divergence class; exact halves only up to 3 raters)
       SELECT count(*) AS n_units,
-             sum(CAST(round(CAST(m_u * m_u - s2_u AS DOUBLE) / (m_u - 1), 6)
+             sum(CAST(floor((CAST(m_u * m_u - s2_u AS DOUBLE) / (m_u - 1))
+                            * 1000000.0 + 0.5) / 1000000.0
                       AS DECIMAL(18,6))) AS do_total
       FROM unit
     ),
@@ -8175,12 +8178,13 @@ def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n_units AS BIGINT) AS n_units,
            CAST(n AS BIGINT) AS n_votes,
            CAST(n_labels AS BIGINT) AS n_labels,
-           round(CAST(do_total AS DOUBLE) / n, 6) AS observed_disagreement,
-           round(CAST(n * n - s2_c AS DOUBLE) / (n * (n - 1)), 6)
-             AS expected_disagreement,
+           floor((CAST(do_total AS DOUBLE) / n) * 1000000.0 + 0.5)
+             / 1000000.0 AS observed_disagreement,
+           floor((CAST(n * n - s2_c AS DOUBLE) / (n * (n - 1)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS expected_disagreement,
            CASE WHEN n * n - s2_c > 0 THEN
-             round(1.0 - (n - 1) * CAST(do_total AS DOUBLE)
-                   / (n * n - s2_c), 6)
+             floor((1.0 - (n - 1) * CAST(do_total AS DOUBLE)
+                    / (n * n - s2_c)) * 1000000.0 + 0.5) / 1000000.0
            END AS alpha
     FROM do_t, marg
     """,
@@ -8198,7 +8202,8 @@ def krippendorff_alpha_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.labels import krippendorff_alpha
 
     return krippendorff_alpha(
-        _annotated_events(spark, sf_dir), "event_id", ["a1", "a2", "a3"]
+        _annotated_events(spark, sf_dir), "event_id", ["a1", "a2", "a3"],
+        assume_unique_units=True,  # event_id is the events PK
     )
 
 
@@ -8338,16 +8343,22 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT prev AS prev_state, event_type AS next_state,
                  count(*) AS n
           FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    -- floor-quantization, NOT round(double, 6): Spark rounds the
+    -- double's shortest decimal string, DuckDB the exact binary value
+    -- (the ols_trend divergence class) — floor on the same double is
+    -- identical in every engine
     tm AS (
       SELECT prev_state, next_state,
-             CAST(round(CAST(n AS DOUBLE)
-                        / sum(n) OVER (PARTITION BY prev_state), 6)
+             CAST(floor((CAST(n AS DOUBLE)
+                         / sum(n) OVER (PARTITION BY prev_state))
+                        * 1000000.0 + 0.5) / 1000000.0
                   AS DECIMAL(18,6)) AS prob
       FROM t
     ),
     states AS (SELECT DISTINCT prev_state AS state FROM tm),
     p0 AS (SELECT state,
-                  CAST(round(1.0 / (SELECT count(*) FROM states), 6)
+                  CAST(floor((1.0 / (SELECT count(*) FROM states))
+                             * 1000000.0 + 0.5) / 1000000.0
                        AS DECIMAL(18,6)) AS p
            FROM states),
     p1 AS (SELECT next_state AS state,
@@ -8824,9 +8835,12 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS y
       FROM events GROUP BY 1, 2
     ),
+    -- ols_trend's null contract: a point with a missing coordinate is
+    -- dropped before the sums (here only y can be NULL — an all-NULL
+    -- value day); mirrored from the operator
     pts AS (SELECT user_id,
                    date_diff('day', DATE '2024-01-01', day) AS x, y
-            FROM daily),
+            FROM daily WHERE y IS NOT NULL),
     s AS (
       SELECT user_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
              sum(y) AS sy, sum(y * y) AS syy, sum(x * y) AS sxy
@@ -8898,42 +8912,51 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT prev AS prev_state, event_type AS next_state,
                  count(*) AS n
           FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    -- floor-quantization, NOT round(double, 6): Spark rounds the
+    -- double's shortest decimal string, DuckDB the exact binary value
+    -- (the ols_trend divergence class) — floor on the same double is
+    -- identical in every engine
     tm AS (
       SELECT prev_state, next_state,
-             CAST(round(CAST(n AS DOUBLE)
-                        / sum(n) OVER (PARTITION BY prev_state), 6)
+             CAST(floor((CAST(n AS DOUBLE)
+                         / sum(n) OVER (PARTITION BY prev_state))
+                        * 1000000.0 + 0.5) / 1000000.0
                   AS DECIMAL(18,6)) AS prob
       FROM t
     ),
     states AS (SELECT DISTINCT prev_state AS state FROM tm),
     ns AS (SELECT count(*) AS s FROM states),
     p0 AS (SELECT state,
-                  CAST(round(1.0 / (SELECT s FROM ns), 6)
+                  CAST(floor((1.0 / (SELECT s FROM ns))
+                             * 1000000.0 + 0.5) / 1000000.0
                        AS DECIMAL(18,6)) AS p
            FROM states),
     i1 AS (SELECT next_state AS state,
                   CAST(round(sum(p * prob), 6) AS DECIMAL(18,6)) AS p
            FROM p0 JOIN tm ON p0.state = tm.prev_state GROUP BY 1),
     p1 AS (SELECT s.state,
-                  CAST(round(0.125 / (SELECT s FROM ns)
-                             + 0.875 * CAST(coalesce(i1.p, 0) AS DOUBLE),
-                             6) AS DECIMAL(18,6)) AS p
+                  CAST(floor((0.125 / (SELECT s FROM ns)
+                              + 0.875 * CAST(coalesce(i1.p, 0) AS DOUBLE))
+                             * 1000000.0 + 0.5) / 1000000.0
+                       AS DECIMAL(18,6)) AS p
            FROM states s LEFT JOIN i1 ON s.state = i1.state),
     i2 AS (SELECT next_state AS state,
                   CAST(round(sum(p * prob), 6) AS DECIMAL(18,6)) AS p
            FROM p1 JOIN tm ON p1.state = tm.prev_state GROUP BY 1),
     p2 AS (SELECT s.state,
-                  CAST(round(0.125 / (SELECT s FROM ns)
-                             + 0.875 * CAST(coalesce(i2.p, 0) AS DOUBLE),
-                             6) AS DECIMAL(18,6)) AS p
+                  CAST(floor((0.125 / (SELECT s FROM ns)
+                              + 0.875 * CAST(coalesce(i2.p, 0) AS DOUBLE))
+                             * 1000000.0 + 0.5) / 1000000.0
+                       AS DECIMAL(18,6)) AS p
            FROM states s LEFT JOIN i2 ON s.state = i2.state),
     i3 AS (SELECT next_state AS state,
                   CAST(round(sum(p * prob), 6) AS DECIMAL(18,6)) AS p
            FROM p2 JOIN tm ON p2.state = tm.prev_state GROUP BY 1),
     p3 AS (SELECT s.state,
-                  CAST(round(0.125 / (SELECT s FROM ns)
-                             + 0.875 * CAST(coalesce(i3.p, 0) AS DOUBLE),
-                             6) AS DECIMAL(18,6)) AS p
+                  CAST(floor((0.125 / (SELECT s FROM ns)
+                              + 0.875 * CAST(coalesce(i3.p, 0) AS DOUBLE))
+                             * 1000000.0 + 0.5) / 1000000.0
+                       AS DECIMAL(18,6)) AS p
            FROM states s LEFT JOIN i3 ON s.state = i3.state)
     SELECT p0.state, CAST(p0.p AS DOUBLE) AS p_uniform,
            CAST(p3.p AS DOUBLE) AS p_stationary
@@ -9019,22 +9042,304 @@ def resample_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contract_validation_orders",
+    """
+    WITH m AS (
+      SELECT
+        count(*) AS n,
+        sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS nn_ck,
+        count(DISTINCT o_orderkey) AS d_ok,
+        sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS nn_ok,
+        min(o_totalprice) AS min_tp,
+        sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+          AS in_st,
+        sum(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS nn_st,
+        sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                 THEN 1 ELSE 0 END) AS m_pr,
+        sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) AS nn_pr
+      FROM orders
+    ),
+    fk AS (
+      SELECT
+        (SELECT count(*) FROM orders o
+         WHERE o.o_custkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)) AS orph,
+        (SELECT count(o_custkey) FROM orders) AS tot
+    ),
+    rep AS (
+      SELECT 'not_null' AS "check", 'o_custkey' AS "column",
+             floor((CAST(nn_ck AS DOUBLE) / greatest(n, 1))
+                   * 1000000.0 + 0.5) / 1000000.0 AS observed,
+             1.0 AS threshold, 'ge' AS dir
+      FROM m
+      UNION ALL
+      SELECT 'unique', 'o_orderkey',
+             floor((CAST(d_ok AS DOUBLE) / greatest(nn_ok, 1))
+                   * 1000000.0 + 0.5) / 1000000.0,
+             1.0, 'ge'
+      FROM m
+      UNION ALL
+      SELECT 'min', 'o_totalprice', CAST(min_tp AS DOUBLE), 0.0, 'ge' FROM m
+      UNION ALL
+      SELECT 'in_set', 'o_orderstatus',
+             floor((CAST(in_st AS DOUBLE) / greatest(nn_st, 1))
+                   * 1000000.0 + 0.5) / 1000000.0,
+             1.0, 'ge'
+      FROM m
+      UNION ALL
+      SELECT 'matches', 'o_orderpriority',
+             floor((CAST(m_pr AS DOUBLE) / greatest(nn_pr, 1))
+                   * 1000000.0 + 0.5) / 1000000.0,
+             1.0, 'ge'
+      FROM m
+      UNION ALL
+      SELECT 'foreign_key', 'o_custkey',
+             floor((CAST(orph AS DOUBLE) / greatest(tot, 1))
+                   * 1000000.0 + 0.5) / 1000000.0,
+             0.0, 'le'
+      FROM fk
+    )
+    SELECT "check", "column", observed, threshold,
+           CASE WHEN (dir = 'ge' AND observed >= threshold)
+                  OR (dir = 'le' AND observed <= threshold)
+                THEN 'pass' ELSE 'fail' END AS status
+    FROM rep
+    """,
+)
+def contract_validation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract over ``orders``
+    (operators/contracts.validate_contract) — the deequ-style ingest
+    gate: completeness, key uniqueness, a value bound, set membership,
+    priority-format regex, and customer referential integrity, all
+    verified in ONE scan plus one anti-join, reported as
+    constraint-count-sized rows CI can fail on.  The reference
+    validates its STTM workbooks structurally before generating SQL
+    (``scripts/sttm_validations_v22.py:77-219``); this is the same
+    contract idea pointed at the DATA its pipelines move."""
+    from .operators.contracts import validate_contract
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    return validate_contract(
+        t["orders"],
+        [
+            {"check": "not_null", "column": "o_custkey"},
+            {"check": "unique", "column": "o_orderkey"},
+            {"check": "min", "column": "o_totalprice", "value": 0.0},
+            {"check": "in_set", "column": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"check": "matches", "column": "o_orderpriority",
+             "pattern": "^[1-5]-"},
+            {"check": "foreign_key", "column": "o_custkey",
+             "ref": "customer", "ref_column": "c_custkey"},
+        ],
+        refs={"customer": t["customer"]},
+    )
+
+
+@query(
+    "bitext_mutual_margin",
+    f"""
+    WITH va AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS ae
+                FROM embeddings WHERE vec_id % 2 = 0),
+    vb AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS be
+           FROM embeddings WHERE vec_id % 2 = 1),
+    s AS (
+      SELECT a_id, b_id,
+             CAST({_COS.format(a='ae', b='be')} AS DECIMAL(18,6)) AS cos
+      FROM va CROSS JOIN vb
+    ),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY a_id
+                           ORDER BY cos DESC, b_id ASC) AS ra,
+        ROW_NUMBER() OVER (PARTITION BY b_id
+                           ORDER BY cos DESC, a_id ASC) AS rb
+      FROM s
+    ),
+    ta AS (SELECT a_id, sum(cos) AS sa, count(*) AS ca
+           FROM r WHERE ra <= 4 GROUP BY 1),
+    tb AS (SELECT b_id, sum(cos) AS sb, count(*) AS cb
+           FROM r WHERE rb <= 4 GROUP BY 1),
+    cand AS (
+      SELECT r.a_id, r.b_id, CAST(cos AS DOUBLE) AS cosine,
+             floor((CAST(cos AS DOUBLE)
+                    / ((CAST(sa AS DOUBLE) / ca + CAST(sb AS DOUBLE) / cb)
+                       * 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS margin
+      FROM r JOIN ta USING (a_id) JOIN tb USING (b_id)
+      WHERE ra = 1 AND rb = 1
+    )
+    SELECT a_id, b_id, cosine, margin FROM cand WHERE margin >= 1.0
+    """,
+)
+def bitext_mutual_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based mutual nearest-neighbor matching between the two
+    vec_id-parity halves of the embeddings table
+    (operators/similarity.mutual_margin_pairs) — the standard
+    bitext-mining / cross-corpus alignment scorer (Artetxe & Schwenk
+    2019, public method): mutual top-1 pairs whose cosine clears the
+    ratio margin against BOTH local neighborhoods (k=4), which kills
+    hub vectors that are close to everything.  Brute-force declared
+    scoring here (exactness baseline, smaller side broadcast); at
+    corpus scale the same operator takes an IVF/LSH candidate-pair
+    frame and every downstream stage stays pair-sized."""
+    from .operators.similarity import mutual_margin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mutual_margin_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        margin_threshold=1.0,
+    )
+
+
+@query(
+    "token_budget_waterfill",
+    """
+    WITH dom AS (
+      SELECT source AS domain,
+             sum(len(string_split(coalesce(text, ''), ' '))) AS avail
+      FROM documents GROUP BY 1
+    ),
+    st AS (
+      SELECT domain, avail,
+             row_number() OVER (ORDER BY avail ASC, domain ASC) AS rn,
+             sum(avail) OVER (ORDER BY avail ASC, domain ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - avail AS prefix,
+             count(*) OVER () AS n
+      FROM dom
+    ),
+    c AS (SELECT *, (25000.0 - CAST(prefix AS DOUBLE)) / (n - rn + 1)
+                    AS cand
+          FROM st),
+    lv AS (SELECT min(CASE WHEN cand <= CAST(avail AS DOUBLE)
+                           THEN rn END) AS qrn FROM c),
+    lev AS (SELECT max(CASE WHEN rn = (SELECT qrn FROM lv)
+                            THEN cand END) AS level FROM c)
+    SELECT domain,
+           CAST(avail AS BIGINT) AS tokens_available,
+           CASE WHEN (SELECT level FROM lev) IS NOT NULL
+                  AND CAST(avail AS DOUBLE) > (SELECT level FROM lev)
+                THEN floor((SELECT level FROM lev) * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE CAST(avail AS DOUBLE) END AS tokens_alloc,
+           ((SELECT level FROM lev) IS NOT NULL
+            AND CAST(avail AS DOUBLE) > (SELECT level FROM lev)) AS capped,
+           floor((SELECT level FROM lev) * 1000000.0 + 0.5) / 1000000.0
+             AS level
+    FROM c
+    """,
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilling token-budget allocation across document sources
+    (operators/sampling.token_budget_waterfill) — "train on 25k tokens,
+    no source may contribute more than it has": the max-min fair
+    allocation where every source gets min(available, level) and the
+    level exactly exhausts the budget.  Complements mixture_plan
+    (target-share mixing) and cap_per_group (hard caps) with the
+    fair-share construction.  Domain-alphabet-sized after one map-side
+    token-count aggregation; the level derives from exact integer
+    prefix sums in one floor-quantized double division."""
+    from .operators.sampling import token_budget_waterfill as waterfill
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("source"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .alias("n_tok"),
+    )
+    return waterfill(toks, "source", "n_tok", budget=25000)
+
+
+@query(
+    "ewma_residual_users",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT user_id,
+             count(*) AS n_days,
+             max(day) AS last_day,
+             list(CAST(x AS DOUBLE) ORDER BY day ASC) AS xs
+      FROM daily GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(n_days AS BIGINT) AS n_days,
+           strftime(last_day, '%Y-%m-%d') AS last_day,
+           xs[n_days] AS last_value,
+           CASE WHEN n_days >= 2 THEN
+             floor(list_reduce(list_slice(xs, 1, n_days - 1),
+                               (acc, x) -> 0.25 * x + 0.75 * acc)
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS ewma_prev,
+           CASE WHEN n_days >= 2 THEN
+             floor((0.25 * xs[n_days]
+                    + 0.75 * list_reduce(list_slice(xs, 1, n_days - 1),
+                                         (acc, x) -> 0.25 * x + 0.75 * acc))
+                   * 1000000.0 + 0.5) / 1000000.0
+           ELSE xs[n_days] END AS ewma_last,
+           CASE WHEN n_days >= 2 THEN
+             floor((xs[n_days]
+                    - list_reduce(list_slice(xs, 1, n_days - 1),
+                                  (acc, x) -> 0.25 * x + 0.75 * acc))
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS residual
+    FROM ser
+    """,
+)
+def ewma_residual_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA control chart over daily spend
+    (operators/stats.ewma_residual, alpha=1/4 exact binary): the
+    recency-weighted drift detector next to ols_trend (whole-window
+    slope) and event_anomaly_zscore (global z) — the report carries the
+    smoothed baseline BEFORE the newest day and the newest day's
+    residual against it.  The recursion runs as an explicit left fold
+    over the day-ordered array (DuckDB's list_reduce folds in the same
+    order), so the doubles agree bit-for-bit across engines — a
+    windowed running sum would leave addition order to each engine."""
+    from .operators.stats import ewma_residual
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma_residual(ev, "user_id", "ts", "value", alpha=0.25)
+    return out.select(
+        "user_id",
+        "n_days",
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        "last_value",
+        "ewma_prev",
+        "ewma_last",
+        "residual",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
-# externally-recorded oracle row.  Round-13 window: the 9 headline pipeline
-# stages (they anchor the benchmark baseline), then zorder_rewrite (kept
-# adjacent so the shared Z-order layout build stays charged to the row
-# named for it) followed by the three rows NEW this round (Bloom-index x
-# compaction lifecycle, the executed salted hot-key join, the full-outer
-# stream-stream interval join), then the ENTIRE 29-row cohort whose newest
-# driver record is round 9 (the stalest anywhere in the registry after
-# r12), then 8 of the r10-record cohort to fill the window.  After a green
-# r13 run no registry row's newest driver record is older than r10.
-# Positions 51+ keep the r12 relative order (shared-artifact families stay
-# build-first: dedup_simhash_pairs before the cluster/apply/keep-best/
-# leakage/cluster-sizes consumers, bm25_topk_docs before the hybrid/
-# incremental/classify rows, similarity_pq_topk before rerank/ivfpq), so
+# externally-recorded oracle row.  Round-14 window (the BASELINE.md r14
+# rotation plan): the 9 headline pipeline stages (they anchor the benchmark
+# baseline), then the 20 rows added in the r13 second session AFTER that
+# round's window was fixed (their only oracle records so far are the local
+# strict gate — this window gives each its first external driver record),
+# then dedup_simhash_pairs + 19 of the 30 rows whose newest driver record
+# is r10.  bm25_topk_docs rides in front of retrieval_eval_metrics /
+# retrieval_rank_agreement and dedup_simhash_pairs in front of
+# leakage_safe_split / dedup_cluster_sizes so each shared session artifact
+# is built by (and its bench cost charged to) the row named for it.  After
+# a green r14 run the stalest records anywhere are the 11 remaining
+# r10-record rows (event_anomaly_zscore, bpe_train_merges,
+# bpe_segment_tokens, curriculum_stages, bloom_semijoin_revenue,
+# distinct_users_by_type, cust_order_distribution,
+# discounted_revenue_disjunctive, zorder_incremental,
+# cheapest_supplier_per_part, rollup_quantile_events) — they lead the r15
+# rotation.  Positions 51+ keep the r13 relative order (shared-artifact
+# families stay build-first: zorder_rewrite before the skipscan/bloom/
+# compaction consumers, bpe_train_merges before bpe_segment_tokens), so
 # future rotations remain a simple prefix shift.
 # ---------------------------------------------------------------------------
 _PRIORITY_ORDER = [
@@ -9042,67 +9347,76 @@ _PRIORITY_ORDER = [
     "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
     "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
     "union_arms_null_fill", "ordered_multi_join", "pricing_summary",
-    # layout-build anchor + the three rows new in r13, then the full
-    # r9-record cohort (29), then 8 r10-record fills
+    # the 20 rows that had NO driver record after r13 (registered in the
+    # r13 second session, after that round's window was already fixed) in
+    # registration order, with bm25_topk_docs lifted in front of its two
+    # session-index consumers so the BM25 postings build stays charged to
+    # the row named for it
+    "drift_psi_snapshots", "label_majority_vote", "annotator_pairwise_kappa",
+    "temporal_holdout_events", "hard_negative_mining", "dawid_skene_labels",
+    "resample_gapfill_events", "krippendorff_alpha_events", "bm25_topk_docs",
+    "retrieval_eval_metrics", "markov_stationary_events",
+    "dup_provenance_sources", "vocab_oov_rate", "doremi_mixture_weights",
+    "asof_forward_conversion", "connected_components_chain",
+    "retrieval_rank_agreement", "similarity_matryoshka_recall",
+    "trend_slope_per_user", "pagerank_event_graph", "resample_interp_events",
+    # dedup_simhash_pairs (so the simhash artifact build precedes its
+    # cluster-sizes/leakage consumers in the global order) + 19 of the 30
+    # rows whose newest driver record is r10 — the stalest tier left
+    "dedup_simhash_pairs", "leakage_safe_split", "regional_revenue",
+    "shipping_priority_topk", "knn_classify_labels", "collocation_pmi",
+    "dedup_cluster_sizes", "contamination_report", "decontaminate_semantic",
+    "similarity_int8_topk", "streaming_event_funnel", "brand_nation_revenue",
+    "winsorize_doc_lengths", "dedup_exact_normalized", "packing_fill_report",
+    "top_docs_per_source", "chunk_boilerplate_ratio", "similarity_pq_topk",
+    "similarity_pq_rerank", "similarity_ivfpq_topk",
+    # positions 51+: everything else in its r13 relative order
     "zorder_rewrite", "bloom_compaction_lifecycle", "salted_join_hotkey",
     "streaming_interval_join_full", "char_entropy_scores",
     "corpus_length_quantiles", "corpus_sample_exact_n",
-    "forecast_revenue_change", "streaming_xref_upsert",
-    "tumbling_window_agg", "hopping_window_agg", "kmeans_refine_assign",
-    "normalize_text_stage", "training_prep_e2e", "repeated_spans_cdc",
-    "multimodal_embed_topk", "unigram_logprob_score", "span_decontaminate",
-    "domain_cap_exact", "domain_cap_rate", "epoch_shuffle_assign",
-    "dedup_lsh_verified", "bigram_logprob_score", "bigram_logprob_vocab",
-    "streaming_dedup_events", "streaming_interval_join",
-    "scrub_boilerplate_docs", "hash_embed_vectors", "skipscan_events_range",
-    "revenue_cube_flag_status", "dsir_weights_docs", "dsir_select_topk",
-    "rollup_sample_events", "streaming_statement_set",
-    "exact_quantiles_events", "concat_chunks_plan",
-    "weighted_sample_priority", "semantic_dedup", "event_funnel",
-    "rolling_event_stats", "quality_cutoff_per_lang",
-    # positions 51+: everything else in its r12 relative order
-    "k_anonymity_generalized", "streaming_interval_join_outer",
-    "bloom_skipscan_pointlookup", "decontaminate_ngrams",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dlq_corrupt_split", "doc_chunk_overlap",
-    "doc_fingerprint", "embedding_quantize_int8", "flatten_nested_json",
-    "keyword_topk", "language_id_heuristic", "multimodal_frame_sample",
-    "pack_sequences", "pii_scrub", "quality_filter_gate",
-    "range_join_event_pairs", "session_window_agg", "sessionize_events",
-    "shard_assignment_balanced", "similarity_cosine_topk",
+    "forecast_revenue_change", "streaming_xref_upsert", "tumbling_window_agg",
+    "hopping_window_agg", "kmeans_refine_assign", "normalize_text_stage",
+    "training_prep_e2e", "repeated_spans_cdc", "multimodal_embed_topk",
+    "unigram_logprob_score", "span_decontaminate", "domain_cap_exact",
+    "domain_cap_rate", "epoch_shuffle_assign", "dedup_lsh_verified",
+    "bigram_logprob_score", "bigram_logprob_vocab", "streaming_dedup_events",
+    "streaming_interval_join", "scrub_boilerplate_docs", "hash_embed_vectors",
+    "skipscan_events_range", "revenue_cube_flag_status", "dsir_weights_docs",
+    "dsir_select_topk", "rollup_sample_events", "streaming_statement_set",
+    "exact_quantiles_events", "concat_chunks_plan", "weighted_sample_priority",
+    "semantic_dedup", "event_funnel", "rolling_event_stats",
+    "quality_cutoff_per_lang", "k_anonymity_generalized",
+    "streaming_interval_join_outer", "bloom_skipscan_pointlookup",
+    "decontaminate_ngrams", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "dlq_corrupt_split",
+    "doc_chunk_overlap", "doc_fingerprint", "embedding_quantize_int8",
+    "flatten_nested_json", "keyword_topk", "language_id_heuristic",
+    "multimodal_frame_sample", "pack_sequences", "pii_scrub",
+    "quality_filter_gate", "range_join_event_pairs", "session_window_agg",
+    "sessionize_events", "shard_assignment_balanced", "similarity_cosine_topk",
     "similarity_ivf_nprobe", "similarity_ivf_topk", "similarity_lsh_topk",
-    "stratified_sample_lang", "sttm_pipeline_e2e",
-    "temperature_resample_mix", "text_quality_features",
-    "text_repetition_stats", "token_count_bpe", "train_test_split",
-    "dedup_simhash_pairs", "dedup_clusters", "dedup_apply_pipeline",
+    "stratified_sample_lang", "sttm_pipeline_e2e", "temperature_resample_mix",
+    "text_quality_features", "text_repetition_stats", "token_count_bpe",
+    "train_test_split", "dedup_clusters", "dedup_apply_pipeline",
     "dedup_keep_best_quality", "dedup_ngram_jaccard", "dedup_incremental",
-    "compaction_lifecycle", "join_advisor_strategy", "bm25_topk_docs",
-    "hybrid_rrf_retrieval", "hybrid_dense_sparse", "bm25_incremental_index",
-    "nb_language_classify", "k_anonymity_suppress", "l_diversity_report",
-    "event_type_pivot_daily", "excess_shipped_suppliers",
-    "fuzzy_supplier_pairs", "gopher_quality_gate", "heavy_hitter_parts",
-    "idle_rich_customers", "important_parts_value", "large_order_customers",
-    "market_share_yearly", "mixture_plan", "nation_pair_trade",
-    "order_priority_semijoin", "part_supplier_counts", "profile_documents",
-    "promo_revenue_monthly", "retention_cohorts_weekly",
+    "compaction_lifecycle", "join_advisor_strategy", "hybrid_rrf_retrieval",
+    "hybrid_dense_sparse", "bm25_incremental_index", "nb_language_classify",
+    "k_anonymity_suppress", "l_diversity_report", "event_type_pivot_daily",
+    "excess_shipped_suppliers", "fuzzy_supplier_pairs", "gopher_quality_gate",
+    "heavy_hitter_parts", "idle_rich_customers", "important_parts_value",
+    "large_order_customers", "market_share_yearly", "mixture_plan",
+    "nation_pair_trade", "order_priority_semijoin", "part_supplier_counts",
+    "profile_documents", "promo_revenue_monthly", "retention_cohorts_weekly",
     "returned_item_topk", "rollup_incremental_events", "scd2_asof_enrich",
-    "scd2_incremental_apply", "scd2_user_history",
-    "ship_latency_distribution", "small_qty_revenue_share",
-    "snapshot_diff_orders", "top_supplier_by_revenue", "value_mad_by_type",
-    "waiting_orders_blame", "zorder_layout_key", "asof_join_latest_order",
-    "colspec_quarantine_arms", "corpus_mix_report", "leakage_safe_split",
-    "regional_revenue", "shipping_priority_topk", "knn_classify_labels",
-    "collocation_pmi", "dedup_cluster_sizes", "contamination_report",
-    "decontaminate_semantic", "similarity_int8_topk",
-    "streaming_event_funnel", "brand_nation_revenue",
-    "winsorize_doc_lengths", "dedup_exact_normalized", "packing_fill_report",
-    "top_docs_per_source", "chunk_boilerplate_ratio", "event_anomaly_zscore",
-    "similarity_pq_topk", "similarity_pq_rerank", "similarity_ivfpq_topk",
-    "bpe_train_merges", "bpe_segment_tokens", "curriculum_stages",
-    "bloom_semijoin_revenue", "distinct_users_by_type",
-    "cust_order_distribution", "discounted_revenue_disjunctive",
-    "zorder_incremental", "cheapest_supplier_per_part",
-    "rollup_quantile_events",
+    "scd2_incremental_apply", "scd2_user_history", "ship_latency_distribution",
+    "small_qty_revenue_share", "snapshot_diff_orders",
+    "top_supplier_by_revenue", "value_mad_by_type", "waiting_orders_blame",
+    "zorder_layout_key", "asof_join_latest_order", "colspec_quarantine_arms",
+    "corpus_mix_report", "event_anomaly_zscore", "bpe_train_merges",
+    "bpe_segment_tokens", "curriculum_stages", "bloom_semijoin_revenue",
+    "distinct_users_by_type", "cust_order_distribution",
+    "discounted_revenue_disjunctive", "zorder_incremental",
+    "cheapest_supplier_per_part", "rollup_quantile_events",
 ]
 
 

@@ -133,6 +133,72 @@ def test_krippendorff_alpha_perfect_agreement_two_labels(spark):
     assert row["alpha"] == 1.0
 
 
+def test_krippendorff_alpha_pools_duplicate_unit_ids(spark):
+    # votes for the same unit split across rows MUST be pooled (standard
+    # Krippendorff semantics).  u1: rows (x,-),(-,x) -> pooled m=2, s2=4,
+    # term 0; u2: rows (x,-),(-,y) -> pooled m=2, s2=2, term 2.
+    # n=4 votes, marginals x=3,y=1 -> s2_c=10, de_num=6;
+    # alpha = 1 - 3*2/6 = 0.  Treating each ROW as the unit would find
+    # no pairable unit at all (every row has m=1) and report NULLs.
+    df = spark.createDataFrame(
+        [(1, "x", None), (1, None, "x"), (2, "x", None), (2, None, "y")],
+        "item long, a string, b string",
+    )
+    row = krippendorff_alpha(df, "item", ["a", "b"]).collect()[0]
+    assert row["n_units"] == 2
+    assert row["n_votes"] == 4
+    assert row["alpha"] == 0.0
+
+
+def test_krippendorff_alpha_paths_agree_on_unique_ids(spark):
+    # the wide codegen path and the melted pooled path are the same
+    # statistic — force each on the same unique-id frame
+    df = spark.createDataFrame(
+        [
+            (1, "x", "x", None),
+            (2, "x", "y", None),
+            (3, "y", "y", "y"),
+            (4, "x", None, None),
+        ],
+        "item long, a string, b string, c string",
+    )
+    wide = krippendorff_alpha(
+        df, "item", ["a", "b", "c"], assume_unique_units=True
+    ).collect()[0]
+    melted = krippendorff_alpha(
+        df, "item", ["a", "b", "c"], wide_max_annotators=2
+    ).collect()[0]
+    assert wide.asDict() == melted.asDict()
+
+
+def test_krippendorff_alpha_wide_annotator_pool_takes_melted_path(spark):
+    # k=50 raters: the k^2 wide expression would be 2500 codegen terms —
+    # above wide_max_annotators the melted path runs instead and must
+    # produce the hand-checkable statistic (two unanimous units, one
+    # split unit, over a 50-rater pool with sparse votes)
+    k = 50
+    names = [f"r{i}" for i in range(k)]
+
+    def row(item, votes):
+        d = {"item": item, **{n: None for n in names}}
+        d.update(votes)
+        return d
+
+    rows = [
+        row(1, {"r0": "x", "r17": "x", "r49": "x"}),   # m=3, s2=9, term 0
+        row(2, {"r3": "x", "r31": "y"}),               # m=2, s2=2, term 2
+        row(3, {"r5": "y"}),                           # m=1, excluded
+    ]
+    schema = "item long, " + ", ".join(f"{n} string" for n in names)
+    df = spark.createDataFrame(rows, schema)
+    out = krippendorff_alpha(df, "item", names).collect()[0]
+    # pairable votes: x=4, y=1 -> n=5, s2_c=17, de_num=8
+    # alpha = 1 - 4*2/8 = 0
+    assert out["n_units"] == 2
+    assert out["n_votes"] == 5
+    assert out["alpha"] == 0.0
+
+
 # ---------------------------------------------------------------------------
 # retrieval_eval
 # ---------------------------------------------------------------------------

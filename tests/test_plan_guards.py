@@ -50,6 +50,10 @@ NESTED_LOOP_ALLOWED = {
                                   # loss table's corpus total)
     "similarity_matryoshka_recall",  # two declared brute-force baselines
                                      # (the similarity_cosine_topk pattern)
+    "bitext_mutual_margin",       # declared brute-force pair scoring
+                                  # (candidate-pair frame is the scale path)
+    "contract_validation_orders",  # 1-row orphan-count x 1-row total combine
+                                   # per FK check (report-sized)
 }
 
 # streaming / side-effecting queries that can't be compiled lazily —

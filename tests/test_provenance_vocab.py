@@ -283,6 +283,25 @@ def test_ols_trend_exact_line(spark):
     assert got[3] == (4, 0.0, 5.0, None)
 
 
+def test_ols_trend_null_coordinates_dropped(spark):
+    from confluent_data_ingestion_spark.operators.stats import ols_trend
+
+    # key 1: exact line plus two junk rows (null x / null y) — the fit and
+    # n_points must both ignore them (counting them while the sums skip
+    # them would corrupt every derived statistic)
+    # key 2: all rows null-coordinate -> key absent entirely
+    rows = (
+        [(1, x, 2.0 * x + 1.0) for x in range(5)]
+        + [(1, None, 99.0), (1, 9, None), (2, None, 1.0), (2, 4, None)]
+    )
+    df = spark.createDataFrame(rows, "k long, x int, y double")
+    got = {
+        r["k"]: (r["n_points"], r["slope"], r["intercept"], r["r2"])
+        for r in ols_trend(df, "k", "x", "y").collect()
+    }
+    assert got == {1: (5, 2.0, 1.0, 1.0)}
+
+
 def test_ols_trend_matches_numpy(spark):
     import numpy as np
 
@@ -321,7 +340,7 @@ WITH s AS (
          sum(CAST(round(y, 6) AS DECIMAL(28,6))
              * CAST(round(y, 6) AS DECIMAL(28,6))) AS syy,
          sum(x * CAST(round(y, 6) AS DECIMAL(28,6))) AS sxy
-  FROM pts GROUP BY 1
+  FROM pts WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1
 ),
 d AS (
   SELECT k, n, sx, sy,
@@ -351,9 +370,11 @@ FROM sl
     pts=st.lists(
         st.tuples(
             st.integers(min_value=1, max_value=3),       # key
-            st.integers(min_value=0, max_value=40),      # x
-            st.floats(min_value=-1000, max_value=1000,
-                      allow_nan=False, allow_infinity=False),
+            st.one_of(st.none(),                          # null x drops row
+                      st.integers(min_value=0, max_value=40)),
+            st.one_of(st.none(),                          # null y drops row
+                      st.floats(min_value=-1000, max_value=1000,
+                                allow_nan=False, allow_infinity=False)),
         ),
         min_size=1, max_size=30,
     )
@@ -365,7 +386,7 @@ def test_ols_trend_engine_parity(spark, pts):
 
     from confluent_data_ingestion_spark.operators.stats import ols_trend
 
-    rows = [(k, x, round(y, 4)) for k, x, y in pts]
+    rows = [(k, x, None if y is None else round(y, 4)) for k, x, y in pts]
     df = spark.createDataFrame(rows, "k long, x int, y double")
     got = {
         r["k"]: (r["n_points"], r["slope"], r["intercept"], r["r2"])

@@ -1,0 +1,299 @@
+"""Round-14 operators: declarative data contracts, mutual-margin
+matching, waterfilling budget allocation, EWMA residuals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_data_ingestion_spark.operators.contracts import (
+    validate_contract,
+)
+from confluent_data_ingestion_spark.operators.sampling import (
+    token_budget_waterfill,
+)
+from confluent_data_ingestion_spark.operators.similarity import (
+    mutual_margin_pairs,
+)
+from confluent_data_ingestion_spark.operators.stats import ewma_residual
+
+
+# ---------------------------------------------------------------------------
+# validate_contract
+# ---------------------------------------------------------------------------
+
+
+def _report(df, checks, refs=None):
+    rows = validate_contract(df, checks, refs).collect()
+    return {(r["check"], r["column"]): r for r in rows}
+
+
+def test_contract_clean_table_all_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", 20.0), (3, "P", 30.0)],
+        "k long, st string, v double",
+    )
+    rep = _report(df, [
+        {"check": "not_null", "column": "k"},
+        {"check": "unique", "column": "k"},
+        {"check": "min", "column": "v", "value": 5.0},
+        {"check": "max", "column": "v", "value": 30.0},
+        {"check": "in_set", "column": "st", "values": ["O", "F", "P"]},
+        {"check": "matches", "column": "st", "pattern": "^[OFP]$"},
+    ])
+    assert all(r["status"] == "pass" for r in rep.values())
+    assert rep[("not_null", "k")]["observed"] == 1.0
+    assert rep[("min", "v")]["observed"] == 10.0
+    assert rep[("max", "v")]["observed"] == 30.0
+
+
+def test_contract_violations_measured_exactly(spark):
+    # 4 rows: one null key, one dup pair, one bad status
+    df = spark.createDataFrame(
+        [(1, "O"), (1, "F"), (None, "X"), (2, "O")],
+        "k long, st string",
+    )
+    rep = _report(df, [
+        {"check": "not_null", "column": "k"},           # 3/4
+        {"check": "unique", "column": "k"},             # 2 distinct / 3
+        {"check": "in_set", "column": "st",
+         "values": ["O", "F"], "min_rate": 0.5},        # 3/4 -> pass
+    ])
+    assert rep[("not_null", "k")]["observed"] == 0.75
+    assert rep[("not_null", "k")]["status"] == "fail"
+    assert rep[("unique", "k")]["observed"] == round(2 / 3, 6)
+    assert rep[("unique", "k")]["status"] == "fail"
+    assert rep[("in_set", "st")]["observed"] == 0.75
+    assert rep[("in_set", "st")]["status"] == "pass"
+
+
+def test_contract_foreign_key_orphans(spark):
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    rep = _report(
+        child,
+        [{"check": "foreign_key", "column": "fk", "ref": "p",
+          "ref_column": "pk"}],
+        refs={"p": parent},
+    )
+    r = rep[("foreign_key", "fk")]
+    # 1 orphan (9) out of 3 non-null children
+    assert r["observed"] == round(1 / 3, 6)
+    assert r["status"] == "fail"
+    tol = _report(
+        child,
+        [{"check": "foreign_key", "column": "fk", "ref": "p",
+          "ref_column": "pk", "max_orphan_rate": 0.5}],
+        refs={"p": parent},
+    )
+    assert tol[("foreign_key", "fk")]["status"] == "pass"
+
+
+def test_contract_rejects_bad_input(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="empty"):
+        validate_contract(df, [])
+    with pytest.raises(ValueError, match="unknown check kinds"):
+        validate_contract(df, [{"check": "nope", "column": "k"}])
+    with pytest.raises(ValueError, match="refs"):
+        validate_contract(
+            df,
+            [{"check": "foreign_key", "column": "k", "ref": "missing",
+              "ref_column": "k"}],
+        )
+
+
+# ---------------------------------------------------------------------------
+# mutual_margin_pairs
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_mutual_margin_basic_match(spark):
+    # a1 ~ b1 (aligned), a2 ~ b2 (aligned), cross pairs orthogonal-ish
+    a = _vecs(spark, [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])])
+    b = _vecs(spark, [(1, [0.9, 0.1, 0.0]), (3, [0.1, 0.9, 0.0])])
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in mutual_margin_pairs(a, b, k=2, margin_threshold=1.0)
+        .collect()
+    }
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_mutual_margin_requires_mutuality(spark):
+    # b0 is everyone's favourite in B, but b0's top-1 in A is a0 —
+    # so only (a0, b0) can survive; a1 must not match anything
+    a = _vecs(spark, [(0, [1.0, 0.0]), (2, [0.8, 0.1])])
+    b = _vecs(spark, [(1, [1.0, 0.05])])
+    got = [
+        (r["a_id"], r["b_id"])
+        for r in mutual_margin_pairs(a, b, k=1, margin_threshold=0.0)
+        .collect()
+    ]
+    assert got == [(0, 1)]
+
+
+def test_mutual_margin_filters_flat_neighborhoods(spark):
+    # the hub/flat-neighborhood failure mode the ratio margin exists
+    # for: every vector is nearly equally close to everything (all
+    # cross cosines ~1), so no pair STANDS OUT against its local
+    # neighborhoods — margins sit at ~1.0 and a threshold strictly
+    # above 1 rejects them all, while mutual top-1 alone (threshold 0)
+    # would happily emit matches
+    a = _vecs(spark, [
+        (0, [1.0, 0.0]),
+        (2, [0.998, 0.0632]),
+    ])
+    b = _vecs(spark, [
+        (1, [0.9995, 0.0316]),
+        (3, [0.9995, -0.0316]),
+    ])
+    strict = mutual_margin_pairs(
+        a, b, k=2, margin_threshold=1.05
+    ).collect()
+    assert strict == []
+    loose = mutual_margin_pairs(
+        a, b, k=2, margin_threshold=0.0
+    ).collect()
+    assert len(loose) >= 1
+    assert all(abs(r["margin"] - 1.0) < 0.05 for r in loose)
+
+
+def test_mutual_margin_candidates_restrict_scoring(spark):
+    a = _vecs(spark, [(0, [1.0, 0.0]), (2, [0.0, 1.0])])
+    b = _vecs(spark, [(1, [0.9, 0.1]), (3, [0.1, 0.9])])
+    cand = spark.createDataFrame(
+        [(0, 1)], "a_id long, b_id long"
+    )
+    got = [
+        (r["a_id"], r["b_id"])
+        for r in mutual_margin_pairs(
+            a, b, k=2, margin_threshold=0.0, candidates=cand
+        ).collect()
+    ]
+    # only the candidate pair is scored, so only it can match
+    assert got == [(0, 1)]
+    with pytest.raises(ValueError, match="k must be"):
+        mutual_margin_pairs(a, b, k=0)
+
+
+# ---------------------------------------------------------------------------
+# token_budget_waterfill
+# ---------------------------------------------------------------------------
+
+
+def _domains(spark, pairs):
+    # document-level frame: one doc per (domain, tokens) entry
+    return spark.createDataFrame(pairs, "d string, t long")
+
+
+def test_waterfill_partial_cap(spark):
+    df = _domains(spark, [("a", 10), ("b", 20), ("c", 100)])
+    out = {
+        r["domain"]: r
+        for r in token_budget_waterfill(df, "d", "t", budget=60).collect()
+    }
+    assert out["a"]["tokens_alloc"] == 10.0 and not out["a"]["capped"]
+    assert out["b"]["tokens_alloc"] == 20.0 and not out["b"]["capped"]
+    assert out["c"]["tokens_alloc"] == 30.0 and out["c"]["capped"]
+    assert out["c"]["level"] == 30.0
+
+
+def test_waterfill_two_capped_domains_share_level(spark):
+    # the case that breaks naive min-over-candidates level selection:
+    # avail [10, 20, 100, 100], budget 70 -> level 20,
+    # allocs [10, 20, 20, 20]
+    df = _domains(
+        spark, [("a", 10), ("b", 20), ("c", 100), ("d", 100)]
+    )
+    out = {
+        r["domain"]: r
+        for r in token_budget_waterfill(df, "d", "t", budget=70).collect()
+    }
+    assert out["a"]["tokens_alloc"] == 10.0
+    assert out["b"]["tokens_alloc"] == 20.0
+    assert out["c"]["tokens_alloc"] == 20.0 and out["c"]["capped"]
+    assert out["d"]["tokens_alloc"] == 20.0 and out["d"]["capped"]
+    total = sum(r["tokens_alloc"] for r in out.values())
+    assert total == 70.0
+
+
+def test_waterfill_budget_covers_everything(spark):
+    df = _domains(spark, [("a", 10), ("b", 20)])
+    out = {
+        r["domain"]: r
+        for r in token_budget_waterfill(df, "d", "t", budget=1000)
+        .collect()
+    }
+    assert all(not r["capped"] for r in out.values())
+    assert all(r["level"] is None for r in out.values())
+    assert out["a"]["tokens_alloc"] == 10.0
+    assert out["b"]["tokens_alloc"] == 20.0
+
+
+def test_waterfill_zero_budget_and_doc_level_resum(spark):
+    # two docs in domain a sum to 30; zero budget allocates zero
+    df = _domains(spark, [("a", 10), ("a", 20), ("b", 5)])
+    out = {
+        r["domain"]: r
+        for r in token_budget_waterfill(df, "d", "t", budget=0).collect()
+    }
+    assert out["a"]["tokens_available"] == 30
+    assert out["a"]["tokens_alloc"] == 0.0 and out["a"]["capped"]
+    assert out["b"]["tokens_alloc"] == 0.0 and out["b"]["capped"]
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_waterfill(df, "d", "t", budget=-1)
+
+
+# ---------------------------------------------------------------------------
+# ewma_residual
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_hand_computed(spark):
+    # key 1 daily sums: d1=1, d2=2, d3=3 (d3 split across two events)
+    # e1=1, e2=.25*2+.75*1=1.25 -> residual 3-1.25=1.75,
+    # ewma_last=.25*3+.75*1.25=1.6875
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-02 10:00:00", 2.0),
+            (1, "2024-01-03 09:00:00", 1.0),
+            (1, "2024-01-03 11:00:00", 2.0),
+        ],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = ewma_residual(df, "k", "ts", "v", alpha=0.25).collect()[0]
+    assert r["n_days"] == 3
+    assert str(r["last_day"]) == "2024-01-03"
+    assert r["last_value"] == 3.0
+    assert r["ewma_prev"] == 1.25
+    assert r["ewma_last"] == 1.6875
+    assert r["residual"] == 1.75
+
+
+def test_ewma_single_day_is_null_baseline(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = ewma_residual(df, "k", "ts", "v").collect()[0]
+    assert r["n_days"] == 1
+    assert r["ewma_prev"] is None and r["residual"] is None
+    assert r["ewma_last"] == 5.0
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for bad in (0.0, 1.0, -0.5, 2.0):
+        with pytest.raises(ValueError, match="alpha"):
+            ewma_residual(df, "k", "ts", "v", alpha=bad)
