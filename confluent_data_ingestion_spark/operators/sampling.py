@@ -854,3 +854,39 @@ def token_budget_waterfill(
         q6(F.col("__lvl__")).alias("level"),
     )
     return out
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    seed: str = "",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Group-atomic k-fold assignment for cross-validation — every row
+    of a group lands in the SAME fold (scikit-learn's GroupKFold
+    contract, public method), so entity-level leakage across folds is
+    impossible by construction: a user's events, a document's chunks, a
+    near-dup cluster's members never straddle a train/validation
+    boundary.
+
+    Fold = which of k equal slices of the md5 hex space the group's
+    hash prefix falls in (the same engine-portable
+    ``substr(md5(seed|group)), 1, 8)`` idiom as :func:`hash_split`) —
+    a pure per-row projection: zero shuffles, zero joins, zero state,
+    deterministic under reruns, repartitioning, and engine choice.
+    Folds are ~equal in GROUPS (not rows); heavily skewed group sizes
+    skew row counts exactly as GroupKFold's contract implies.
+
+    Output: ``df`` plus ``out_col`` (int in [0, k)).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    bucket = _bucket_expr(group_col, seed)
+    cases = " ".join(
+        f"WHEN {bucket} < '{_hex_cut((i + 1) / k)}' THEN {i}"
+        for i in range(k - 1)
+    )
+    return df.withColumn(
+        out_col, F.expr(f"CASE {cases} ELSE {k - 1} END").cast("int")
+    )

@@ -9318,6 +9318,35 @@ def ewma_residual_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "group_kfold_events",
+    """
+    SELECT event_id, user_id,
+      CASE WHEN substr(md5('cv' || '|' || CAST(user_id AS VARCHAR)), 1, 8)
+                < '33333333' THEN 0
+           WHEN substr(md5('cv' || '|' || CAST(user_id AS VARCHAR)), 1, 8)
+                < '66666666' THEN 1
+           WHEN substr(md5('cv' || '|' || CAST(user_id AS VARCHAR)), 1, 8)
+                < '99999999' THEN 2
+           WHEN substr(md5('cv' || '|' || CAST(user_id AS VARCHAR)), 1, 8)
+                < 'cccccccc' THEN 3
+           ELSE 4 END AS fold
+    FROM events
+    """,
+)
+def group_kfold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-atomic 5-fold cross-validation assignment over events by
+    user (operators/sampling.group_kfold — scikit-learn GroupKFold
+    semantics, public method): all of a user's events share a fold, so
+    no entity straddles a train/validation boundary.  Pure per-row
+    md5-range projection (the hash_split idiom): zero shuffles, zero
+    joins, reproducible by any engine from the same md5 math."""
+    from .operators.sampling import group_kfold
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return group_kfold(ev, "user_id", k=5, seed="cv")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

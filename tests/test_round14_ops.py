@@ -297,3 +297,43 @@ def test_ewma_rejects_bad_alpha(spark):
     for bad in (0.0, 1.0, -0.5, 2.0):
         with pytest.raises(ValueError, match="alpha"):
             ewma_residual(df, "k", "ts", "v", alpha=bad)
+
+
+# ---------------------------------------------------------------------------
+# group_kfold
+# ---------------------------------------------------------------------------
+
+
+def test_group_kfold_atomic_and_stable(spark):
+    from confluent_data_ingestion_spark.operators.sampling import group_kfold
+
+    df = spark.createDataFrame(
+        [(i, i % 20) for i in range(200)], "row_id long, grp long"
+    )
+    out = group_kfold(df, "grp", k=5, seed="s").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["grp"], set()).add(r["fold"])
+    # group-atomic: one fold per group
+    assert all(len(v) == 1 for v in by_group.values())
+    assert all(0 <= f < 5 for v in by_group.values() for f in v)
+    # stable under re-evaluation
+    again = {
+        r["grp"]: r["fold"]
+        for r in group_kfold(df, "grp", k=5, seed="s").collect()
+    }
+    assert {g: next(iter(v)) for g, v in by_group.items()} == again
+    # a different seed reshuffles at least one group
+    other = {
+        r["grp"]: r["fold"]
+        for r in group_kfold(df, "grp", k=5, seed="t").collect()
+    }
+    assert other != again
+
+
+def test_group_kfold_rejects_bad_k(spark):
+    from confluent_data_ingestion_spark.operators.sampling import group_kfold
+
+    df = spark.createDataFrame([(1, 1)], "row_id long, grp long")
+    with pytest.raises(ValueError, match="k must be"):
+        group_kfold(df, "grp", k=1)

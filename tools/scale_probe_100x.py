@@ -133,6 +133,20 @@ def blow_lineitem_orders(spark, reps: int, out: str) -> None:
     ).drop("r").write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
 
+def blow_orders_only(spark, reps: int, out: str) -> None:
+    """Orders-only fact blowup (customer dim stays fixed, FK values
+    unchanged, o_orderkey re-keyed unique) for the contract-validation
+    probe — the lineitem side is not read and x100 of it would dominate
+    the blowup cost for nothing."""
+    from pyspark.sql import functions as F
+
+    od = spark.read.parquet(f"{BASE}/orders.parquet")
+    od.withColumn("r", F.explode(F.expr(f"sequence(0, {reps - 1})"))).select(
+        (F.col("o_orderkey") * reps + F.col("r")).alias("o_orderkey"),
+        *[c for c in od.columns if c != "o_orderkey"],
+    ).drop("r").write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+
 HEADLINE9 = [
     "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
     "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
@@ -524,6 +538,18 @@ def main() -> None:
             f"{out}/fv/documents.parquet/_SUCCESS"
         ):
             blow_documents_fixed_vocab(spark, reps, out)
+        if "round14" in fams:
+            for need, blow in (
+                ("events", blow_events),
+                ("documents", blow_documents),
+                ("embeddings", blow_embeddings),
+                ("orders", blow_orders_only),
+            ):
+                if not os.path.exists(f"{out}/{need}.parquet/_SUCCESS"):
+                    blow(spark, reps, out)
+            dst = f"{out}/customer.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"{BASE}/customer.parquet", dst)
         if "headline" in fams and reps == 10:
             if not os.path.exists(f"{out}/events.parquet/_SUCCESS"):
                 blow_events(spark, reps, out)
@@ -695,6 +721,37 @@ def main() -> None:
 
         probes.append(("bm25_topk_docs_fixed_vocab", bm25_fv))
 
+    if "round14" in fams:
+        # the r14 rows at scale over the established honest blowups:
+        # EWMA / k-fold / waterfill / contract are scan-shaped (state =
+        # per-key day arrays, a per-row projection, the domain alphabet,
+        # and the constraint report respectively) and must track the
+        # scan; the contract's orders blowup keeps the customer dim
+        # fixed, so the FK anti-join's broadcast side is constant.
+        for name in ("ewma_residual_users", "group_kfold_events",
+                     "token_budget_waterfill",
+                     "contract_validation_orders"):
+            probes.append((name, name))
+
+        # mutual-margin matching with a FIXED a-side (~250 queries at
+        # every scale) against the growing b-side — the same honest
+        # fixed-query framing as the IVF-PQ probe; the registry row's
+        # both-sides-grow parity split would be quadratic by
+        # construction, which is exactly why the operator takes a
+        # candidate-pair frame at corpus scale.
+        def bitext_fixed_queries(spark, sf_dir, reps):
+            from pyspark.sql import functions as F
+
+            from confluent_data_ingestion_spark.operators.similarity import (
+                mutual_margin_pairs,
+            )
+
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            a = emb.filter(F.col("vec_id") % (2 * reps) == 0)
+            b = emb.filter(F.col("vec_id") % 2 == 1)
+            return mutual_margin_pairs(a, b, k=4, margin_threshold=1.0)
+
+        probes.append(("bitext_fixed_queries", bitext_fixed_queries))
     if "headline" in fams:
         # the per-round sf1-anchor (r12 verdict item 7): the whole
         # headline-9 pipeline against the x10 fact blowup — one decade,
