@@ -1265,3 +1265,118 @@ def duplicate_provenance(
             {"group_a": f"{group_col}_a", "group_b": f"{group_col}_b"}
         )
     )
+
+
+def allpairs_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    persist_shingles: bool = True,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= ``threshold`` via prefix
+    filtering (AllPairs / PPJoin family — Bayardo, Ma & Srikant 2007;
+    Xiao et al. 2008; public methods): the third pairing strategy next
+    to the full inverted index (``ngram_jaccard_pairs`` — quadratic in
+    collision groups) and MinHash-LSH (``minhash_lsh_pairs`` — scale-
+    safe but probabilistic, false NEGATIVES possible).  Prefix
+    filtering is the no-compromise point: candidates shrink by orders
+    of magnitude AND the no-miss guarantee is a theorem, not a
+    probability.
+
+    The principle: order every document's shingle set by a GLOBAL total
+    order (document frequency ascending — rarest first — digest
+    tie-break).  For Jaccard >= t a pair must overlap in at least
+    ``ceil(t * |x|)`` shingles (|y| >= t|x| holds for any qualifying
+    pair), so two documents sharing NOTHING in their first
+    ``p_x = |x| - ceil(t * |x|) + 1`` ordered shingles cannot qualify —
+    only PREFIX tokens generate candidates, and prefix tokens are by
+    construction each document's rarest.  The ceil is computed with a
+    1e-9 downward guard so IEEE rounding of ``t * |x|`` can only ever
+    ENLARGE a prefix (more candidates, never a miss).
+
+    Stages (each one shuffle, family-standard shapes):
+
+    1. distinct (id, shingle-digest) + per-digest document frequency —
+       ONE aggregation on the digest-partitioned shingles;
+    2. per-document ordering window -> keep the prefix rows;
+    3. candidate pairs explode WITHIN per-digest prefix posting lists
+       (the ``ngram_jaccard_pairs`` narrow double-explode — no
+       self-join), with the |y| >= t|x| length filter applied inside
+       the pair expression;
+    4. exact verification on the deduplicated candidates
+       (:func:`jaccard_verify_pairs` — linear in candidates).
+
+    Output: (doc_a, doc_b, jaccard) for every pair at or above the
+    threshold — bit-identical to the capless inverted index, reached
+    without ever pairing on a common shingle.
+
+    100 TB posture: the index carries PREFIXES only (~(1-t) of each
+    document's shingles, and the rare end of the frequency spectrum at
+    that); a boilerplate shingle shared by a million documents lands in
+    almost no prefix because its df ranks it LAST in every ordering.
+    The residual hazard is a corpus where many documents consist
+    ENTIRELY of globally-common shingles — their prefixes must include
+    common digests and those posting lists re-grow; that corpus is the
+    one to pre-clean with ``scrub_boilerplate`` (or fall back to
+    LSH + verify) before an exact all-pairs run.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    sh = exploded_shingles(
+        ensure_min_parallelism(df), id_col, text_col, n, hashed=True
+    )
+    if persist_shingles:
+        # digest-partitioned: the df-count aggregation and the df join
+        # both consume this distribution — one exchange for the corpus
+        sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df__"))
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(id_col).orderBy(
+        F.col("__df__").asc(), F.col("s").asc()
+    )
+    w_sz = Window.partitionBy(id_col)
+    pref = (
+        sh.join(dfreq, "s")
+        .select(
+            F.col(id_col),
+            "s",
+            F.row_number().over(w_ord).alias("__r__"),
+            F.count(F.lit(1)).over(w_sz).alias("__n__"),
+        )
+        .filter(
+            F.col("__r__")
+            <= F.col("__n__")
+            - F.ceil(F.lit(threshold) * F.col("__n__") - F.lit(1e-9))
+            + F.lit(1)
+        )
+    )
+    # narrow double-explode within per-digest prefix posting lists; the
+    # length filter t|a| <= |b| <= |a|/t prunes inside the expression
+    posts = pref.groupBy("s").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__n__").alias("n")))
+        ).alias("__lst__")
+    )
+    cand = (
+        posts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__lst__, (a, ai) -> "
+                    " filter(transform(slice(__lst__, ai + 2, size(__lst__)),"
+                    "  b -> struct(a.i AS doc_a, b.i AS doc_b,"
+                    "              a.n AS na, b.n AS nb)),"
+                    f" p -> p.na * {float(threshold)!r}d <= p.nb"
+                    f"  AND p.nb * {float(threshold)!r}d <= p.na)))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return jaccard_verify_pairs(
+        df, cand, id_col=id_col, text_col=text_col, n=n,
+        threshold=threshold,
+    )

@@ -1110,3 +1110,74 @@ def mutual_margin_pairs(
             "margin",
         )
     )
+
+
+def lsh_candidate_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    planes: list[list[float]],
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    center: float = 0.0,
+) -> DataFrame:
+    """Cross-set LSH candidate pairs: (a_id, b_id) for every pair whose
+    random-hyperplane signatures agree EXACTLY on at least one band
+    slice — the candidate generator that feeds pair-scoped scorers
+    (:func:`mutual_margin_pairs`' ``candidates`` input, a rerank stage,
+    an exact verify) without ever forming the cross product.  Same
+    signature construction as :func:`lsh_topk` (dots rounded to 6 dp
+    before the sign, so the bucketing is bit-reproducible by any engine
+    holding the same plane literals); candidates collide per band and
+    are DEDUPLICATED here, so downstream scoring sees each pair once.
+
+    Scale shape: signatures are per-row folds over broadcast-size plane
+    literals; the only shuffle is the (band, key) equi-join on int
+    keys; output is candidate-pair-sized.
+    """
+    bits = len(planes)
+    if bits == 0 or bits > 63:
+        raise ValueError(f"need 1..63 planes, got {bits}")
+    if bits % bands:
+        raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
+    width = bits // bands
+
+    def sig_col(e: str) -> str:
+        terms = []
+        for p, plane in enumerate(planes):
+            lits = ", ".join(f"{x:.6f}D" for x in plane)
+            dot = DOT.format(a=e, b=f"array({lits})")
+            bias = round(-center * sum(plane), 6)
+            terms.append(
+                f"CASE WHEN round({dot} + {bias:.6f}D, 6) >= 0 "
+                f"THEN {1 << p}L ELSE 0L END"
+            )
+        return " + ".join(terms)
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).cast("array<double>").alias("__e__"),
+            )
+            .withColumn("__sig__", F.expr(sig_col("__e__")))
+            .withColumn(
+                "__band__", F.explode(F.expr(f"sequence(0, {bands - 1})"))
+            )
+            .withColumn(
+                "__key__",
+                F.expr(
+                    f"shiftright(__sig__, __band__ * {width})"
+                    f" & {(1 << width) - 1}L"
+                ),
+            )
+            .select(out_id, "__band__", "__key__")
+        )
+
+    av = banded(ensure_min_parallelism(a), "a_id")
+    bv = banded(b, "b_id")
+    return (
+        av.join(bv, ["__band__", "__key__"])
+        .select("a_id", "b_id")
+        .distinct()
+    )

@@ -9347,6 +9347,102 @@ def group_kfold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_kfold(ev, "user_id", k=5, seed="cv")
 
 
+@query(
+    "dedup_allpairs_prefix",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+               JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.4
+    """,
+)
+def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 5-gram Jaccard >= 0.4 via AllPairs/PPJoin prefix
+    filtering (operators/dedup.allpairs_jaccard) — the third pairing
+    strategy in the dedup family: exact like the inverted index, pruned
+    like LSH, with the no-miss guarantee as a theorem.  Only each
+    document's rarest ``|x| - ceil(0.4|x|) + 1`` shingles generate
+    candidates; the oracle is the CAPLESS brute-force inverted index,
+    so the gate proves the pruned plan loses nothing."""
+    from .operators.dedup import allpairs_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    return allpairs_jaccard(docs, n=5, threshold=0.4)
+
+
+@query(
+    "bitext_lsh_candidates",
+    f"""
+    WITH va AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS ae
+                FROM embeddings WHERE vec_id % 2 = 0),
+    vb AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS be
+           FROM embeddings WHERE vec_id % 2 = 1),
+    siga AS (SELECT a_id, ae, {_LSH_SIG_SQL.format(e='ae')} AS s FROM va),
+    sigb AS (SELECT b_id, be, {_LSH_SIG_SQL.format(e='be')} AS s FROM vb),
+    bnda AS (SELECT a_id, ae, g AS band, (s >> (g * 4)) & 15 AS key
+             FROM siga, unnest(generate_series(0, 3)) AS u(g)),
+    bndb AS (SELECT b_id, be, g AS band, (s >> (g * 4)) & 15 AS key
+             FROM sigb, unnest(generate_series(0, 3)) AS u(g)),
+    cand AS (
+      SELECT DISTINCT a_id, b_id, ae, be
+      FROM bnda JOIN bndb USING (band, key)
+    ),
+    s AS (
+      SELECT a_id, b_id,
+             CAST({_COS.format(a='ae', b='be')} AS DECIMAL(18,6)) AS cos
+      FROM cand
+    ),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY a_id
+                           ORDER BY cos DESC, b_id ASC) AS ra,
+        ROW_NUMBER() OVER (PARTITION BY b_id
+                           ORDER BY cos DESC, a_id ASC) AS rb
+      FROM s
+    ),
+    ta AS (SELECT a_id, sum(cos) AS sa, count(*) AS ca
+           FROM r WHERE ra <= 4 GROUP BY 1),
+    tb AS (SELECT b_id, sum(cos) AS sb, count(*) AS cb
+           FROM r WHERE rb <= 4 GROUP BY 1),
+    m AS (
+      SELECT r.a_id, r.b_id, CAST(cos AS DOUBLE) AS cosine,
+             floor((CAST(cos AS DOUBLE)
+                    / ((CAST(sa AS DOUBLE) / ca + CAST(sb AS DOUBLE) / cb)
+                       * 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS margin
+      FROM r JOIN ta USING (a_id) JOIN tb USING (b_id)
+      WHERE ra = 1 AND rb = 1
+    )
+    SELECT a_id, b_id, cosine, margin FROM m WHERE margin >= 1.0
+    """,
+)
+def bitext_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitext scorer's documented SCALE PATH, oracle-checked
+    end-to-end: random-hyperplane LSH band collisions
+    (operators/similarity.lsh_candidate_pairs, the similarity_lsh_topk
+    plane literals) generate the candidate pairs, and
+    mutual_margin_pairs scores ONLY those — mutual top-1 + ratio margin
+    over the candidate neighborhoods.  Next to bitext_mutual_margin
+    (brute force over the same halves) this pins that the pruned
+    pipeline is itself exactly reproducible, not just the baseline."""
+    from .operators.similarity import lsh_candidate_pairs, mutual_margin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    cand = lsh_candidate_pairs(a, b, _LSH_PLANES, bands=4)
+    return mutual_margin_pairs(
+        a, b, k=4, margin_threshold=1.0, candidates=cand
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

@@ -337,3 +337,94 @@ def test_group_kfold_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 1)], "row_id long, grp long")
     with pytest.raises(ValueError, match="k must be"):
         group_kfold(df, "grp", k=1)
+
+
+# ---------------------------------------------------------------------------
+# allpairs_jaccard (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _pairs_set(rows):
+    return {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows}
+
+
+def test_allpairs_prefix_matches_capless_inverted_index(spark):
+    from confluent_data_ingestion_spark.operators.dedup import (
+        allpairs_jaccard,
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    docs = []
+    # near-dup cluster (rotations), verbatim dup, and unrelated docs
+    for i in range(4):
+        docs.append((i, " ".join(words[i:] + words[:i])))
+    docs.append((10, docs[0][1]))
+    docs.append((11, "one two three four five six seven eight nine ten"))
+    docs.append((12, "completely different text with other tokens here now"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.2, 0.5, 0.8):
+        got = _pairs_set(
+            allpairs_jaccard(df, n=3, threshold=t).collect()
+        )
+        want = _pairs_set(
+            ngram_jaccard_pairs(
+                df, n=3, threshold=t, max_group_size=None
+            ).collect()
+        )
+        assert got == want, f"threshold {t}: {got} != {want}"
+    with pytest.raises(ValueError, match="threshold"):
+        allpairs_jaccard(df, threshold=1.0)
+
+
+def test_allpairs_prefix_finds_exact_duplicate(spark):
+    from confluent_data_ingestion_spark.operators.dedup import (
+        allpairs_jaccard,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "entirely unrelated content about weather and sports news"),
+        ],
+        "doc_id long, text string",
+    )
+    out = allpairs_jaccard(df, n=3, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [
+        (1, 2, 1.0)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# lsh_candidate_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_candidates_identical_vectors_always_collide(spark):
+    from confluent_data_ingestion_spark.operators.similarity import (
+        lsh_candidate_pairs,
+        mutual_margin_pairs,
+    )
+
+    planes = [[0.3, -0.7, 0.2], [-0.5, 0.1, 0.9],
+              [0.8, 0.4, -0.2], [-0.1, -0.6, 0.5]]
+    a = _vecs(spark, [(0, [1.0, 2.0, 3.0]), (2, [-1.0, 0.5, 0.2])])
+    b = _vecs(spark, [(1, [1.0, 2.0, 3.0]), (3, [5.0, -2.0, 1.0])])
+    cand = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_candidate_pairs(a, b, planes, bands=2).collect()
+    }
+    # identical vectors have identical signatures -> collide in every band
+    assert (0, 1) in cand
+    # candidate-fed scorer only emits candidate pairs
+    out = mutual_margin_pairs(
+        a, b, k=2, margin_threshold=0.0,
+        candidates=lsh_candidate_pairs(a, b, planes, bands=2),
+    ).collect()
+    assert {(r["a_id"], r["b_id"]) for r in out} <= cand
+    with pytest.raises(ValueError, match="divide"):
+        lsh_candidate_pairs(a, b, planes, bands=3)
+    with pytest.raises(ValueError, match="planes"):
+        lsh_candidate_pairs(a, b, [], bands=1)

@@ -752,6 +752,34 @@ def main() -> None:
             return mutual_margin_pairs(a, b, k=4, margin_threshold=1.0)
 
         probes.append(("bitext_fixed_queries", bitext_fixed_queries))
+
+        # the LSH-fed variant with the same fixed a-side: candidates come
+        # from band collisions, so the scored pair count tracks bucket
+        # density instead of the corpus — the measured gap between this
+        # and bitext_fixed_queries IS the value of the candidate path
+        def bitext_lsh_fixed_queries(spark, sf_dir, reps):
+            from pyspark.sql import functions as F
+
+            from confluent_data_ingestion_spark.operators.similarity import (
+                lsh_candidate_pairs, mutual_margin_pairs,
+            )
+            from confluent_data_ingestion_spark.queries import _LSH_PLANES
+
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            a = emb.filter(F.col("vec_id") % (2 * reps) == 0)
+            b = emb.filter(F.col("vec_id") % 2 == 1)
+            cand = lsh_candidate_pairs(a, b, _LSH_PLANES, bands=4)
+            return mutual_margin_pairs(
+                a, b, k=4, margin_threshold=1.0, candidates=cand
+            )
+
+        probes.append(("bitext_lsh_fixed_queries", bitext_lsh_fixed_queries))
+
+        # exact all-pairs prefix-filtered jaccard over the perturbed-
+        # replica docs blowup: pairs stay rate-constant, prefixes carry
+        # only each doc's rarest shingles — the honest question is
+        # whether the posting/pairing stages track the corpus scan
+        probes.append(("dedup_allpairs_prefix", "dedup_allpairs_prefix"))
     if "headline" in fams:
         # the per-round sf1-anchor (r12 verdict item 7): the whole
         # headline-9 pipeline against the x10 fact blowup — one decade,
