@@ -75,11 +75,15 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the nearest right row at-or-before
     (``direction="backward"``, the default: latest ``right_time <=
-    left_time``) or at-or-after (``direction="forward"``: earliest
-    ``right_time >= left_time``) its timestamp, per key — backward is
+    left_time``), at-or-after (``direction="forward"``: earliest
+    ``right_time >= left_time``), or closest in EITHER direction
+    (``direction="nearest"``: pandas ``merge_asof`` nearest semantics,
+    equal gaps resolve backward) its timestamp, per key — backward is
     the point-in-time enrichment join (no future leakage), forward is
     the time-to-next-event join (time-to-conversion, next restock,
-    next error after a deploy).  Left rows with no match keep NULLs.
+    next error after a deploy), nearest is the sensor-alignment join
+    (attach the closest reading regardless of side).  Left rows with
+    no match keep NULLs.
 
     Deterministic tie-break among right rows sharing the matched
     ``right_time``: backward takes the GREATEST ``tie_col`` (the
@@ -100,9 +104,10 @@ def asof_join(
     docstring): one hash shuffle on the key, one per-partition sort —
     forward just reverses the traversal order, it never range-joins.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}"
+            "direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}"
         )
     if tolerance_seconds is not None and tolerance_seconds < 0:
         raise ValueError("tolerance_seconds must be >= 0")
@@ -147,26 +152,70 @@ def asof_join(
     # equals, via tie asc); forward traverses time DESCENDING, so the
     # latest-seen right row is the earliest at-or-after (min tie among
     # equals, via tie desc).
-    if direction == "backward":
-        order = [
-            F.col("__t__").asc(), F.col("__tag__").asc(),
-            F.col("__tie__").asc(),
-        ]
+    order_b = [
+        F.col("__t__").asc(), F.col("__tag__").asc(),
+        F.col("__tie__").asc(),
+    ]
+    order_f = [
+        F.col("__t__").desc(), F.col("__tag__").asc(),
+        F.col("__tie__").desc(),
+    ]
+
+    def _w(order):
+        return (
+            Window.partitionBy("__k__")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    u = r.unionByName(l)
+    if direction in ("backward", "forward"):
+        w = _w(order_b if direction == "backward" else order_f)
+        carried = u.select(
+            *lcols,
+            F.col("__tag__"),
+            F.last("__vs__", ignorenulls=True).over(w).alias("__asof__"),
+        )
     else:
-        order = [
-            F.col("__t__").desc(), F.col("__tag__").asc(),
-            F.col("__tie__").desc(),
-        ]
-    w = (
-        Window.partitionBy("__k__")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = r.unionByName(l).select(
-        *lcols,
-        F.col("__tag__"),
-        F.last("__vs__", ignorenulls=True).over(w).alias("__asof__"),
-    )
+        # nearest (pandas merge_asof nearest semantics, ties -> backward):
+        # carry BOTH directions' matches — two windows over the SAME key
+        # partitioning, so the plan pays one hash exchange and two sorts,
+        # never a range join — then pick the closer per left row
+        carried_2 = u.select(
+            *lcols,
+            F.col("__tag__"),
+            F.col("__t__"),
+            F.last("__vs__", ignorenulls=True).over(_w(order_b))
+            .alias("__b__"),
+            F.last("__vs__", ignorenulls=True).over(_w(order_f))
+            .alias("__f__"),
+        )
+
+        def _tnum(col):
+            from pyspark.sql.types import TimestampNTZType, TimestampType
+
+            if isinstance(
+                right.schema[right_time].dataType,
+                (TimestampType, TimestampNTZType),
+            ):
+                return F.unix_micros(col.cast("timestamp"))
+            return col.cast("double")
+
+        gap_b = _tnum(F.col("__t__")) - _tnum(
+            F.col("__b__").getField("__rt__")
+        )
+        gap_f = _tnum(F.col("__f__").getField("__rt__")) - _tnum(
+            F.col("__t__")
+        )
+        carried = carried_2.select(
+            *lcols,
+            F.col("__tag__"),
+            F.when(F.col("__b__").isNull(), F.col("__f__"))
+            .when(F.col("__f__").isNull(), F.col("__b__"))
+            .when(gap_b <= gap_f, F.col("__b__"))
+            .otherwise(F.col("__f__"))
+            .alias("__asof__"),
+        )
     matched = carried.filter(F.col("__tag__") == 1)
     if tolerance_seconds is None:
         ok = F.lit(True)
@@ -183,7 +232,12 @@ def asof_join(
             F.col("__asof__").getField("__rt__"),
             right.schema[right_time].dataType,
         )
-        gap = (lt - rt) if direction == "backward" else (rt - lt)
+        if direction == "backward":
+            gap = lt - rt
+        elif direction == "forward":
+            gap = rt - lt
+        else:  # nearest: the matched side varies per row
+            gap = F.abs(lt - rt)
         ok = gap <= F.lit(float(tolerance_seconds))
     return matched.select(
         *lcols,

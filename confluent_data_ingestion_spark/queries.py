@@ -9443,6 +9443,76 @@ def bitext_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_nearest_alignment",
+    """
+    WITH s AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'signup'),
+    p AS (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase'),
+    m AS (
+      SELECT s.event_id, p.event_id AS pid, p.ts AS pts, p.value AS pval,
+             row_number() OVER (
+               PARTITION BY s.event_id
+               ORDER BY abs(date_diff('microsecond', p.ts, s.ts)) ASC,
+                        CASE WHEN p.ts <= s.ts THEN 0 ELSE 1 END ASC,
+                        CASE WHEN p.ts <= s.ts THEN -p.event_id
+                             ELSE p.event_id END ASC
+             ) AS rn
+      FROM s JOIN p ON s.user_id = p.user_id
+    )
+    SELECT s.event_id, s.user_id,
+           m.pid AS nearest_purchase_id,
+           CAST(date_diff('microsecond', s.ts, m.pts) AS BIGINT)
+             AS offset_us,
+           m.pval AS nearest_value
+    FROM s LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      ON s.event_id = m.event_id
+    """,
+)
+def asof_nearest_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (operators/temporal.asof_join,
+    direction='nearest' — pandas merge_asof nearest semantics, equal
+    gaps resolve backward): for every signup, the user's closest
+    purchase on EITHER side of the timestamp and the signed offset —
+    the sensor-alignment join completing the backward/forward family.
+    Same union-tagged plan, ONE key shuffle, two per-partition sorts
+    (both windows share the hash partitioning) — never a range join;
+    the oracle is the naive both-sides rank, which is the semantics."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event"),
+        F.col("value").alias("p_value"),
+    )
+    j = asof_join(
+        signups,
+        purchases,
+        left_on="user_id",
+        right_on="p_user",
+        left_time="ts",
+        right_time="p_ts",
+        value_cols=["p_event", "p_ts", "p_value"],
+        tie_col="p_event",
+        direction="nearest",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_event").alias("nearest_purchase_id"),
+        (F.unix_micros(F.col("asof_p_ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("bigint").alias("offset_us"),
+        F.col("asof_p_value").alias("nearest_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

@@ -856,3 +856,81 @@ def test_asof_join_tolerance_rejects_negative(spark):
             left_time="ts", right_time="ts", value_cols=["event_id"],
             tolerance_seconds=-1.0,
         )
+
+
+def test_asof_join_nearest_picks_closer_side_and_tie_backward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-03T00:00:00")),  # closer to forward quote
+            (2, 10, _ts("2024-01-01T06:00:00")),  # closer to backward quote
+            (3, 10, _ts("2024-01-02T12:00:00")),  # EQUAL gaps -> backward
+            (4, 20, _ts("2024-01-05T00:00:00")),  # no right rows
+        ],
+        "event_id long, uid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T00:00:00"), 1.0),
+            (101, 10, _ts("2024-01-04T00:00:00"), 2.0),
+        ],
+        "qid long, uid long, qts timestamp, px double",
+    )
+    out = asof_join(
+        left, right,
+        left_on="uid", right_on="uid",
+        left_time="ts", right_time="qts",
+        value_cols=["qid", "px"], tie_col="qid",
+        direction="nearest",
+    )
+    got = {r["event_id"]: (r["asof_qid"], r["asof_px"]) for r in out.collect()}
+    assert got == {
+        1: (101, 2.0),   # gap fwd 1d < gap back 2d
+        2: (100, 1.0),   # gap back 6h < gap fwd ~2.75d
+        3: (100, 1.0),   # 1.5d both sides -> backward wins
+        4: (None, None),
+    }
+
+
+def test_asof_join_nearest_tolerance_uses_abs_gap(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-03T00:00:00"))],
+        "event_id long, uid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(101, 10, _ts("2024-01-04T00:00:00"), 2.0)],
+        "qid long, uid long, qts timestamp, px double",
+    )
+    kw = dict(
+        left_on="uid", right_on="uid", left_time="ts", right_time="qts",
+        value_cols=["qid", "px"], tie_col="qid", direction="nearest",
+    )
+    ok = asof_join(left, right, tolerance_seconds=86400.0, **kw).collect()[0]
+    assert ok["asof_qid"] == 101
+    too_far = asof_join(
+        left, right, tolerance_seconds=86399.0, **kw
+    ).collect()[0]
+    assert too_far["asof_qid"] is None
+
+
+def test_asof_join_nearest_same_instant_ties_resolve_backward(spark):
+    # two right rows at EXACTLY the left timestamp: gap 0 both sides;
+    # backward's within-instant winner is the max tie_col
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-02T00:00:00"))],
+        "event_id long, uid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-02T00:00:00"), 1.0),
+            (101, 10, _ts("2024-01-02T00:00:00"), 2.0),
+        ],
+        "qid long, uid long, qts timestamp, px double",
+    )
+    out = asof_join(
+        left, right,
+        left_on="uid", right_on="uid",
+        left_time="ts", right_time="qts",
+        value_cols=["qid", "px"], tie_col="qid",
+        direction="nearest",
+    ).collect()[0]
+    assert (out["asof_qid"], out["asof_px"]) == (101, 2.0)
