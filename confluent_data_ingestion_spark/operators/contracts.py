@@ -218,3 +218,157 @@ def validate_contract(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental verification: counter partials that merge across batches.
+# A recurring ingest doesn't want to re-scan the corpus per delivery to
+# re-verify the contract — every scan metric here decomposes into
+# mergeable counters (sums, mins, maxes), so each batch contributes one
+# 1-row partial and the CUMULATIVE report over all deliveries equals
+# validate_contract over the union, exactly (the rollup-store property:
+# snapshot == one-shot aggregation at quiescence).  `unique` is the one
+# non-decomposable check (cross-batch distinctness needs a key index,
+# not a counter) — contract_counters rejects it with the pointer to
+# dedup.build_dedup_index, which is that index.
+# ---------------------------------------------------------------------------
+
+
+def contract_counters(
+    df: DataFrame,
+    checks: list[dict],
+    refs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """ONE-row frame of mergeable raw counters for ``checks`` over this
+    batch: summable columns are prefixed ``s_``, min-merged ``mn_``,
+    max-merged ``mx_`` (``merge_contract_counters`` folds by prefix).
+    Scan checks share one aggregation; each foreign_key adds one
+    anti-join count against the (static) parent key set."""
+    if not checks:
+        raise ValueError("contract_counters: empty check list")
+    bad = [c for c in checks if c["check"] == "unique"]
+    if bad:
+        raise ValueError(
+            "contract_counters: 'unique' does not decompose into "
+            "mergeable counters — cross-batch distinctness needs a key "
+            "index (dedup.build_dedup_index + dedup_against_corpus), "
+            "not a counter; verify it there or with a one-shot "
+            "validate_contract"
+        )
+    aggs: list[Column] = []
+    for i, c in enumerate(checks):
+        kind = c["check"]
+        col = F.col(c["column"])
+        if kind == "not_null":
+            aggs += [
+                F.sum(col.isNotNull().cast("bigint")).alias(f"s_nn{i}"),
+                F.count(F.lit(1)).alias(f"s_n{i}"),
+            ]
+        elif kind == "in_set":
+            aggs += [
+                F.sum(col.isin(*c["values"]).cast("bigint"))
+                .alias(f"s_hit{i}"),
+                F.sum(col.isNotNull().cast("bigint")).alias(f"s_nn{i}"),
+            ]
+        elif kind == "matches":
+            aggs += [
+                F.sum(col.rlike(c["pattern"]).cast("bigint"))
+                .alias(f"s_hit{i}"),
+                F.sum(col.isNotNull().cast("bigint")).alias(f"s_nn{i}"),
+            ]
+        elif kind == "min":
+            aggs.append(F.min(col).cast("double").alias(f"mn_v{i}"))
+        elif kind == "max":
+            aggs.append(F.max(col).cast("double").alias(f"mx_v{i}"))
+        elif kind == "foreign_key":
+            continue  # handled below (separate joins)
+        else:
+            raise ValueError(f"unknown check kind: {kind}")
+    out = df.agg(*aggs) if aggs else None
+    for i, c in enumerate(checks):
+        if c["check"] != "foreign_key":
+            continue
+        if refs is None or c["ref"] not in refs:
+            raise ValueError(f"foreign_key check needs refs[{c['ref']!r}]")
+        child = df.select(F.col(c["column"]).alias("__k__")).filter(
+            F.col("__k__").isNotNull()
+        )
+        parent = refs[c["ref"]].select(
+            F.col(c["ref_column"]).alias("__k__")
+        ).distinct()
+        fk = (
+            child.join(parent, "__k__", "left_anti")
+            .agg(F.count(F.lit(1)).alias(f"s_orph{i}"))
+            .crossJoin(child.agg(F.count(F.lit(1)).alias(f"s_nn{i}")))
+        )
+        out = fk if out is None else out.crossJoin(fk)
+    return out
+
+
+def merge_contract_counters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two counter partials: ``s_`` columns add, ``mn_`` min-merge,
+    ``mx_`` max-merge (NULL-tolerant — an empty batch's NULL extremum
+    never poisons the cumulative one)."""
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"counter schemas differ: {sorted(a.columns)} vs "
+            f"{sorted(b.columns)}"
+        )
+    u = a.unionByName(b)
+    aggs = []
+    for col in a.columns:
+        if col.startswith("s_"):
+            aggs.append(F.sum(col).alias(col))
+        elif col.startswith("mn_"):
+            aggs.append(F.min(col).alias(col))
+        elif col.startswith("mx_"):
+            aggs.append(F.max(col).alias(col))
+        else:
+            raise ValueError(f"unmergeable counter column: {col}")
+    return u.agg(*aggs)
+
+
+def report_from_counters(
+    counters: DataFrame, checks: list[dict]
+) -> DataFrame:
+    """The validate_contract report, computed from accumulated counters
+    — same columns, same floor-quantized arithmetic, so at quiescence
+    (all batches folded) it equals the one-shot report row-for-row."""
+    rows = []
+    for i, c in enumerate(checks):
+        kind = c["check"]
+        thr = _threshold(c)
+        if kind == "not_null":
+            obs = _q6(
+                F.col(f"s_nn{i}").cast("double")
+                / F.greatest(F.col(f"s_n{i}"), F.lit(1))
+            )
+        elif kind in ("in_set", "matches"):
+            obs = _q6(
+                F.col(f"s_hit{i}").cast("double")
+                / F.greatest(F.col(f"s_nn{i}"), F.lit(1))
+            )
+        elif kind == "min":
+            obs = F.col(f"mn_v{i}")
+        elif kind == "max":
+            obs = F.col(f"mx_v{i}")
+        elif kind == "foreign_key":
+            obs = _q6(
+                F.col(f"s_orph{i}").cast("double")
+                / F.greatest(F.col(f"s_nn{i}"), F.lit(1))
+            )
+        else:
+            raise ValueError(f"unknown check kind: {kind}")
+        rows.append(
+            F.struct(
+                F.lit(kind).alias("check"),
+                F.lit(c["column"]).alias("column"),
+                obs.cast("double").alias("observed"),
+                F.lit(thr).cast("double").alias("threshold"),
+                F.when(_passes(kind, obs, thr), F.lit("pass"))
+                .otherwise(F.lit("fail")).alias("status"),
+            )
+        )
+    return counters.select(
+        F.explode(F.array(*rows)).alias("__r__")
+    ).select("__r__.*")

@@ -9513,6 +9513,96 @@ def asof_nearest_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contract_incremental_orders",
+    """
+    WITH m AS (
+      SELECT
+        count(*) AS n,
+        sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS nn_ck,
+        min(o_totalprice) AS min_tp,
+        max(o_totalprice) AS max_tp,
+        sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+          AS in_st,
+        sum(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS nn_st
+      FROM orders
+    ),
+    fk AS (
+      SELECT
+        (SELECT count(*) FROM orders o
+         WHERE o.o_custkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)) AS orph,
+        (SELECT count(o_custkey) FROM orders) AS tot
+    ),
+    rep AS (
+      SELECT 'not_null' AS "check", 'o_custkey' AS "column",
+             floor((CAST(nn_ck AS DOUBLE) / greatest(n, 1))
+                   * 1000000.0 + 0.5) / 1000000.0 AS observed,
+             1.0 AS threshold, 'ge' AS dir
+      FROM m
+      UNION ALL
+      SELECT 'min', 'o_totalprice', CAST(min_tp AS DOUBLE), 0.0, 'ge' FROM m
+      UNION ALL
+      SELECT 'max', 'o_totalprice', CAST(max_tp AS DOUBLE), 600000.0, 'le'
+      FROM m
+      UNION ALL
+      SELECT 'in_set', 'o_orderstatus',
+             floor((CAST(in_st AS DOUBLE) / greatest(nn_st, 1))
+                   * 1000000.0 + 0.5) / 1000000.0,
+             1.0, 'ge'
+      FROM m
+      UNION ALL
+      SELECT 'foreign_key', 'o_custkey',
+             floor((CAST(orph AS DOUBLE) / greatest(tot, 1))
+                   * 1000000.0 + 0.5) / 1000000.0,
+             0.0, 'le'
+      FROM fk
+    )
+    SELECT "check", "column", observed, threshold,
+           CASE WHEN (dir = 'ge' AND observed >= threshold)
+                  OR (dir = 'le' AND observed <= threshold)
+                THEN 'pass' ELSE 'fail' END AS status
+    FROM rep
+    """,
+)
+def contract_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data contract verified INCREMENTALLY
+    (operators/contracts.contract_counters / merge_contract_counters /
+    report_from_counters): orders arrives as three deliveries, each
+    contributing one 1-row mergeable counter partial (sums add, mins/
+    maxes combine) at O(batch) cost, and the cumulative report must
+    equal the one-shot full-scan report exactly — the rollup-store
+    property (snapshot == one-shot aggregation at quiescence) applied
+    to the quality gate, so a recurring ingest never re-scans history
+    to re-verify.  `unique` is deliberately absent: distinctness does
+    not decompose into counters (that is what the incremental dedup
+    index is for) and contract_counters rejects it."""
+    from .operators.contracts import (
+        contract_counters,
+        merge_contract_counters,
+        report_from_counters,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    checks = [
+        {"check": "not_null", "column": "o_custkey"},
+        {"check": "min", "column": "o_totalprice", "value": 0.0},
+        {"check": "max", "column": "o_totalprice", "value": 600000.0},
+        {"check": "in_set", "column": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"check": "foreign_key", "column": "o_custkey",
+         "ref": "customer", "ref_column": "c_custkey"},
+    ]
+    refs = {"customer": t["customer"]}
+    acc = None
+    for i in range(3):
+        batch = t["orders"].filter(F.pmod("o_orderkey", F.lit(3)) == i)
+        part = contract_counters(batch, checks, refs)
+        acc = part if acc is None else merge_contract_counters(acc, part)
+    return report_from_counters(acc, checks)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

@@ -54,6 +54,8 @@ NESTED_LOOP_ALLOWED = {
                                   # (candidate-pair frame is the scale path)
     "contract_validation_orders",  # 1-row orphan-count x 1-row total combine
                                    # per FK check (report-sized)
+    "contract_incremental_orders",  # same 1-row counter combines, one per
+                                    # batch partial (all frames 1-row)
 }
 
 # streaming / side-effecting queries that can't be compiled lazily —

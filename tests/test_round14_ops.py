@@ -428,3 +428,80 @@ def test_lsh_candidates_identical_vectors_always_collide(spark):
         lsh_candidate_pairs(a, b, planes, bands=3)
     with pytest.raises(ValueError, match="planes"):
         lsh_candidate_pairs(a, b, [], bands=1)
+
+
+# ---------------------------------------------------------------------------
+# incremental contract counters
+# ---------------------------------------------------------------------------
+
+
+def test_contract_counters_merge_equals_one_shot(spark):
+    from confluent_data_ingestion_spark.operators.contracts import (
+        contract_counters,
+        merge_contract_counters,
+        report_from_counters,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", -3.0), (None, "X", 99.0), (4, "O", 7.0)],
+        "k long, st string, v double",
+    )
+    checks = [
+        {"check": "not_null", "column": "k"},
+        {"check": "min", "column": "v", "value": 0.0},
+        {"check": "max", "column": "v", "value": 50.0},
+        {"check": "in_set", "column": "st", "values": ["O", "F"],
+         "min_rate": 0.5},
+    ]
+    one_shot = {
+        (r["check"], r["column"]): (r["observed"], r["status"])
+        for r in validate_contract(df, checks).collect()
+    }
+    acc = None
+    for i in range(3):
+        batch = df.filter((F.coalesce("k", F.lit(0)) % 3) == i)
+        part = contract_counters(batch, checks)
+        acc = part if acc is None else merge_contract_counters(acc, part)
+    merged = {
+        (r["check"], r["column"]): (r["observed"], r["status"])
+        for r in report_from_counters(acc, checks).collect()
+    }
+    assert merged == one_shot
+
+
+def test_contract_counters_reject_unique_and_schema_mismatch(spark):
+    from confluent_data_ingestion_spark.operators.contracts import (
+        contract_counters,
+        merge_contract_counters,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="unique"):
+        contract_counters(df, [{"check": "unique", "column": "k"}])
+    a = contract_counters(df, [{"check": "not_null", "column": "k"}])
+    b = contract_counters(
+        df, [{"check": "min", "column": "k", "value": 0.0}]
+    )
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_contract_counters(a, b)
+
+
+def test_contract_counters_empty_batch_is_neutral(spark):
+    from confluent_data_ingestion_spark.operators.contracts import (
+        contract_counters,
+        merge_contract_counters,
+        report_from_counters,
+    )
+
+    df = spark.createDataFrame([(1, 5.0), (2, 9.0)], "k long, v double")
+    checks = [
+        {"check": "not_null", "column": "k"},
+        {"check": "min", "column": "v", "value": 0.0},
+    ]
+    full = contract_counters(df, checks)
+    empty = contract_counters(df.filter(F.lit(False)), checks)
+    merged = report_from_counters(
+        merge_contract_counters(full, empty), checks
+    ).collect()
+    want = report_from_counters(full, checks).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, want))
