@@ -505,3 +505,111 @@ def test_contract_counters_empty_batch_is_neutral(spark):
     ).collect()
     want = report_from_counters(full, checks).collect()
     assert sorted(map(tuple, merged)) == sorted(map(tuple, want))
+
+
+# ---------------------------------------------------------------------------
+# property tests: the strongest oracle form for the round's operators
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "theta"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=12),
+        min_size=2, max_size=8,
+    ),
+    t=st.sampled_from([0.2, 0.4, 0.6, 0.8]),
+)
+@settings(max_examples=6, deadline=None)
+def test_allpairs_prefix_no_miss_property(spark, docs, t):
+    """Prefix filtering is exact: equal to the CAPLESS inverted index on
+    random corpora at random thresholds — the no-miss theorem, fuzzed."""
+    from confluent_data_ingestion_spark.operators.dedup import (
+        allpairs_jaccard,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = _pairs_set(allpairs_jaccard(df, n=2, threshold=t).collect())
+    want = _pairs_set(
+        ngram_jaccard_pairs(
+            df, n=2, threshold=t, max_group_size=None
+        ).collect()
+    )
+    assert got == want
+
+
+@given(
+    avail=st.lists(st.integers(min_value=0, max_value=500),
+                   min_size=1, max_size=8),
+    budget=st.integers(min_value=0, max_value=1500),
+)
+@settings(max_examples=10, deadline=None)
+def test_waterfill_invariants_property(spark, avail, budget):
+    """Waterfilling axioms on random instances: allocations are feasible
+    (0 <= alloc <= avail), exhaust min(budget, total) exactly, uncapped
+    domains take everything, capped domains share one level that is <=
+    every capped availability and >= every uncapped one."""
+    df = spark.createDataFrame(
+        [(f"d{i}", int(a)) for i, a in enumerate(avail)],
+        "d string, t long",
+    )
+    rows = token_budget_waterfill(df, "d", "t", budget=budget).collect()
+    total = sum(avail)
+    allocs = {r["domain"]: r for r in rows}
+    assert len(allocs) == len(avail)
+    s = sum(r["tokens_alloc"] for r in rows)
+    assert abs(s - min(budget, total)) < 1e-3 * max(1, len(avail))
+    levels = {r["level"] for r in rows}
+    assert len(levels) == 1  # same (possibly NULL) level on every row
+    level = next(iter(levels))
+    for r in rows:
+        assert -1e-9 <= r["tokens_alloc"] <= r["tokens_available"] + 1e-9
+        if r["capped"]:
+            assert level is not None
+            assert abs(r["tokens_alloc"] - level) < 1e-9
+            assert r["tokens_available"] >= level - 1e-6
+        else:
+            assert r["tokens_alloc"] == float(r["tokens_available"])
+            if level is not None:
+                assert r["tokens_available"] <= level + 1e-6
+
+
+@given(
+    series=st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_ewma_matches_pandas_recursion_property(spark, series):
+    """The fold equals pandas ewm(alpha, adjust=False) — the textbook
+    recursion — on random daily series."""
+    import pandas as pd
+
+    vals = [round(v, 4) for v in series]
+    rows = [
+        (1, f"2024-01-{d + 1:02d} 12:00:00", v) for d, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = ewma_residual(df, "k", "ts", "v", alpha=0.25).collect()[0]
+    ew = pd.Series(vals).ewm(alpha=0.25, adjust=False).mean()
+
+    def q6(x):
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert r["ewma_prev"] == q6(float(ew.iloc[-2]))
+    assert r["ewma_last"] == q6(0.25 * vals[-1] + 0.75 * float(ew.iloc[-2]))
+    assert r["residual"] == q6(vals[-1] - float(ew.iloc[-2]))
