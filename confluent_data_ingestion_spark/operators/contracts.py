@@ -305,18 +305,12 @@ def contract_counters(
     return out
 
 
-def merge_contract_counters(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Fold two counter partials: ``s_`` columns add, ``mn_`` min-merge,
-    ``mx_`` max-merge (NULL-tolerant — an empty batch's NULL extremum
-    never poisons the cumulative one)."""
-    if set(a.columns) != set(b.columns):
-        raise ValueError(
-            f"counter schemas differ: {sorted(a.columns)} vs "
-            f"{sorted(b.columns)}"
-        )
-    u = a.unionByName(b)
+def merge_all_counters(parts: DataFrame) -> DataFrame:
+    """Fold ANY number of counter-partial rows into one: ``s_`` columns
+    add, ``mn_`` min-merge, ``mx_`` max-merge (NULL-tolerant — an empty
+    batch's NULL extremum never poisons the cumulative one)."""
     aggs = []
-    for col in a.columns:
+    for col in parts.columns:
         if col.startswith("s_"):
             aggs.append(F.sum(col).alias(col))
         elif col.startswith("mn_"):
@@ -325,7 +319,17 @@ def merge_contract_counters(a: DataFrame, b: DataFrame) -> DataFrame:
             aggs.append(F.max(col).alias(col))
         else:
             raise ValueError(f"unmergeable counter column: {col}")
-    return u.agg(*aggs)
+    return parts.agg(*aggs)
+
+
+def merge_contract_counters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two counter partials (see :func:`merge_all_counters`)."""
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"counter schemas differ: {sorted(a.columns)} vs "
+            f"{sorted(b.columns)}"
+        )
+    return merge_all_counters(a.unionByName(b))
 
 
 def report_from_counters(

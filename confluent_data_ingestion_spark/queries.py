@@ -9603,6 +9603,112 @@ def contract_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report_from_counters(acc, checks)
 
 
+@query(
+    "streaming_contract_monitor",
+    """
+    WITH m AS (
+      SELECT
+        count(*) AS n,
+        sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS nn_uid,
+        min(value) AS min_v,
+        max(value) AS max_v,
+        sum(CASE WHEN event_type IN
+              ('view','click','purchase','signup','error')
+            THEN 1 ELSE 0 END) AS in_et,
+        sum(CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END) AS nn_et,
+        sum(CASE WHEN regexp_matches(event_type, '^[a-z]+$')
+            THEN 1 ELSE 0 END) AS m_et
+      FROM events
+    ),
+    rep AS (
+      SELECT 'not_null' AS "check", 'user_id' AS "column",
+             floor((CAST(nn_uid AS DOUBLE) / greatest(n, 1))
+                   * 1000000.0 + 0.5) / 1000000.0 AS observed,
+             1.0 AS threshold, 'ge' AS dir
+      FROM m
+      UNION ALL
+      SELECT 'min', 'value', CAST(min_v AS DOUBLE), 0.0, 'ge' FROM m
+      UNION ALL
+      SELECT 'max', 'value', CAST(max_v AS DOUBLE), 1000.0, 'le' FROM m
+      UNION ALL
+      SELECT 'in_set', 'event_type',
+             floor((CAST(in_et AS DOUBLE) / greatest(nn_et, 1))
+                   * 1000000.0 + 0.5) / 1000000.0,
+             1.0, 'ge'
+      FROM m
+      UNION ALL
+      SELECT 'matches', 'event_type',
+             floor((CAST(m_et AS DOUBLE) / greatest(nn_et, 1))
+                   * 1000000.0 + 0.5) / 1000000.0,
+             1.0, 'ge'
+      FROM m
+    )
+    SELECT "check", "column", observed, threshold,
+           CASE WHEN (dir = 'ge' AND observed >= threshold)
+                  OR (dir = 'le' AND observed <= threshold)
+                THEN 'pass' ELSE 'fail' END AS status
+    FROM rep
+    """,
+)
+def streaming_contract_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data contract monitored UNDER Structured Streaming
+    (streaming/contracts.ContractMonitor): events arrive as a file
+    stream in multiple microbatches (maxFilesPerTrigger=1), each batch
+    folds one 1-row counter partial in its foreachBatch at O(batch)
+    cost (idempotent per-batch overwrite — replay-safe like the rollup
+    store), and the quiescence snapshot must equal the oracle's
+    one-shot full-feed report exactly — streaming == batch for the
+    quality gate, the same property every streaming row here pins.
+    Scan checks only: ONE aggregation per microbatch, no joins."""
+    import tempfile
+
+    from .streaming import file_envelope_stream
+    from .streaming.audit import STREAMING_PLANS
+    from .streaming.contracts import ContractMonitor
+
+    ev = _t(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="cdis-scm-src-")
+    out_dir = tempfile.mkdtemp(prefix="cdis-scm-log-")
+    ckpt = tempfile.mkdtemp(prefix="cdis-scm-ckpt-")
+    ev.select(
+        F.to_json(F.struct(
+            "event_id", "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            "event_type", "value",
+        )).alias("value")
+    ).repartition(3).write.mode("overwrite").text(src_dir)
+
+    stream = file_envelope_stream(spark, src_dir).select(
+        F.get_json_object("val", "$.user_id").cast("bigint")
+        .alias("user_id"),
+        F.get_json_object("val", "$.event_type").alias("event_type"),
+        F.get_json_object("val", "$.value").cast("double").alias("value"),
+    )
+    checks = [
+        {"check": "not_null", "column": "user_id"},
+        {"check": "min", "column": "value", "value": 0.0},
+        {"check": "max", "column": "value", "value": 1000.0},
+        {"check": "in_set", "column": "event_type",
+         "values": ["view", "click", "purchase", "signup", "error"]},
+        {"check": "matches", "column": "event_type",
+         "pattern": "^[a-z]+$"},
+    ]
+    mon = ContractMonitor(out_dir, checks)
+    q = (
+        stream.writeStream.foreachBatch(mon.apply)
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    STREAMING_PLANS["streaming_contract_monitor"] = (
+        "== foreachBatch stage: contract_counters ==\n"
+        + (mon.last_batch_plan or "<no microbatch ran>")
+    )
+    return mon.snapshot(spark)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an

@@ -68,6 +68,7 @@ SKIP = {
     "streaming_interval_join_outer",
     "streaming_interval_join_full",
     "streaming_dedup_events",
+    "streaming_contract_monitor",
 }
 
 # every streaming e2e row (SKIP plus the foreachBatch statement set,

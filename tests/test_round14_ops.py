@@ -613,3 +613,43 @@ def test_ewma_matches_pandas_recursion_property(spark, series):
     assert r["ewma_prev"] == q6(float(ew.iloc[-2]))
     assert r["ewma_last"] == q6(0.25 * vals[-1] + 0.75 * float(ew.iloc[-2]))
     assert r["residual"] == q6(vals[-1] - float(ew.iloc[-2]))
+
+
+# ---------------------------------------------------------------------------
+# streaming contract monitor
+# ---------------------------------------------------------------------------
+
+
+def test_contract_monitor_replay_idempotent_and_quiesces_to_batch(
+    spark, tmp_path
+):
+    from confluent_data_ingestion_spark.streaming.contracts import (
+        ContractMonitor,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (None, 9.0), (4, 50.0)],
+        "k long, v double",
+    )
+    checks = [
+        {"check": "not_null", "column": "k"},
+        {"check": "min", "column": "v", "value": 0.0},
+        {"check": "max", "column": "v", "value": 40.0},
+    ]
+    mon = ContractMonitor(str(tmp_path / "log"), checks)
+    for i in range(3):
+        mon.apply(df.filter((F.coalesce("k", F.lit(0)) % 3) == i), i)
+    mon.apply(df.filter((F.coalesce("k", F.lit(0)) % 3) == 1), 1)  # replay
+    got = {
+        (r["check"], r["column"]): (r["observed"], r["status"])
+        for r in mon.snapshot(spark).collect()
+    }
+    want = {
+        (r["check"], r["column"]): (r["observed"], r["status"])
+        for r in validate_contract(df, checks).collect()
+    }
+    assert got == want
+    assert got[("min", "v")] == (-1.0, "fail")
+    assert got[("max", "v")] == (50.0, "fail")
+    with pytest.raises(ValueError, match="empty"):
+        ContractMonitor(str(tmp_path / "x"), [])
