@@ -208,14 +208,20 @@ def test_bm25_index_merge_rejects_duplicate_doc_id(spark):
     # so the count is stable here AND for whatever test runs next
     import time
 
-    deadline = time.monotonic() + 30
+    # <= not ==: other tests' async unpersists (session-scoped caches
+    # released with blocking=False) can land between the `before` capture
+    # and here, legitimately dropping the count BELOW the baseline — the
+    # contract under test is only that the rejected batch's OWN block is
+    # gone.  The 90 s ceiling absorbs a contended host (observed: the
+    # 30 s window timed out while a full-registry gate ran concurrently).
+    deadline = time.monotonic() + 90
     while (
-        spark.sparkContext._jsc.sc().getPersistentRDDs().size() != before
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size() > before
         and time.monotonic() < deadline
     ):
         time.sleep(0.1)
     assert (
-        spark.sparkContext._jsc.sc().getPersistentRDDs().size() == before
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= before
     )
     # validate=False restores the old caller-deduped fast path
     merged = bm25_index_merge(
