@@ -132,6 +132,31 @@ def main() -> None:
         shutil.rmtree(rdir, ignore_errors=True)
     release_caches()
 
+    # SPARK_GRAFT_BENCH_PROF=1: record per-query JVM pressure (cumulative
+    # GC ms, heap after, block-manager storage memory) next to the wall
+    # time, written to BENCH_PROF_LOCAL.json — the session-drift
+    # instrumentation the r14 verdict asked for.
+    profiling = os.environ.get("SPARK_GRAFT_BENCH_PROF") == "1"
+
+    def _jvm_pressure() -> dict:
+        jvm = spark.sparkContext._jvm
+        gc_ms = 0
+        beans = jvm.java.lang.management.ManagementFactory \
+            .getGarbageCollectorMXBeans()
+        for i in range(beans.size()):
+            gc_ms += beans.get(i).getCollectionTime()
+        rt = jvm.java.lang.Runtime.getRuntime()
+        heap_mb = (rt.totalMemory() - rt.freeMemory()) // (1 << 20)
+        try:
+            status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+            storage = status.values().iterator().next()
+            storage_free_mb = storage._2() // (1 << 20)
+        except Exception:
+            storage_free_mb = -1
+        return {"gc_ms": gc_ms, "heap_mb": heap_mb,
+                "storage_free_mb": storage_free_mb}
+
+    prof: dict[str, dict] = {}
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
@@ -142,6 +167,23 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        if profiling:
+            prof[name] = {"ms": int(dt * 1000), **_jvm_pressure()}
+        # NOTE (r15 drift sweep): an explicit System.gc() nudge every 25
+        # rows was measured here and REJECTED — each full collection on
+        # the 8 GB driver heap costs ~1 s, and the instrumented runs show
+        # no session-side accumulation for it to fix (cumulative GC time
+        # is FLAT across the suite's second half, block-manager storage
+        # is constant, and the per-row position effect is ~0.1 s).  The
+        # r14 "+17% diffuse drift" signature reproduces as HOST noise:
+        # heavyweight rows swing +-2x between back-to-back same-plan
+        # runs.  Numbers in BASELINE.md round 15.
+    if profiling:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_PROF_LOCAL.json",
+        ), "w") as f:
+            json.dump({"sf": float(sf), "queries": prof}, f, indent=1)
 
     # The driver keeps only the LAST 2000 characters of captured output and
     # parses the final JSON line it finds there (BENCH_r05/r06/r07 recorded
@@ -168,21 +210,25 @@ def main() -> None:
             json.dump({"sf": float(sf), "queries": timings}, f, indent=1)
     except OSError:
         pass  # read-only checkout: the stdout map above still has it all
-    indexed = {
-        str(i): int(round(timings[n] * 1000)) for i, n in enumerate(timings)
-    }
+    # Registry-ordered ARRAY of integer-millisecond values (position i =
+    # i-th entry of confluent_data_ingestion_spark.queries.QUERIES, which
+    # is deterministic and pinned by _PRIORITY_ORDER).  An index-KEYED map
+    # overflowed the driver's 2000-char tail window at 190 queries
+    # (BENCH_r14: rc 1, 2005 chars); the array form costs ~6 chars/entry,
+    # leaving headroom to ~280 rows under the 1950 guard.  The name-keyed
+    # map prints above and is mirrored to BENCH_FULL_LOCAL.json.
+    ms = [int(round(timings[n] * 1000)) for n in timings]
     line = json.dumps({
         "metric": "total_query_wallclock",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": indexed,
+        "queries": ms,
         "sf": float(sf),
         "n_queries": len(timings),
         "headline_sec": round(sum(timings.get(n, 0.0) for n in headline), 3),
     }, separators=(",", ":"))
     # hard guard: the whole line MUST fit the driver's 2000-char tail
-    # window with headroom for a trailing newline; integer-ms values and
-    # index keys keep it ~1.7 KB for 160 queries
+    # window with headroom for a trailing newline (proved its worth in r14)
     assert len(line) < 1950, f"bench tail line too long: {len(line)} chars"
     print(line)
 

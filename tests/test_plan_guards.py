@@ -50,8 +50,6 @@ NESTED_LOOP_ALLOWED = {
                                   # loss table's corpus total)
     "similarity_matryoshka_recall",  # two declared brute-force baselines
                                      # (the similarity_cosine_topk pattern)
-    "bitext_mutual_margin",       # declared brute-force pair scoring
-                                  # (candidate-pair frame is the scale path)
     "contract_validation_orders",  # 1-row orphan-count x 1-row total combine
                                    # per FK check (report-sized)
     "contract_incremental_orders",  # same 1-row counter combines, one per
@@ -69,6 +67,7 @@ SKIP = {
     "streaming_interval_join_full",
     "streaming_dedup_events",
     "streaming_contract_monitor",
+    "streaming_contract_unique",
 }
 
 # every streaming e2e row (SKIP plus the foreachBatch statement set,

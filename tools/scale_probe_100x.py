@@ -775,6 +775,28 @@ def main() -> None:
 
         probes.append(("bitext_lsh_fixed_queries", bitext_lsh_fixed_queries))
 
+        # the AUTO-WIDTH variant (r15): planes=None lets
+        # similarity.lsh_auto_width pick the per-band key width from the
+        # corpus count — the 17th-probe tuning law as a default.  At x100
+        # this must stay near the re-measured 32-bit number (~35 s), not
+        # the saturated fixed-16-bit one (~139 s), with no manual knob.
+        def bitext_lsh_auto_queries(spark, sf_dir, reps):
+            from pyspark.sql import functions as F
+
+            from confluent_data_ingestion_spark.operators.similarity import (
+                lsh_candidate_pairs, mutual_margin_pairs,
+            )
+
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            a = emb.filter(F.col("vec_id") % (2 * reps) == 0)
+            b = emb.filter(F.col("vec_id") % 2 == 1)
+            cand = lsh_candidate_pairs(a, b, planes=None, bands=4, dim=64)
+            return mutual_margin_pairs(
+                a, b, k=4, margin_threshold=1.0, candidates=cand
+            )
+
+        probes.append(("bitext_lsh_auto_queries", bitext_lsh_auto_queries))
+
         # exact all-pairs prefix-filtered jaccard over the perturbed-
         # replica docs blowup: pairs stay rate-constant, prefixes carry
         # only each doc's rarest shingles — the honest question is
