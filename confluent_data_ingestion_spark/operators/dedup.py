@@ -991,6 +991,7 @@ def jaccard_verify_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY on candidate pairs — the verify
     stage of the two-phase corpus dedup (``minhash_lsh_pairs`` to
@@ -1012,6 +1013,14 @@ def jaccard_verify_pairs(
     reference — so it is persisted here (candidates are pair-id rows,
     small by construction; registered with ``caching.track`` and released
     by the runtime's next ``release_caches()``).
+
+    ``shingles``: optionally, the distinct hashed (id, s) shingle frame
+    of ``df`` at the SAME ``n`` — a generator that already shingled the
+    corpus (``allpairs_jaccard``'s posting build) passes it here so the
+    corpus text is never read or exploded twice; the caller owns the
+    consistency of ``shingles`` with (df, n).  The candidate semi-join
+    prune still applies to it, so verification stays linear in
+    |candidate docs| either way.
     """
     pairs = track(pairs.select("doc_a", "doc_b"))
     ids = (
@@ -1019,10 +1028,13 @@ def jaccard_verify_pairs(
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    docs = df.select(id_col, text_col).join(ids, id_col, "left_semi")
-    sh = exploded_shingles(
-        ensure_min_parallelism(docs), id_col, text_col, n, hashed=True
-    )
+    if shingles is not None:
+        sh = shingles.join(ids, id_col, "left_semi")
+    else:
+        docs = df.select(id_col, text_col).join(ids, id_col, "left_semi")
+        sh = exploded_shingles(
+            ensure_min_parallelism(docs), id_col, text_col, n, hashed=True
+        )
     # the pruned shingle set feeds THREE subtrees (both intersection join
     # sides + the size agg); persist it partitioned on the doc id — an
     # id-clustered cache satisfies the size agg (groupBy id) and both join
@@ -1379,4 +1391,7 @@ def allpairs_jaccard(
     return jaccard_verify_pairs(
         df, cand, id_col=id_col, text_col=text_col, n=n,
         threshold=threshold,
+        # the posting build's persisted shingle frame IS the verify
+        # stage's input — never scan/explode the corpus text twice
+        shingles=sh,
     )

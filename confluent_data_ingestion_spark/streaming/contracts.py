@@ -116,36 +116,39 @@ class UniqueKeyMonitor:
 
         from ..operators.dedup import build_dedup_index
 
-        for col in self.columns:
+        # ONE keys write + ONE counters write per batch regardless of
+        # how many columns the contract monitors: per-column digest
+        # frames (build_dedup_index returns lazy frames, and persisting
+        # only the digest set means the MinHash band plan never runs —
+        # scalar keys need the exact-key index alone) union under an
+        # integer column-index discriminator.  A streaming sink's fixed
+        # cost is the write count, not the bytes.
+        keys: DataFrame | None = None
+        for ci, col in enumerate(self.columns):
             keyed = batch_df.select(
                 F.col(col).cast("string").alias("__key__")
             ).filter(F.col("__key__").isNotNull())
-            # build_dedup_index returns lazy frames; persisting only
-            # the digest set means the MinHash band plan never runs —
-            # scalar keys need the exact-key index alone
             digests = build_dedup_index(
                 keyed, id_col="__key__", text_col="__key__"
-            )["digests"]
-            digests.write.mode("overwrite").parquet(
-                os.path.join(
-                    self.path, "keys", f"col={col}",
-                    f"batch_id={int(batch_id)}",
-                )
-            )
-            counters = batch_df.agg(
-                F.count(F.lit(1)).cast("bigint").alias("s_tot"),
+            )["digests"].select(F.lit(ci).alias("ci"), "d")
+            keys = digests if keys is None else keys.unionByName(digests)
+        keys.write.mode("overwrite").parquet(
+            os.path.join(self.path, "keys", f"batch_id={int(batch_id)}")
+        )
+        counters = batch_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("s_tot"),
+            *[
                 F.sum(F.col(col).isNotNull().cast("bigint"))
-                .cast("bigint").alias("s_nn"),
-            )
-            counters.write.mode("overwrite").parquet(
-                os.path.join(
-                    self.path, "counters", f"col={col}",
-                    f"batch_id={int(batch_id)}",
-                )
-            )
+                .cast("bigint").alias(f"s_nn_{ci}")
+                for ci, col in enumerate(self.columns)
+            ],
+        )
+        counters.write.mode("overwrite").parquet(
+            os.path.join(self.path, "counters", f"batch_id={int(batch_id)}")
+        )
         try:  # capture must never fail the batch
             self.last_batch_plan = (
-                digests._jdf.queryExecution().executedPlan().toString()
+                keys._jdf.queryExecution().executedPlan().toString()
             )
         except Exception as ex:  # pragma: no cover
             self.last_batch_plan = f"<plan capture unavailable: {ex}>"
@@ -153,26 +156,41 @@ class UniqueKeyMonitor:
     def snapshot(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql import functions as F
 
-        out: DataFrame | None = None
-        for col in self.columns:
-            keys = spark.read.parquet(
-                os.path.join(self.path, "keys", f"col={col}")
-            )
-            cnt = spark.read.parquet(
-                os.path.join(self.path, "counters", f"col={col}")
-            )
-            dk = keys.agg(F.count_distinct("d").alias("__nd__"))
-            tot = cnt.agg(
-                F.sum("s_nn").cast("bigint").alias("__nn__")
-            )
-            # 1x1 combine of two single-row aggregates (allowlisted)
-            rep = dk.crossJoin(tot).select(
+        dk = (
+            spark.read.parquet(os.path.join(self.path, "keys"))
+            .groupBy("ci")
+            .agg(F.count_distinct("d").alias("__nd__"))
+        )
+        cnt = spark.read.parquet(os.path.join(self.path, "counters"))
+        nn = cnt.agg(
+            *[
+                F.sum(f"s_nn_{ci}").cast("bigint").alias(f"__nn_{ci}__")
+                for ci in range(len(self.columns))
+            ]
+        ).select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(ci).alias("ci"),
+                        F.col(f"__nn_{ci}__").alias("__nn__"),
+                    )
+                    for ci in range(len(self.columns))
+                ])
+            ).alias("__r__")
+        ).select("__r__.*")
+        name = F.element_at(
+            F.array(*[F.lit(c) for c in self.columns]), F.col("ci") + 1
+        )
+        return (
+            nn.join(dk, "ci", "left")
+            .select(
                 F.lit("unique").alias("check"),
-                F.lit(col).alias("column"),
+                name.alias("column"),
                 (
                     F.floor(
                         (
-                            F.col("__nd__").cast("double")
+                            F.coalesce(F.col("__nd__"), F.lit(0))
+                            .cast("double")
                             / F.greatest(F.col("__nn__"), F.lit(1))
                         )
                         * F.lit(1000000.0)
@@ -181,12 +199,12 @@ class UniqueKeyMonitor:
                     / F.lit(1000000.0)
                 ).alias("observed"),
                 F.lit(self.min_rate).cast("double").alias("threshold"),
-            ).withColumn(
+            )
+            .withColumn(
                 "status",
                 F.when(
                     F.col("observed") >= F.col("threshold"),
                     F.lit("pass"),
                 ).otherwise(F.lit("fail")),
             )
-            out = rep if out is None else out.unionByName(rep)
-        return out
+        )
