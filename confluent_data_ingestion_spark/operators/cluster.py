@@ -183,12 +183,18 @@ def _cc_two_phase_star(
     exponentially on high-diameter graphs.
 
     Convergence probe: the edge set is literally unchanged at the fixed
-    point, so (count, xxhash64-sum) per round detects it in one scalar
-    aggregate job — the same one that materializes the round's lazy
-    checkpoint.  A false match would need a 128-bit checksum collision
-    between consecutive rounds (negligible; and the probe never affects
-    emitted labels, only when iteration stops — the fixed point itself
-    is stable under extra rounds).
+    point, so (count, xxhash64-sum) detects it in one scalar aggregate
+    job — the same one that materializes the rounds' lazy checkpoints.
+    A false match would need a 128-bit checksum collision between
+    probed rounds (negligible; and the probe never affects emitted
+    labels, only when iteration stops — the fixed point itself is
+    stable under extra rounds).  The probe fires every SECOND round
+    (and at the iteration cap): locally each probe is a driver
+    round-trip and on a cluster it is a full job barrier, so halving
+    the probe count halves the scheduling floor of a deep contraction;
+    the price is at most one redundant round of (long, long) rewiring
+    after the fixed point, which the checkpoint cadence (lineage never
+    deeper than two rounds) keeps cheap.
     """
     half = pairs.select(
         F.col(a_col).cast("long").alias("src"),
@@ -216,6 +222,7 @@ def _cc_two_phase_star(
         return row["n"], row["h"]
 
     prev = _checksum(edges)
+    cur = prev
     for _round in range(max_iter):
         # -- large-star ---------------------------------------------------
         und = edges.unionByName(
@@ -250,6 +257,8 @@ def _cc_two_phase_star(
             .distinct()
             .localCheckpoint(eager=False)
         )
+        if _round % 2 == 0 and _round != max_iter - 1:
+            continue  # probe every second round (see docstring)
         cur = _checksum(edges)
         if cur == prev:
             if stats is not None:
