@@ -313,3 +313,35 @@ def test_contract_counters_still_rejects_unique(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="UniqueKeyMonitor"):
         contract_counters(df, [{"check": "unique", "column": "k"}])
+
+
+# ---------------------------------------------------------------------------
+# bench tail-line budget (the r14 external failure class)
+# ---------------------------------------------------------------------------
+
+
+def test_bench_tail_line_fits_driver_window_at_280_rows():
+    """The driver parses the LAST JSON line from a 2000-char tail
+    window; r14's index-keyed map overflowed it at 190 queries and the
+    round lost its external bench record.  Pin the current format's
+    budget: a registry-ordered int-ms array must stay under the
+    in-script 1950 guard at 280 rows with realistic (5-digit) values,
+    AND at the current registry size with pathological 6-digit values.
+    """
+    import json
+
+    from confluent_data_ingestion_spark.queries import QUERIES
+
+    def line_for(ms_values):
+        return json.dumps({
+            "metric": "total_query_wallclock",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": ms_values,
+            "sf": 0.1,
+            "n_queries": len(ms_values),
+            "headline_sec": 999.999,
+        }, separators=(",", ":"))
+
+    assert len(line_for([99999] * 280)) < 1950   # 280 rows, <=99.9 s each
+    assert len(line_for([999999] * len(QUERIES))) < 1950  # today, any value
