@@ -21,7 +21,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from confluent_data_ingestion_spark.caching import release_caches
-    from confluent_data_ingestion_spark.queries import QUERIES
+    from confluent_data_ingestion_spark.queries import (
+        QUERIES,
+        artifact_family_keys,
+        release_artifact_families,
+    )
     from confluent_data_ingestion_spark.session import get_spark
 
     spark = get_spark("cdis-bench")
@@ -165,19 +169,40 @@ def main() -> None:
     # under the threshold stay single-shot, bounding the extra wall to
     # the heavy tail (~+60-90 s).  BENCH_FULL_LOCAL.json records which
     # rows re-ran.
+    #
+    # IDENTICAL cache state includes the session's shared-artifact
+    # families (simhash pairs, BM25/PQ indexes, BPE merges, skip-scan
+    # layout stats): for the FIRST consumer of a family, run 1 pays the
+    # build and an unpurged run 2 would serve the session cache, so the
+    # recorded min would be the cache hit and the build cost would
+    # vanish from the map (r15 verdict: dedup_simhash_pairs recorded
+    # 0.015 s with the 3.7 s signature build in no row, ~5% of the
+    # suite total unattributed).  Fix: diff the family key snapshots
+    # around run 1 and evict exactly what it BUILT before run 2 —
+    # builder rows rebuild (honest build+query cost), pure consumers
+    # keep serving the cache their builder row already paid for.
     RERUN_ABOVE_SEC = 2.5
 
     prof: dict[str, dict] = {}
     timings: dict[str, float] = {}
     reruns: list[str] = []
+    rebuilt: dict[str, list[str]] = {}
     total = 0.0
     for name, fn in QUERIES.items():
+        fams_before = artifact_family_keys()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         release_caches()  # drop this query's persisted blocks inside its timing
         dt = time.perf_counter() - t0
         if dt > RERUN_ABOVE_SEC:
+            built = [
+                fam for fam, keys in artifact_family_keys().items()
+                if keys - fams_before[fam]
+            ]
+            if built:  # eviction itself stays OUTSIDE the timing
+                release_artifact_families(built)
+                rebuilt[name] = built
             t1 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             release_caches()
@@ -226,7 +251,8 @@ def main() -> None:
         )
         with open(full_path, "w") as f:
             json.dump(
-                {"sf": float(sf), "queries": timings, "reruns": reruns},
+                {"sf": float(sf), "queries": timings, "reruns": reruns,
+                 "artifact_rebuilds": rebuilt},
                 f, indent=1,
             )
     except OSError:

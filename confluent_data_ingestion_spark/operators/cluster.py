@@ -188,13 +188,19 @@ def _cc_two_phase_star(
     A false match would need a 128-bit checksum collision between
     probed rounds (negligible; and the probe never affects emitted
     labels, only when iteration stops — the fixed point itself is
-    stable under extra rounds).  The probe fires every SECOND round
-    (and at the iteration cap): locally each probe is a driver
-    round-trip and on a cluster it is a full job barrier, so halving
-    the probe count halves the scheduling floor of a deep contraction;
-    the price is at most one redundant round of (long, long) rewiring
-    after the fixed point, which the checkpoint cadence (lineage never
-    deeper than two rounds) keeps cheap.
+    stable under extra rounds).  The probe fires every SECOND round,
+    switching to EVERY round in the last three before the iteration
+    cap: locally each probe is a driver round-trip and on a cluster it
+    is a full job barrier, so halving the probe count halves the
+    scheduling floor of a deep contraction; the price is at most one
+    redundant round of (long, long) rewiring after the fixed point,
+    which the checkpoint cadence (lineage never deeper than two rounds)
+    keeps cheap.  The per-round cap region exists because skip-then-
+    probe detection trails convergence by up to two rounds: a graph
+    that converges using its full ``max_iter`` budget must not raise
+    just because its no-change round landed on a skipped probe —
+    size ``max_iter`` for the contraction depth alone, not for probe
+    cadence.
     """
     half = pairs.select(
         F.col(a_col).cast("long").alias("src"),
@@ -257,8 +263,8 @@ def _cc_two_phase_star(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        if _round % 2 == 0 and _round != max_iter - 1:
-            continue  # probe every second round (see docstring)
+        if _round % 2 == 0 and _round < max_iter - 3:
+            continue  # probe every second round; every round near the cap
         cur = _checksum(edges)
         if cur == prev:
             if stats is not None:

@@ -391,6 +391,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    persist_shingles: bool = False,
+    max_group_size: int | None = 500,
+) -> DataFrame:
+    """Exact pairwise n-gram CONTAINMENT — the asymmetric companion to
+    :func:`ngram_jaccard_pairs` for excerpt/quote detection (Broder's
+    resemblance-vs-containment distinction, "On the resemblance and
+    containment of documents", 1997).  A 500-word excerpt embedded in a
+    5,000-word parent scores Jaccard ~0.1 (invisible to the symmetric
+    near-dup radar) but containment ~1.0: containment of A in B is
+    |A ∩ B| / |A|, so a doc whose shingles are a subset of another's
+    scores 1 regardless of the size ratio — the duplicate class that
+    matters when a training corpus quotes, syndicates, or re-chunks its
+    own sources.
+
+    Output: one row per unordered candidate pair clearing ``threshold``
+    on the LARGER directed containment —
+    ``(doc_a, doc_b, containment, contained_doc)`` where
+    ``contained_doc`` is the id of the more-contained side (the doc the
+    dedup policy would drop or link as an excerpt; ties, i.e. equal
+    shingle counts, resolve to ``doc_a`` which is the smaller id).
+
+    Same posting-list shape as :func:`ngram_jaccard_pairs` (one
+    skew-safe shuffle to per-shingle posting lists, candidates explode
+    within lists, never a self-join), same ``max_group_size``
+    document-frequency cap with the same single-aggregation-pass cap
+    semantics, shingles travel as md5 digests.  Quadratic in
+    collision-group size — at 100 TB run AFTER an LSH prefilter, or
+    feed it the pair list of a banded candidate generator.
+    """
+    sh = exploded_shingles(
+        ensure_min_parallelism(df), id_col, text_col, n, hashed=True
+    )
+    if persist_shingles:
+        sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
+    post = sh.groupBy("s").agg(
+        F.count(F.lit(1)).alias("__df__"),
+        F.collect_list(id_col).alias("__ids__"),
+    )
+    if max_group_size is not None:
+        post = post.filter(F.col("__df__") <= max_group_size)
+    if persist_shingles:
+        post = track(post)
+    pairs = (
+        post.select(F.explode("__ids__").alias("doc_a"), "__ids__")
+        .select("doc_a", F.explode("__ids__").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("c"))
+    sizes = (
+        post.select(F.explode("__ids__").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.expr(f"doc_a = sa.{id_col}"))
+        .join(sb, F.expr(f"doc_b = sb.{id_col}"))
+        .withColumn(
+            "__cont__",
+            F.expr(
+                "greatest(CAST(c AS DOUBLE) / sa.n_sh,"
+                " CAST(c AS DOUBLE) / sb.n_sh)"
+            ),
+        )
+        .filter(F.col("__cont__") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("__cont__", 6).alias("containment"),
+            # the more-contained side has the SMALLER surviving shingle
+            # set; ties go to doc_a (< doc_b) for determinism
+            F.expr("CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END")
+            .alias("contained_doc"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

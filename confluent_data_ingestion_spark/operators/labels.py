@@ -244,6 +244,18 @@ def dawid_skene(
     ).filter(F.col("l").isNotNull()).repartition("i"))
     classes = v.select(F.col("l").alias("j")).distinct()
     n_classes = classes.count()  # label-set sized: metadata
+    if n_classes >= 9000:
+        # exactness precondition of the bigint fixed-point E-step: the
+        # softmax denominator sums <= n_classes pico-unit numerators
+        # (each <= 1e12), and bigint->double stays 1-ulp-exact only
+        # while n_classes * 1e12 < 2^53 (~9007).  Enforced, not just
+        # commented — past the bound the quantized posteriors could
+        # drift 1 ulp from the DECIMAL oracle silently.
+        raise ValueError(
+            f"dawid_skene: {n_classes} classes exceeds the bigint "
+            "fixed-point exactness bound (n_classes must be < 9000); "
+            "shard the label space or use a DECIMAL-arithmetic variant"
+        )
     aL = a * n_classes
 
     # fixed-point converters: quantize exactly as the DECIMAL oracle

@@ -1204,9 +1204,13 @@ def lsh_candidate_pairs(
 
     AUTO WIDTH: pass ``planes=None`` (with ``dim`` set) and the
     signature width defaults to the measured log-corpus tuning law
-    (:func:`lsh_auto_width` over ``n_hint`` or one cheap count of both
-    sides): ``bands * width`` planes from :func:`lsh_planes` with
-    ``seed``.  Because plane ``p`` depends only on ``(seed, p)``, the
+    (:func:`lsh_auto_width` over ``n_hint``): ``bands * width`` planes
+    from :func:`lsh_planes` with ``seed``.  ALWAYS pass ``n_hint`` when
+    the corpus size is known (table stats, a prior count, a memo) — the
+    ``a.count() + b.count()`` fallback costs two full-scan jobs per
+    invocation before any candidate work, which at cluster scale is two
+    extra passes over the corpus.  The width law only needs order of
+    magnitude, so a stale or approximate hint is fine.  Because plane ``p`` depends only on ``(seed, p)``, the
     auto path at small corpora reproduces the fixed 16-bit/4-band
     literals EXACTLY, and at large corpora extends them — no manual
     re-tuning as the corpus grows.

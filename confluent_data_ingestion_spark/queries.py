@@ -365,6 +365,7 @@ def run_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -796,6 +797,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_containment",
+    """
+    WITH exc AS (
+      SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(
+               ts[1:greatest(5, CAST(floor(len(ts) / 2) AS INT))], ' '
+             ) AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE doc_id % 37 = 0)
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM exc
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                   || ts[i+3] || ' ' || ts[i+4] AS s
+      FROM tok, unnest(generate_series(1, len(ts)-4)) AS u(i)
+    ),
+    -- document-frequency cap: mirrors max_group_size=500 in the operator
+    csh AS (SELECT doc_id, s FROM sh
+            QUALIFY count(*) OVER (PARTITION BY s) <= 500),
+    sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT doc_a, doc_b, c, sa.n AS na, sb.n AS nb
+      FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+                 JOIN sizes sb ON inter.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(greatest(CAST(c AS DOUBLE) / na,
+                          CAST(c AS DOUBLE) / nb), 6) AS containment,
+           CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc
+    FROM sc
+    WHERE greatest(CAST(c AS DOUBLE) / na, CAST(c AS DOUBLE) / nb) >= 0.8
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment over the documents table with
+    PLANTED EXCERPTS (operators/dedup.ngram_containment_pairs) — the
+    duplicate class symmetric Jaccard misses: every 37th document
+    contributes a derived doc holding its first half (id + 3,000,000),
+    a 0.5-Jaccard pair far below the 0.03-near-dup radar's
+    interestingness but containment ~1.0 — the quote/syndication/
+    re-chunk case of an LLM training corpus.  Same posting-list /
+    DF-cap scale shape as dedup_ngram_jaccard; output is
+    (pair, containment, contained_doc), where contained_doc is the side
+    a dedup policy would drop or link as the excerpt."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    excerpts = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                ts, 1,
+                F.greatest(
+                    F.lit(5), F.floor(F.size(ts) / 2).cast("int")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    return ngram_containment_pairs(
+        corpus, n=5, threshold=0.8, persist_shingles=True
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     f"""
     WITH {_SHINGLE_SQL},
@@ -932,12 +1008,7 @@ def _simhash_shared(
         pairs, pairs_distinct=True
     ).localCheckpoint()
     # one family at a time: evict AND free the evicted checkpoint blocks
-    from .caching import release_checkpoint as _free
-
-    for old_pairs, old_labels in _SIMHASH_CACHE.values():
-        _free(old_pairs)
-        _free(old_labels)
-    _SIMHASH_CACHE.clear()
+    _evict_simhash_family()
     _SIMHASH_CACHE[key] = (pairs, labels)
     return pairs, labels
 
@@ -3373,8 +3444,6 @@ def _ensure_bm25_index(spark: SparkSession, sf_dir: str):
 
     from .operators.retrieval import bm25_index
 
-    from .operators.retrieval import _release_checkpoint as _release_ckpt
-
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _BM25_CACHE.get(key)
     if cached is not None:
@@ -3397,10 +3466,7 @@ def _ensure_bm25_index(spark: SparkSession, sf_dir: str):
     # releases; without the explicit release a session alternating
     # sf_dirs (bench at sf0.1 then the gate at sf0.01) leaks
     # block-manager memory on every switch
-    for old_idx, old_q in _BM25_CACHE.values():
-        old_idx.unpersist()
-        _release_ckpt(old_q)
-    _BM25_CACHE.clear()
+    _evict_bm25_family()
     _BM25_CACHE[key] = (idx, q)
     return idx, q
 
@@ -5352,12 +5418,7 @@ def _pq_shared_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "coarse_books": coarse_books, "coarse_assign": coarse_assign,
     }
     # one index at a time: evict AND free the evicted checkpoint blocks
-    from .caching import release_checkpoint as _free
-
-    for old in _PQ_INDEX_CACHE.values():
-        for frame in old.values():
-            _free(frame)
-    _PQ_INDEX_CACHE.clear()
+    _evict_pq_family()
     _PQ_INDEX_CACHE[key] = arts
     return arts
 
@@ -5724,11 +5785,7 @@ def _bpe_shared_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("text")
     merges = bpe_train_merges(docs, n_merges=_BPE_N_MERGES)
     # one model at a time: evict AND free (no-op if not checkpointed)
-    from .caching import release_checkpoint as _free
-
-    for old in _BPE_MERGES_CACHE.values():
-        _free(old)
-    _BPE_MERGES_CACHE.clear()
+    _evict_bpe_family()
     _BPE_MERGES_CACHE[key] = merges
     return merges
 
@@ -6676,9 +6733,7 @@ def _ensure_base_blooms(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     layout, _stats = _ensure_skipscan_layout(spark, sf_dir)
     blooms = collect_file_blooms(spark, layout, "event_id").localCheckpoint()
-    for old in _BLOOM_INDEX_CACHE.values():
-        _free(old)
-    _BLOOM_INDEX_CACHE.clear()
+    _evict_bloom_family()
     _BLOOM_INDEX_CACHE[key] = blooms
     return blooms
 
@@ -6720,13 +6775,7 @@ def _ensure_skipscan_layout(
         spark, layout, ["user_id", "value"]
     ).localCheckpoint()
     # one layout at a time: evict AND free the evicted stats checkpoint
-    # (the layout DIRECTORY stays — it is disk under the app-scoped /tmp
-    # scratch root, reclaimed when the application exits)
-    from .caching import release_checkpoint as _free
-
-    for _old_layout, old_stats in _SKIPSCAN_CACHE.values():
-        _free(old_stats)
-    _SKIPSCAN_CACHE.clear()
+    _evict_skipscan_family()
     _SKIPSCAN_CACHE[key] = (layout, stats)
     return layout, stats
 
@@ -9125,6 +9174,12 @@ def contract_validation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# embeddings-table row count per (session, sf_dir): feeds n_hint so the
+# LSH auto-width path never re-runs count jobs (an "artifact" in the
+# bench-eviction sense: scalar, but its build is a scan job)
+_EMB_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
 @query(
     "bitext_mutual_margin",
     f"""
@@ -9193,12 +9248,36 @@ def bitext_mutual_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_round15_ops.py).  Next to bitext_lsh_candidates, which
     pins the same pipeline at FIXED width (a deployment that froze its
     planes), this row pins the self-tuning default."""
-    from .operators.similarity import lsh_candidate_pairs, mutual_margin_pairs
+    from .operators.similarity import (
+        lsh_auto_width,
+        lsh_candidate_pairs,
+        mutual_margin_pairs,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.filter(F.col("vec_id") % 2 == 0)
     b = emb.filter(F.col("vec_id") % 2 == 1)
-    cand = lsh_candidate_pairs(a, b, planes=None, bands=4, dim=64)
+    # corpus size memoized per (session, sf_dir): without n_hint the
+    # operator would run a.count() + b.count() — two full-scan jobs per
+    # invocation at cluster scale (r15 verdict low).  The parity halves
+    # partition the table, so one cached emb.count() is their exact sum.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _EMB_COUNT_CACHE.get(key)
+    if n is None:
+        n = emb.count()
+        _EMB_COUNT_CACHE.clear()  # one (session, sf_dir) at a time
+        _EMB_COUNT_CACHE[key] = n
+    # the DuckDB oracle hard-pins the 16-bit/4-band plane literals; if
+    # the corpus ever grows past the width-4 regime (~16k vectors) the
+    # auto law would pick a wider signature and parity would break as a
+    # silent hash mismatch — fail loudly here instead (r15 ADVICE).
+    if lsh_auto_width(n) != 4:
+        raise AssertionError(
+            f"bitext_mutual_margin: corpus of {n} vectors auto-tunes to "
+            f"width {lsh_auto_width(n)}, but the pinned oracle scores "
+            "width-4 planes — re-pin the oracle's band keys"
+        )
+    cand = lsh_candidate_pairs(a, b, planes=None, bands=4, dim=64, n_hint=n)
     return mutual_margin_pairs(
         a, b, k=4, margin_threshold=1.0, candidates=cand
     )
@@ -9799,13 +9878,116 @@ def streaming_contract_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared-artifact families.  Six registry caches hold build-once artifacts
+# (index/model/layout frames) shared by several rows of one (session,
+# sf_dir).  Each family has ONE evictor that frees the cached frames'
+# checkpoint blocks and clears the cache -- the single eviction seam used
+# both by the helpers themselves ("one corpus at a time" on sf_dir switch)
+# and by the bench harness, which must evict whatever a row's FIRST timing
+# run built before its min-of-2 rerun: without that, the builder row's
+# second run serves the session cache and the build cost vanishes from the
+# per-query map (r15 verdict: dedup_simhash_pairs recorded 0.015 s while
+# the 3.7 s signature build was in no row).
+# ---------------------------------------------------------------------------
+
+
+def _evict_simhash_family() -> None:
+    from .caching import release_checkpoint as _free
+
+    for pairs, labels in _SIMHASH_CACHE.values():
+        _free(pairs)
+        _free(labels)
+    _SIMHASH_CACHE.clear()
+
+
+def _evict_bm25_family() -> None:
+    from .operators.retrieval import _release_checkpoint as _release_ckpt
+
+    for idx, q in _BM25_CACHE.values():
+        idx.unpersist()
+        _release_ckpt(q)
+    _BM25_CACHE.clear()
+
+
+def _evict_pq_family() -> None:
+    from .caching import release_checkpoint as _free
+
+    for old in _PQ_INDEX_CACHE.values():
+        for frame in old.values():
+            _free(frame)
+    _PQ_INDEX_CACHE.clear()
+
+
+def _evict_bpe_family() -> None:
+    from .caching import release_checkpoint as _free
+
+    for old in _BPE_MERGES_CACHE.values():
+        _free(old)
+    _BPE_MERGES_CACHE.clear()
+
+
+def _evict_bloom_family() -> None:
+    from .caching import release_checkpoint as _free
+
+    for old in _BLOOM_INDEX_CACHE.values():
+        _free(old)
+    _BLOOM_INDEX_CACHE.clear()
+
+
+def _evict_skipscan_family() -> None:
+    # the layout DIRECTORY stays (app-scoped /tmp scratch, reclaimed at
+    # application exit); a rebuild overwrites it in place
+    from .caching import release_checkpoint as _free
+
+    for _layout, stats in _SKIPSCAN_CACHE.values():
+        _free(stats)
+    _SKIPSCAN_CACHE.clear()
+
+
+ARTIFACT_FAMILIES: dict[str, tuple[dict, Callable[[], None]]] = {
+    "simhash": (_SIMHASH_CACHE, _evict_simhash_family),
+    "bm25": (_BM25_CACHE, _evict_bm25_family),
+    "pq": (_PQ_INDEX_CACHE, _evict_pq_family),
+    "bpe": (_BPE_MERGES_CACHE, _evict_bpe_family),
+    "bloom": (_BLOOM_INDEX_CACHE, _evict_bloom_family),
+    "skipscan": (_SKIPSCAN_CACHE, _evict_skipscan_family),
+    # scalar memo (no frames to free) — registered so the bench rerun
+    # charges the count job to the row that first pays it
+    "emb_count": (_EMB_COUNT_CACHE, _EMB_COUNT_CACHE.clear),
+}
+
+
+def artifact_family_keys() -> dict[str, frozenset]:
+    """Snapshot of each artifact family's populated cache keys -- diff two
+    snapshots to learn which families a query execution BUILT (vs served
+    from the session cache)."""
+    return {
+        fam: frozenset(cache.keys())
+        for fam, (cache, _evict) in ARTIFACT_FAMILIES.items()
+    }
+
+
+def release_artifact_families(names) -> int:
+    """Evict the named artifact families (free checkpoint blocks + clear),
+    restoring the fresh-session view a first consumer would see.  Unknown
+    names fail loudly.  Returns how many families were evicted."""
+    n = 0
+    for name in names:
+        ARTIFACT_FAMILIES[name][1]()
+        n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The correctness harness records at most the first 50
 # registry entries per run, so ordering decides which operators get an
 # externally-recorded oracle row.  Round-16 window (VERDICT r15's rotation
 # plan): the 22 rows whose newest driver record is r11
 # (mixture_plan .. corpus_mix_report) lead, exactly as the r15 verdict
-# queued them; then the headline 9 (they anchor the benchmark baseline);
-# then the first 19 artifact-independent rows of the r12-record cohort
+# queued them; then the round's ONE new row (dedup_ngram_containment, so
+# it gets an external record its first round out); then the headline 9
+# (they anchor the benchmark baseline); then the first 18
+# artifact-independent rows of the r12-record cohort
 # (bloom_skipscan_pointlookup is deferred: its skip-scan layout artifact
 # is built by zorder_rewrite, and a window slot must not move a consumer
 # in front of its builder).  Positions 50+ lead with the remaining r12
@@ -9817,9 +9999,9 @@ def streaming_contract_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prior relative order (bm25_topk_docs before the hybrid/eval consumers,
 # similarity_pq_topk before pq_rerank/ivfpq, bpe_train_merges before
 # bpe_segment_tokens), so future rotations remain a simple prefix shift.
-# After a green r16 run the stalest records anywhere are the 20 remaining
-# r12-record rows (session_window_agg .. dedup_incremental) -- they lead
-# the r17 rotation.
+# After a green r16 run the stalest records anywhere are the 21 remaining
+# r12-record rows (range_join_event_pairs .. dedup_incremental) -- they
+# lead the r17 rotation.
 # ---------------------------------------------------------------------------
 _PRIORITY_ORDER = [
     "mixture_plan", "nation_pair_trade", "order_priority_semijoin",
@@ -9830,7 +10012,8 @@ _PRIORITY_ORDER = [
     "small_qty_revenue_share", "snapshot_diff_orders",
     "top_supplier_by_revenue", "value_mad_by_type", "waiting_orders_blame",
     "zorder_layout_key", "asof_join_latest_order", "colspec_quarantine_arms",
-    "corpus_mix_report", "view_json_envelope", "view_csv_positional",
+    "corpus_mix_report", "dedup_ngram_containment", "view_json_envelope",
+    "view_csv_positional",
     "xref_latest_by_key", "xref_latest_soft_delete", "fgac_enrich_mask",
     "quarantine_antijoin", "union_arms_null_fill", "ordered_multi_join",
     "pricing_summary", "k_anonymity_generalized",
@@ -9840,7 +10023,8 @@ _PRIORITY_ORDER = [
     "doc_fingerprint", "embedding_quantize_int8", "flatten_nested_json",
     "keyword_topk", "language_id_heuristic", "multimodal_frame_sample",
     "pack_sequences", "pii_scrub", "quality_filter_gate",
-    "range_join_event_pairs", "zorder_rewrite", "bloom_skipscan_pointlookup",
+    "zorder_rewrite", "bloom_skipscan_pointlookup",
+    "range_join_event_pairs",
     "session_window_agg", "sessionize_events", "shard_assignment_balanced",
     "similarity_cosine_topk", "similarity_ivf_nprobe", "similarity_ivf_topk",
     "similarity_lsh_topk", "stratified_sample_lang", "sttm_pipeline_e2e",

@@ -128,9 +128,16 @@ class UniqueKeyMonitor:
             keyed = batch_df.select(
                 F.col(col).cast("string").alias("__key__")
             ).filter(F.col("__key__").isNotNull())
+            # the partial carries the column NAME next to its index:
+            # a monitor re-instantiated over an existing path with a
+            # different/reordered column list must fail loudly at
+            # snapshot, not silently merge stale digests under the
+            # wrong column
             digests = build_dedup_index(
                 keyed, id_col="__key__", text_col="__key__"
-            )["digests"].select(F.lit(ci).alias("ci"), "d")
+            )["digests"].select(
+                F.lit(ci).alias("ci"), F.lit(col).alias("col"), "d"
+            )
             keys = digests if keys is None else keys.unionByName(digests)
         keys.write.mode("overwrite").parquet(
             os.path.join(self.path, "keys", f"batch_id={int(batch_id)}")
@@ -142,6 +149,8 @@ class UniqueKeyMonitor:
                 .cast("bigint").alias(f"s_nn_{ci}")
                 for ci, col in enumerate(self.columns)
             ],
+        ).withColumn(
+            "cols", F.array(*[F.lit(c) for c in self.columns])
         )
         counters.write.mode("overwrite").parquet(
             os.path.join(self.path, "counters", f"batch_id={int(batch_id)}")
@@ -153,15 +162,57 @@ class UniqueKeyMonitor:
         except Exception as ex:  # pragma: no cover
             self.last_batch_plan = f"<plan capture unavailable: {ex}>"
 
+    _REPORT_SCHEMA = (
+        "check string, column string, observed double, "
+        "threshold double, status string"
+    )
+
     def snapshot(self, spark: SparkSession) -> DataFrame:
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
-        dk = (
-            spark.read.parquet(os.path.join(self.path, "keys"))
-            .groupBy("ci")
-            .agg(F.count_distinct("d").alias("__nd__"))
+        try:
+            raw_keys = spark.read.parquet(os.path.join(self.path, "keys"))
+            cnt = spark.read.parquet(os.path.join(self.path, "counters"))
+        except AnalysisException:
+            # no completed batch yet: an empty report, not a read error
+            return spark.createDataFrame([], self._REPORT_SCHEMA)
+        # fail loudly if the on-disk partials were written by a monitor
+        # with a different/reordered column list (the digest partials
+        # are keyed by column INDEX; merging them under the wrong name
+        # would corrupt the cumulative rate silently).  Both collects
+        # are metadata-sized: distinct (ci, col) pairs and distinct
+        # column-list literals.
+        expected = {(ci, c) for ci, c in enumerate(self.columns)}
+        if "col" not in raw_keys.columns:
+            raise ValueError(
+                "UniqueKeyMonitor: keys partials at "
+                f"{self.path} predate column-name tracking; rebuild the "
+                "monitor state (cannot validate column identity)"
+            )
+        seen = {
+            (r["ci"], r["col"])
+            for r in raw_keys.select("ci", "col").distinct().collect()
+        }
+        if not seen <= expected:
+            raise ValueError(
+                "UniqueKeyMonitor: keys partials at "
+                f"{self.path} were written for columns "
+                f"{sorted(seen - expected)} but this monitor tracks "
+                f"{list(enumerate(self.columns))}"
+            )
+        if "cols" not in cnt.columns or any(
+            list(r["cols"]) != self.columns
+            for r in cnt.select("cols").distinct().collect()
+        ):
+            raise ValueError(
+                "UniqueKeyMonitor: counter partials at "
+                f"{self.path} do not match this monitor's column list "
+                f"{self.columns}"
+            )
+        dk = raw_keys.groupBy("ci").agg(
+            F.count_distinct("d").alias("__nd__")
         )
-        cnt = spark.read.parquet(os.path.join(self.path, "counters"))
         nn = cnt.agg(
             *[
                 F.sum(f"s_nn_{ci}").cast("bigint").alias(f"__nn_{ci}__")

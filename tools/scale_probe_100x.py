@@ -513,6 +513,7 @@ def main() -> None:
         if (
             "dedup" in fams or "lm" in fams or "bm25" in fams
             or "bm25merge" in fams or "docops" in fams
+            or "containment" in fams
         ) and not os.path.exists(
             f"{out}/documents.parquet/_SUCCESS"
         ):
@@ -802,6 +803,15 @@ def main() -> None:
         # only each doc's rarest shingles — the honest question is
         # whether the posting/pairing stages track the corpus scan
         probes.append(("dedup_allpairs_prefix", "dedup_allpairs_prefix"))
+    if "containment" in fams:
+        # asymmetric containment over the same perturbed-replica docs
+        # blowup (r16): identical posting-list/DF-cap shape as
+        # dedup_ngram_jaccard plus the planted-excerpt derivation — the
+        # honest question is whether the directed scoring adds anything
+        # beyond the jaccard family's measured slope
+        probes.append(
+            ("dedup_ngram_containment", "dedup_ngram_containment")
+        )
     if "headline" in fams:
         # the per-round sf1-anchor (r12 verdict item 7): the whole
         # headline-9 pipeline against the x10 fact blowup — one decade,
