@@ -1148,6 +1148,86 @@ def jaccard_verify_pairs(
     )
 
 
+def containment_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT computed ONLY on candidate pairs — the
+    scale path of :func:`ngram_containment_pairs`, exactly as
+    :func:`jaccard_verify_pairs` is the scale path of the symmetric
+    all-pairs row: candidates from a banded generator
+    (``minhash_lsh_pairs``, ``simhash_pairs``, an incremental index),
+    directed verification linear in |candidates| x shingles.  The
+    excerpt caveat is by design and documented here: MinHash-LSH
+    recall targets JACCARD, so a small excerpt inside a much larger
+    parent (containment ~1, Jaccard << 1) may never collide in any
+    band — when excerpt detection at extreme size ratios is the goal,
+    generate candidates from the SMALLER side's shingle postings
+    (the ``ngram_containment_pairs`` inverted index, DF-capped) or
+    band the two size strata separately; this verifier scores whatever
+    candidate frame it is given, exactly.
+
+    Output: ``(doc_a, doc_b, containment, contained_doc)`` for pairs
+    clearing ``threshold`` on the larger directed containment
+    |A ∩ B| / min(|A|, |B|)-side, with ``contained_doc`` the
+    more-contained (smaller-shingle-set) side, ties to ``doc_a``.
+
+    Same plan shape, pruning and ``shingles`` reuse contract as
+    :func:`jaccard_verify_pairs` (semi-join prune to candidate docs,
+    id-clustered persisted shingle frame feeding three subtrees,
+    pair-sized everything downstream).
+    """
+    pairs = track(pairs.select("doc_a", "doc_b"))
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    if shingles is not None:
+        sh = shingles.join(ids, id_col, "left_semi")
+    else:
+        docs = df.select(id_col, text_col).join(ids, id_col, "left_semi")
+        sh = exploded_shingles(
+            ensure_min_parallelism(docs), id_col, text_col, n, hashed=True
+        )
+    sh = track(sh.repartition(_shuffle_partitions(sh), F.col(id_col)))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        pairs.join(a, F.expr(f"doc_a = a.{id_col}"))
+        .join(b, F.expr(f"doc_b = b.{id_col} AND a.s = b.s"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("__c__", F.coalesce(F.col("__c__"), F.lit(0)))
+        .join(sa, F.expr(f"doc_a = sa.{id_col}"))
+        .join(sb, F.expr(f"doc_b = sb.{id_col}"))
+        .withColumn(
+            "containment",
+            F.expr(
+                "round(greatest(CAST(__c__ AS DOUBLE) / sa.n_sh,"
+                " CAST(__c__ AS DOUBLE) / sb.n_sh), 6)"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "containment",
+            F.expr("CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END")
+            .alias("contained_doc"),
+        )
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: DataFrame,

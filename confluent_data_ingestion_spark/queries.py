@@ -851,6 +851,15 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF-cap scale shape as dedup_ngram_jaccard; output is
     (pair, containment, contained_doc), where contained_doc is the side
     a dedup policy would drop or link as the excerpt."""
+    return ngram_containment_pairs(
+        _excerpt_corpus(spark, sf_dir), n=5, threshold=0.8,
+        persist_shingles=True,
+    )
+
+
+def _excerpt_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus planted half-document excerpts (every 37th doc,
+    id + 3,000,000) — the shared corpus of the two containment rows."""
     docs = _t(spark, sf_dir, "documents")
     ts = F.split(F.col("text"), " ")
     excerpts = docs.filter(F.col("doc_id") % 37 == 0).select(
@@ -865,10 +874,95 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
-    corpus = docs.select("doc_id", "text").unionByName(excerpts)
-    return ngram_containment_pairs(
-        corpus, n=5, threshold=0.8, persist_shingles=True
+    return docs.select("doc_id", "text").unionByName(excerpts)
+
+
+@query(
+    "dedup_containment_verified",
+    """
+    WITH exc AS (
+      SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(
+               ts[1:greatest(5, CAST(floor(len(ts) / 2) AS INT))], ' '
+             ) AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE doc_id % 37 = 0)
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM exc
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                   || ts[i+3] || ' ' || ts[i+4] AS s
+      FROM tok, unnest(generate_series(1, len(ts)-4)) AS u(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+        min(substr(md5('0|' || s), 1, 8))  AS mh0, min(substr(md5('0|' || s), 9, 8))  AS mh1,
+        min(substr(md5('0|' || s), 17, 8)) AS mh2, min(substr(md5('0|' || s), 25, 8)) AS mh3,
+        min(substr(md5('1|' || s), 1, 8))  AS mh4, min(substr(md5('1|' || s), 9, 8))  AS mh5,
+        min(substr(md5('1|' || s), 17, 8)) AS mh6, min(substr(md5('1|' || s), 25, 8)) AS mh7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+    ),
+    cbands AS (SELECT * FROM bands
+               QUALIFY count(*) OVER (PARTITION BY band, key) <= 500),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cbands a JOIN cbands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY c.doc_a, c.doc_b
     )
+    SELECT c.doc_a, c.doc_b,
+           round(greatest(CAST(COALESCE(i.i, 0) AS DOUBLE) / sa.nsh,
+                          CAST(COALESCE(i.i, 0) AS DOUBLE) / sb.nsh),
+                 6) AS containment,
+           CASE WHEN sa.nsh <= sb.nsh THEN c.doc_a ELSE c.doc_b END
+             AS contained_doc
+    FROM cand c
+    LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE round(greatest(CAST(COALESCE(i.i, 0) AS DOUBLE) / sa.nsh,
+                         CAST(COALESCE(i.i, 0) AS DOUBLE) / sb.nsh),
+                6) >= 0.8
+    """,
+)
+def dedup_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment SCALE path (operators/dedup.
+    containment_verify_pairs): MinHash-LSH band collisions generate
+    candidates over the same planted-excerpt corpus as
+    dedup_ngram_containment, then exact directed containment is verified
+    on pairs only — the two-phase posture every 100 TB dedup runs
+    (candidates banded, verification linear in |candidates|).  The row
+    deliberately keeps the generator's Jaccard-targeted recall: of the
+    planted half-document excerpts (Jaccard ~0.5), only the band-
+    colliding subset reaches verification (11 of 28 at sf0.001) — the
+    measured, documented reason ngram_containment_pairs generates
+    candidates from shingle postings instead when extreme size-ratio
+    excerpts are the target.  Both engines compute the IDENTICAL
+    candidate set (the md5 MinHash construction is replicated in the
+    oracle), so parity is exact, not recall-dependent."""
+    from .operators.dedup import containment_verify_pairs
+
+    corpus = _excerpt_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, n=5, persist_signatures=True)
+    return containment_verify_pairs(corpus, pairs, n=5, threshold=0.8)
 
 
 @query(
@@ -9984,10 +10078,10 @@ def release_artifact_families(names) -> int:
 # externally-recorded oracle row.  Round-16 window (VERDICT r15's rotation
 # plan): the 22 rows whose newest driver record is r11
 # (mixture_plan .. corpus_mix_report) lead, exactly as the r15 verdict
-# queued them; then the round's ONE new row (dedup_ngram_containment, so
-# it gets an external record its first round out); then the headline 9
-# (they anchor the benchmark baseline); then the first 18
-# artifact-independent rows of the r12-record cohort
+# queued them; then the round's TWO new rows (dedup_ngram_containment +
+# dedup_containment_verified, so each gets an external record its first
+# round out); then the headline 9 (they anchor the benchmark baseline);
+# then the first 17 artifact-independent rows of the r12-record cohort
 # (bloom_skipscan_pointlookup is deferred: its skip-scan layout artifact
 # is built by zorder_rewrite, and a window slot must not move a consumer
 # in front of its builder).  Positions 50+ lead with the remaining r12
@@ -9999,8 +10093,8 @@ def release_artifact_families(names) -> int:
 # prior relative order (bm25_topk_docs before the hybrid/eval consumers,
 # similarity_pq_topk before pq_rerank/ivfpq, bpe_train_merges before
 # bpe_segment_tokens), so future rotations remain a simple prefix shift.
-# After a green r16 run the stalest records anywhere are the 21 remaining
-# r12-record rows (range_join_event_pairs .. dedup_incremental) -- they
+# After a green r16 run the stalest records anywhere are the 22 remaining
+# r12-record rows (quality_filter_gate .. dedup_incremental) -- they
 # lead the r17 rotation.
 # ---------------------------------------------------------------------------
 _PRIORITY_ORDER = [
@@ -10012,7 +10106,8 @@ _PRIORITY_ORDER = [
     "small_qty_revenue_share", "snapshot_diff_orders",
     "top_supplier_by_revenue", "value_mad_by_type", "waiting_orders_blame",
     "zorder_layout_key", "asof_join_latest_order", "colspec_quarantine_arms",
-    "corpus_mix_report", "dedup_ngram_containment", "view_json_envelope",
+    "corpus_mix_report", "dedup_ngram_containment",
+    "dedup_containment_verified", "view_json_envelope",
     "view_csv_positional",
     "xref_latest_by_key", "xref_latest_soft_delete", "fgac_enrich_mask",
     "quarantine_antijoin", "union_arms_null_fill", "ordered_multi_join",
@@ -10022,9 +10117,9 @@ _PRIORITY_ORDER = [
     "dedup_simhash", "dlq_corrupt_split", "doc_chunk_overlap",
     "doc_fingerprint", "embedding_quantize_int8", "flatten_nested_json",
     "keyword_topk", "language_id_heuristic", "multimodal_frame_sample",
-    "pack_sequences", "pii_scrub", "quality_filter_gate",
+    "pack_sequences", "pii_scrub",
     "zorder_rewrite", "bloom_skipscan_pointlookup",
-    "range_join_event_pairs",
+    "quality_filter_gate", "range_join_event_pairs",
     "session_window_agg", "sessionize_events", "shard_assignment_balanced",
     "similarity_cosine_topk", "similarity_ivf_nprobe", "similarity_ivf_topk",
     "similarity_lsh_topk", "stratified_sample_lang", "sttm_pipeline_e2e",

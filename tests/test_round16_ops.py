@@ -256,3 +256,69 @@ def test_containment_df_cap_drops_boilerplate_shingles(spark):
     assert ngram_containment_pairs(
         docs, n=5, threshold=0.1, max_group_size=3
     ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# containment_verify_pairs: the containment scale path
+# ---------------------------------------------------------------------------
+
+
+def test_containment_verify_scores_only_candidates(spark):
+    """Verification is pair-scoped: a true containment pair NOT in the
+    candidate frame is never scored (the generator owns recall); a
+    candidate pair sharing no shingle scores 0 and drops."""
+    from confluent_data_ingestion_spark.operators.dedup import (
+        containment_verify_pairs,
+    )
+
+    words = [f"w{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),
+            (2, " ".join(words[:10])),           # excerpt of 1
+            (3, " ".join(words[10:])),           # excerpt of 1 (2nd half)
+            (4, " ".join(f"z{i}" for i in range(12))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 4)], "doc_a long, doc_b long"  # (1,3) NOT offered
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in containment_verify_pairs(
+        docs, cand, n=5, threshold=0.8
+    ).collect()}
+    assert set(rows) == {(1, 2)}          # (1,4) scored 0, (1,3) unscored
+    assert rows[(1, 2)]["containment"] == 1.0
+    assert rows[(1, 2)]["contained_doc"] == 2
+
+
+def test_containment_verify_matches_allpairs_on_offered_pairs(spark, sf_dir):
+    """On the pairs the LSH generator DOES offer, the verified scores
+    must equal the exact all-pairs row's scores — the same
+    exactness-on-candidates contract as jaccard_verify_pairs."""
+    from confluent_data_ingestion_spark.operators.dedup import (
+        containment_verify_pairs,
+        minhash_lsh_pairs,
+        ngram_containment_pairs,
+    )
+    from confluent_data_ingestion_spark.queries import _excerpt_corpus
+
+    corpus = _excerpt_corpus(spark, sf_dir)
+    cand = minhash_lsh_pairs(corpus, n=5)
+    verified = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["contained_doc"])
+        for r in containment_verify_pairs(
+            corpus, cand, n=5, threshold=0.8
+        ).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["contained_doc"])
+        for r in ngram_containment_pairs(
+            corpus, n=5, threshold=0.8, max_group_size=None
+        ).collect()
+    }
+    assert verified  # the generator offers a non-empty candidate set
+    for pair, scored in verified.items():
+        assert exact[pair] == scored
+    # and the recall gap is real: the exact row sees pairs LSH missed
+    assert set(verified) <= set(exact)
