@@ -180,20 +180,25 @@ class UniqueKeyMonitor:
         # fail loudly if the on-disk partials were written by a monitor
         # with a different/reordered column list (the digest partials
         # are keyed by column INDEX; merging them under the wrong name
-        # would corrupt the cumulative rate silently).  Both collects
-        # are metadata-sized: distinct (ci, col) pairs and distinct
-        # column-list literals.
-        expected = {(ci, c) for ci, c in enumerate(self.columns)}
+        # would corrupt the cumulative rate silently).  Validation rides
+        # the ONE digest fold the snapshot already does — grouping by
+        # (ci, col) instead of ci makes the column identity a free
+        # byproduct of the count-distinct scan, and the grouped result
+        # is metadata-sized (columns x at most a few stale names), so it
+        # collects here and re-enters the plan as a literal frame.
         if "col" not in raw_keys.columns:
             raise ValueError(
                 "UniqueKeyMonitor: keys partials at "
                 f"{self.path} predate column-name tracking; rebuild the "
                 "monitor state (cannot validate column identity)"
             )
-        seen = {
-            (r["ci"], r["col"])
-            for r in raw_keys.select("ci", "col").distinct().collect()
-        }
+        dk_rows = (
+            raw_keys.groupBy("ci", "col")
+            .agg(F.count_distinct("d").alias("__nd__"))
+            .collect()
+        )
+        expected = {(ci, c) for ci, c in enumerate(self.columns)}
+        seen = {(r["ci"], r["col"]) for r in dk_rows}
         if not seen <= expected:
             raise ValueError(
                 "UniqueKeyMonitor: keys partials at "
@@ -210,8 +215,9 @@ class UniqueKeyMonitor:
                 f"{self.path} do not match this monitor's column list "
                 f"{self.columns}"
             )
-        dk = raw_keys.groupBy("ci").agg(
-            F.count_distinct("d").alias("__nd__")
+        dk = spark.createDataFrame(
+            [(r["ci"], r["__nd__"]) for r in dk_rows],
+            "ci int, __nd__ bigint",
         )
         nn = cnt.agg(
             *[
@@ -233,7 +239,7 @@ class UniqueKeyMonitor:
             F.array(*[F.lit(c) for c in self.columns]), F.col("ci") + 1
         )
         return (
-            nn.join(dk, "ci", "left")
+            nn.join(F.broadcast(dk), "ci", "left")
             .select(
                 F.lit("unique").alias("check"),
                 name.alias("column"),
