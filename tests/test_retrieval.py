@@ -233,27 +233,35 @@ def test_bm25_index_merge_rejects_duplicate_doc_id(spark):
 def test_bm25_index_unpersist_releases_blocks(spark):
     """BM25Index.unpersist must free the localCheckpointed frames' RDD
     blocks (DataFrame.unpersist does not) — the session-alternating-
-    sf_dir leak found in the r11 review."""
+    sf_dir leak found in the r11 review.  The assertion tracks the RDD
+    IDS this test created, not the session-global count: an UNRELATED
+    earlier test's non-blocking unpersist completing mid-poll lowers the
+    global count below the baseline and a count-equality poll then never
+    converges (observed as an order-dependent full-suite flake in r16)."""
+
+    def persistent_ids() -> set:
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet().toArray()
+        }
+
     docs = spark.createDataFrame(
         [(1, "a b"), (2, "b c")], "doc_id long, text string"
     )
-    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    before = persistent_ids()
     idx = bm25_index(docs)
-    held = len(spark.sparkContext._jsc.getPersistentRDDs())
-    assert held >= before + 3  # postings, doclen, df
+    created = persistent_ids() - before
+    assert len(created) >= 3  # postings, doclen, df
     idx.unpersist()
-    # the release path is non-blocking (unpersist(False)): poll to
-    # quiescence so neither this assert nor the next test's baseline
-    # races an in-flight block drop
+    # the release path is non-blocking (unpersist(False)): poll until
+    # every block THIS test pinned is gone
     import time
 
     deadline = time.monotonic() + 30
-    while (
-        len(spark.sparkContext._jsc.getPersistentRDDs()) != before
-        and time.monotonic() < deadline
-    ):
+    while persistent_ids() & created and time.monotonic() < deadline:
         time.sleep(0.1)
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+    assert not (persistent_ids() & created)
 
 
 def test_bm25_index_merge_equals_full_rebuild(spark):
