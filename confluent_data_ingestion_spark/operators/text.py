@@ -1004,3 +1004,93 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical-diversity report: corpus-level type-token ratio
+    and distinct-bigram ratio — the standard distinct-n diversity
+    metrics a training-data pipeline tracks per source/domain (a
+    crawler stuck in templated pages or a synthetic-data generator
+    collapsing to few patterns shows up as a falling distinct-2 long
+    before perplexity moves; Li et al. 2016's distinct-n, public
+    metric, applied corpus-side).
+
+    Output: one row per group —
+    ``(group, n_docs, n_tokens, distinct_tokens, ttr, n_bigrams,
+    distinct_bigrams, distinct2)``; ratios are NULL for a group with
+    zero tokens/bigrams.  Tokens are the whitespace tokens of
+    ``text_col`` with empties dropped; bigrams are adjacent token
+    pairs within a document (never across documents).
+
+    Scale shape: ONE scan explodes each document's unigrams and bigrams
+    under a kind tag (rows ~ 2x token count, map-side), then a single
+    per-group aggregation computes both totals and both exact distinct
+    counts (Spark plans the multi-distinct as one Expand + hash
+    aggregate — partial aggregation on every shuffle input, state
+    bounded by the live vocabulary per group); the doc-count agg joins
+    back broadcast, group-alphabet-sized.  No driver materialization,
+    no join wider than the report.
+    """
+    grams = df.select(
+        F.col(group_col).alias("__g__"),
+        F.expr(
+            f"filter(split(coalesce({text_col}, '') , ' '),"
+            " x -> x != '')"
+        ).alias("__ts__"),
+    ).select(
+        "__g__",
+        # the bigram sequence needs the >= 2 guard: Spark's
+        # sequence(0, -2) DESCENDS (default step -1) and would emit
+        # bogus NULL grams for empty/1-token documents
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(__ts__, x -> named_struct('k', 1, 't', x)),"
+                " CASE WHEN size(__ts__) >= 2 THEN"
+                "   transform(sequence(0, size(__ts__) - 2),"
+                "             i -> named_struct('k', 2,"
+                "                  't', concat(__ts__[i], ' ',"
+                "                              __ts__[i + 1])))"
+                " ELSE CAST(array() AS"
+                "      array<struct<k: int, t: string>>) END)"
+            )
+        ).alias("__gr__"),
+    )
+    agg = grams.groupBy("__g__").agg(
+        F.count(F.when(F.col("__gr__.k") == 1, 1)).alias("n_tokens"),
+        F.count_distinct(
+            F.when(F.col("__gr__.k") == 1, F.col("__gr__.t"))
+        ).alias("distinct_tokens"),
+        F.count(F.when(F.col("__gr__.k") == 2, 1)).alias("n_bigrams"),
+        F.count_distinct(
+            F.when(F.col("__gr__.k") == 2, F.col("__gr__.t"))
+        ).alias("distinct_bigrams"),
+    )
+    docs = df.groupBy(F.col(group_col).alias("__g__")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        docs.join(F.broadcast(agg), "__g__", "left")
+        .select(
+            F.col("__g__").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "distinct_tokens",
+            F.round(
+                F.col("distinct_tokens").cast("double")
+                / F.nullif(F.col("n_tokens"), F.lit(0)),
+                6,
+            ).alias("ttr"),
+            "n_bigrams",
+            "distinct_bigrams",
+            F.round(
+                F.col("distinct_bigrams").cast("double")
+                / F.nullif(F.col("n_bigrams"), F.lit(0)),
+                6,
+            ).alias("distinct2"),
+        )
+    )

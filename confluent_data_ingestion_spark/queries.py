@@ -9971,6 +9971,56 @@ def streaming_contract_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mon.snapshot(spark)
 
 
+@query(
+    "corpus_diversity_ngrams",
+    """
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    u AS (SELECT source, unnest(ts) AS g FROM t),
+    b AS (
+      SELECT source, ts[i] || ' ' || ts[i+1] AS g
+      FROM t, unnest(generate_series(1, len(ts) - 1)) AS s(i)
+    ),
+    ua AS (SELECT source, count(*) AS n_tokens,
+                  count(DISTINCT g) AS distinct_tokens
+           FROM u GROUP BY 1),
+    ba AS (SELECT source, count(*) AS n_bigrams,
+                  count(DISTINCT g) AS distinct_bigrams
+           FROM b GROUP BY 1),
+    d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT d.source, n_docs, n_tokens, distinct_tokens,
+           round(CAST(distinct_tokens AS DOUBLE) / nullif(n_tokens, 0), 6)
+             AS ttr,
+           n_bigrams, distinct_bigrams,
+           round(CAST(distinct_bigrams AS DOUBLE) / nullif(n_bigrams, 0), 6)
+             AS distinct2
+    FROM d LEFT JOIN ua USING (source) LEFT JOIN ba USING (source)
+    """,
+)
+def corpus_diversity_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity report
+    (operators/text.ngram_diversity): exact corpus-level type-token
+    ratio and distinct-bigram ratio (distinct-n, Li et al. 2016) — the
+    monitoring row that catches a templated crawl or a collapsing
+    synthetic-data generator as a falling distinct-2 per source, long
+    before perplexity shifts.  One scan explodes unigrams+bigrams under
+    a kind tag; a single per-source hash aggregation computes both
+    totals and both EXACT distinct counts (Expand + partial aggregation
+    — state bounded by the per-source live vocabulary); the doc-count
+    agg joins back broadcast.  Complements vocab_oov_rate (coverage vs
+    a global top-V) and text_repetition_stats (per-document repetition)
+    with the corpus-level diversity view."""
+    from .operators.text import ngram_diversity
+
+    return ngram_diversity(
+        _t(spark, sf_dir, "documents"), group_col="source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared-artifact families.  Six registry caches hold build-once artifacts
 # (index/model/layout frames) shared by several rows of one (session,
@@ -10078,10 +10128,11 @@ def release_artifact_families(names) -> int:
 # externally-recorded oracle row.  Round-16 window (VERDICT r15's rotation
 # plan): the 22 rows whose newest driver record is r11
 # (mixture_plan .. corpus_mix_report) lead, exactly as the r15 verdict
-# queued them; then the round's TWO new rows (dedup_ngram_containment +
-# dedup_containment_verified, so each gets an external record its first
-# round out); then the headline 9 (they anchor the benchmark baseline);
-# then the first 17 artifact-independent rows of the r12-record cohort
+# queued them; then the round's THREE new rows (dedup_ngram_containment,
+# dedup_containment_verified, corpus_diversity_ngrams — each gets an
+# external record its first round out); then the headline 9 (they anchor
+# the benchmark baseline); then the first 16 artifact-independent rows
+# of the r12-record cohort
 # (bloom_skipscan_pointlookup is deferred: its skip-scan layout artifact
 # is built by zorder_rewrite, and a window slot must not move a consumer
 # in front of its builder).  Positions 50+ lead with the remaining r12
@@ -10093,9 +10144,9 @@ def release_artifact_families(names) -> int:
 # prior relative order (bm25_topk_docs before the hybrid/eval consumers,
 # similarity_pq_topk before pq_rerank/ivfpq, bpe_train_merges before
 # bpe_segment_tokens), so future rotations remain a simple prefix shift.
-# After a green r16 run the stalest records anywhere are the 22 remaining
-# r12-record rows (quality_filter_gate .. dedup_incremental) -- they
-# lead the r17 rotation.
+# After a green r16 run the stalest records anywhere are the 23 remaining
+# r12-record rows (pii_scrub .. dedup_incremental) -- they lead the r17
+# rotation.
 # ---------------------------------------------------------------------------
 _PRIORITY_ORDER = [
     "mixture_plan", "nation_pair_trade", "order_priority_semijoin",
@@ -10107,8 +10158,8 @@ _PRIORITY_ORDER = [
     "top_supplier_by_revenue", "value_mad_by_type", "waiting_orders_blame",
     "zorder_layout_key", "asof_join_latest_order", "colspec_quarantine_arms",
     "corpus_mix_report", "dedup_ngram_containment",
-    "dedup_containment_verified", "view_json_envelope",
-    "view_csv_positional",
+    "dedup_containment_verified", "corpus_diversity_ngrams",
+    "view_json_envelope", "view_csv_positional",
     "xref_latest_by_key", "xref_latest_soft_delete", "fgac_enrich_mask",
     "quarantine_antijoin", "union_arms_null_fill", "ordered_multi_join",
     "pricing_summary", "k_anonymity_generalized",
@@ -10117,9 +10168,9 @@ _PRIORITY_ORDER = [
     "dedup_simhash", "dlq_corrupt_split", "doc_chunk_overlap",
     "doc_fingerprint", "embedding_quantize_int8", "flatten_nested_json",
     "keyword_topk", "language_id_heuristic", "multimodal_frame_sample",
-    "pack_sequences", "pii_scrub",
+    "pack_sequences",
     "zorder_rewrite", "bloom_skipscan_pointlookup",
-    "quality_filter_gate", "range_join_event_pairs",
+    "pii_scrub", "quality_filter_gate", "range_join_event_pairs",
     "session_window_agg", "sessionize_events", "shard_assignment_balanced",
     "similarity_cosine_topk", "similarity_ivf_nprobe", "similarity_ivf_topk",
     "similarity_lsh_topk", "stratified_sample_lang", "sttm_pipeline_e2e",

@@ -322,3 +322,39 @@ def test_containment_verify_matches_allpairs_on_offered_pairs(spark, sf_dir):
         assert exact[pair] == scored
     # and the recall gap is real: the exact row sees pairs LSH missed
     assert set(verified) <= set(exact)
+
+
+# ---------------------------------------------------------------------------
+# ngram_diversity: per-group distinct-n corpus diversity
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_exact_counts_and_guards(spark):
+    """Counts are exact and per-document (no cross-doc bigrams); empty /
+    1-token / NULL documents contribute no grams and trip neither the
+    descending-sequence hazard nor the ratio division."""
+    from confluent_data_ingestion_spark.operators.text import (
+        ngram_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "x y x"),       # uni: x,y,x  bi: "x y","y x"
+            ("a", "y x"),         # uni: y,x    bi: "y x"
+            ("a", ""),            # nothing (empty after filter)
+            ("a", None),          # nothing
+            ("b", "solo"),        # 1 token, no bigram
+        ],
+        "source string, text string",
+    )
+    rep = {r["source"]: r for r in ngram_diversity(docs).collect()}
+    a = rep["a"]
+    assert (a["n_docs"], a["n_tokens"], a["distinct_tokens"]) == (4, 5, 2)
+    assert a["ttr"] == 0.4
+    # bigrams: "x y", "y x" (doc1) + "y x" (doc2) — never "x y" across
+    # the doc boundary of doc2+doc3
+    assert (a["n_bigrams"], a["distinct_bigrams"]) == (3, 2)
+    assert a["distinct2"] == round(2 / 3, 6)
+    b = rep["b"]
+    assert (b["n_docs"], b["n_tokens"], b["n_bigrams"]) == (1, 1, 0)
+    assert b["distinct2"] is None  # zero bigrams -> NULL ratio, no 1/0
