@@ -1211,17 +1211,21 @@ def containment_verify_pairs(
         .join(sa, F.expr(f"doc_a = sa.{id_col}"))
         .join(sb, F.expr(f"doc_b = sb.{id_col}"))
         .withColumn(
-            "containment",
+            "__cont__",
             F.expr(
-                "round(greatest(CAST(__c__ AS DOUBLE) / sa.n_sh,"
-                " CAST(__c__ AS DOUBLE) / sb.n_sh), 6)"
+                "greatest(CAST(__c__ AS DOUBLE) / sa.n_sh,"
+                " CAST(__c__ AS DOUBLE) / sb.n_sh)"
             ),
         )
-        .filter(F.col("containment") >= threshold)
+        # threshold the UNROUNDED value, then round for output — the
+        # same order as ngram_containment_pairs, so a boundary pair in
+        # [threshold - 5e-7, threshold) is excluded by BOTH paths and
+        # the exactness-on-candidates contract holds bit-for-bit
+        .filter(F.col("__cont__") >= threshold)
         .select(
             "doc_a",
             "doc_b",
-            "containment",
+            F.round("__cont__", 6).alias("containment"),
             F.expr("CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END")
             .alias("contained_doc"),
         )

@@ -938,9 +938,8 @@ def _excerpt_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
     JOIN sizes sa ON c.doc_a = sa.doc_id
     JOIN sizes sb ON c.doc_b = sb.doc_id
-    WHERE round(greatest(CAST(COALESCE(i.i, 0) AS DOUBLE) / sa.nsh,
-                         CAST(COALESCE(i.i, 0) AS DOUBLE) / sb.nsh),
-                6) >= 0.8
+    WHERE greatest(CAST(COALESCE(i.i, 0) AS DOUBLE) / sa.nsh,
+                   CAST(COALESCE(i.i, 0) AS DOUBLE) / sb.nsh) >= 0.8
     """,
 )
 def dedup_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9995,7 +9994,14 @@ def streaming_contract_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.source, n_docs, n_tokens, distinct_tokens,
            round(CAST(distinct_tokens AS DOUBLE) / nullif(n_tokens, 0), 6)
              AS ttr,
-           n_bigrams, distinct_bigrams,
+           -- a source whose docs all have <2 tokens has unigram rows but
+           -- no bigram CTE row: the engine aggregates such a group to 0,
+           -- so coalesce the missing ba row to 0 whenever the group DID
+           -- aggregate (n_tokens present); all-empty sources stay NULL
+           CASE WHEN n_tokens IS NULL THEN NULL
+                ELSE coalesce(n_bigrams, 0) END AS n_bigrams,
+           CASE WHEN n_tokens IS NULL THEN NULL
+                ELSE coalesce(distinct_bigrams, 0) END AS distinct_bigrams,
            round(CAST(distinct_bigrams AS DOUBLE) / nullif(n_bigrams, 0), 6)
              AS distinct2
     FROM d LEFT JOIN ua USING (source) LEFT JOIN ba USING (source)

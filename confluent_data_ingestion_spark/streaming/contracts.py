@@ -171,12 +171,32 @@ class UniqueKeyMonitor:
         from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
+        # the two state dirs are read under SEPARATE guards: apply()
+        # writes keys first, counters second, so a crash between the
+        # writes leaves keys without counters — that is torn state and
+        # must fail loudly, not read as "no batches yet" (the silent
+        # empty report would mask exactly the partial-write failure a
+        # fail-loud contract monitor exists to surface)
         try:
             raw_keys = spark.read.parquet(os.path.join(self.path, "keys"))
+        except AnalysisException:
+            raw_keys = None
+        try:
             cnt = spark.read.parquet(os.path.join(self.path, "counters"))
         except AnalysisException:
+            cnt = None
+        if raw_keys is None and cnt is None:
             # no completed batch yet: an empty report, not a read error
             return spark.createDataFrame([], self._REPORT_SCHEMA)
+        if raw_keys is None or cnt is None:
+            have = "keys" if cnt is None else "counters"
+            miss = "counters" if cnt is None else "keys"
+            raise ValueError(
+                f"UniqueKeyMonitor: state at {self.path} has {have} "
+                f"partials but no {miss} dir — a batch crashed between "
+                "its two writes; replay the batch (its overwrite "
+                "repairs both partials) or rebuild the monitor state"
+            )
         # fail loudly if the on-disk partials were written by a monitor
         # with a different/reordered column list (the digest partials
         # are keyed by column INDEX; merging them under the wrong name

