@@ -181,7 +181,12 @@ def main() -> None:
     # around run 1 and evict exactly what it BUILT before run 2 —
     # builder rows rebuild (honest build+query cost), pure consumers
     # keep serving the cache their builder row already paid for.
-    RERUN_ABOVE_SEC = 2.5
+    # 2.0 (was 2.5 through r16): the r16 driver reading showed a
+    # single-shot 2-2.5 s row (dedup_embedding_cosine 0.96 -> 2.21 s)
+    # swinging outside the documented ±2x shared-host noise band; at
+    # 2.0 those rows get the min-of-2 treatment too, at the cost of a
+    # handful of extra reruns per suite
+    RERUN_ABOVE_SEC = 2.0
 
     prof: dict[str, dict] = {}
     timings: dict[str, float] = {}

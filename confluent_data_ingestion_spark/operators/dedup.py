@@ -1563,3 +1563,113 @@ def allpairs_jaccard(
         # stage's input — never scan/explode the corpus text twice
         shingles=sh,
     )
+
+
+def containment_excerpt_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs n-gram CONTAINMENT >= ``threshold`` via prefix
+    filtering — the no-miss scale path for EXCERPT detection that
+    :func:`containment_verify_pairs` documents as out of reach for
+    Jaccard-targeted LSH candidates: a 500-word excerpt inside a
+    5,000-word parent has Jaccard ~0.1 and may never collide in any
+    MinHash band (measured 11/28 planted excerpts at sf0.001), but its
+    containment is ~1.0 and this operator CANNOT miss it.
+
+    The prefix theorem, adapted from the Jaccard case
+    (:func:`allpairs_jaccard` — Bayardo et al. 2007 / Xiao et al. 2008
+    overlap form): the larger directed containment is
+    ``c / min(|A|, |B|)``, so a qualifying pair overlaps in at least
+    ``ceil(t * n_s)`` shingles where ``n_s`` is the SMALLER side's
+    shingle count.  If none of the smaller side's first
+    ``p = n_s - ceil(t * n_s) + 1`` shingles — ordered by global
+    document frequency ascending, digest tie-break, i.e. its RAREST —
+    appear anywhere in the other document, the overlap is at most
+    ``n_s - p = ceil(t * n_s) - 1``: too small.  Candidates therefore
+    come from joining every document's prefix against the FULL shingle
+    frame (the contained side needs no length relation to its
+    container, so unlike Jaccard there is no length filter and no
+    prefix-vs-prefix restriction — prefix-vs-ALL is what makes the
+    asymmetric guarantee hold).  The same ``1e-9`` downward ceil guard
+    means IEEE rounding can only ENLARGE a prefix, never shrink it.
+    Exact verification then runs on the deduplicated candidates
+    (:func:`containment_verify_pairs`, unrounded-threshold contract),
+    reusing the persisted shingle frame — output bit-identical to
+    capless :func:`ngram_containment_pairs`, reached without pairing
+    inside full posting lists.
+
+    Output: ``(doc_a, doc_b, containment, contained_doc)`` exactly as
+    the all-pairs row.
+
+    100 TB posture: the candidate join is prefix-rows x posting-list
+    length, and prefix rows are each document's rarest ~(1-t) fraction
+    — a boilerplate shingle in a million documents ranks LAST in every
+    ordering and lands in almost no prefix.  The residual hazard is
+    the same corpus as ``allpairs_jaccard``'s (documents consisting
+    ENTIRELY of globally-common shingles): pre-clean with
+    ``scrub_boilerplate`` or pass ``max_df`` to drop shingles above a
+    document-frequency cap from BOTH the prefixes and the join side —
+    with a cap the no-miss guarantee narrows to the capped shingle
+    universe (a doc whose every sub-cap shingle ranks outside its
+    prefix can escape), the documented trade of every capped pairing
+    path in this module; verification still scores FULL shingle sets.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    from pyspark.sql import Window
+
+    sh = exploded_shingles(
+        ensure_min_parallelism(df), id_col, text_col, n, hashed=True
+    )
+    # digest-partitioned: the df-count aggregation, the df join and the
+    # candidate join all consume this distribution — one exchange
+    sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df__"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("__df__") <= max_df)
+    w_ord = Window.partitionBy(id_col).orderBy(
+        F.col("__df__").asc(), F.col("s").asc()
+    )
+    w_sz = Window.partitionBy(id_col)
+    pref = (
+        sh.join(dfreq, "s")
+        .select(
+            F.col(id_col),
+            "s",
+            F.row_number().over(w_ord).alias("__r__"),
+            F.count(F.lit(1)).over(w_sz).alias("__n__"),
+        )
+        .filter(
+            F.col("__r__")
+            <= F.col("__n__")
+            - F.ceil(F.lit(threshold) * F.col("__n__") - F.lit(1e-9))
+            + F.lit(1)
+        )
+    )
+    other = (
+        sh.join(dfreq.select("s"), "s", "left_semi")
+        if max_df is not None
+        else sh
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("__a__"), "s")
+        .join(other.select(F.col(id_col).alias("__b__"), "s"), "s")
+        .filter(F.col("__a__") != F.col("__b__"))
+        .select(
+            F.least("__a__", "__b__").alias("doc_a"),
+            F.greatest("__a__", "__b__").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return containment_verify_pairs(
+        df, cand, id_col=id_col, text_col=text_col, n=n,
+        threshold=threshold,
+        # the posting build's persisted shingle frame IS the verify
+        # stage's input — never scan/explode the corpus text twice
+        shingles=sh,
+    )

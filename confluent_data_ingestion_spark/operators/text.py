@@ -1010,6 +1010,8 @@ def ngram_diversity(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
+    exact: bool = True,
+    rsd: float = 0.01,
 ) -> DataFrame:
     """Per-group lexical-diversity report: corpus-level type-token ratio
     and distinct-bigram ratio — the standard distinct-n diversity
@@ -1028,12 +1030,25 @@ def ngram_diversity(
 
     Scale shape: ONE scan explodes each document's unigrams and bigrams
     under a kind tag (rows ~ 2x token count, map-side), then a single
-    per-group aggregation computes both totals and both exact distinct
+    per-group aggregation computes both totals and both distinct
     counts (Spark plans the multi-distinct as one Expand + hash
     aggregate — partial aggregation on every shuffle input, state
     bounded by the live vocabulary per group); the doc-count agg joins
     back broadcast, group-alphabet-sized.  No driver materialization,
     no join wider than the report.
+
+    ``exact`` governs the DISTINCT-BIGRAM leg only.  Unigram types are
+    bounded by the live vocabulary (sub-linear in corpus size), but
+    bigram types grow near-linearly — at 100 TB the exact distinct-2
+    leg carries ~corpus-scale aggregate state through the shuffle.
+    For the monitoring use case (drift tracking, where a 1% band around
+    distinct-2 is far below any alarm threshold) pass ``exact=False``:
+    the bigram leg switches to ``approx_count_distinct`` (HyperLogLog++,
+    relative standard deviation ``rsd``, default 1%), whose fixed
+    ~1.5 KB-per-group sketch replaces the corpus-scale hash state and
+    map-side-combines like any algebraic aggregate.  ``exact=True``
+    (default) keeps bit-exact counts for oracle parity and small
+    corpora.
     """
     grams = df.select(
         F.col(group_col).alias("__g__"),
@@ -1060,15 +1075,19 @@ def ngram_diversity(
             )
         ).alias("__gr__"),
     )
+    bigram_types = F.when(F.col("__gr__.k") == 2, F.col("__gr__.t"))
+    distinct2_agg = (
+        F.count_distinct(bigram_types)
+        if exact
+        else F.approx_count_distinct(bigram_types, rsd)
+    )
     agg = grams.groupBy("__g__").agg(
         F.count(F.when(F.col("__gr__.k") == 1, 1)).alias("n_tokens"),
         F.count_distinct(
             F.when(F.col("__gr__.k") == 1, F.col("__gr__.t"))
         ).alias("distinct_tokens"),
         F.count(F.when(F.col("__gr__.k") == 2, 1)).alias("n_bigrams"),
-        F.count_distinct(
-            F.when(F.col("__gr__.k") == 2, F.col("__gr__.t"))
-        ).alias("distinct_bigrams"),
+        distinct2_agg.alias("distinct_bigrams"),
     )
     docs = df.groupBy(F.col(group_col).alias("__g__")).agg(
         F.count(F.lit(1)).alias("n_docs")

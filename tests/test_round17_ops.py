@@ -127,3 +127,121 @@ def test_unique_monitor_torn_state_fails_loudly(spark, missing):
     shutil.rmtree(f"{path}/{missing}")
     with pytest.raises(ValueError, match="crashed between"):
         mon.snapshot(spark)
+
+
+# ---------------------------------------------------------------------------
+# containment_excerpt_pairs: the no-miss excerpt scale path (r16 task 3)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_excerpts_recall_is_one_on_planted(spark, sf_dir):
+    """The r16 row documented LSH-candidate recall of 11/28 on planted
+    half-document excerpts (Jaccard ~0.5 rarely collides in bands
+    tuned for 0.8+).  The prefix-filter path must find EVERY planted
+    (parent, parent+3000000) pair — its no-miss guarantee is a
+    theorem, and this pins the measured recall at 1.0."""
+    from confluent_data_ingestion_spark.operators.dedup import (
+        containment_excerpt_pairs,
+    )
+    from confluent_data_ingestion_spark.queries import _excerpt_corpus
+
+    corpus = _excerpt_corpus(spark, sf_dir)
+    planted = {
+        (r["doc_id"], r["doc_id"] + 3000000)
+        for r in corpus.filter("doc_id >= 3000000")
+        .selectExpr("doc_id - 3000000 AS doc_id").collect()
+    }
+    assert len(planted) >= 10  # the corpus actually plants excerpts
+    found = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_excerpt_pairs(
+            corpus, n=5, threshold=0.8
+        ).collect()
+    }
+    missed = planted - set(found)
+    assert not missed, f"prefix filter missed planted excerpts: {missed}"
+    for pair in planted:  # a planted excerpt's shingles are a subset
+        assert found[pair] == 1.0
+
+
+def test_containment_excerpts_matches_capless_allpairs(spark, sf_dir):
+    """Prefix filtering is exact: the full output must be bit-identical
+    to capless ngram_containment_pairs on the same corpus."""
+    from confluent_data_ingestion_spark.operators.dedup import (
+        containment_excerpt_pairs,
+        ngram_containment_pairs,
+    )
+    from confluent_data_ingestion_spark.queries import _excerpt_corpus
+
+    corpus = _excerpt_corpus(spark, sf_dir)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["contained_doc"])
+        for r in containment_excerpt_pairs(
+            corpus, n=5, threshold=0.8
+        ).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["contained_doc"])
+        for r in ngram_containment_pairs(
+            corpus, n=5, threshold=0.8, max_group_size=None
+        ).collect()
+    }
+    assert got == want
+
+
+def test_containment_excerpts_df_cap_narrows_but_runs(spark):
+    """With max_df the guarantee narrows to the capped shingle universe
+    (documented); a corpus where the excerpt's rare shingles survive
+    the cap still finds the pair, and verification scores FULL sets."""
+    from confluent_data_ingestion_spark.operators.dedup import (
+        containment_excerpt_pairs,
+    )
+
+    parent = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, parent), (2, excerpt), (3, "q r s t u v w x y z")],
+        "doc_id long, text string",
+    )
+    rows = containment_excerpt_pairs(
+        docs, n=5, threshold=0.9, max_df=10
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+    assert rows[0]["containment"] == 1.0
+    assert rows[0]["contained_doc"] == 2
+
+    with pytest.raises(ValueError):
+        containment_excerpt_pairs(docs, threshold=1.5)
+
+
+# ---------------------------------------------------------------------------
+# ngram_diversity approx (HLL) mode: the 100 TB-safe distinct-2 leg
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_approx_within_hll_bound(spark):
+    """exact=False swaps the corpus-scale distinct-bigram hash state for
+    a fixed-size HLL++ sketch; at rsd=0.01 every per-source estimate
+    must land within 5 sigma (5%) of the exact count at sf0.01, and
+    every other column must be bit-identical (only the distinct-2 leg
+    changes)."""
+    from confluent_data_ingestion_spark.operators.text import ngram_diversity
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r["source"]: r for r in ngram_diversity(docs).collect()}
+    approx = {
+        r["source"]: r
+        for r in ngram_diversity(docs, exact=False, rsd=0.01).collect()
+    }
+    assert set(exact) == set(approx)
+    for src, e in exact.items():
+        a = approx[src]
+        for col in ("n_docs", "n_tokens", "distinct_tokens", "ttr",
+                    "n_bigrams"):
+            assert a[col] == e[col], (src, col)
+        assert e["distinct_bigrams"] > 500  # estimate is non-trivial
+        rel = abs(a["distinct_bigrams"] - e["distinct_bigrams"]) / e[
+            "distinct_bigrams"
+        ]
+        assert rel <= 0.05, (src, rel)
+        assert abs(a["distinct2"] - e["distinct2"]) <= 0.05 * e["distinct2"]
