@@ -167,6 +167,91 @@ class UniqueKeyMonitor:
         "threshold double, status string"
     )
 
+    def _key_batch_ids(self) -> list[int]:
+        """Batch ids present under ``keys/`` (negative ids are compacted
+        pseudo-batches), from a directory listing — metadata only."""
+        keys_dir = os.path.join(self.path, "keys")
+        if not os.path.isdir(keys_dir):
+            return []
+        out = []
+        for name in os.listdir(keys_dir):
+            if name.startswith("batch_id="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def compact(
+        self, spark: SparkSession, keep_last: int = 16
+    ) -> dict[str, int]:
+        """Fold the digest partials of every batch except the newest
+        ``keep_last`` into ONE compacted pseudo-batch dir — the
+        snapshot-read-fan-out fix for long streams: after B batches the
+        ``keys/batch_id=N`` layout holds B small parquet dirs, and the
+        snapshot's scan cost is dominated by per-dir open/list overhead
+        (object-storage LIST + small-object GETs at scale) rather than
+        digest bytes.  Compaction restores O(keep_last) dirs while the
+        digest SET — the real state, bounded by distinct keys — is
+        unchanged.
+
+        Crash-safe by construction, riding the same distinct-of-union
+        algebra as the snapshot: the compacted union is first written
+        to a NEW pseudo-batch dir (``batch_id=<next negative id>``) —
+        at that point every digest exists in BOTH the new dir and its
+        sources, which cannot change any ``count_distinct`` — and only
+        then are the folded source dirs (and prior compacted dirs)
+        deleted.  A crash at any point leaves duplicates, never loss,
+        and a re-run folds them away: idempotent.  Replay interplay is
+        free for the same reason — a replayed batch that re-creates
+        ``keys/batch_id=N`` after N was folded just duplicates digests
+        the compacted dir already holds.
+
+        The newest ``keep_last`` batches stay as-is so in-flight
+        microbatch replays (which only ever target recent batch ids)
+        rewrite their own partial without touching compacted state.
+        Counter partials are NOT compacted: they merge by SUM, which
+        double-counts under replay-after-fold; at 1 row x ~3 columns
+        per batch they are list-overhead only, and snapshot reads them
+        in one partitioned scan.
+
+        Returns ``{"folded": n_dirs_folded, "kept": n_batch_dirs_kept}``.
+        Serialize with apply()/snapshot() exactly as those are
+        serialized with each other (foreachBatch already guarantees it
+        for apply).
+        """
+        ids = self._key_batch_ids()
+        live = [i for i in ids if i >= 0]
+        prior_compact = [i for i in ids if i < 0]
+        fold = live[:-keep_last] if keep_last > 0 else live
+        if not fold and len(prior_compact) <= 1:
+            return {"folded": 0, "kept": len(live)}
+        src_ids = fold + prior_compact
+        keys_dir = os.path.join(self.path, "keys")
+        src = spark.read.option("basePath", keys_dir).parquet(
+            *[os.path.join(keys_dir, f"batch_id={i}") for i in src_ids]
+        )
+        new_id = min(prior_compact, default=0) - 1
+        # ONE distinct over the folded digests (ci, col, d) — the same
+        # shuffle shape as the snapshot's count_distinct, sized by the
+        # distinct-key state, then a single new dir
+        # natural distinct-shuffle partitioning: ONE dir of
+        # shuffle-partition-count files written in parallel (a
+        # coalesce(1) would serialize the write through one task at
+        # corpus scale); the fan-out win is dirs, not files-per-dir
+        (
+            src.select("ci", "col", "d").distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(keys_dir, f"batch_id={new_id}"))
+        )
+        import shutil
+
+        for i in src_ids:  # delete AFTER the union dir exists
+            shutil.rmtree(
+                os.path.join(keys_dir, f"batch_id={i}"), ignore_errors=True
+            )
+        return {"folded": len(src_ids), "kept": len(live) - len(fold)}
+
     def snapshot(self, spark: SparkSession) -> DataFrame:
         from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F

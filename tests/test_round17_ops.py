@@ -245,3 +245,76 @@ def test_ngram_diversity_approx_within_hll_bound(spark):
         ]
         assert rel <= 0.05, (src, rel)
         assert abs(a["distinct2"] - e["distinct2"]) <= 0.05 * e["distinct2"]
+
+
+# ---------------------------------------------------------------------------
+# UniqueKeyMonitor.compact: cross-batch digest compaction (r16 task 1)
+# ---------------------------------------------------------------------------
+
+
+def _apply_batches(spark, mon, n_batches, start=0, rows_per=20, dup_every=5):
+    for b in range(start, start + n_batches):
+        rows = [
+            ((b * rows_per + i) // dup_every,)  # every dup_every rows collide
+            for i in range(rows_per)
+        ]
+        mon.apply(spark.createDataFrame(rows, "k long"), b)
+
+
+def test_unique_monitor_compact_preserves_snapshot(spark):
+    """Folding old batch dirs into one compacted pseudo-batch must not
+    change the cumulative report by one ulp — distinct-of-union is
+    invariant under re-grouping — while the keys dir count drops to
+    keep_last + 1."""
+    path = tempfile.mkdtemp(prefix="cdis-ukm-compact-")
+    mon = UniqueKeyMonitor(path, ["k"])
+    _apply_batches(spark, mon, 12)
+    before = mon.snapshot(spark).collect()
+    assert len(mon._key_batch_ids()) == 12
+
+    res = mon.compact(spark, keep_last=4)
+    assert res == {"folded": 8, "kept": 4}
+    ids = mon._key_batch_ids()
+    assert len(ids) == 5 and ids[0] < 0  # 4 live + 1 compacted
+    after = mon.snapshot(spark).collect()
+    assert after == before
+
+    # idempotent: nothing left to fold
+    assert mon.compact(spark, keep_last=4)["folded"] == 0
+    assert mon.snapshot(spark).collect() == before
+
+
+def test_unique_monitor_compact_then_more_batches_and_refold(spark):
+    """Compaction composes with continued streaming: new batches land as
+    normal dirs, a second compact folds them INTO the prior compacted
+    dir (prior negative ids are sources too), and the report still
+    equals the one-shot truth."""
+    path = tempfile.mkdtemp(prefix="cdis-ukm-refold-")
+    mon = UniqueKeyMonitor(path, ["k"])
+    _apply_batches(spark, mon, 8)
+    mon.compact(spark, keep_last=2)
+    _apply_batches(spark, mon, 6, start=8)
+    res = mon.compact(spark, keep_last=2)
+    assert res["kept"] == 2 and res["folded"] == 7  # 6 old live + 1 compacted
+    ids = mon._key_batch_ids()
+    assert sum(1 for i in ids if i < 0) == 1
+    row = mon.snapshot(spark).collect()[0]
+    # 14 batches x 20 rows, key = row_index // 5 -> 56 distinct / 280
+    assert row["observed"] == round(56 / 280, 6)
+
+
+def test_unique_monitor_replay_after_fold_is_harmless(spark):
+    """A microbatch replayed AFTER its digests were folded re-creates
+    its batch dir; the duplicates cannot change count_distinct, so the
+    report is unchanged — the crash-window story rides the same
+    algebra."""
+    path = tempfile.mkdtemp(prefix="cdis-ukm-replay-")
+    mon = UniqueKeyMonitor(path, ["k"])
+    _apply_batches(spark, mon, 6)
+    mon.compact(spark, keep_last=2)
+    before = mon.snapshot(spark).collect()
+    _apply_batches(spark, mon, 1, start=0)  # replay folded batch 0
+    assert mon.snapshot(spark).collect() == before
+    # and a re-compact folds the duplicate dir away again
+    mon.compact(spark, keep_last=2)
+    assert mon.snapshot(spark).collect() == before

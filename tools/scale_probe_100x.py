@@ -513,7 +513,7 @@ def main() -> None:
         if (
             "dedup" in fams or "lm" in fams or "bm25" in fams
             or "bm25merge" in fams or "docops" in fams
-            or "containment" in fams
+            or "containment" in fams or "excerpt" in fams
         ) and not os.path.exists(
             f"{out}/documents.parquet/_SUCCESS"
         ):
@@ -811,6 +811,16 @@ def main() -> None:
         # beyond the jaccard family's measured slope
         probes.append(
             ("dedup_ngram_containment", "dedup_ngram_containment")
+        )
+    if "excerpt" in fams:
+        # prefix-filtered NO-MISS containment over the same blowup
+        # (r17): candidates are each doc's rarest (1-t)n+1 shingles
+        # joined against the FULL shingle frame (no DF cap by default)
+        # — the honest question is whether candidate volume stays
+        # posting-build-dominated when the corpus grows two decades
+        # with a shared boilerplate tail on 10 pct of docs
+        probes.append(
+            ("dedup_containment_excerpts", "dedup_containment_excerpts")
         )
     if "headline" in fams:
         # the per-round sf1-anchor (r12 verdict item 7): the whole
