@@ -1673,3 +1673,139 @@ def containment_excerpt_pairs(
         # stage's input — never scan/explode the corpus text twice
         shingles=sh,
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints — the MOSS local fingerprinting
+    algorithm ("Winnowing: Local Algorithms for Document
+    Fingerprinting", Schleimer, Wilkerson & Aiken, SIGMOD 2003; public
+    method): hash every k-token gram WITH its position, slide a window
+    of ``window`` consecutive hashes, and keep each window's minimum
+    (rightmost on ties).  The selected set is a ~``2/(window+1)``
+    density sample of the gram stream with the GUARANTEE that any
+    shared token run of length >= ``window + k - 1`` between two
+    documents selects at least one common fingerprint — position-aware
+    overlap detection at a fraction of full-shingle cost, the property
+    set n-gram containment (global, position-blind) cannot offer.
+
+    Output: one row per selected fingerprint —
+    ``(id_col, f, pos)`` where ``f`` is the md5 of the k-gram and
+    ``pos`` its 1-based token position: the localization handle (which
+    SPAN two documents share, not just that they overlap).
+
+    Engine-portable selection in ONE window pass: the minimized sort
+    key is the string ``md5 || '|' || lpad(10**7 - pos)`` — hex then
+    zero-padded digits, so lexicographic MIN is (min hash, then
+    rightmost position), identical in any SQL engine; no struct
+    ordering, no nested window functions.  Trailing windows truncate at
+    the document end (``ROWS BETWEEN CURRENT ROW AND window-1
+    FOLLOWING``), a deterministic variant that only ever ADDS
+    selections in the last ``window-1`` positions; documents shorter
+    than ``k`` tokens yield no grams and no fingerprints.
+
+    Scale shape: position-explode (map-side, the exploded_shingles
+    Generate discipline), ONE per-document window shuffle, then a
+    distinct on the selected ~2/(window+1) fraction.  State per task is
+    one document's gram run; nothing is corpus-quadratic.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    tok = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__ts__")
+    )
+    pos = tok.select(
+        F.col(id_col),
+        "__ts__",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__ts__) >= {k} THEN"
+                f" sequence(1, size(__ts__) - {k - 1})"
+                " ELSE CAST(array() AS array<int>) END"
+            )
+        ).alias("pos"),
+    )
+    grams = pos.select(
+        F.col(id_col),
+        "pos",
+        F.expr(
+            f"concat(md5(array_join(slice(__ts__, pos, {k}), ' ')), '|',"
+            " lpad(CAST(10000000 - pos AS STRING), 8, '0'))"
+        ).alias("__key__"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.select(
+            F.col(id_col), F.min("__key__").over(w).alias("__sel__")
+        )
+        .distinct()
+        .select(
+            F.col(id_col),
+            F.expr("substr(__sel__, 1, 32)").alias("f"),
+            F.expr(
+                "10000000 - CAST(substr(__sel__, 34, 8) AS INT)"
+            ).alias("pos"),
+        )
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_group_size: int | None = 500,
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints — overlap detection
+    over the :func:`winnow_fingerprints` sample instead of the full
+    shingle set: any shared run of ``window + k - 1`` tokens guarantees
+    a shared fingerprint, so thresholding SHARED FINGERPRINT COUNT
+    (``min_shared``) detects substantial verbatim overlap (plagiarism,
+    quoting, mirrored passages) at ~``2/(window+1)`` of the posting
+    volume the exact n-gram rows pay.
+
+    Output: ``(doc_a, doc_b, n_shared)`` per unordered pair with at
+    least ``min_shared`` DISTINCT shared fingerprint hashes,
+    ``doc_a < doc_b``.
+
+    Same posting-list pairing discipline as every exact pairing row in
+    this module (per-hash posting lists, ``max_group_size``
+    document-frequency cap, candidates explode WITHIN lists, never a
+    self-join) — but over the winnowed sample, which is what makes the
+    inverted index affordable where full shingle postings are not; at
+    100 TB this is the first-pass overlap radar, with
+    :func:`containment_excerpt_pairs` as the exact no-miss follow-up on
+    the survivors.
+    """
+    fp = winnow_fingerprints(
+        ensure_min_parallelism(df), id_col, text_col, k, window
+    ).select(id_col, "f").distinct()
+    post = fp.groupBy("f").agg(
+        F.count(F.lit(1)).alias("__df__"),
+        F.collect_list(id_col).alias("__ids__"),
+    )
+    if max_group_size is not None:
+        post = post.filter(F.col("__df__") <= max_group_size)
+    pairs = (
+        post.select(F.explode("__ids__").alias("doc_a"), "__ids__")
+        .select("doc_a", F.explode("__ids__").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1028,6 +1028,69 @@ def dedup_containment_excerpts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_winnow_pairs",
+    """
+    WITH exc AS (
+      SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(
+               ts[1:greatest(5, CAST(floor(len(ts) / 2) AS INT))], ' '
+             ) AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE doc_id % 37 = 0)
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM exc
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                       || ts[i+3] || ' ' || ts[i+4])
+             || '|' || lpad(CAST(10000000 - i AS VARCHAR), 8, '0') AS key
+      FROM tok, unnest(generate_series(1, len(ts)-4)) AS u(i)
+    ),
+    -- one window pass: lexicographic min of (md5 hex || zero-padded
+    -- reversed position) = (min hash, rightmost on ties), the
+    -- engine-portable winnowing selection rule
+    sel AS (
+      SELECT DISTINCT doc_id, substr(win, 1, 32) AS f
+      FROM (SELECT doc_id,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                     AS win
+            FROM g)
+    ),
+    post AS (SELECT doc_id, f FROM sel
+             QUALIFY count(*) OVER (PARTITION BY f) <= 500)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM post a JOIN post b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap radar (operators/dedup.
+    winnow_overlap_pairs; Schleimer-Wilkerson-Aiken 2003, the MOSS
+    algorithm): each document keeps the min-hash of every 4-hash window
+    over its 5-gram stream (rightmost-min ties, ~2/(w+1) = 40 pct
+    density), and pairs sharing >= 2 DISTINCT fingerprints are
+    reported.  Any shared verbatim run of window + k - 1 = 8 tokens
+    guarantees a shared fingerprint, so the planted half-document
+    excerpts light up with large n_shared at a fraction of the full
+    shingle-posting volume — the 100 TB first-pass overlap radar, with
+    dedup_containment_excerpts as the exact no-miss follow-up.  Same
+    posting-list/DF-cap pairing as every exact pairing row; the oracle
+    replicates the portable selection key (md5 hex || zero-padded
+    reversed position) so both engines select IDENTICAL fingerprints."""
+    from .operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _excerpt_corpus(spark, sf_dir), k=5, window=4, min_shared=2
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     f"""
     WITH {_SHINGLE_SQL},
@@ -10201,13 +10264,14 @@ def release_artifact_families(names) -> int:
 # consumer (dedup_simhash_pairs before dedup_clusters / dedup_apply_pipeline
 # / dedup_keep_best_quality, zorder_rewrite before
 # bloom_skipscan_pointlookup) so each family's build cost stays charged to
-# the row named for it; then the round's new row
-# (dedup_containment_excerpts — an external record its first round out);
-# then the headline 9 (they anchor the benchmark baseline); then the 15
-# alphabetically-first rows of the r13-record cohort (bigram_logprob_score
-# .. exact_quantiles_events, dsir_weights_docs kept before dsir_select_topk).
-# Positions 50+ lead with the REMAINING 25 r13-record rows
-# (forecast_revenue_change .. weighted_sample_priority) so the r18 rotation
+# the row named for it; then the round's TWO new rows
+# (dedup_containment_excerpts, dedup_winnow_pairs — an external record
+# their first round out); then the headline 9 (they anchor the benchmark
+# baseline); then the 14 alphabetically-first rows of the r13-record
+# cohort (bigram_logprob_score .. event_funnel, dsir_weights_docs kept
+# before dsir_select_topk).
+# Positions 50+ lead with the REMAINING 26 r13-record rows
+# (exact_quantiles_events .. weighted_sample_priority) so the r18 rotation
 # stays a prefix shift; everything after keeps the prior relative order
 # (bm25_topk_docs before the hybrid/eval consumers, similarity_pq_topk
 # before pq_rerank/ivfpq, bpe_train_merges before bpe_segment_tokens,
@@ -10225,15 +10289,15 @@ _PRIORITY_ORDER = [
     "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_clusters",
     "dedup_apply_pipeline", "dedup_keep_best_quality", "dedup_incremental",
     "zorder_rewrite", "bloom_skipscan_pointlookup",
-    "dedup_containment_excerpts", "view_json_envelope", "view_csv_positional",
+    "dedup_containment_excerpts", "dedup_winnow_pairs",
+    "view_json_envelope", "view_csv_positional",
     "xref_latest_by_key", "xref_latest_soft_delete", "fgac_enrich_mask",
     "quarantine_antijoin", "union_arms_null_fill", "ordered_multi_join",
     "pricing_summary", "bigram_logprob_score", "bigram_logprob_vocab",
     "bloom_compaction_lifecycle", "char_entropy_scores", "concat_chunks_plan",
     "corpus_length_quantiles", "corpus_sample_exact_n", "dedup_lsh_verified",
     "domain_cap_exact", "domain_cap_rate", "dsir_weights_docs",
-    "dsir_select_topk", "epoch_shuffle_assign", "event_funnel",
-    "exact_quantiles_events", "forecast_revenue_change", "hash_embed_vectors",
+    "dsir_select_topk", "epoch_shuffle_assign", "event_funnel", "exact_quantiles_events", "forecast_revenue_change", "hash_embed_vectors",
     "hopping_window_agg", "kmeans_refine_assign", "multimodal_embed_topk",
     "normalize_text_stage", "quality_cutoff_per_lang", "repeated_spans_cdc",
     "revenue_cube_flag_status", "rolling_event_stats", "rollup_sample_events",

@@ -318,3 +318,110 @@ def test_unique_monitor_replay_after_fold_is_harmless(spark):
     # and a re-compact folds the duplicate dir away again
     mon.compact(spark, keep_last=2)
     assert mon.snapshot(spark).collect() == before
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003): selection + guarantee
+# ---------------------------------------------------------------------------
+
+
+def _winnow_reference(text: str, k: int, w: int) -> set:
+    """Pure-python winnowing oracle: min-hash of every w-window over the
+    k-gram md5 stream, rightmost on ties, trailing windows truncated."""
+    import hashlib
+
+    ts = text.split(" ")
+    grams = [
+        (hashlib.md5(" ".join(ts[i:i + k]).encode()).hexdigest(), i + 1)
+        for i in range(len(ts) - k + 1)
+    ]
+    sel = set()
+    for s in range(len(grams)):
+        win = grams[s:s + w]
+        sel.add(min(win, key=lambda g: (g[0], -g[1])))
+    return sel
+
+
+def test_winnow_fingerprints_match_reference_selection(spark):
+    """The engine's one-pass string-key selection (md5 || zero-padded
+    reversed position) must reproduce classic winnowing exactly:
+    min hash per window, RIGHTMOST position on ties (repeated k-grams
+    in one doc make ties real), truncated trailing windows."""
+    from confluent_data_ingestion_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    # 'a b c' repeats -> identical 3-grams at different positions: ties
+    text = "a b c d a b c d a b c x y z a b c"
+    rows = winnow_fingerprints(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"),
+        k=3, window=4,
+    ).collect()
+    got = {(r["f"], r["pos"]) for r in rows}
+    assert got == _winnow_reference(text, 3, 4)
+    # density: ~2/(w+1) of grams, never more than gram count
+    n_grams = len(text.split()) - 2
+    assert 0 < len(got) <= n_grams
+    # sub-k docs produce nothing
+    assert winnow_fingerprints(
+        spark.createDataFrame([(2, "too short")], "doc_id long, text string"),
+        k=5, window=4,
+    ).count() == 0
+
+
+def test_winnow_overlap_guarantee_on_shared_run(spark):
+    """Any shared verbatim run of window + k - 1 tokens must produce at
+    least one shared fingerprint (the winnowing theorem) — two docs
+    sharing an 8-token run inside unrelated context must pair."""
+    from confluent_data_ingestion_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    run = "the quick brown fox jumps over lazy dogs"  # 8 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {run} delta epsilon zeta"),
+            (2, f"uno dos tres cuatro {run} cinco seis"),
+            (3, "completely unrelated words only appear in here tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_overlap_pairs(
+            docs, k=5, window=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_pairs_flag_planted_excerpts(spark, sf_dir):
+    """On the planted-excerpt corpus the winnowed radar (40 pct density)
+    must flag every planted (parent, excerpt) pair at min_shared=2
+    whose excerpt is long enough for the theorem to promise two
+    fingerprints: two disjoint w+k-1 runs, i.e. >= 2(w+k-1) = 16
+    tokens (a 5-token excerpt has ONE gram and can share only one
+    fingerprint — the documented reason min_shared exists)."""
+    from pyspark.sql import functions as F
+
+    from confluent_data_ingestion_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+    from confluent_data_ingestion_spark.queries import _excerpt_corpus
+
+    corpus = _excerpt_corpus(spark, sf_dir)
+    planted = {
+        (r["doc_id"], r["doc_id"] + 3000000)
+        for r in corpus.filter("doc_id >= 3000000")
+        .filter(F.size(F.split("text", " ")) >= 16)
+        .selectExpr("doc_id - 3000000 AS doc_id").collect()
+    }
+    assert len(planted) >= 10
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_overlap_pairs(
+            corpus, k=5, window=4, min_shared=2
+        ).collect()
+    }
+    assert planted <= found

@@ -514,6 +514,7 @@ def main() -> None:
             "dedup" in fams or "lm" in fams or "bm25" in fams
             or "bm25merge" in fams or "docops" in fams
             or "containment" in fams or "excerpt" in fams
+            or "winnow" in fams
         ) and not os.path.exists(
             f"{out}/documents.parquet/_SUCCESS"
         ):
@@ -822,6 +823,12 @@ def main() -> None:
         probes.append(
             ("dedup_containment_excerpts", "dedup_containment_excerpts")
         )
+    if "winnow" in fams:
+        # winnowing overlap radar over the same blowup (r17): the
+        # honest question is whether the ~2/(w+1)-density fingerprint
+        # sample keeps the posting/pairing stages a constant fraction
+        # of the exact n-gram rows as the corpus grows two decades
+        probes.append(("dedup_winnow_pairs", "dedup_winnow_pairs"))
     if "headline" in fams:
         # the per-round sf1-anchor (r12 verdict item 7): the whole
         # headline-9 pipeline against the x10 fact blowup — one decade,
