@@ -16,20 +16,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
+def warm_session(spark, sf_dir: str) -> None:
+    """One-time JVM / codegen / Arrow-worker warmups shared by the full
+    bench and the subset harness (tools/bench_subset.py) so per-query
+    numbers measure the plan, not session startup or first-touch JIT."""
     from confluent_data_ingestion_spark.caching import release_caches
-    from confluent_data_ingestion_spark.queries import (
-        QUERIES,
-        artifact_family_keys,
-        release_artifact_families,
-    )
-    from confluent_data_ingestion_spark.session import get_spark
-
-    spark = get_spark("cdis-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footer caches once so per-query numbers measure
     # the plan, not session startup
@@ -135,6 +126,23 @@ def main() -> None:
     finally:
         shutil.rmtree(rdir, ignore_errors=True)
     release_caches()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from confluent_data_ingestion_spark.caching import release_caches
+    from confluent_data_ingestion_spark.queries import (
+        QUERIES,
+        artifact_family_keys,
+        release_artifact_families,
+    )
+    from confluent_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("cdis-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_session(spark, sf_dir)
 
     # SPARK_GRAFT_BENCH_PROF=1: record per-query JVM pressure (cumulative
     # GC ms, heap after, block-manager storage memory) next to the wall

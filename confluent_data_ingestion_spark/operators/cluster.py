@@ -202,6 +202,8 @@ def _cc_two_phase_star(
     size ``max_iter`` for the contraction depth alone, not for probe
     cadence.
     """
+    from pyspark.sql import Window
+
     half = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
@@ -227,40 +229,52 @@ def _cc_two_phase_star(
         ).collect()[0]
         return row["n"], row["h"]
 
+    # Each phase is ONE window pass (exchange + sort on the 8-byte center
+    # key) with a per-row emission rule — no join, no aggregation exchange,
+    # no per-phase distinct (r17 rewrite; the groupBy+join formulation this
+    # replaces spent 3 exchanges and a join per phase for the identical
+    # edge SET).  Row-count invariant: large-star emits exactly one row per
+    # undirected edge instance (of (u,v),(v,u) exactly the dst>src one
+    # fires, and dst > src >= m rules out self-loops), small-star maps each
+    # input row to exactly one output row — so the per-round shuffle is
+    # bounded by the ORIGINAL edge count forever and skipping the
+    # duplicate-collapse cannot compound.  Duplicate instances ride along
+    # without affecting any window min (min is multiplicity-blind), reach
+    # the same fixed point in the same rounds, and evolve deterministically
+    # per-instance, so the multiset checksum probe still detects the fixed
+    # point exactly.
+    per_src = Window.partitionBy("src")
     prev = _checksum(edges)
     cur = prev
     for _round in range(max_iter):
-        # -- large-star ---------------------------------------------------
+        # -- large-star: m = min(Γ(u) ∪ {u}) via least(src,dst); every
+        # strictly-larger neighbor re-attaches to m.  Output rows (v, m)
+        # always satisfy v > m, so the small-star phase's big→small
+        # orientation is already established and its projection vanishes.
         und = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        mins = und.groupBy(F.col("src").alias("c")).agg(
-            F.min(F.least("src", "dst")).alias("m")
-        )
-        edges = (
-            und.join(mins, F.col("src") == F.col("c"))
+        ls = (
+            und.withColumn("m", F.min(F.least("src", "dst")).over(per_src))
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .distinct()
         )
-        # -- small-star ---------------------------------------------------
-        oriented = edges.select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
-        )
-        mins = oriented.groupBy(F.col("src").alias("c")).agg(
-            F.min("dst").alias("m")
-        )
-        rewired = (
-            oriented.join(mins, F.col("src") == F.col("c"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
+        # -- small-star: center u with (all smaller) neighbors Γ(u),
+        # m = min(Γ(u)): each neighbor row (u, v) emits (v, m), except the
+        # row(s) attaining the minimum, which emit the center's own
+        # attachment (u, m) — same set as "rewire all + union centers"
+        # with the self-loop filter, in one projection.
+        sm = F.min("dst").over(per_src)
         edges = (
-            rewired.unionByName(
-                mins.select(F.col("c").alias("src"), F.col("m").alias("dst"))
+            ls.select(
+                F.when(F.col("dst") == sm, F.col("src"))
+                .otherwise(F.col("dst"))
+                .alias("new_src"),
+                sm.alias("new_dst"),
             )
-            .distinct()
+            .select(
+                F.col("new_src").alias("src"), F.col("new_dst").alias("dst")
+            )
             .localCheckpoint(eager=False)
         )
         if _round % 2 == 0 and _round < max_iter - 3:

@@ -399,6 +399,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     persist_shingles: bool = False,
     max_group_size: int | None = 500,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram CONTAINMENT — the asymmetric companion to
     :func:`ngram_jaccard_pairs` for excerpt/quote detection (Broder's
@@ -425,12 +426,21 @@ def ngram_containment_pairs(
     semantics, shingles travel as md5 digests.  Quadratic in
     collision-group size — at 100 TB run AFTER an LSH prefilter, or
     feed it the pair list of a banded candidate generator.
+
+    ``shingles``: an already-built hashed shingle frame
+    (``(id_col, s)``, clustered on the digest) — e.g. a session-shared
+    artifact several containment rows consume — skips the corpus
+    scan/explode here; ``persist_shingles`` then only governs the
+    posting frame.
     """
-    sh = exploded_shingles(
-        ensure_min_parallelism(df), id_col, text_col, n, hashed=True
-    )
-    if persist_shingles:
-        sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = exploded_shingles(
+            ensure_min_parallelism(df), id_col, text_col, n, hashed=True
+        )
+        if persist_shingles:
+            sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
     post = sh.groupBy("s").agg(
         F.count(F.lit(1)).alias("__df__"),
         F.collect_list(id_col).alias("__ids__"),

@@ -1004,6 +1004,7 @@ def mutual_margin_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
+    candidates_distinct: bool = False,
 ) -> DataFrame:
     """Margin-based mutual nearest-neighbor matching between two vector
     sets — the standard bitext-mining / cross-corpus alignment scorer
@@ -1032,12 +1033,22 @@ def mutual_margin_pairs(
     bands, PQ shortlists) — and only those pairs are scored: the
     margin statistics then read over the candidate neighborhoods,
     exactly how the public mining pipelines run it at corpus scale.
-    Everything downstream of scoring is pair-sized: two rank windows
-    (one shuffle each on a_id / b_id), two top-k sum aggregations, and
-    two joins back onto the mutual-top-1 rows.  Top-k averages are
-    combined from EXACT decimal sums and integer counts in
-    deterministic double arithmetic, so the report is bit-identical
-    across engines and partitionings.
+    Everything downstream of scoring is pair-sized and SINGLE-PASS
+    (r17 shape): each side's rank AND its top-k sum/count ride the
+    same window partitioning — a conditional windowed sum over the
+    rows the row_number already marked — so the whole scorer is two
+    exchanges of the pair list (a_id, then b_id) with no aggregation
+    subtrees and no joins back onto the mutual-top-1 rows.  Top-k
+    averages are combined from EXACT decimal sums and integer counts
+    in deterministic double arithmetic, so the report is bit-identical
+    across engines and partitionings (a windowed decimal sum is the
+    same exact Sum aggregate the old groupBy computed).
+
+    ``candidates_distinct=True`` skips the defensive candidate dedup
+    (a duplicate (a_id, b_id) row would occupy ranks 1 AND 2 in both
+    windows and double-count in the top-k sums): every pruner in this
+    module already emits distinct pairs, and the dedup is a full
+    shuffle of the pair list.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -1050,16 +1061,10 @@ def mutual_margin_pairs(
         F.col(vec_col).cast("array<double>").alias("be"),
     ).withColumn("__bn__", F.expr(f"sqrt({_dot('be', 'be')})"))
     if candidates is not None:
-        # any pruner may feed this — dedupe defensively so a duplicate
-        # (a_id, b_id) row can't occupy ranks 1 AND 2 in both windows
-        # and double-count in the top-k sums (lsh_candidate_pairs
-        # dedupes, but the contract accepts arbitrary candidate frames)
-        paired = (
-            candidates.select("a_id", "b_id")
-            .distinct()
-            .join(av, "a_id")
-            .join(bv, "b_id")
-        )
+        cand = candidates.select("a_id", "b_id")
+        if not candidates_distinct:
+            cand = cand.distinct()
+        paired = cand.join(av, "a_id").join(bv, "b_id")
     else:
         paired = av.crossJoin(bv)
     scored = paired.select(
@@ -1075,18 +1080,28 @@ def mutual_margin_pairs(
     wb = Window.partitionBy("b_id").orderBy(
         F.col("cos").desc(), F.col("a_id").asc()
     )
-    ranked = scored.withColumn("ra", F.row_number().over(wa)).withColumn(
-        "rb", F.row_number().over(wb)
-    )
-    top_a = (
-        ranked.filter(F.col("ra") <= k)
-        .groupBy("a_id")
-        .agg(F.sum("cos").alias("__sa__"), F.count(F.lit(1)).alias("__ca__"))
-    )
-    top_b = (
-        ranked.filter(F.col("rb") <= k)
-        .groupBy("b_id")
-        .agg(F.sum("cos").alias("__sb__"), F.count(F.lit(1)).alias("__cb__"))
+    # the flat (whole-partition) stats windows reuse wa/wb's exchange +
+    # sort — Catalyst plans them as a second WindowExec on the already
+    # partitioned-and-sorted child, no new exchange
+    fa = Window.partitionBy("a_id")
+    fb = Window.partitionBy("b_id")
+    ranked = (
+        scored.withColumn("ra", F.row_number().over(wa))
+        .withColumn(
+            "__sa__", F.sum(F.when(F.col("ra") <= k, F.col("cos"))).over(fa)
+        )
+        .withColumn(
+            "__ca__",
+            F.sum(F.when(F.col("ra") <= k, F.lit(1)).otherwise(0)).over(fa),
+        )
+        .withColumn("rb", F.row_number().over(wb))
+        .withColumn(
+            "__sb__", F.sum(F.when(F.col("rb") <= k, F.col("cos"))).over(fb)
+        )
+        .withColumn(
+            "__cb__",
+            F.sum(F.when(F.col("rb") <= k, F.lit(1)).otherwise(0)).over(fb),
+        )
     )
     margin = F.floor(
         (
@@ -1104,8 +1119,6 @@ def mutual_margin_pairs(
     ) / F.lit(1000000.0)
     return (
         ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1))
-        .join(top_a, "a_id")
-        .join(top_b, "b_id")
         .withColumn("margin", margin)
         .filter(F.col("margin") >= F.lit(float(margin_threshold)))
         .select(

@@ -9497,8 +9497,11 @@ def bitext_mutual_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width-4 planes — re-pin the oracle's band keys"
         )
     cand = lsh_candidate_pairs(a, b, planes=None, bands=4, dim=64, n_hint=n)
+    # lsh_candidate_pairs ends in a distinct — skip the scorer's
+    # defensive re-dedup (a second full shuffle of the pair list)
     return mutual_margin_pairs(
-        a, b, k=4, margin_threshold=1.0, candidates=cand
+        a, b, k=4, margin_threshold=1.0, candidates=cand,
+        candidates_distinct=True,
     )
 
 
@@ -9745,8 +9748,10 @@ def bitext_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.filter(F.col("vec_id") % 2 == 0)
     b = emb.filter(F.col("vec_id") % 2 == 1)
     cand = lsh_candidate_pairs(a, b, _LSH_PLANES, bands=4)
+    # distinct candidates by construction — skip the defensive re-dedup
     return mutual_margin_pairs(
-        a, b, k=4, margin_threshold=1.0, candidates=cand
+        a, b, k=4, margin_threshold=1.0, candidates=cand,
+        candidates_distinct=True,
     )
 
 
