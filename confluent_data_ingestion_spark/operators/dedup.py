@@ -303,6 +303,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.03,
     persist_shingles: bool = False,
     max_group_size: int | None = 500,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity over shingle-sharing pairs.
 
@@ -349,15 +350,24 @@ def ngram_jaccard_pairs(
     Shingles travel as md5 digests (``exploded_shingles(hashed=True)``):
     every shuffle and persisted block carries 32-byte keys, never n-gram
     text.
+
+    ``shingles``: an already-built hashed shingle frame
+    (``(id_col, s)``, clustered on the digest) — e.g. a session-shared
+    artifact several pairing rows consume — skips the corpus
+    scan/explode here; ``persist_shingles`` then only governs the
+    posting frame.
     """
-    sh = exploded_shingles(
-        ensure_min_parallelism(df), id_col, text_col, n, hashed=True
-    )
-    # persist ALREADY PARTITIONED on the digest: the posting aggregation's
-    # required distribution is then satisfied by the cache, so the corpus
-    # crosses exactly one exchange
-    if persist_shingles:
-        sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = exploded_shingles(
+            ensure_min_parallelism(df), id_col, text_col, n, hashed=True
+        )
+        # persist ALREADY PARTITIONED on the digest: the posting
+        # aggregation's required distribution is then satisfied by the
+        # cache, so the corpus crosses exactly one exchange
+        if persist_shingles:
+            sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
     post = sh.groupBy("s").agg(
         F.count(F.lit(1)).alias("__df__"),
         F.collect_list(id_col).alias("__ids__"),
@@ -1464,6 +1474,7 @@ def allpairs_jaccard(
     n: int = 3,
     threshold: float = 0.5,
     persist_shingles: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard >= ``threshold`` via prefix
     filtering (AllPairs / PPJoin family — Bayardo, Ma & Srikant 2007;
@@ -1514,13 +1525,18 @@ def allpairs_jaccard(
     """
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
-    sh = exploded_shingles(
-        ensure_min_parallelism(df), id_col, text_col, n, hashed=True
-    )
-    if persist_shingles:
-        # digest-partitioned: the df-count aggregation and the df join
-        # both consume this distribution — one exchange for the corpus
-        sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
+    if shingles is not None:
+        # pre-built digest-clustered frame (session-shared artifact) —
+        # the corpus is not scanned here
+        sh = shingles
+    else:
+        sh = exploded_shingles(
+            ensure_min_parallelism(df), id_col, text_col, n, hashed=True
+        )
+        if persist_shingles:
+            # digest-partitioned: the df-count aggregation and the df join
+            # both consume this distribution — one exchange for the corpus
+            sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df__"))
     from pyspark.sql import Window
 
@@ -1582,6 +1598,7 @@ def containment_excerpt_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram CONTAINMENT >= ``threshold`` via prefix
     filtering — the no-miss scale path for EXCERPT detection that
@@ -1633,12 +1650,17 @@ def containment_excerpt_pairs(
         raise ValueError("threshold must be in (0, 1)")
     from pyspark.sql import Window
 
-    sh = exploded_shingles(
-        ensure_min_parallelism(df), id_col, text_col, n, hashed=True
-    )
-    # digest-partitioned: the df-count aggregation, the df join and the
-    # candidate join all consume this distribution — one exchange
-    sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
+    if shingles is not None:
+        # pre-built digest-clustered frame (e.g. the session-shared
+        # excerpt-corpus artifact) — the corpus is not scanned here
+        sh = shingles
+    else:
+        sh = exploded_shingles(
+            ensure_min_parallelism(df), id_col, text_col, n, hashed=True
+        )
+        # digest-partitioned: the df-count aggregation, the df join and
+        # the candidate join all consume this distribution — one exchange
+        sh = track(sh.repartition(_shuffle_partitions(sh), F.col("s")))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df__"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("__df__") <= max_df)

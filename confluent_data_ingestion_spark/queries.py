@@ -793,7 +793,10 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=5, threshold=0.03, persist_shingles=True)
+    return ngram_jaccard_pairs(
+        docs, n=5, threshold=0.03, persist_shingles=True,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
 
 
 @query(
@@ -854,12 +857,13 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         _excerpt_corpus(spark, sf_dir), n=5, threshold=0.8,
         persist_shingles=True,
+        shingles=_excerpt_shingles(spark, sf_dir),
     )
 
 
 def _excerpt_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents plus planted half-document excerpts (every 37th doc,
-    id + 3,000,000) — the shared corpus of the two containment rows."""
+    id + 3,000,000) — the shared corpus of the containment rows."""
     docs = _t(spark, sf_dir, "documents")
     ts = F.split(F.col("text"), " ")
     excerpts = docs.filter(F.col("doc_id") % 37 == 0).select(
@@ -875,6 +879,58 @@ def _excerpt_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return docs.select("doc_id", "text").unionByName(excerpts)
+
+
+# hashed 5-gram shingle frame of the excerpt corpus, clustered on the
+# digest — the identical frame three containment rows previously each
+# rebuilt from the corpus (scan + split + explode + md5 + one exchange).
+# Session-shared artifact (same discipline as the simhash/bm25/pq
+# families): localCheckpoint pins partitioning AND survives the per-query
+# release_caches(); the bench's family diff charges the build to the
+# first consumer and evicts it around that row's rerun.
+_EXCERPT_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# ... and the same frame over the PLAIN documents table, shared by the
+# Jaccard pairing family (dedup_ngram_jaccard, dedup_allpairs_prefix,
+# dedup_lsh_verified's verify stage, dup_provenance_sources).  Separate
+# family so a rerun eviction of one corpus never evicts the other.
+_DOC_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _build_shingles5(corpus: DataFrame) -> DataFrame:
+    from .operators.dedup import _shuffle_partitions, exploded_shingles
+    from .session import ensure_min_parallelism
+
+    sh = exploded_shingles(
+        ensure_min_parallelism(corpus), "doc_id", "text", 5, hashed=True
+    )
+    return sh.repartition(
+        _shuffle_partitions(sh), F.col("s")
+    ).localCheckpoint(eager=False)
+
+
+def _excerpt_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _EXCERPT_SHINGLE_CACHE.get(key)
+    if sh is None:
+        if _EXCERPT_SHINGLE_CACHE:  # one corpus at a time
+            _evict_excerpt_shingle_family()
+        sh = _build_shingles5(_excerpt_corpus(spark, sf_dir))
+        _EXCERPT_SHINGLE_CACHE[key] = sh
+    return sh
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _DOC_SHINGLE_CACHE.get(key)
+    if sh is None:
+        if _DOC_SHINGLE_CACHE:  # one corpus at a time
+            _evict_doc_shingle_family()
+        sh = _build_shingles5(
+            _t(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        _DOC_SHINGLE_CACHE[key] = sh
+    return sh
 
 
 @query(
@@ -961,7 +1017,12 @@ def dedup_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _excerpt_corpus(spark, sf_dir)
     pairs = minhash_lsh_pairs(corpus, n=5, persist_signatures=True)
-    return containment_verify_pairs(corpus, pairs, n=5, threshold=0.8)
+    return containment_verify_pairs(
+        corpus, pairs, n=5, threshold=0.8,
+        # session-shared shingle artifact: verify prunes it by candidate
+        # ids instead of re-exploding the corpus text
+        shingles=_excerpt_shingles(spark, sf_dir),
+    )
 
 
 @query(
@@ -1023,7 +1084,8 @@ def dedup_containment_excerpts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import containment_excerpt_pairs
 
     return containment_excerpt_pairs(
-        _excerpt_corpus(spark, sf_dir), n=5, threshold=0.8
+        _excerpt_corpus(spark, sf_dir), n=5, threshold=0.8,
+        shingles=_excerpt_shingles(spark, sf_dir),
     )
 
 
@@ -3025,7 +3087,10 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = minhash_lsh_pairs(docs, n=5, persist_signatures=True)
-    return jaccard_verify_pairs(docs, pairs, n=5, threshold=0.5)
+    return jaccard_verify_pairs(
+        docs, pairs, n=5, threshold=0.5,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -8692,7 +8757,8 @@ def dup_provenance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, n=5, threshold=0.8, persist_shingles=True
+        docs, n=5, threshold=0.8, persist_shingles=True,
+        shingles=_doc_shingles(spark, sf_dir),
     )
     return duplicate_provenance(
         pairs.select("doc_a", "doc_b"), docs.select("doc_id", "source")
@@ -9685,7 +9751,9 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import allpairs_jaccard
 
     docs = _t(spark, sf_dir, "documents")
-    return allpairs_jaccard(docs, n=5, threshold=0.4)
+    return allpairs_jaccard(
+        docs, n=5, threshold=0.4, shingles=_doc_shingles(spark, sf_dir)
+    )
 
 
 @query(
@@ -10215,6 +10283,22 @@ def _evict_bloom_family() -> None:
     _BLOOM_INDEX_CACHE.clear()
 
 
+def _evict_excerpt_shingle_family() -> None:
+    from .caching import release_checkpoint as _free
+
+    for old in _EXCERPT_SHINGLE_CACHE.values():
+        _free(old)
+    _EXCERPT_SHINGLE_CACHE.clear()
+
+
+def _evict_doc_shingle_family() -> None:
+    from .caching import release_checkpoint as _free
+
+    for old in _DOC_SHINGLE_CACHE.values():
+        _free(old)
+    _DOC_SHINGLE_CACHE.clear()
+
+
 def _evict_skipscan_family() -> None:
     # the layout DIRECTORY stays (app-scoped /tmp scratch, reclaimed at
     # application exit); a rebuild overwrites it in place
@@ -10232,6 +10316,10 @@ ARTIFACT_FAMILIES: dict[str, tuple[dict, Callable[[], None]]] = {
     "bpe": (_BPE_MERGES_CACHE, _evict_bpe_family),
     "bloom": (_BLOOM_INDEX_CACHE, _evict_bloom_family),
     "skipscan": (_SKIPSCAN_CACHE, _evict_skipscan_family),
+    "excerpt_shingles": (
+        _EXCERPT_SHINGLE_CACHE, _evict_excerpt_shingle_family,
+    ),
+    "doc_shingles": (_DOC_SHINGLE_CACHE, _evict_doc_shingle_family),
     # scalar memo (no frames to free) — registered so the bench rerun
     # charges the count job to the row that first pays it
     "emb_count": (_EMB_COUNT_CACHE, _EMB_COUNT_CACHE.clear),
