@@ -270,15 +270,18 @@ def dawid_skene(
         # correctly-rounded quotient (m far below 2^53, 1e6 exact)
         return col.cast("double") / F.lit(1_000_000.0)
 
-    n_votes = v.groupBy("i").agg(F.count(F.lit(1)).alias("n_votes"))
+    # one aggregation serves as BOTH the distinct-item inventory and the
+    # per-item vote count (the old plan ran a distinct AND a count agg
+    # over v, then joined the count back onto the grid — one agg and one
+    # join more than needed; v's i-clustering makes this exchange-free)
+    items = v.groupBy("i").agg(F.count(F.lit(1)).alias("n_votes"))
     # T0: smoothed vote shares over the full item x class grid
     counts = v.groupBy("i", F.col("l").alias("j")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    grid = v.select("i").distinct().crossJoin(F.broadcast(classes))
+    grid = items.crossJoin(F.broadcast(classes))
     T = track(
         grid.join(counts, ["i", "j"], "left")
-        .join(n_votes, "i")
         .select(
             "i", "j",
             _micros(
@@ -383,7 +386,7 @@ def dawid_skene(
     return (
         T.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .join(n_votes, "i")
+        .join(items, "i")
         .select(
             F.col("i").alias(item_col),
             F.col("j").alias(label_col),
