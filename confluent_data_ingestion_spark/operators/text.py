@@ -629,6 +629,43 @@ def quality_cutoff_filter(
     )
 
 
+def bigram_pair_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document adjacent-pair term frequencies —
+    ``(id_col, w1, w2, tf)`` over raw tokens (no vocabulary mapping).
+    The shared base frame of the bigram family: the interpolated-bigram
+    scorer consumes it directly, the vocabulary-bounded variant derives
+    its OOV-mapped counts from it by token mapping + re-aggregation
+    (sum of tf over preimages — exactly the count it computed from raw
+    pairs), and collocation PMI folds it to corpus pair counts.  One
+    corpus explode + one aggregation serves all three."""
+    from ..session import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__ts__")
+    )
+    pairs = toks.select(
+        F.col(id_col),
+        "__ts__",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__ts__) >= 2 THEN sequence(1, size(__ts__) - 1) "
+                "ELSE CAST(array() AS array<int>) END"
+            )
+        ).alias("__i__"),
+    ).select(
+        F.col(id_col),
+        F.expr("element_at(__ts__, __i__)").alias("w1"),
+        F.expr("element_at(__ts__, __i__ + 1)").alias("w2"),
+    )
+    return pairs.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
 def bigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",
@@ -636,6 +673,7 @@ def bigram_logprob_score(
     lam: float = 0.7,
     vocab_size: int | None = None,
     oov_token: str = "<unk>",
+    pair_tf: DataFrame | None = None,
 ) -> DataFrame:
     """Interpolated-bigram log-probability per document — one step up from
     ``unigram_logprob_score`` toward real perplexity filtering: word-order
@@ -680,35 +718,32 @@ def bigram_logprob_score(
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     from ..caching import track
 
-    toks = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__ts__")
-    )
-    pairs = toks.select(
-        F.col(id_col),
-        "__ts__",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(__ts__) >= 2 THEN sequence(1, size(__ts__) - 1) "
-                "ELSE CAST(array() AS array<int>) END"
-            )
-        ).alias("__i__"),
-    ).select(
-        F.col(id_col),
-        F.expr("element_at(__ts__, __i__)").alias("w1"),
-        F.expr("element_at(__ts__, __i__ + 1)").alias("w2"),
+    raw_tf = (
+        pair_tf if pair_tf is not None
+        else bigram_pair_tf(df, text_col, id_col)
     )
     if vocab_size is not None:
+        # vocabulary from TOKEN frequencies (includes each doc's last
+        # token, which the pair table's w1 column misses — so this leg
+        # still reads the corpus once)
         vocab = (
-            toks.select(F.explode("__ts__").alias("w"))
+            df.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("w")
+            )
             .groupBy("w")
             .agg(F.count(F.lit(1)).alias("__c__"))
             .orderBy(F.col("__c__").desc(), F.col("w").asc())
             .limit(vocab_size)
             .select("w")
         )
+        # OOV-map the TYPE table, not the pair stream: counting mapped
+        # pairs equals summing raw-pair counts over each mapped type's
+        # preimages — same integers, |types| rows through the joins
+        # instead of |pairs|
+        mapped = raw_tf
         for side in ("w1", "w2"):
-            pairs = (
-                pairs.join(
+            mapped = (
+                mapped.join(
                     F.broadcast(vocab.select(F.col("w").alias(side))
                                 .withColumn("__in__", F.lit(1))),
                     side,
@@ -721,9 +756,11 @@ def bigram_logprob_score(
                 )
                 .drop("__in__")
             )
-    tf = track(
-        pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
-    )
+        tf = track(
+            mapped.groupBy(id_col, "w1", "w2").agg(F.sum("tf").alias("tf"))
+        )
+    else:
+        tf = track(raw_tf)
     big = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
     ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     uni = big.groupBy("w2").agg(F.sum("c2").alias("cu"))
@@ -762,6 +799,7 @@ def collocation_pmi(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 5,
+    pair_tf: DataFrame | None = None,
 ) -> DataFrame:
     """Collocation extraction via pointwise mutual information over
     ADJACENT token pairs: PMI(w1,w2) = ln(N * c(w1,w2) / (c(w1,*) *
@@ -784,23 +822,28 @@ def collocation_pmi(
     """
     from ..session import ensure_min_parallelism
 
-    df = ensure_min_parallelism(df)
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    toks = df.select(F.split(F.col(text_col), " ").alias("__ts__"))
-    pairs = toks.select(
-        "__ts__",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(__ts__) >= 2 THEN sequence(1, size(__ts__) - 1) "
-                "ELSE CAST(array() AS array<int>) END"
-            )
-        ).alias("__i__"),
-    ).select(
-        F.expr("element_at(__ts__, __i__)").alias("w1"),
-        F.expr("element_at(__ts__, __i__ + 1)").alias("w2"),
-    )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    if pair_tf is not None:
+        # fold the shared per-doc pair table to corpus counts: sum of
+        # per-doc tf == direct pair count, same integers
+        big = pair_tf.groupBy("w1", "w2").agg(F.sum("tf").alias("n_pair"))
+    else:
+        df = ensure_min_parallelism(df)
+        toks = df.select(F.split(F.col(text_col), " ").alias("__ts__"))
+        pairs = toks.select(
+            "__ts__",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__ts__) >= 2 THEN sequence(1, size(__ts__) - 1) "
+                    "ELSE CAST(array() AS array<int>) END"
+                )
+            ).alias("__i__"),
+        ).select(
+            F.expr("element_at(__ts__, __i__)").alias("w1"),
+            F.expr("element_at(__ts__, __i__ + 1)").alias("w2"),
+        )
+        big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     ctx = big.groupBy("w1").agg(F.sum("n_pair").alias("c1"))
     uni = big.groupBy("w2").agg(F.sum("n_pair").alias("cu"))
     tot = uni.agg(F.sum("cu").alias("n"))

@@ -58,11 +58,27 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Unevaluated reader-plan memo: `spark.read.parquet` costs ~75 ms of
+# driver work per call (py4j round-trips, DataSource resolution, footer
+# schema read) even when the file listing is cached — and the registry
+# calls it 300+ times per bench run.  The cached object is the IMMUTABLE
+# logical plan (no persisted blocks, no materialized data — every query
+# still computes from the parquet inputs); registered as an artifact
+# family so the completeness test sees it and the bench family-diff
+# stays exhaustive.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, *names: str):
-    tabs = load_tables(spark, sf_dir, list(names))
+    app = spark.sparkContext.applicationId
+    missing = [n for n in names if (app, sf_dir, n) not in _TABLE_CACHE]
+    if missing:
+        loaded = load_tables(spark, sf_dir, missing)
+        for n in missing:
+            _TABLE_CACHE[(app, sf_dir, n)] = loaded[n]
     if len(names) == 1:
-        return tabs[names[0]]
-    return [tabs[n] for n in names]
+        return _TABLE_CACHE[(app, sf_dir, names[0])]
+    return [_TABLE_CACHE[(app, sf_dir, n)] for n in names]
 
 
 # ---------------------------------------------------------------------------
@@ -918,6 +934,14 @@ _DOC_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 # signature build behind it.
 _MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Per-document adjacent-pair term frequencies over documents
+# (doc_id, w1, w2, tf) — the base frame of the bigram family:
+# bigram_logprob_score consumes it directly, bigram_logprob_vocab
+# derives its OOV-mapped counts from it (token mapping + re-aggregation
+# over |types| rows instead of re-exploding |pairs| rows), and
+# collocation_pmi folds it to corpus pair counts.
+_BIGRAM_TF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def _build_shingles5(corpus: DataFrame) -> DataFrame:
     from .operators.dedup import _shuffle_partitions, exploded_shingles
@@ -953,6 +977,21 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _DOC_SHINGLE_CACHE[key] = sh
     return sh
+
+
+def _doc_bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bigram_pair_tf
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tf = _BIGRAM_TF_CACHE.get(key)
+    if tf is None:
+        if _BIGRAM_TF_CACHE:  # one corpus at a time
+            _evict_bigram_tf_family()
+        tf = bigram_pair_tf(
+            _t(spark, sf_dir, "documents").select("doc_id", "text")
+        ).localCheckpoint(eager=False)
+        _BIGRAM_TF_CACHE[key] = tf
+    return tf
 
 
 def _doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4161,7 +4200,9 @@ def bigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bigram_logprob_score
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return bigram_logprob_score(docs, lam=0.7)
+    return bigram_logprob_score(
+        docs, lam=0.7, pair_tf=_doc_bigram_tf(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4213,7 +4254,10 @@ def bigram_logprob_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bigram_logprob_score
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return bigram_logprob_score(docs, lam=0.7, vocab_size=200)
+    return bigram_logprob_score(
+        docs, lam=0.7, vocab_size=200,
+        pair_tf=_doc_bigram_tf(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4245,7 +4289,9 @@ def collocation_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import collocation_pmi
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return collocation_pmi(docs, min_count=5)
+    return collocation_pmi(
+        docs, min_count=5, pair_tf=_doc_bigram_tf(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10342,6 +10388,14 @@ def _evict_minhash_pairs_family() -> None:
     _MINHASH_PAIRS_CACHE.clear()
 
 
+def _evict_bigram_tf_family() -> None:
+    from .caching import release_checkpoint as _free
+
+    for old in _BIGRAM_TF_CACHE.values():
+        _free(old)
+    _BIGRAM_TF_CACHE.clear()
+
+
 def _evict_skipscan_family() -> None:
     # the layout DIRECTORY stays (app-scoped /tmp scratch, reclaimed at
     # application exit); a rebuild overwrites it in place
@@ -10364,9 +10418,12 @@ ARTIFACT_FAMILIES: dict[str, tuple[dict, Callable[[], None]]] = {
     ),
     "doc_shingles": (_DOC_SHINGLE_CACHE, _evict_doc_shingle_family),
     "minhash_pairs": (_MINHASH_PAIRS_CACHE, _evict_minhash_pairs_family),
+    "bigram_tf": (_BIGRAM_TF_CACHE, _evict_bigram_tf_family),
     # scalar memo (no frames to free) — registered so the bench rerun
     # charges the count job to the row that first pays it
     "emb_count": (_EMB_COUNT_CACHE, _EMB_COUNT_CACHE.clear),
+    # reader-plan memo (no materialized frames — plan objects only)
+    "tables": (_TABLE_CACHE, _TABLE_CACHE.clear),
 }
 
 
