@@ -245,6 +245,40 @@ def minhash_lsh_pairs(
     otherwise emit a quadratic pair blowup into one reducer.  Dropped keys
     match >cap docs and carry no pairing signal.  ``None`` disables.
     """
+    allb = minhash_band_rows(
+        df, id_col, text_col, n, num_hashes, rows_per_band
+    )
+    # persist the BAND ROWS, not the raw signatures, and persist them
+    # already partitioned on the join key: the (band, key)-clustered cache
+    # satisfies the distribution required by the hot-key count agg and both
+    # self-join sides, so the signature subtree (shingle + minhash over the
+    # corpus) is computed exactly once and nothing downstream re-shuffles it
+    if persist_signatures:
+        allb = track(
+            allb.repartition(
+                _shuffle_partitions(allb), F.col("band"), F.col("key")
+            )
+        )
+    return pairs_from_band_rows(allb, id_col, max_group_size)
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The per-document LSH band rows ``(id_col, band, key)`` of
+    ``minhash_lsh_pairs`` — split out because a document's band rows
+    depend on its OWN shingles only, so band rows over a corpus union
+    are the union of per-corpus band rows.  A session can therefore
+    keep one corpus's band rows as a shared artifact and extend it with
+    a derived slice (e.g. planted excerpts) without re-signing the base
+    corpus, as long as the hot-group cap is applied over the UNION
+    (``pairs_from_band_rows``), where the original single-corpus
+    pipeline applied it."""
     assert num_hashes % rows_per_band == 0
     n_bands = num_hashes // rows_per_band
     sig = minhash_signature(
@@ -259,7 +293,7 @@ def minhash_lsh_pairs(
         + ")"
         for b in range(n_bands)
     ) + " END"
-    allb = (
+    return (
         sig.select(F.col(id_col), *[F.col(f"mh{j}") for j in range(num_hashes)])
         .withColumn("__band__", F.explode(F.expr(f"sequence(0, {n_bands - 1})")))
         .select(
@@ -269,17 +303,16 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("key").isNotNull())
     )
-    # persist the BAND ROWS, not the raw signatures, and persist them
-    # already partitioned on the join key: the (band, key)-clustered cache
-    # satisfies the distribution required by the hot-key count agg and both
-    # self-join sides, so the signature subtree (shingle + minhash over the
-    # corpus) is computed exactly once and nothing downstream re-shuffles it
-    if persist_signatures:
-        allb = track(
-            allb.repartition(
-                _shuffle_partitions(allb), F.col("band"), F.col("key")
-            )
-        )
+
+
+def pairs_from_band_rows(
+    allb: DataFrame,
+    id_col: str = "doc_id",
+    max_group_size: int | None = 500,
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from LSH band rows:
+    frequency-cap the collision groups, self-join on (band, key).  The
+    pair-derivation half of ``minhash_lsh_pairs``."""
     allb = _cap_hot_groups(allb, ["band", "key"], max_group_size)
     a = allb.alias("a")
     b_ = allb.alias("b")

@@ -162,6 +162,35 @@ def pairwise_kappa(
     )
 
 
+# fixed-point converters of the Dawid-Skene bigint representation:
+# quantize exactly as the DECIMAL oracle does (round-half-up at the
+# scale via the decimal cast), then carry the unscaled long.  decimal *
+# int literal is exact, so the bigint IS the decimal's unscaled value.
+def _micros(col, scale_cast):
+    return (col.cast(scale_cast) * F.lit(1_000_000)).cast("bigint")
+
+
+def _from_micros(col):
+    # Decimal(m, 6).toDouble == m/1e6 in IEEE double: both are the
+    # correctly-rounded quotient (m far below 2^53, 1e6 exact)
+    return col.cast("double") / F.lit(1_000_000.0)
+
+
+def _check_class_bound(n_classes: int) -> None:
+    # exactness precondition of the bigint fixed-point E-step: the
+    # softmax denominator sums <= n_classes pico-unit numerators
+    # (each <= 1e12), and bigint->double stays 1-ulp-exact only
+    # while n_classes * 1e12 < 2^53 (~9007).  Enforced, not just
+    # commented — past the bound the quantized posteriors could
+    # drift 1 ulp from the DECIMAL oracle silently.
+    if n_classes >= 9000:
+        raise ValueError(
+            f"dawid_skene: {n_classes} classes exceeds the bigint "
+            "fixed-point exactness bound (n_classes must be < 9000); "
+            "shard the label space or use a DECIMAL-arithmetic variant"
+        )
+
+
 def dawid_skene(
     votes: DataFrame,
     item_col: str = "item",
@@ -169,6 +198,7 @@ def dawid_skene(
     label_col: str = "label",
     iterations: int = 2,
     smoothing: float = 0.01,
+    pattern_collapse: bool = False,
 ) -> DataFrame:
     """Dawid-Skene label resolution: EM over per-rater confusion
     matrices, so a reliable annotator's vote outweighs a noisy one's —
@@ -210,6 +240,25 @@ def dawid_skene(
     key.  ``iterations`` is a fixed small constant (2-3 converges in
     practice), so the whole resolver is O(iterations) shuffles of
     votes x classes.
+
+    ``pattern_collapse=True`` exploits a structural fact: every EM
+    quantity attached to an item is a function of the item's vote
+    PATTERN alone — the sorted multiset of (rater, label) votes.  Two
+    items with the same pattern get bit-identical posteriors in every
+    round (T0 is a per-pattern expression; the E-step sums the
+    pattern's own logpi cells; the softmax is per item), and the
+    corpus-level M-step sums decompose exactly over patterns:
+    sum_items(t) == sum_patterns(count * t) in bigint micro-units —
+    integer multiplication, no rounding anywhere.  So the whole EM
+    runs over the distinct-pattern table (weighted by pattern count)
+    and the per-item answer is a broadcast join back.  The corpus is
+    then touched exactly twice (one groupBy(item) shuffle to build
+    patterns, one join to emit results) instead of per round.  Safe
+    whenever the pattern space is small — bounded by
+    (classes + 1)^raters for a fixed rater panel; with a large rotating
+    rater pool the pattern key includes rater identities and the
+    collapse buys nothing (it still returns the identical result, but
+    the "tiny" frames are items-sized), so it stays opt-in.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -237,38 +286,31 @@ def dawid_skene(
     # this halves the exchange count and cuts ~40% of the wall; at
     # cluster scale it is the difference between O(1) and
     # O(iterations) shuffles of the vote log.
-    v = track(votes.select(
+    v0 = votes.select(
         F.col(item_col).alias("i"),
         F.col(rater_col).alias("r"),
         F.col(label_col).alias("l"),
-    ).filter(F.col("l").isNotNull()).repartition("i"))
+    ).filter(F.col("l").isNotNull())
+    if pattern_collapse:
+        from ..caching import track
+
+        # ONE corpus shuffle: groupBy(item) folds each item's votes into
+        # a deterministic pattern key (collect_list order is not
+        # deterministic; sort_array makes it one — struct comparison is
+        # field-lexicographic).
+        pat = track(
+            v0.groupBy("i").agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("r"), F.col("l")))
+                ).alias("__p__")
+            )
+        )
+        return _dawid_skene_patterns(pat, item_col, label_col, iterations, a)
+    v = track(v0.repartition("i"))
     classes = v.select(F.col("l").alias("j")).distinct()
     n_classes = classes.count()  # label-set sized: metadata
-    if n_classes >= 9000:
-        # exactness precondition of the bigint fixed-point E-step: the
-        # softmax denominator sums <= n_classes pico-unit numerators
-        # (each <= 1e12), and bigint->double stays 1-ulp-exact only
-        # while n_classes * 1e12 < 2^53 (~9007).  Enforced, not just
-        # commented — past the bound the quantized posteriors could
-        # drift 1 ulp from the DECIMAL oracle silently.
-        raise ValueError(
-            f"dawid_skene: {n_classes} classes exceeds the bigint "
-            "fixed-point exactness bound (n_classes must be < 9000); "
-            "shard the label space or use a DECIMAL-arithmetic variant"
-        )
+    _check_class_bound(n_classes)
     aL = a * n_classes
-
-    # fixed-point converters: quantize exactly as the DECIMAL oracle
-    # does (round-half-up at the scale via the decimal cast), then
-    # carry the unscaled long.  decimal * int literal is exact, so the
-    # bigint IS the decimal's unscaled value.
-    def _micros(col, scale_cast):
-        return (col.cast(scale_cast) * F.lit(1_000_000)).cast("bigint")
-
-    def _from_micros(col):
-        # Decimal(m, 6).toDouble == m/1e6 in IEEE double: both are the
-        # correctly-rounded quotient (m far below 2^53, 1e6 exact)
-        return col.cast("double") / F.lit(1_000_000.0)
 
     # one aggregation serves as BOTH the distinct-item inventory and the
     # per-item vote count (the old plan ran a distinct AND a count agg
@@ -392,6 +434,458 @@ def dawid_skene(
             F.col("j").alias(label_col),
             _from_micros(F.col("t")).alias("confidence"),
             "n_votes",
+        )
+    )
+
+
+def dawid_skene_wide(
+    df: DataFrame,
+    item_col: str,
+    rater_cols: list[str],
+    iterations: int = 2,
+    smoothing: float = 0.01,
+) -> DataFrame:
+    """``dawid_skene(pattern_collapse=True)`` for votes that arrive WIDE
+    (one row per item, one label column per rater, NULL = no vote) — the
+    natural shape of a fixed annotator panel.  The vote pattern is then a
+    pure per-row projection (build the (rater, label) struct array from
+    the columns, drop NULL votes, sort), so the corpus is never shuffled
+    at all: the melt + groupBy(item) a long-form caller pays to
+    reconstruct exactly this row is skipped.  Output and arithmetic are
+    identical to ``dawid_skene`` over the melted long form (the rater
+    name is the column name).
+
+    When the label set is small (``<= max_vector_classes``) the EM
+    additionally vectorizes: the per-pattern posterior becomes ONE
+    ``array<bigint>`` column, the per-round M-step is ONE global
+    aggregation producing the (raters x classes x classes) confusion
+    tensor as a single row, and the E-step is a pure projection over
+    that row broadcast back — no keyed join, window, or per-matrix-cell
+    frame anywhere.  The whole resolver is then two corpus scans (label
+    inventory + final output) plus O(iterations) metadata-sized jobs,
+    at ANY corpus size.  Above the bound (expression count grows as
+    raters x classes^2) it falls back to the frame-based pattern EM."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    # deliberately NOT persisted: the pattern map is a scan-level
+    # projection, and caching it would hide its SinglePartition-friendly
+    # lineage behind an InMemoryRelation whose partitioning AQE reports
+    # as unknown — re-reading the scan is cheaper than the exchanges
+    # that reappear downstream (measured: see OPTIMIZATION_r17.md)
+    pat = df.select(
+        F.col(item_col).alias("i"),
+        F.sort_array(
+            F.filter(
+                F.array(*[
+                    F.struct(F.lit(c).alias("r"), F.col(c).alias("l"))
+                    for c in rater_cols
+                ]),
+                lambda v: v["l"].isNotNull(),
+            )
+        ).alias("__p__"),
+    ).filter(F.size("__p__") > 0)
+    from ..caching import track
+
+    max_vector_classes = 64
+    # distinct-pattern counts: the ONE corpus aggregation (persisted —
+    # its only downstream consumers are global aggregations and 1-row
+    # cross joins, so the cache's partitioning opacity costs nothing)
+    pats = track(
+        pat.groupBy("__p__").agg(F.count(F.lit(1)).alias("__w__"))
+    )
+    # label inventory: one aggregation-only job (it also materializes the
+    # pats cache); the sorted label list is metadata-sized by the
+    # enforced class bound and becomes literals in the vectorized
+    # expressions (the repo's bloom/skip-scan collect discipline — a
+    # bounded reduction, never row data)
+    classes = sorted(
+        r["l"]
+        for r in pats.select(
+            F.explode("__p__").alias("__v__")
+        ).select(F.col("__v__.l").alias("l")).distinct().collect()
+    )
+    _check_class_bound(len(classes))
+    if len(classes) > max_vector_classes or len(rater_cols) > 8:
+        return _dawid_skene_patterns(
+            pat, item_col, "label", iterations, float(smoothing),
+            n_classes=len(classes),
+        )
+    return _dawid_skene_vectorized(
+        pat, pats, item_col, "label", iterations, float(smoothing),
+        rater_cols, classes,
+    )
+
+
+def _dawid_skene_vectorized(
+    pat: DataFrame,
+    pats: DataFrame,
+    item_col: str,
+    label_col: str,
+    iterations: int,
+    a: float,
+    rater_cols: list[str],
+    classes: list,
+) -> DataFrame:
+    """Array-vector Dawid-Skene EM over the distinct-pattern table (see
+    ``dawid_skene_wide``): with the rater panel known statically and the
+    label set collected as literals, the per-pattern posterior is ONE
+    ``array<bigint>`` column and each EM round is
+
+    - ONE global aggregation over patterns producing the class-prior
+      masses and the raters x classes x classes confusion tensor as a
+      single row (every cell an exact bigint sum — the same integers the
+      frame-based M-step computes, grouped differently), and
+    - ONE projection of that row (broadcast cross join) back onto the
+      pattern table for the E-step/softmax — per-cell expressions
+      identical to the frame-based path, so every intermediate is
+      bit-identical.
+
+    No keyed join, window, or shuffle anywhere in the loop: the resolver
+    is O(iterations) metadata-sized jobs plus the corpus aggregation and
+    the final broadcast join, at any corpus size.
+    """
+    from ..caching import track
+
+    L = len(classes)
+    aL = a * L
+
+    def q(s):  # SQL string literal
+        return "'" + str(s).replace("'", "''") + "'"
+
+    # expression-STRING construction throughout: building these trees
+    # with Column operators costs thousands of py4j round-trips (~10 s
+    # of pure driver time measured); one F.expr per finished string is
+    # ~100 calls.  Float literals carry the D suffix so they parse as
+    # the identical IEEE double the frame-based path gets from F.lit.
+    aD, aLD = repr(a) + "D", repr(aL) + "D"
+
+    def m6(x, scale="decimal(7,6)"):
+        return f"cast((cast(round({x}, 6) as {scale}) * 1000000) as bigint)"
+
+    def fm(x):
+        return f"(cast({x} as double) / 1000000.0D)"
+
+    def cnt_l(lbl):
+        return f"size(filter(__p__, v -> v.l = {q(lbl)}))"
+
+    def cnt_rl(rater, lbl):
+        return (
+            f"size(filter(__p__, v -> v.r = {q(rater)}"
+            f" AND v.l = {q(lbl)}))"
+        )
+
+    # T0: smoothed vote-share vector — the classic T0 cell by cell
+    # (count + a) / (n_votes + aL); int vs bigint counts widen to the
+    # same exact double before the division
+    t0_cells = ", ".join(
+        m6(f"({cnt_l(c)} + {aD}) / (size(__p__) + {aLD})")
+        for c in classes
+    )
+    T = pats.selectExpr("__p__", "__w__", f"array({t0_cells}) as __t__")
+
+    for _ in range(iterations):
+        # M: ONE global aggregate — class-prior masses and the confusion
+        # tensor.  joint m(r,j,l) = sum_p w * t[j] * (#votes by r with
+        # label l in p): the frame-based joint's integers, regrouped.
+        aggs = [
+            F.expr(
+                f"sum(__w__ * element_at(__t__, {j + 1}))"
+            ).alias(f"mass_{j}")
+            for j in range(L)
+        ]
+        for ri, rater in enumerate(rater_cols):
+            for j in range(L):
+                for li, lbl in enumerate(classes):
+                    aggs.append(
+                        F.expr(
+                            f"sum(__w__ * element_at(__t__, {j + 1})"
+                            f" * {cnt_rl(rater, lbl)})"
+                        ).alias(f"m_{ri}_{j}_{li}")
+                    )
+        mrow = T.agg(*aggs)
+        # priors and per-rater log-matrices as 1-row projections — the
+        # exact expressions of the frame path (total/row-mass are exact
+        # bigint adds, the same integers the window/agg versions sum)
+        total = " + ".join(f"mass_{j}" for j in range(L))
+        proj = [
+            m6(
+                f"ln({fm(f'mass_{j}')} / {fm(f'({total})')})",
+                "decimal(11,6)",
+            ) + f" as logp_{j}"
+            for j in range(L)
+        ]
+        for ri in range(len(rater_cols)):
+            for j in range(L):
+                rm = " + ".join(f"m_{ri}_{j}_{li}" for li in range(L))
+                for li in range(L):
+                    proj.append(
+                        m6(
+                            f"ln(({fm(f'm_{ri}_{j}_{li}')} + {aD})"
+                            f" / ({fm(f'({rm})')} + {aLD}))",
+                            "decimal(11,6)",
+                        ) + f" as lp_{ri}_{j}_{li}"
+                    )
+        matrices = mrow.selectExpr(*proj)
+
+        # E + softmax: pure per-pattern projection against the broadcast
+        # 1-row matrices.  ln_num[j] = logp[j] + sum over the pattern's
+        # own votes of logpi[r][j][l] — exact bigint adds (the order the
+        # array fold visits them cannot change an integer sum).
+        withm = T.crossJoin(F.broadcast(matrices))
+
+        def ln_num(j):
+            rater_arms = " ".join(
+                f"WHEN {q(rater)} THEN (CASE v.l "
+                + " ".join(
+                    f"WHEN {q(lbl)} THEN lp_{ri}_{j}_{li}"
+                    for li, lbl in enumerate(classes)
+                )
+                + " ELSE cast(0 as bigint) END)"
+                for ri, rater in enumerate(rater_cols)
+            )
+            fold = (
+                "aggregate(__p__, cast(0 as bigint), (acc, v) -> acc + "
+                f"(CASE v.r {rater_arms} ELSE cast(0 as bigint) END))"
+            )
+            return f"({fold} + logp_{j})"
+
+        lnarr = "array(" + ", ".join(ln_num(j) for j in range(L)) + ")"
+        stage = withm.selectExpr(
+            "__p__", "__w__", f"{lnarr} as __ln__"
+        ).selectExpr(
+            "__p__", "__w__", "__ln__", "array_max(__ln__) as __mx__"
+        ).selectExpr(
+            "__p__", "__w__",
+            "transform(__ln__, ln -> cast((cast(round("
+            f"exp({fm('(ln - __mx__)')}), 12) as decimal(20,12))"
+            " * 1000000000000) as bigint)) as __e__",
+        ).selectExpr(
+            "__p__", "__w__", "__e__",
+            "aggregate(__e__, cast(0 as bigint), (acc, e) -> acc + e)"
+            " as __den__",
+        )
+        T = stage.selectExpr(
+            "__p__", "__w__",
+            "transform(__e__, e -> "
+            + m6(
+                "(cast(e as double) / 1.0E12D)"
+                " / (cast(__den__ as double) / 1.0E12D)"
+            )
+            + ") as __t__",
+        )
+        # persist per round: pattern-sized, and the cache substitution
+        # truncates the analyzed plan — without it round t+1's 80-odd
+        # aggregate expressions each embed round t's full softmax tree
+        # and planning time compounds geometrically
+        T = track(T)
+
+    # argmax: classes sorted ascending, array_position returns the FIRST
+    # index attaining the max — exactly the (t desc, j asc) tie-break
+    cls_arr = "array(" + ", ".join(q(c) for c in classes) + ")"
+    res = T.selectExpr(
+        "__p__",
+        f"element_at({cls_arr}, cast(array_position(__t__,"
+        " array_max(__t__)) as int)) as __lbl__",
+        fm("array_max(__t__)") + " as __conf__",
+    )
+    return (
+        pat.join(F.broadcast(res), "__p__")
+        .select(
+            F.col("i").alias(item_col),
+            F.col("__lbl__").alias(label_col),
+            F.col("__conf__").alias("confidence"),
+            F.size("__p__").cast("long").alias("n_votes"),
+        )
+    )
+
+
+def _dawid_skene_patterns(
+    pat: DataFrame,
+    item_col: str,
+    label_col: str,
+    iterations: int,
+    a: float,
+    n_classes: int | None = None,
+) -> DataFrame:
+    """Pattern-collapsed Dawid-Skene EM core (see ``dawid_skene``
+    docstring); ``pat`` is the per-item pattern map ``(i, __p__)`` with
+    ``__p__`` the sorted array of (r, l) vote structs.
+
+    The EM loop below is the classic loop verbatim with two mechanical
+    substitutions, each exact in the bigint fixed-point representation:
+
+    - the item key ``i`` becomes the vote pattern — legal because every
+      per-item expression (T0's smoothed share, the E-step's sum of the
+      item's own logpi cells, the softmax, the argmax) reads only the
+      item's own votes;
+    - the two corpus-level M-step sums gain an integer weight:
+      ``sum(t)`` over items == ``sum(__w__ * t)`` over patterns, where
+      ``__w__`` is the pattern's item count — bigint * bigint, no
+      rounding, same integer.
+
+    Priors, confusion matrices, log-probs, softmax inputs are therefore
+    bit-identical to the classic path round by round, and so is every
+    output row.
+
+    Physical shape: the distinct-pattern table is coalesced to ONE
+    partition, and SinglePartition satisfies every downstream
+    distribution requirement — so the whole EM (aggregations, windows,
+    merge-hinted joins) runs as one exchange-free task chain; the
+    merge hints exist to keep the planner from inserting per-join
+    broadcast-build jobs for frames that already live in that task.
+    The corpus appears exactly twice: the one aggregation that builds
+    ``pats`` and the final broadcast join of the pattern-sized answer
+    back onto ``pat``.
+    """
+    # coalesce(1): SinglePartition satisfies every downstream
+    # distribution requirement, so EnsureRequirements plans the whole EM
+    # with ZERO exchanges.  NOT persisted — an InMemoryRelation here
+    # would report unknown partitioning under AQE and every downstream
+    # agg/join/window would grow a 1-row exchange (~30 extra jobs);
+    # within one action the __p__ exchange is computed once and reused
+    # (ReusedExchange) across every consumer of this frame.
+    pats = (
+        pat.groupBy("__p__")
+        .agg(F.count(F.lit(1)).alias("__w__"))
+        .coalesce(1)
+    )
+    # pattern-level vote stream: one row per (pattern, vote) — the
+    # pattern-space analogue of the vote log, |patterns| x raters rows
+    pv = pats.select(
+        F.col("__p__").alias("i"), F.explode("__p__").alias("__v__")
+    ).select(
+        "i", F.col("__v__.r").alias("r"), F.col("__v__.l").alias("l")
+    )
+    classes = pv.select(F.col("l").alias("j")).distinct()
+    if n_classes is None:
+        n_classes = classes.count()  # label-set sized: metadata
+    _check_class_bound(n_classes)
+    aL = a * n_classes
+
+    wts = pats.select(F.col("__p__").alias("i"), "__w__")
+    items = pats.select(
+        F.col("__p__").alias("i"),
+        F.size("__p__").cast("long").alias("n_votes"),
+        "__w__",
+    )
+    counts = pv.groupBy("i", F.col("l").alias("j")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = items.crossJoin(F.broadcast(classes))
+    T = (
+        grid.join(counts.hint("merge"), ["i", "j"], "left")
+        .select(
+            "i", "j",
+            _micros(
+                F.round(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(a))
+                    / (F.col("n_votes") + F.lit(aL)),
+                    6,
+                ),
+                "decimal(7,6)",
+            ).alias("t"),
+            "__w__",
+        )
+    )
+
+    for _ in range(iterations):
+        # M: class priors from exact posterior mass — per-pattern mass
+        # weighted by the pattern's item count (bigint * bigint, exact)
+        prior = (
+            T.groupBy("j").agg(
+                F.sum(F.col("__w__") * F.col("t")).alias("mass")
+            )
+            .withColumn("total", F.sum("mass").over(Window.partitionBy()))
+            .select(
+                "j",
+                _micros(
+                    F.round(
+                        F.log(
+                            _from_micros(F.col("mass"))
+                            / _from_micros(F.col("total"))
+                        ),
+                        6,
+                    ),
+                    "decimal(11,6)",
+                ).alias("logp"),
+            )
+        )
+        # M: per-rater confusion matrices — each pattern vote stands for
+        # __w__ identical item votes
+        joint = (
+            pv.join(T.hint("merge"), "i")
+            .groupBy("r", "j", "l")
+            .agg(F.sum(F.col("__w__") * F.col("t")).alias("m"))
+        )
+        row_mass = joint.groupBy("r", "j").agg(F.sum("m").alias("rm"))
+        logpi = (
+            joint.join(row_mass.hint("merge"), ["r", "j"])
+            .select(
+                "r", "j", "l",
+                _micros(
+                    F.round(
+                        F.log(
+                            (_from_micros(F.col("m")) + F.lit(a))
+                            / (_from_micros(F.col("rm")) + F.lit(aL))
+                        ),
+                        6,
+                    ),
+                    "decimal(11,6)",
+                ).alias("logpi"),
+            )
+        )
+        # E: per-(pattern, class) log-posterior — the pattern's OWN votes
+        # only, unweighted (identical to the per-item sum)
+        lognum = (
+            pv.join(logpi.hint("merge"), ["r", "l"])
+            .groupBy("i", "j")
+            .agg(F.sum("logpi").alias("s"))
+            .join(prior.hint("merge"), "j")
+            .select("i", "j", (F.col("s") + F.col("logp")).alias("ln_num"))
+        )
+        per_i = Window.partitionBy("i")
+        T = (
+            lognum.withColumn("mx", F.max("ln_num").over(per_i))
+            .select(
+                "i", "j",
+                (
+                    F.round(
+                        F.exp(_from_micros(F.col("ln_num") - F.col("mx"))),
+                        12,
+                    ).cast("decimal(20,12)")
+                    * F.lit(1_000_000_000_000)
+                ).cast("bigint").alias("e"),
+            )
+            .withColumn("den", F.sum("e").over(per_i))
+            .select(
+                "i", "j",
+                _micros(
+                    F.round(
+                        (F.col("e").cast("double") / F.lit(1e12))
+                        / (F.col("den").cast("double") / F.lit(1e12)),
+                        6,
+                    ),
+                    "decimal(7,6)",
+                ).alias("t"),
+            )
+            .join(wts.hint("merge"), "i")  # reattach the pattern weight
+        )
+
+    w = Window.partitionBy("i").orderBy(F.col("t").desc(), F.col("j").asc())
+    res = (
+        T.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("i").alias("__p__"), "j", "t")
+    )
+    # per-item answer: broadcast the pattern-sized result table back onto
+    # the item->pattern map (the second and last corpus-scale pass)
+    return (
+        pat.join(F.broadcast(res), "__p__")
+        .select(
+            F.col("i").alias(item_col),
+            F.col("j").alias(label_col),
+            _from_micros(F.col("t")).alias("confidence"),
+            F.size("__p__").cast("long").alias("n_votes"),
         )
     )
 

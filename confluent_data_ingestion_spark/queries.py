@@ -911,6 +911,24 @@ def _excerpt_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _excerpt_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Just the planted-excerpt slice of ``_excerpt_corpus`` (every 37th
+    document's derived half-doc) — the 1/37-sized frame a consumer signs
+    fresh when it already holds artifacts over the plain documents."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    return docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                ts, 1,
+                F.greatest(F.lit(5), F.floor(F.size(ts) / 2).cast("int")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
 # hashed 5-gram shingle frame of the excerpt corpus, clustered on the
 # digest — the identical frame three containment rows previously each
 # rebuilt from the corpus (scan + split + explode + md5 + one exchange).
@@ -933,6 +951,14 @@ _DOC_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 # pair-sized (tiny); what the artifact saves is the corpus-scale
 # signature build behind it.
 _MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# ... and the BAND ROWS (doc_id, band, key) behind that pair list — a
+# document's band rows depend on its own shingles only, so the excerpt
+# corpus's band rows are these plus the (1/37-sized) planted-excerpt
+# slice: dedup_containment_verified extends this artifact instead of
+# re-signing the 97% of its corpus that IS the documents table.
+# (docs x n_bands)-sized, clustered on the (band, key) join key.
+_DOC_BAND_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 # Per-document adjacent-pair term frequencies over documents
 # (doc_id, w1, w2, tf) — the base frame of the bigram family:
@@ -994,15 +1020,33 @@ def _doc_bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf
 
 
+def _doc_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import _shuffle_partitions, minhash_band_rows
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    bands = _DOC_BAND_CACHE.get(key)
+    if bands is None:
+        if _DOC_BAND_CACHE:  # one corpus at a time
+            _evict_doc_band_family()
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        bands = minhash_band_rows(docs, n=5)
+        bands = bands.repartition(
+            _shuffle_partitions(bands), F.col("band"), F.col("key")
+        ).localCheckpoint(eager=False)
+        _DOC_BAND_CACHE[key] = bands
+    return bands
+
+
 def _doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import pairs_from_band_rows
+
     key = (spark.sparkContext.applicationId, sf_dir)
     pairs = _MINHASH_PAIRS_CACHE.get(key)
     if pairs is None:
         if _MINHASH_PAIRS_CACHE:  # one corpus at a time
             _evict_minhash_pairs_family()
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        pairs = minhash_lsh_pairs(
-            docs, n=5, persist_signatures=True
+        pairs = pairs_from_band_rows(
+            _doc_minhash_bands(spark, sf_dir)
         ).localCheckpoint(eager=False)
         _MINHASH_PAIRS_CACHE[key] = pairs
     return pairs
@@ -1088,10 +1132,29 @@ def dedup_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     excerpts are the target.  Both engines compute the IDENTICAL
     candidate set (the md5 MinHash construction is replicated in the
     oracle), so parity is exact, not recall-dependent."""
-    from .operators.dedup import containment_verify_pairs
+    from .operators.dedup import (
+        _shuffle_partitions,
+        containment_verify_pairs,
+        minhash_band_rows,
+        pairs_from_band_rows,
+    )
+    from .caching import track
 
     corpus = _excerpt_corpus(spark, sf_dir)
-    pairs = minhash_lsh_pairs(corpus, n=5, persist_signatures=True)
+    # band rows over the union corpus = doc band rows (session artifact,
+    # 97% of the corpus) + the planted-excerpt slice's rows (1/37 of
+    # documents, signed here) — a doc's band rows depend on its own
+    # shingles only, so this is the IDENTICAL frame the old
+    # minhash_lsh_pairs(corpus) re-signed from scratch.  The hot-group
+    # cap runs over the union (inside pairs_from_band_rows), exactly
+    # where the single-corpus pipeline applied it.
+    allb = _doc_minhash_bands(spark, sf_dir).unionByName(
+        minhash_band_rows(_excerpt_docs(spark, sf_dir), n=5)
+    )
+    allb = track(
+        allb.repartition(_shuffle_partitions(allb), F.col("band"), F.col("key"))
+    )
+    pairs = pairs_from_band_rows(allb)
     return containment_verify_pairs(
         corpus, pairs, n=5, threshold=0.8,
         # session-shared shingle artifact: verify prunes it by candidate
@@ -8476,23 +8539,22 @@ def dawid_skene_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNROLLS both EM rounds into pure SQL (the BPE-training pattern):
     every cross-row sum is an exact DECIMAL, each ln/exp is rounded and
     checkpointed, so DuckDB reproduces the posterior bit-for-bit.
-    Scale: per round, one votes x classes shuffle on the item key; the
-    confusion matrices and priors are raters x classes^2 metadata."""
-    from .operators.labels import dawid_skene
+    Scale: one corpus scan builds the per-item vote-pattern projection;
+    the EM runs entirely over the distinct-pattern table (bounded by
+    (classes+1)^raters) as a single exchange-free task, and the answer
+    broadcast-joins back — the confusion matrices and priors are
+    raters x classes^2 metadata."""
+    from .operators.labels import dawid_skene_wide
 
-    wide = _annotated_events(spark, sf_dir)
-    votes = None
-    for k in (1, 2, 3):
-        part = wide.select(
-            F.col("event_id").alias("item"),
-            F.lit(f"a{k}").alias("rater"),
-            F.col(f"a{k}").alias("label"),
-        ).filter(F.col("label").isNotNull())
-        votes = part if votes is None else votes.unionByName(part)
-    return dawid_skene(
-        votes, item_col="item", rater_col="rater", label_col="label",
+    # the votes are already WIDE (one column per annotator): the vote
+    # pattern is a pure projection, so the corpus is never melted or
+    # shuffled — the EM itself runs over the ~6^3-pattern table
+    # (dawid_skene_wide / pattern_collapse; bit-identical output)
+    return dawid_skene_wide(
+        _annotated_events(spark, sf_dir),
+        item_col="event_id", rater_cols=["a1", "a2", "a3"],
         iterations=2, smoothing=0.01,
-    ).withColumnsRenamed({"item": "event_id"})
+    )
 
 
 @query(
@@ -10388,6 +10450,14 @@ def _evict_minhash_pairs_family() -> None:
     _MINHASH_PAIRS_CACHE.clear()
 
 
+def _evict_doc_band_family() -> None:
+    from .caching import release_checkpoint as _free
+
+    for old in _DOC_BAND_CACHE.values():
+        _free(old)
+    _DOC_BAND_CACHE.clear()
+
+
 def _evict_bigram_tf_family() -> None:
     from .caching import release_checkpoint as _free
 
@@ -10418,6 +10488,7 @@ ARTIFACT_FAMILIES: dict[str, tuple[dict, Callable[[], None]]] = {
     ),
     "doc_shingles": (_DOC_SHINGLE_CACHE, _evict_doc_shingle_family),
     "minhash_pairs": (_MINHASH_PAIRS_CACHE, _evict_minhash_pairs_family),
+    "doc_bands": (_DOC_BAND_CACHE, _evict_doc_band_family),
     "bigram_tf": (_BIGRAM_TF_CACHE, _evict_bigram_tf_family),
     # scalar memo (no frames to free) — registered so the bench rerun
     # charges the count job to the row that first pays it
