@@ -629,25 +629,24 @@ def quality_cutoff_filter(
     )
 
 
-def bigram_pair_tf(
+def bigram_pair_positions(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-document adjacent-pair term frequencies —
-    ``(id_col, w1, w2, tf)`` over raw tokens (no vocabulary mapping).
-    The shared base frame of the bigram family: the interpolated-bigram
-    scorer consumes it directly, the vocabulary-bounded variant derives
-    its OOV-mapped counts from it by token mapping + re-aggregation
-    (sum of tf over preimages — exactly the count it computed from raw
-    pairs), and collocation PMI folds it to corpus pair counts.  One
-    corpus explode + one aggregation serves all three."""
+    """Per-POSITION adjacent token pairs — ``(id_col, w1, w2)``, one row
+    per bigram occurrence.  The scan-shaped base of the bigram family:
+    every consumer aggregation (corpus pair counts, per-doc score sums)
+    is distributive over positions, so no per-doc TF aggregation — a
+    full corpus-scale shuffle — is needed anywhere (an integer-weighted
+    decimal sum equals the unweighted sum over repeated rows
+    bit-for-bit)."""
     from ..session import ensure_min_parallelism
 
     toks = ensure_min_parallelism(df).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__ts__")
     )
-    pairs = toks.select(
+    return toks.select(
         F.col(id_col),
         "__ts__",
         F.explode(
@@ -661,9 +660,22 @@ def bigram_pair_tf(
         F.expr("element_at(__ts__, __i__)").alias("w1"),
         F.expr("element_at(__ts__, __i__ + 1)").alias("w2"),
     )
-    return pairs.groupBy(id_col, "w1", "w2").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+
+
+def bigram_pair_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document adjacent-pair term frequencies —
+    ``(id_col, w1, w2, tf)`` over raw tokens (no vocabulary mapping).
+    Kept for callers that need the aggregated per-doc table itself; the
+    bigram scorer and PMI work from ``bigram_pair_positions`` directly
+    (their sums are distributive over positions, so the per-doc
+    aggregation's corpus-scale shuffle buys them nothing)."""
+    return bigram_pair_positions(df, text_col, id_col).groupBy(
+        id_col, "w1", "w2"
+    ).agg(F.count(F.lit(1)).alias("tf"))
 
 
 def bigram_logprob_score(
@@ -690,13 +702,14 @@ def bigram_logprob_score(
     Output: (``id_col``, n_bigrams, avg_bigram_logprob); docs with fewer
     than 2 tokens have no bigrams and yield no row.
 
-    Scale shape: per-doc bigram counts shuffle (doc, w1, w2, tf)
-    quadruples once (computed once, persisted — they feed both the vocab
-    aggregation and the scoring join); the bigram-probability table is
-    |observed bigrams|-sized and joins back on the (w1, w2) key — an
-    equi-join that AQE broadcasts when the vocab is small and
-    shuffle-joins when it is web-scale (never forced driver-side).
-    Corpus text never shuffles.
+    Scale shape: the corpus NEVER shuffles — the per-position pair
+    stream is persisted scan-shaped (it feeds the model-count
+    aggregation and the scoring join), the model aggregation moves
+    map-side-combined (w1, w2) partials only, and the bigram-probability
+    table is |observed bigrams|-sized and joins back on the (w1, w2)
+    key — an equi-join that AQE broadcasts when the vocab is small and
+    shuffle-joins when it is web-scale (never forced driver-side).  The
+    per-doc score aggregation likewise moves per-doc partials.
 
     ``vocab_size`` bounds the model: tokens outside the top-V by corpus
     frequency (ties: count desc, then token asc — a total order any
@@ -718,9 +731,20 @@ def bigram_logprob_score(
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     from ..caching import track
 
+    # positions with tf=1 and the aggregated per-doc table are
+    # interchangeable here: every downstream sum is distributive over
+    # the merge (sum(tf) == count; (tf1+tf2)*logp == tf1*logp+tf2*logp
+    # exactly for decimal x integer), and the position form skips the
+    # per-doc TF aggregation — the one corpus-scale shuffle
     raw_tf = (
         pair_tf if pair_tf is not None
-        else bigram_pair_tf(df, text_col, id_col)
+        else bigram_pair_positions(df, text_col, id_col)
+        .withColumn("tf", F.lit(1).cast("bigint"))
+        # no-op filter (split() never yields NULL tokens), stated
+        # explicitly so every consumer of `big` below infers the same
+        # canonical subtree and AQE stage reuse fires (see
+        # collocation_pmi for the measured 4x-explode failure mode)
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
     )
     if vocab_size is not None:
         # vocabulary from TOKEN frequencies (includes each doc's last
@@ -736,10 +760,15 @@ def bigram_logprob_score(
             .limit(vocab_size)
             .select("w")
         )
-        # OOV-map the TYPE table, not the pair stream: counting mapped
-        # pairs equals summing raw-pair counts over each mapped type's
-        # preimages — same integers, |types| rows through the joins
-        # instead of |pairs|
+        # OOV-map the per-doc pair table in place (two broadcast left
+        # joins, no shuffle) and DON'T re-aggregate: merging a doc's
+        # pairs that collapse onto one OOV-mapped type would only sum
+        # their tf, and every downstream consumer is distributive over
+        # that merge — sum(tf) per (w1,w2) for the model counts, and
+        # sum(tf * logp) / sum(tf) per doc (logp is DECIMAL(18,6); a
+        # decimal times an integer is exact, so (tf1+tf2)*logp ==
+        # tf1*logp + tf2*logp bit-for-bit).  The re-aggregation was the
+        # one corpus-scale shuffle left in this operator.
         mapped = raw_tf
         for side in ("w1", "w2"):
             mapped = (
@@ -756,11 +785,17 @@ def bigram_logprob_score(
                 )
                 .drop("__in__")
             )
-        tf = track(
-            mapped.groupBy(id_col, "w1", "w2").agg(F.sum("tf").alias("tf"))
-        )
+        # persisted: the OOV-mapped stream feeds the (tiny, vocab-bounded)
+        # model aggregation AND the scoring join — rebuilding it would
+        # re-run the corpus explode plus both broadcast maps per consumer
+        tf = track(mapped)
     else:
-        tf = track(raw_tf)
+        # NOT persisted: with the explicit non-null filter the model
+        # aggregation's exchange canonicalizes identically across its
+        # consumers (AQE reuses it), and the scoring join re-derives the
+        # position stream from the scan — cheaper than materializing a
+        # corpus-scale cache, and nothing here shuffles per document
+        tf = raw_tf
     big = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
     ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     uni = big.groupBy("w2").agg(F.sum("c2").alias("cu"))
@@ -842,6 +877,14 @@ def collocation_pmi(
         ).select(
             F.expr("element_at(__ts__, __i__)").alias("w1"),
             F.expr("element_at(__ts__, __i__ + 1)").alias("w2"),
+        ).filter(
+            # semantically a no-op (split() never yields NULL elements);
+            # placed EXPLICITLY so the four consumers of `big` (the
+            # min_count arm, ctx, uni, tot) infer identical subtrees —
+            # otherwise each join infers a DIFFERENT isnotnull subset,
+            # the canonical plans diverge, AQE stage reuse misses, and
+            # the corpus explode runs once per consumer (measured 4x)
+            F.col("w1").isNotNull() & F.col("w2").isNotNull()
         )
         big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     ctx = big.groupBy("w1").agg(F.sum("n_pair").alias("c1"))

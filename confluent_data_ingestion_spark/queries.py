@@ -959,16 +959,6 @@ _MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # re-signing the 97% of its corpus that IS the documents table.
 # (docs x n_bands)-sized, clustered on the (band, key) join key.
 _DOC_BAND_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-# Per-document adjacent-pair term frequencies over documents
-# (doc_id, w1, w2, tf) — the base frame of the bigram family:
-# bigram_logprob_score consumes it directly, bigram_logprob_vocab
-# derives its OOV-mapped counts from it (token mapping + re-aggregation
-# over |types| rows instead of re-exploding |pairs| rows), and
-# collocation_pmi folds it to corpus pair counts.
-_BIGRAM_TF_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _build_shingles5(corpus: DataFrame) -> DataFrame:
     from .operators.dedup import _shuffle_partitions, exploded_shingles
     from .session import ensure_min_parallelism
@@ -1003,21 +993,6 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _DOC_SHINGLE_CACHE[key] = sh
     return sh
-
-
-def _doc_bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import bigram_pair_tf
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    tf = _BIGRAM_TF_CACHE.get(key)
-    if tf is None:
-        if _BIGRAM_TF_CACHE:  # one corpus at a time
-            _evict_bigram_tf_family()
-        tf = bigram_pair_tf(
-            _t(spark, sf_dir, "documents").select("doc_id", "text")
-        ).localCheckpoint(eager=False)
-        _BIGRAM_TF_CACHE[key] = tf
-    return tf
 
 
 def _doc_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4263,9 +4238,9 @@ def bigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bigram_logprob_score
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return bigram_logprob_score(
-        docs, lam=0.7, pair_tf=_doc_bigram_tf(spark, sf_dir)
-    )
+    # position-direct: the operator scores the per-position pair stream
+    # (the per-doc TF aggregation's corpus shuffle is distributive-away)
+    return bigram_logprob_score(docs, lam=0.7)
 
 
 # ---------------------------------------------------------------------------
@@ -4317,10 +4292,7 @@ def bigram_logprob_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bigram_logprob_score
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return bigram_logprob_score(
-        docs, lam=0.7, vocab_size=200,
-        pair_tf=_doc_bigram_tf(spark, sf_dir),
-    )
+    return bigram_logprob_score(docs, lam=0.7, vocab_size=200)
 
 
 # ---------------------------------------------------------------------------
@@ -4352,9 +4324,9 @@ def collocation_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import collocation_pmi
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return collocation_pmi(
-        docs, min_count=5, pair_tf=_doc_bigram_tf(spark, sf_dir)
-    )
+    # the operator's own position-direct branch: one map-side-combined
+    # pair-count aggregation, no per-doc TF table in between
+    return collocation_pmi(docs, min_count=5)
 
 
 # ---------------------------------------------------------------------------
@@ -10458,14 +10430,6 @@ def _evict_doc_band_family() -> None:
     _DOC_BAND_CACHE.clear()
 
 
-def _evict_bigram_tf_family() -> None:
-    from .caching import release_checkpoint as _free
-
-    for old in _BIGRAM_TF_CACHE.values():
-        _free(old)
-    _BIGRAM_TF_CACHE.clear()
-
-
 def _evict_skipscan_family() -> None:
     # the layout DIRECTORY stays (app-scoped /tmp scratch, reclaimed at
     # application exit); a rebuild overwrites it in place
@@ -10489,7 +10453,6 @@ ARTIFACT_FAMILIES: dict[str, tuple[dict, Callable[[], None]]] = {
     "doc_shingles": (_DOC_SHINGLE_CACHE, _evict_doc_shingle_family),
     "minhash_pairs": (_MINHASH_PAIRS_CACHE, _evict_minhash_pairs_family),
     "doc_bands": (_DOC_BAND_CACHE, _evict_doc_band_family),
-    "bigram_tf": (_BIGRAM_TF_CACHE, _evict_bigram_tf_family),
     # scalar memo (no frames to free) — registered so the bench rerun
     # charges the count job to the row that first pays it
     "emb_count": (_EMB_COUNT_CACHE, _EMB_COUNT_CACHE.clear),
