@@ -95,27 +95,30 @@ def side_stats(df: DataFrame, key_col: str, lgk: int = 12) -> SideStats:
 def _side_stats_from(
     df: DataFrame, key_col: str, width: int, lgk: int
 ) -> SideStats:
-    from .sketch import cms_bucket_counts
+    from .sketch import cms_bucket_rows
 
-    sketch, total = cms_bucket_counts(df, key_col, width=width)
+    rows, total = cms_bucket_rows(df, key_col, width=width)
     # raw bucket maxima upper-bound the hottest key but saturate with
     # collision mass when distinct keys >> width; subtracting the expected
     # colliding mass (count-mean-min correction) recovers the hot key's
     # own weight, then the min over hash rows tightens it.  The same
     # bounded collect also yields each seed's bucket-count variance
     # (zeros for the unoccupied buckets folded in via sum/sum-of-squares),
-    # from which the balanced-keys extreme-value scale falls out.
+    # from which the balanced-keys extreme-value scale falls out.  The
+    # per-seed max/sum-of-squares fold runs driver-side over the already
+    # collected <= depth*width rows (exact integer sums, the same numbers
+    # the old re-aggregation job computed) — one Spark job per profile,
+    # not two plus a driver-rows round-trip.
+    by_seed: dict[int, tuple[int, int]] = {}
+    for s, _b, cnt in rows:
+        m, sq = by_seed.get(s, (0, 0))
+        by_seed[s] = (max(m, cnt), sq + cnt * cnt)
     per_seed = []
     sigmas = []
-    seed_rows = sketch.groupBy("s").agg(
-        F.max("cnt").alias("m"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
-    ).collect()
-    for r in seed_rows:
-        m = r["m"]
+    for m, sq in by_seed.values():
         per_seed.append(m - (total - m) / max(width - 1, 1))
         mean = total / width
-        var = max(float(r["sq"]) / width - mean * mean, 0.0)
+        var = max(float(sq) / width - mean * mean, 0.0)
         sigmas.append(var**0.5)
     hottest = max(0, round(min(per_seed))) if per_seed else 0
     null_max = (

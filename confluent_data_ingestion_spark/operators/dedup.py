@@ -990,27 +990,8 @@ def _minhash_band_keys(
 ) -> DataFrame:
     """(id, band, key) MinHash LSH band keys — the shared banding of
     ``minhash_lsh_pairs`` / ``dedup_against_corpus`` / ``build_dedup_index``."""
-    assert num_hashes % rows_per_band == 0
-    n_bands = num_hashes // rows_per_band
-    sig = minhash_signature(
-        shingle(ensure_min_parallelism(docs), text_col, n),
-        num_hashes=num_hashes,
-    )
-    key_case = "CASE __band__ " + " ".join(
-        f"WHEN {b} THEN md5("
-        + "||".join(f"mh{b * rows_per_band + k}" for k in range(rows_per_band))
-        + ")"
-        for b in range(n_bands)
-    ) + " END"
-    return (
-        sig.select(F.col(id_col), *[f"mh{j}" for j in range(num_hashes)])
-        .withColumn("__band__", F.explode(F.expr(f"sequence(0, {n_bands - 1})")))
-        .select(
-            F.col(id_col),
-            F.col("__band__").alias("band"),
-            F.expr(key_case).alias("key"),
-        )
-        .filter(F.col("key").isNotNull())
+    return minhash_band_rows(
+        docs, id_col, text_col, n, num_hashes, rows_per_band
     )
 
 
@@ -1057,6 +1038,7 @@ def dedup_against_corpus(
     rows_per_band: int = 2,
     max_group_size: int | None = 500,
     index: dict[str, DataFrame] | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: label each NEW document against an existing
     corpus — the shape a production ingest actually runs (a daily batch
@@ -1094,9 +1076,14 @@ def dedup_against_corpus(
         new_d.join(index["digests"], "d", "left_semi").select(id_col)
     )
 
+    # new_bands: callers holding band rows for (a subset of) the new
+    # batch — e.g. a session artifact covering unmodified re-ingests —
+    # pass them here instead of re-signing; the hot-group cap still runs
+    # over the full new-batch band set below, exactly as the inline path
     new_b = _cap_hot_groups(
-        _minhash_band_keys(new_docs, id_col, text_col, n, num_hashes,
-                           rows_per_band),
+        new_bands if new_bands is not None
+        else _minhash_band_keys(new_docs, id_col, text_col, n, num_hashes,
+                                rows_per_band),
         ["band", "key"],
         max_group_size,
     )

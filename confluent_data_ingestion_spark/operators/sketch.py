@@ -152,6 +152,26 @@ def cms_bucket_counts(
     broadcast-join it rather than inline tens of thousands of literals
     into the plan.  The exact total falls out of any single seed's counts.
     """
+    rows, total = cms_bucket_rows(df, key_col, width, depth)
+    sketch = df.sparkSession.createDataFrame(
+        [(s, b, cnt) for (s, b, cnt) in rows],
+        "s INT, b INT, cnt BIGINT",
+    )
+    return sketch, total
+
+
+def cms_bucket_rows(
+    df: DataFrame,
+    key_col: str,
+    width: int = 8192,
+    depth: int = 3,
+) -> tuple[list[tuple[int, int, int]], int]:
+    """The collected ``(seed, bucket, cnt)`` rows of ``cms_bucket_counts``
+    plus the exact total — for callers that consume the sketch
+    driver-side (e.g. the join advisor's per-seed statistics, a loop
+    over <= depth*width integers): returning the rows directly skips the
+    createDataFrame round-trip and the extra Spark job a re-aggregation
+    of driver-built rows would cost."""
     key = F.col("__k")
     exploded = df.select(F.col(key_col).alias("__k")).select(
         F.explode(
@@ -170,13 +190,11 @@ def cms_bucket_counts(
         exploded.groupBy(F.col("sb.s").alias("s"), F.col("sb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    rows = counts.collect()
-    total = sum(r["cnt"] for r in rows if r["s"] == 0)
-    sketch = df.sparkSession.createDataFrame(
-        [(int(r["s"]), int(r["b"]), int(r["cnt"])) for r in rows],
-        "s INT, b INT, cnt BIGINT",
-    )
-    return sketch, int(total)
+    rows = [
+        (int(r["s"]), int(r["b"]), int(r["cnt"])) for r in counts.collect()
+    ]
+    total = sum(cnt for (s, _b, cnt) in rows if s == 0)
+    return rows, int(total)
 
 
 def cms_heavy_hitters(
