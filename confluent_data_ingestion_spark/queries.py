@@ -3124,7 +3124,7 @@ def _mh_band_ctes(src: str, p: str) -> str:
     """,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import _cap_hot_groups, dedup_against_corpus
+    from .operators.dedup import dedup_against_corpus
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 10 != 0)
@@ -3142,44 +3142,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # the base corpus is a row-subset of documents, and a doc's band rows
-    # depend on its own shingles only — so the base's dedup index is the
-    # doc_bands session artifact FILTERED to the base ids (the hot-group
-    # cap re-runs over the filtered rows, exactly as build_dedup_index
-    # would compute it), instead of re-signing 90% of the corpus in-row
-    base_bands = _cap_hot_groups(
-        _doc_minhash_bands(spark, sf_dir).filter(F.col("doc_id") % 10 != 0),
-        ["band", "key"], 500,
-    ).select("band", "key").distinct()
-    index = {
-        "digests": base.select(F.md5(F.col("text")).alias("d")).distinct(),
-        "bands": base_bands,
-    }
-    # the new batch's first two arms carry UNMODIFIED document text, so
-    # their band rows are artifact subsets too (keys depend on text only;
-    # the id shift is a projection); only the text-modified third arm is
-    # signed fresh (2.5% of the corpus)
-    from .operators.dedup import minhash_band_rows
-
-    bands_all = _doc_minhash_bands(spark, sf_dir)
-    new_bands = (
-        bands_all.filter(F.col("doc_id") % 10 == 0)
-        .unionByName(
-            bands_all.filter(F.col("doc_id") % 30 == 1).select(
-                (F.col("doc_id") + 7000000).alias("doc_id"), "band", "key"
-            )
-        )
-        .unionByName(
-            minhash_band_rows(
-                docs.filter(F.col("doc_id") % 40 == 2).select(
-                    (F.col("doc_id") + 8000000).alias("doc_id"),
-                    F.concat(F.col("text"), F.lit(" zzinc")).alias("text"),
-                ),
-                n=5,
-            )
-        )
-    )
-    return dedup_against_corpus(new, index=index, n=5, new_bands=new_bands)
+    return dedup_against_corpus(new, base, n=5)
 
 
 # ---------------------------------------------------------------------------
