@@ -487,17 +487,31 @@ def dawid_skene_wide(
     from ..caching import track
 
     max_vector_classes = 64
-    # distinct-pattern counts: the ONE corpus aggregation (persisted —
-    # its only downstream consumers are global aggregations and 1-row
-    # cross joins, so the cache's partitioning opacity costs nothing)
-    pats = track(
-        pat.groupBy("__p__").agg(F.count(F.lit(1)).alias("__w__"))
-    )
-    # label inventory: one aggregation-only job (it also materializes the
-    # pats cache); the sorted label list is metadata-sized by the
-    # enforced class bound and becomes literals in the vectorized
-    # expressions (the repo's bloom/skip-scan collect discipline — a
-    # bounded reduction, never row data)
+    # distinct-pattern probe: ONE corpus aggregation, fetched bounded
+    # (take(N+1) — the repo's bloom/skip-scan collect discipline: a
+    # bounded reduction, never row data).  For a fixed panel the pattern
+    # space is <= (classes+1)^raters, so almost every real corpus lands
+    # under the bound and the whole EM state fits on the driver.
+    pats_plan = pat.groupBy("__p__").agg(F.count(F.lit(1)).alias("__w__"))
+    head = pats_plan.take(_DRIVER_EM_MAX_PATTERNS + 1)
+    if len(head) <= _DRIVER_EM_MAX_PATTERNS:
+        # metadata-sized EM: run the fixed-point loop driver-side (same
+        # integers, same roundings — see _dawid_skene_driver) and
+        # broadcast the pattern->answer table back onto the corpus.
+        # Two corpus passes total (the probe aggregation + the final
+        # join), ZERO per-round Spark jobs or giant codegen trees.
+        classes = sorted({v["l"] for row in head for v in row["__p__"]})
+        _check_class_bound(len(classes))
+        return _dawid_skene_driver(
+            pat, head, item_col, "label", iterations, float(smoothing),
+            classes,
+        )
+    # pattern table too large for the driver: persist it (its only
+    # downstream consumers are global aggregations and 1-row cross
+    # joins, so the cache's partitioning opacity costs nothing) and run
+    # the distributed EM.  The label inventory job also materializes
+    # the cache.
+    pats = track(pats_plan)
     classes = sorted(
         r["l"]
         for r in pats.select(
@@ -508,11 +522,161 @@ def dawid_skene_wide(
     if len(classes) > max_vector_classes or len(rater_cols) > 8:
         return _dawid_skene_patterns(
             pat, item_col, "label", iterations, float(smoothing),
-            n_classes=len(classes),
+            n_classes=len(classes), pats=pats,
         )
     return _dawid_skene_vectorized(
         pat, pats, item_col, "label", iterations, float(smoothing),
         rater_cols, classes,
+    )
+
+
+# Upper bound on the distinct-pattern count the EM runs driver-side for.
+# The collected state is patterns x (votes + one posterior vector) —
+# at 4096 patterns well under a megabyte, the same bounded-reduction
+# class as the bloom/skip-scan/CMS collects (guide §4/§5: the driver
+# holds sketch-sized metadata, never row data).
+_DRIVER_EM_MAX_PATTERNS = 4096
+
+
+def _dawid_skene_driver(
+    pat: DataFrame,
+    head: list,
+    item_col: str,
+    label_col: str,
+    iterations: int,
+    a: float,
+    classes: list,
+) -> DataFrame:
+    """Fixed-point Dawid-Skene EM over a COLLECTED distinct-pattern
+    table (see ``dawid_skene_wide``): when the pattern space is
+    metadata-sized, every EM quantity is a function of at most
+    patterns x classes bigint cells, and the round-trip of launching
+    O(iterations) Spark jobs (plus planning/codegen of the vectorized
+    path's raters x classes^2 expression trees) costs orders of
+    magnitude more than the arithmetic itself.  So the loop runs here,
+    in exact Python integers, and only the pattern->answer table (the
+    same rows ``_dawid_skene_vectorized`` would broadcast) goes back to
+    the cluster for the final corpus join.
+
+    Bit-identity with the distributed paths, step by step:
+
+    - every cross-row SUM is an exact bigint in micro/pico units —
+      Python ints ARE arbitrary-precision, so the sums are the same
+      integers;
+    - ``round(double, d)`` in Spark is HALF_UP on the double's shortest
+      decimal representation (``BigDecimal.valueOf``); ``_r`` below is
+      HALF_UP on ``repr(double)`` — the identical shortest
+      representation, hence the identical quantized value;
+    - int->double casts and double divisions are single correctly-
+      rounded IEEE operations in both runtimes, applied in the same
+      order;
+    - ``ln``/``exp`` evaluate through the platform libm exactly as the
+      DuckDB oracle that reproduces the distributed path bit-for-bit
+      already does, and each result is checkpointed to 6/12 dp before
+      anything consumes it.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    L = len(classes)
+    aL = a * L
+    cidx = {c: k for k, c in enumerate(classes)}
+
+    def _r(x: float, d: int) -> int:
+        # bigint unscaled value of round(x, d) at scale d — exactly
+        # cast(round(x, d) as decimal(_, d)) * 10^d in the Spark paths
+        return int(
+            Decimal(repr(float(x))).quantize(
+                Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP
+            ).scaleb(d)
+        )
+
+    pats_py = [
+        ([(v["r"], v["l"]) for v in row["__p__"]], int(row["__w__"]))
+        for row in head
+    ]
+    raters = sorted({r for votes, _ in pats_py for r, _ in votes})
+
+    # T0: smoothed vote-share vector, (count + a) / (n_votes + aL)
+    T = []
+    for votes, _w in pats_py:
+        n = len(votes)
+        T.append([
+            _r((sum(1 for _, l in votes if l == c) + a) / (n + aL), 6)
+            for c in classes
+        ])
+
+    for _ in range(iterations):
+        # M: class-prior masses and the confusion tensor — exact
+        # weighted bigint sums over patterns
+        mass = [0] * L
+        m = {r: [[0] * L for _ in range(L)] for r in raters}
+        for (votes, w), t in zip(pats_py, T):
+            for j in range(L):
+                wt = w * t[j]
+                mass[j] += wt
+                for r, l in votes:
+                    m[r][j][cidx[l]] += wt
+        total = sum(mass)
+        logp = [_r(math.log((mass[j] / 1e6) / (total / 1e6)), 6)
+                for j in range(L)]
+        lp = {}
+        for r in raters:
+            rows = []
+            for j in range(L):
+                rm = sum(m[r][j])
+                rows.append([
+                    _r(math.log((m[r][j][li] / 1e6 + a) / (rm / 1e6 + aL)), 6)
+                    for li in range(L)
+                ])
+            lp[r] = rows
+
+        # E + softmax per pattern: exact bigint adds, one exp per cell
+        newT = []
+        for votes, _w in pats_py:
+            ln_num = [
+                sum(lp[r][j][cidx[l]] for r, l in votes) + logp[j]
+                for j in range(L)
+            ]
+            mx = max(ln_num)
+            e = [_r(math.exp((ln_num[j] - mx) / 1e6), 12) for j in range(L)]
+            den = sum(e)
+            newT.append([
+                _r((e[j] / 1e12) / (den / 1e12), 6) for j in range(L)
+            ])
+        T = newT
+
+    # argmax with the (t desc, class asc) tie-break; confidence is the
+    # posterior as the identical int/1e6 double
+    out_rows = []
+    for (votes, _w), t in zip(pats_py, T):
+        mx = max(t)
+        j = t.index(mx)
+        out_rows.append((
+            [{"r": r, "l": l} for r, l in votes], classes[j], mx / 1e6,
+        ))
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = pat.sparkSession
+    p_type = pat.schema["__p__"].dataType
+    lbl_type = p_type.elementType["l"].dataType
+    res = spark.createDataFrame(
+        out_rows,
+        StructType([
+            StructField("__p__", p_type, False),
+            StructField("__lbl__", lbl_type, False),
+            StructField("__conf__", DoubleType(), False),
+        ]),
+    )
+    return (
+        pat.join(F.broadcast(res), "__p__")
+        .select(
+            F.col("i").alias(item_col),
+            F.col("__lbl__").alias(label_col),
+            F.col("__conf__").alias("confidence"),
+            F.size("__p__").cast("long").alias("n_votes"),
+        )
     )
 
 
@@ -549,8 +713,10 @@ def _dawid_skene_vectorized(
     L = len(classes)
     aL = a * L
 
-    def q(s):  # SQL string literal
-        return "'" + str(s).replace("'", "''") + "'"
+    def q(s):  # SQL string literal (backslash is an escape char in
+        # Spark SQL literals unless escapedStringLiterals is set —
+        # double it too, or a label containing one parses wrong)
+        return "'" + str(s).replace("\\", "\\\\").replace("'", "''") + "'"
 
     # expression-STRING construction throughout: building these trees
     # with Column operators costs thousands of py4j round-trips (~10 s
@@ -706,6 +872,7 @@ def _dawid_skene_patterns(
     iterations: int,
     a: float,
     n_classes: int | None = None,
+    pats: DataFrame | None = None,
 ) -> DataFrame:
     """Pattern-collapsed Dawid-Skene EM core (see ``dawid_skene``
     docstring); ``pat`` is the per-item pattern map ``(i, __p__)`` with
@@ -744,11 +911,13 @@ def _dawid_skene_patterns(
     # agg/join/window would grow a 1-row exchange (~30 extra jobs);
     # within one action the __p__ exchange is computed once and reused
     # (ReusedExchange) across every consumer of this frame.
+    # a caller that already materialized the pattern counts (the wide
+    # path's probe cache) passes them through — the coalesce(1) on top
+    # still yields SinglePartition, so the exchange-free property holds
     pats = (
-        pat.groupBy("__p__")
-        .agg(F.count(F.lit(1)).alias("__w__"))
-        .coalesce(1)
-    )
+        pat.groupBy("__p__").agg(F.count(F.lit(1)).alias("__w__"))
+        if pats is None else pats
+    ).coalesce(1)
     # pattern-level vote stream: one row per (pattern, vote) — the
     # pattern-space analogue of the vote log, |patterns| x raters rows
     pv = pats.select(

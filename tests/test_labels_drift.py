@@ -206,3 +206,86 @@ def test_dawid_skene_validates_iterations(spark):
     )
     with pytest.raises(ValueError, match="iterations"):
         dawid_skene(v, iterations=0)
+
+
+def test_dawid_skene_wide_driver_em_matches_long_form(spark):
+    """The wide path's driver-side EM (bounded pattern collect) must be
+    bit-identical to the long-form frame EM: same labels, 6-dp-exact
+    posteriors, same n_votes — including on items where raters skipped
+    (NULL votes) and on lexical-tie argmax rows."""
+    from confluent_data_ingestion_spark.caching import release_caches
+    from confluent_data_ingestion_spark.operators.labels import (
+        dawid_skene,
+        dawid_skene_wide,
+    )
+
+    wide_rows = []
+    for i in range(30):
+        true = ["x", "y", "z"][i % 3]
+        wide_rows.append((
+            i,
+            true,
+            true if i % 5 else None,          # b skips every 5th item
+            "x" if i % 2 == 0 else "y",        # c is a biased voter
+        ))
+    wide_rows.append((100, "y", None, "x"))    # 1-1 split, tie-break row
+    df = spark.createDataFrame(
+        wide_rows, "item long, a string, b string, c string"
+    )
+    got = {
+        r["item"]: (r["label"], r["confidence"], r["n_votes"])
+        for r in dawid_skene_wide(
+            df, item_col="item", rater_cols=["a", "b", "c"], iterations=2
+        ).collect()
+    }
+    melted = []
+    for item, a, b, c in wide_rows:
+        for rater, lbl in (("a", a), ("b", b), ("c", c)):
+            if lbl is not None:
+                melted.append((item, rater, lbl))
+    v = spark.createDataFrame(
+        melted, "item long, rater string, label string"
+    )
+    want = {
+        r["item"]: (r["label"], r["confidence"], r["n_votes"])
+        for r in dawid_skene(v, iterations=2).collect()
+    }
+    release_caches()
+    assert got == want  # confidences are 6-dp-quantized doubles: exact ==
+
+
+def test_dawid_skene_vectorized_quotes_backslash_labels(spark):
+    """q() must escape backslashes: a label like 'x\\' used to parse as
+    a Spark SQL escape sequence and silently corrupt the vote counts in
+    the vectorized SQL-literal path."""
+    from confluent_data_ingestion_spark.caching import release_caches
+    from confluent_data_ingestion_spark.operators.labels import (
+        _dawid_skene_vectorized,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [(i, "x\\", "x\\", "y'z" if i % 4 == 0 else "x\\")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "item long, a string, b string, c string")
+    pat = df.select(
+        F.col("item").alias("i"),
+        F.sort_array(
+            F.filter(
+                F.array(*[
+                    F.struct(F.lit(c).alias("r"), F.col(c).alias("l"))
+                    for c in ["a", "b", "c"]
+                ]),
+                lambda v: v["l"].isNotNull(),
+            )
+        ).alias("__p__"),
+    ).filter(F.size("__p__") > 0)
+    from confluent_data_ingestion_spark.caching import track
+
+    pats = track(pat.groupBy("__p__").agg(F.count(F.lit(1)).alias("__w__")))
+    out = _dawid_skene_vectorized(
+        pat, pats, "item", "label", 1, 0.01, ["a", "b", "c"],
+        sorted({"x\\", "y'z"}),
+    ).collect()
+    release_caches()
+    assert len(out) == 12
+    assert all(r["label"] == "x\\" for r in out)
