@@ -158,22 +158,62 @@ class RollupStore:
             aggs.append(
                 F.hll_sketch_agg(F.col(c), F.lit(self.lgk)).alias(f"hll_{c}")
             )
-        # slot index materialized ONCE per row/column — the conditional sums
-        # below compare against the precomputed int, not 66 re-evaluations
-        # of the binning CASE expression
+        # slot index materialized ONCE per row/column — downstream reads
+        # the precomputed int, never re-evaluates the binning CASE
         for c in self.hist_cols:
             df = df.withColumn(f"__bin_{c}", F.expr(self._bin_expr(c)))
-        for c, (_lo, _hi, nb) in self.hist_cols.items():
-            aggs.append(
-                F.array(*[
-                    F.sum(
-                        F.when(F.col(f"__bin_{c}") == i, F.lit(1))
-                        .otherwise(F.lit(0))
-                    ).cast("long")
-                    for i in range(nb + 2)
-                ]).alias(f"hist_{c}")
-            )
-        main = df.groupBy(*self.group_cols).agg(*aggs)
+        if len(self.hist_cols) == 1 and not self.distinct_cols:
+            # (exactly one hist col: with several, level-1 rows keyed by
+            # the OTHER columns' slots would duplicate this column's
+            # slot keys in the map pivot)
+            # Histogram partials as a TWO-LEVEL aggregation instead of
+            # nbins+2 conditional sums in the main agg: level 1 folds
+            # count/sum/min/max per (group, slot...) — every one of
+            # those is mergeable by this store's own premise, so
+            # re-aggregating per group is the exact same integers/
+            # decimals — and level 2 pivots the slot counts to the
+            # array with one map lookup per slot.  Same single pass
+            # over the batch, same shuffled bytes (<= groups x slots
+            # map-side-combined rows), but the plan is a handful of
+            # small generic operators: the wide form paid ~0.5 s/fold
+            # of analysis + whole-stage codegen for the 66-expression
+            # aggregate, tripled per maintenance cycle.  (HLL partials
+            # can't ride level 1 — a union of per-slot sketches is not
+            # guaranteed byte-identical to the one-pass sketch — so
+            # distinct_cols stores keep the one-level wide shape.)
+            bins = [f"__bin_{c}" for c in self.hist_cols]
+            lvl1 = df.groupBy(*self.group_cols, *bins).agg(*aggs)
+            aggs2 = [F.sum("__cnt").alias("__cnt")]
+            for c in self.sum_cols:
+                aggs2.append(F.sum(f"sum_{c}").alias(f"sum_{c}"))
+            for c in self.min_cols:
+                aggs2.append(F.min(f"min_{c}").alias(f"min_{c}"))
+            for c in self.max_cols:
+                aggs2.append(F.max(f"max_{c}").alias(f"max_{c}"))
+            for c, (_lo, _hi, nb) in self.hist_cols.items():
+                # rows whose value was NULL carry a NULL slot: they count
+                # toward __cnt but never toward a histogram slot
+                aggs2.append(
+                    F.expr(
+                        f"transform(sequence(0, {nb + 1}), i -> coalesce("
+                        f"element_at(map_from_entries(collect_list("
+                        f"CASE WHEN __bin_{c} IS NOT NULL THEN "
+                        f"struct(__bin_{c} AS b, __cnt AS c) END)), i), 0L))"
+                    ).alias(f"hist_{c}")
+                )
+            main = lvl1.groupBy(*self.group_cols).agg(*aggs2)
+        else:
+            for c, (_lo, _hi, nb) in self.hist_cols.items():
+                aggs.append(
+                    F.array(*[
+                        F.sum(
+                            F.when(F.col(f"__bin_{c}") == i, F.lit(1))
+                            .otherwise(F.lit(0))
+                        ).cast("long")
+                        for i in range(nb + 2)
+                    ]).alias(f"hist_{c}")
+                )
+            main = df.groupBy(*self.group_cols).agg(*aggs)
         # Sample partials come from a window-pre-trimmed side frame, NOT a
         # collect_list over the raw group: ranking is a spill-safe sort and
         # only the k surviving rows per group ever enter an aggregation
@@ -249,11 +289,16 @@ class RollupStore:
                 F.hll_union_agg(F.col(f"hll_{c}"), F.lit(True)).alias(f"hll_{c}")
             )
         for c, (_lo, _hi, nb) in self.hist_cols.items():
+            # elementwise-sum the (<= 2 per group) state arrays with one
+            # fold expression — exact long adds, order-free — instead of
+            # nbins+2 per-slot sum aggregates (same wide-codegen cost the
+            # partials side sheds above)
             aggs.append(
-                F.array(*[
-                    F.sum(F.element_at(F.col(f"hist_{c}"), i + 1))
-                    for i in range(nb + 2)
-                ]).alias(f"hist_{c}")
+                F.expr(
+                    f"aggregate(collect_list(hist_{c}), "
+                    f"array_repeat(0L, {nb + 2}), "
+                    "(acc, h) -> zip_with(acc, h, (a, b) -> a + b))"
+                ).alias(f"hist_{c}")
             )
         for c, k in self.sample_cols.items():
             # union the (<= 2 per group) trimmed state arrays, re-sort,
