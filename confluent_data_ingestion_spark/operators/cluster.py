@@ -46,6 +46,7 @@ def connected_components(
     pairs_distinct: bool = False,
     algorithm: str = "label",
     stats: dict | None = None,
+    collect_bound: int = 0,
 ) -> DataFrame:
     """Label every node of the pair graph with its component's min id.
 
@@ -76,6 +77,46 @@ def connected_components(
     """
     if algorithm not in ("label", "star"):
         raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
+    if collect_bound:
+        # Opt-in bounded driver path for callers whose pair list is
+        # already known to be tiny (e.g. the checkpointed dedup family
+        # artifacts): probe up to collect_bound + 1 edges; under the
+        # bound, a driver union-find labels each node with its
+        # component's exact min id — the identical output, with zero
+        # iterative rounds/checkpoint jobs.  Over the bound the
+        # distributed rounds below run unchanged.
+        head = pairs.select(
+            F.col(a_col).cast("long").alias("a"),
+            F.col(b_col).cast("long").alias("b"),
+        ).take(collect_bound + 1)
+        if len(head) <= collect_bound:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                a, b = row["a"], row["b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min id so the root IS the component min
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            if stats is not None:
+                stats["rounds"] = 0
+            return pairs.sparkSession.createDataFrame(
+                [(n, find(n)) for n in parent],
+                f"{out_id} long, {out_cluster} long",
+            )
     if algorithm == "star":
         return _cc_two_phase_star(
             pairs, a_col, b_col, out_id, out_cluster, max_iter,

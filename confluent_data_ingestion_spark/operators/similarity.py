@@ -622,11 +622,15 @@ def pq_train_codebooks(
     )
     subv = _subspaces(vectors, id_col, vec_col, m, d)
     for _ in range(refine_iters):
-        assigned = _pq_assign(subv, cents, id_col, cent_id_col)
+        # sv is functionally dependent on the (id, subspace) group key,
+        # so it rides the assignment's min_by instead of a corpus-sized
+        # join back onto subv — one exchange and one join less per
+        # Lloyd iteration (identical rows: every candidate row of the
+        # group carries the same sv)
+        assigned = _pq_assign(subv, cents, id_col, cent_id_col,
+                              carry_sv=True)
         means = (
-            assigned.join(
-                subv.select(id_col, "m_idx", "sv"), [id_col, "m_idx"]
-            )
+            assigned
             .select(cent_id_col, "m_idx", F.posexplode("sv").alias("pos", "x"))
             .groupBy("m_idx", cent_id_col, "pos")
             .agg(F.round(F.avg("x"), 6).alias("mv"))
@@ -645,9 +649,11 @@ def pq_train_codebooks(
 
 
 def _pq_assign(subv: DataFrame, cents: DataFrame, id_col: str,
-               cent_id_col: str) -> DataFrame:
+               cent_id_col: str, carry_sv: bool = False) -> DataFrame:
     """Nearest codebook centroid per (vector, subspace): broadcast join on
-    the subspace index + min_by partial aggregation (no window, no sort)."""
+    the subspace index + min_by partial aggregation (no window, no sort).
+    ``carry_sv=True`` additionally emits the group's subvector (constant
+    within the group) so callers need no join back onto ``subv``."""
     d2 = _l2sq("__svn__", _dot("sv", "ce"), "__cn2__")
     scored = subv.join(
         F.broadcast(
@@ -658,13 +664,20 @@ def _pq_assign(subv: DataFrame, cents: DataFrame, id_col: str,
         ),
         "m_idx",
     ).select(
-        id_col, "m_idx", cent_id_col, F.expr(d2).alias("__d2__")
+        id_col, "m_idx", cent_id_col, "sv", F.expr(d2).alias("__d2__")
     )
-    return scored.groupBy(id_col, "m_idx").agg(
-        F.expr(
-            f"min_by(`{cent_id_col}`, struct(__d2__, `{cent_id_col}`))"
-        ).alias(cent_id_col)
+    picked = (
+        f"min_by(struct(`{cent_id_col}`{', sv' if carry_sv else ''}), "
+        f"struct(__d2__, `{cent_id_col}`))"
     )
+    out = scored.groupBy(id_col, "m_idx").agg(
+        F.expr(picked).alias("__best__")
+    ).select(
+        id_col, "m_idx",
+        F.col(f"__best__.{cent_id_col}").alias(cent_id_col),
+        *([F.col("__best__.sv").alias("sv")] if carry_sv else []),
+    )
+    return out
 
 
 def pq_encode(

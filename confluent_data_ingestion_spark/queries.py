@@ -1398,7 +1398,10 @@ def _simhash_shared(
         persist_signatures=True,
     ).localCheckpoint()
     labels = connected_components(
-        pairs, pairs_distinct=True
+        # the pair list is a checkpointed, pair-count-sized artifact:
+        # probe it and run the bounded driver union-find when tiny
+        # (identical min-id labels, zero iterative rounds)
+        pairs, pairs_distinct=True, collect_bound=8192
     ).localCheckpoint()
     # one family at a time: evict AND free the evicted checkpoint blocks
     _evict_simhash_family()
@@ -5797,22 +5800,46 @@ def _pq_shared_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if cached is not None:
         return cached
     emb = _t(spark, sf_dir, "embeddings")
-    init = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    books = pq_train_codebooks(
-        emb, init, dim=64, m=4, refine_iters=1
-    ).localCheckpoint()
-    codes = pq_encode(emb, books, dim=64, m=4).localCheckpoint()
-    coarse_init = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    coarse_books = pq_train_codebooks(
-        emb, coarse_init, dim=64, m=1, refine_iters=0
-    ).localCheckpoint()
-    coarse_assign = pq_encode(emb, coarse_books, dim=64, m=1).select(
-        "vec_id", F.col("code").alias("bucket")
-    ).localCheckpoint()
+
+    # the fine chain (books -> codes) and the coarse chain
+    # (coarse_books -> coarse_assign) are independent job DAGs: build
+    # them from two driver threads so the second chain's tasks backfill
+    # the first's stragglers (guide §2.6 — the advisor row's pattern)
+    def _fine() -> tuple[DataFrame, DataFrame]:
+        init = emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        # lazy checkpoints: both frames are consumed by the builder
+        # row's own query action, which computes and pins them in ONE
+        # job instead of two standalone checkpoint jobs first (the
+        # coarse chain stays eager so its build cost is also charged
+        # to the builder row, not to the first coarse consumer)
+        books = pq_train_codebooks(
+            emb, init, dim=64, m=4, refine_iters=1
+        ).localCheckpoint(eager=False)
+        codes = pq_encode(emb, books, dim=64, m=4).localCheckpoint(
+            eager=False
+        )
+        return books, codes
+
+    def _coarse() -> tuple[DataFrame, DataFrame]:
+        coarse_init = emb.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        coarse_books = pq_train_codebooks(
+            emb, coarse_init, dim=64, m=1, refine_iters=0
+        ).localCheckpoint()
+        coarse_assign = pq_encode(emb, coarse_books, dim=64, m=1).select(
+            "vec_id", F.col("code").alias("bucket")
+        ).localCheckpoint()
+        return coarse_books, coarse_assign
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fine_f = pool.submit(_fine)
+        coarse_books, coarse_assign = _coarse()
+        books, codes = fine_f.result()
     arts = {
         "books": books, "codes": codes,
         "coarse_books": coarse_books, "coarse_assign": coarse_assign,
@@ -6201,8 +6228,14 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("bpe_segment_tokens", _bpe_segment_oracle())
 def bpe_segment_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.tokenize import bpe_segment
+    from .session import ensure_min_parallelism
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    # the 1/8 slice compiles to ONE scan partition at test scale, and
+    # the 8-rule fold chain is the CPU cost — fan out first (no-op at
+    # scale, where the scan already has a partition per slot)
+    docs = ensure_min_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 8 == 0)
+    )
     merges = _bpe_shared_merges(spark, sf_dir)
     # registry rows must be hashable scalars: flatten the per-word token
     # arrays and posexplode to (doc_id, pos, token) — the operator API in

@@ -1480,3 +1480,40 @@ def test_exact_quantiles_twopass_matches_order_statistics(spark):
         exact_quantiles_twopass(df, "v", ["g"], [])
     with _pytest.raises(ValueError, match="in \\(0, 1\\]"):
         exact_quantiles_twopass(df, "v", ["g"], [0.0])
+
+
+def test_connected_components_collect_bound_matches_distributed(spark):
+    """The bounded driver union-find must emit the identical
+    (node, min-reachable-id) labels as the distributed rounds — chains,
+    merged components, self-contained cliques, and isolated pairs."""
+    from confluent_data_ingestion_spark.operators.cluster import (
+        connected_components,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 10),              # not distinct on purpose
+        (20, 21), (22, 21), (20, 22),    # triangle, min in the middle
+        (30, 31),
+        (40, 5), (5, 1),                 # merges into the chain component
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(df).collect()
+    }
+    got_stats: dict = {}
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            df, collect_bound=100, stats=got_stats
+        ).collect()
+    }
+    assert got == want
+    assert got_stats["rounds"] == 0
+    # over the bound: falls through to the distributed rounds
+    over = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(df, collect_bound=3).collect()
+    }
+    assert over == want
