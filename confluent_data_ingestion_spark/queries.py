@@ -7588,6 +7588,14 @@ def bloom_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     layout, stats = _ensure_skipscan_layout(spark, sf_dir)
+    # the base table's Bloom index is independent of the whole batch
+    # chain (append -> plan -> compact -> refresh): build it from a
+    # second driver thread so its scan backfills the batch jobs'
+    # stragglers (guide §2.6); joined right before the merge below
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    base_blooms_f = pool.submit(_ensure_base_blooms, spark, sf_dir)
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -7622,8 +7630,11 @@ def bloom_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the base table's index is the MAINTAINED artifact (built once per
     # session/sf_dir, checkpointed) — steady-state cost of this whole row
     # is proportional to the batch, never the table (SCALE.md r13 probe:
-    # d2 0.82 -> 0.11 with the rebuild removed)
-    base_blooms = _ensure_base_blooms(spark, sf_dir)
+    # d2 0.82 -> 0.11 with the rebuild removed); built concurrently above
+    try:
+        base_blooms = base_blooms_f.result()
+    finally:
+        pool.shutdown(wait=False)
     blooms = merge_bloom_indexes(base_blooms, comp_blooms)
     return bloom_skip_scan(
         spark, layout, "event_id",
