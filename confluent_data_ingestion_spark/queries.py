@@ -977,7 +977,25 @@ def _excerpt_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sh is None:
         if _EXCERPT_SHINGLE_CACHE:  # one corpus at a time
             _evict_excerpt_shingle_family()
-        sh = _build_shingles5(_excerpt_corpus(spark, sf_dir))
+        # a doc's shingles depend on its own text only and the planted
+        # excerpts' ids are disjoint (+3,000,000), so the excerpt
+        # corpus's distinct shingle rows are EXACTLY the documents
+        # table's rows (the session artifact) plus the 1/37 slice's,
+        # signed fresh here — one corpus-scale explode+distinct in the
+        # whole dedup family instead of one per corpus.  Safe across
+        # family evictions: this frame checkpoint-materializes inside
+        # its first consumer row, before any eviction can run.
+        from .operators.dedup import _shuffle_partitions, exploded_shingles
+        from .session import ensure_min_parallelism
+
+        slice_sh = exploded_shingles(
+            ensure_min_parallelism(_excerpt_docs(spark, sf_dir)),
+            "doc_id", "text", 5, hashed=True,
+        )
+        sh = _doc_shingles(spark, sf_dir).unionByName(slice_sh)
+        sh = sh.repartition(
+            _shuffle_partitions(sh), F.col("s")
+        ).localCheckpoint(eager=False)
         _EXCERPT_SHINGLE_CACHE[key] = sh
     return sh
 
